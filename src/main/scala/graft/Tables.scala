@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Table loading + cross-engine-exact arithmetic helpers.
+  *
+  * Correctness is judged by a bit-level hash compare between our parquet
+  * output and a DuckDB run of the oracle SQL (see Verify.scala). Floating
+  * point sums are order-dependent, so every aggregated double goes through
+  * an exact decimal representation first (money-like inputs all have <=2
+  * decimal places), and is cast back to double only at the end — both
+  * engines then produce the identical IEEE double. Counts are cast to
+  * BIGINT explicitly because DuckDB's SUM(int) returns HUGEINT and its
+  * len() returns BIGINT while Spark's size() returns INT.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact decimal type for money-like doubles (<=2 dp, < 1e10). */
+  val dec: DecimalType = DecimalType(12, 2)
+
+  /** Order-independent exact sum of a money-like double column, as double. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Exact average: double division of the exact sum — IEEE-identical in
+    * both engines (vs avg(), whose accumulation order is engine-defined). */
+  def davg(c: Column): Column =
+    (sum(c.cast(dec)).cast("double") / count(c)).cast("double")
+
+  /** Timestamp → canonical string (microsecond precision, UTC session TZ)
+    * so the compare never depends on engine timestamp encodings. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Second-precision variant for derived/window timestamps. */
+  def fmtTsSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}
+
+/** One operator of the engine: a named DataFrame query over the testdata
+  * plus (where SQL-expressible) a DuckDB oracle with IDENTICAL output
+  * column names and types. `oracle = None` → driver runs rows-only check.
+  */
+final case class OpSpec(
+    name: String,
+    query: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,309 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core of the engine.
+  *
+  * The reference pipeline (litwellchi/lvm_datapipe) has no relational
+  * algebra of its own — its needs (shard scan+union, predicate filters,
+  * resume anti-joins, per-video rollups, score-ranked curation, duration
+  * histograms; SURVEY.md §2.2-§2.6) map directly onto Catalyst operators.
+  * Each op below is the idiomatic Spark form, sized for 100 TB: filters
+  * and projections sit directly on the parquet scan (pushdown), dimension
+  * joins are broadcast, wide aggregations pre-aggregate map-side via
+  * partial aggregation, and every window/top-k has a total ordering so
+  * results are deterministic under any partitioning.
+  */
+object Relational {
+
+  /** A2/analyze_vids analog: pushed-down filter + grouped exact aggregate.
+    * Mirrors TPC-H Q1 shape (scan → filter → partial agg → final agg):
+    * the canonical "does partial aggregation + pushdown survive scale"
+    * probe. Reference: analyze/analyze_vids.py:42 (sum/mean durations).
+    */
+  val q01AggPushdown = OpSpec(
+    "q01_agg_pushdown",
+    (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** P1/P2 analog: predicate + projection, both pushed into the parquet
+    * scan (PushedFilters + ReadSchema pruning — verified in tests).
+    * Reference: utils/scenecut.py:109-112 (ext filter),
+    * coca_caption.py:70-72 (min-duration filter). */
+  val q02FilterProject = OpSpec(
+    "q02_filter_project",
+    (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 45.0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"),
+          col("l_extendedprice"),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber")).as("line_key"))
+    },
+    Some("""
+      SELECT l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_quantity, l_extendedprice,
+        l_orderkey || '#' || l_linenumber AS line_key
+      FROM lineitem
+      WHERE l_returnflag IN ('A','R') AND l_quantity > 45.0"""))
+
+  /** Clip↔video denormalization analog (SURVEY §2.3): star join where the
+    * dimension chain region→nation→customer is broadcast (no shuffle of
+    * the fact side for those joins); fact-fact join lineitem↔orders
+    * shuffles once on the join key. */
+  val q03StarJoin = OpSpec(
+    "q03_star_join",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderstatus <> 'P'
+      GROUP BY r_name, n_name"""))
+
+  /** P3 resume filter: anti-join of the work set against the done set.
+    * Reference: aesthetic_score.py:98, ocr_score.py:64 (skip clips whose
+    * output file already exists). Here: customers with no orders. */
+  val q04ResumeAntiJoin = OpSpec(
+    "q04_resume_anti_join",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val done = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-01-01 00:00:00").cast("timestamp"))
+      c.join(done, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00')"""))
+
+  /** Semi-join twin of q04 (set-membership filter; scene_cut.py:237-238
+    * computes the same via Python set difference/intersection). */
+  val q05SemiJoin = OpSpec(
+    "q05_semi_join",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')"""))
+
+  /** P4 per-video completion rollup: per-parent aggregate compared against
+    * the parent's own total (scene_cut.py:175-187: video finished when
+    * video_duration − Σ clip_duration < 0.5 s). Orders↔lineitem analog:
+    * per-order line rollup joined back to the order header. */
+  val q06CompletionRollup = OpSpec(
+    "q06_completion_rollup",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val rolled = li.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"))
+      rolled.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("sum_qty") > 150.0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("n_lines"),
+          col("sum_qty"), col("o_totalprice"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, n_lines, sum_qty, o_totalprice
+      FROM (SELECT l_orderkey, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey) r
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE sum_qty > 150.0"""))
+
+  /** §2.5 score-ranked curation ("best clips per video",
+    * macvid.py:113-115 selected_target/best_ocr_only): top-k per group
+    * with a TOTAL tie-break order so ranks are engine-independent. At
+    * scale this is the partial-top-k pattern: rank inside each partition
+    * group, no global sort. */
+  val q07TopkPerGroup = OpSpec(
+    "q07_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      table(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+    },
+    Some("""
+      SELECT l_suppkey, rn, l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY l_suppkey
+              ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+            AS BIGINT) AS rn
+            FROM lineitem)
+      WHERE rn <= 3"""))
+
+  /** A2 fixed-bin histogram (analyze_vids.py:43-45, bins
+    * [0,5,10,60,300,600,1800,3600,inf] over durations — same shape over
+    * order totals). The CASE bucketing is identical text in both engines.
+    */
+  val q08Histogram = OpSpec(
+    "q08_histogram",
+    (s, dir) => {
+      val b = col("o_totalprice")
+      table(s, dir, "orders")
+        .withColumn("bucket",
+          when(b < 50000, "00_lt50k")
+            .when(b < 100000, "01_50k_100k")
+            .when(b < 150000, "02_100k_150k")
+            .when(b < 200000, "03_150k_200k")
+            .when(b < 300000, "04_200k_300k")
+            .otherwise("05_ge300k"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some("""
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM (SELECT o_totalprice,
+              CASE WHEN o_totalprice < 50000  THEN '00_lt50k'
+                   WHEN o_totalprice < 100000 THEN '01_50k_100k'
+                   WHEN o_totalprice < 150000 THEN '02_100k_150k'
+                   WHEN o_totalprice < 200000 THEN '03_150k_200k'
+                   WHEN o_totalprice < 300000 THEN '04_200k_300k'
+                   ELSE '05_ge300k' END AS bucket
+            FROM orders)
+      GROUP BY bucket"""))
+
+  /** §2.6 set difference (scene_cut.py:238 `set(files)-set(finished)`):
+    * customers holding a finished order but no open order. */
+  val q09SetOps = OpSpec(
+    "q09_set_ops",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct()
+      f.except(open).select(col("o_custkey").as("custkey"))
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'"""))
+
+  /** §2.5 running aggregate over a totally-ordered window (the exact
+    * decimal sum keeps the running values engine-identical at every row).
+    */
+  val q10WindowRunning = OpSpec(
+    "q10_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "lineitem")
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast(dec)).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("running_qty"))
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem"""))
+
+  /** §2.4 grouping-sets slicing (the ad-hoc analysis surface implied by
+    * analyze_vids.py:38's TODO filter hook): ROLLUP over status×priority.
+    */
+  val q11Rollup = OpSpec(
+    "q11_rollup",
+    (s, dir) => {
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  val all: Seq[OpSpec] = Seq(
+    q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
+    q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
+    q09SetOps, q10WindowRunning, q11Rollup)
+}
