@@ -21,8 +21,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
+    // a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong —
+    // set in Session.builder). Convert to a micros timestamp with exact
+    // integer division (a double division would lose precision at 1e18).
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Session settings every entry point needs (nanos parquet + AQE). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
 
   /** Exact decimal type for money-like doubles (<=2 dp, < 1e10). */
   val dec: DecimalType = DecimalType(12, 2)

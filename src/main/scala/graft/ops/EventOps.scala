@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table. The reference is batch
+  * only (SURVEY.md §2.11) — these are the batch equivalents of the
+  * streaming surface (tumbling/session windows) plus the temporal joins
+  * (as-of, range) a caption-time ↔ frame-time alignment needs
+  * (README.md:51 `music_caption.time` ranges).
+  *
+  * Scale notes: tumbling windows are a single hash aggregate (bucket key
+  * is derived row-locally — no pre-shuffle); sessionization and as-of are
+  * one shuffle on user_id each (window functions, no self-join blowup);
+  * the range join is an equi-join on user_id with a residual time
+  * predicate — Catalyst plans a hash join + filter, never a nested-loop
+  * cross product.
+  */
+object EventOps {
+
+  /** Tumbling 10-minute window aggregate — Spark's `window()` (epoch-
+    * aligned) with the bucket start emitted as a canonical string. */
+  val q17TumblingWindow = OpSpec(
+    "q17_tumbling_window",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(fmtTsSec(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+    },
+    Some("""
+      SELECT substr(strftime(ts, '%Y-%m-%d %H:%M'), 1, 15) || '0:00' AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY 1, 2"""))
+
+  /** Session windows (30-minute inactivity gap) per user —
+    * `session_window` groupBy; oracle is the classic gaps-and-islands
+    * rewrite (new session when the gap from the previous event is >= the
+    * gap duration, matching Spark's exclusive session end). */
+  val q18SessionWindow = OpSpec(
+    "q18_session_window",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .select(col("user_id"),
+          fmtTs(col("first_ts")).as("session_start"),
+          col("n_events"), col("total"),
+          (unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+            .as("span_us"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM sess GROUP BY user_id, sid"""))
+
+  /** As-of join: each purchase matched to the user's latest signup at or
+    * before it. Implemented the scalable way — union both sides, one
+    * window over (user_id, ts) with `last(..., ignoreNulls)` — a single
+    * shuffle, no per-row probe join. DuckDB's native ASOF JOIN is the
+    * oracle. (user_id, ts) is unique in the testdata, so no tie rules
+    * are exercised. */
+  val q19AsofJoin = OpSpec(
+    "q19_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isB = col("event_type") === "signup"
+      ev
+        .withColumn("b_ts", last(when(isB, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("b_id", last(when(isB, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("ts"),
+          fmtTs(col("b_ts")).as("signup_ts"),
+          col("b_id").as("signup_id"))
+    },
+    Some("""
+      SELECT a.event_id, a.user_id,
+             strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+             b.event_id AS signup_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts"""))
+
+  /** Range (interval) join: purchases within 5 minutes after an error by
+    * the same user. The user_id equality keys a hash join; the time
+    * predicate is a residual filter — scales as the per-user density, not
+    * |A|×|B|. */
+  val q20RangeJoin = OpSpec(
+    "q20_range_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("a_ts"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("b_ts"))
+      a.join(b, Seq("user_id"))
+        .filter(col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("error_id"), col("purchase_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"))
+    },
+    Some("""
+      SELECT a.user_id, a.event_id AS error_id, b.event_id AS purchase_id,
+             epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'error') a
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+       AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE"""))
+
+  val all: Seq[OpSpec] = Seq(
+    q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin)
+}
