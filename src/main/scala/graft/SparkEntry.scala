@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Seq[OpSpec] =
-    ops.Relational.all ++ ops.PipelineOps.all ++ ops.EventOps.all
+    ops.Relational.all ++ ops.PipelineOps.all ++ ops.EventOps.all ++
+      ops.TextOps.all ++ ops.DedupOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

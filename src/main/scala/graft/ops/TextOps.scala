@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the text half of
+  * the curation pipeline (reference ties: `langdetect` in
+  * requirements.txt:41; score-based curation macvid.py:113-115; caption
+  * parsing F9-F11). All kernels are pure column expressions (whole-stage
+  * codegen, no UDFs) and every one is DuckDB-oracle-checked.
+  *
+  * Portability notes (Spark ↔ DuckDB exactness):
+  *  - words are split with the same regex; Spark string literals process
+  *    backslash escapes, DuckDB's do not — hence '\\s' vs '\s' below.
+  *  - ratios are single IEEE divisions of exact integers → bit-identical.
+  *  - numeric hashes are derived from md5 hex digits with instr/substring
+  *    arithmetic available identically in both engines.
+  */
+object TextOps {
+
+  /** Spark-side word array (non-empty tokens). */
+  private val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
+  /** DuckDB-side word array. */
+  private val wordsDuck =
+    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+
+  /** Portable numeric hash: first `n` hex digits of an md5 string column
+    * folded to a BIGINT. Identical text works in both engines (instr,
+    * substring, md5 all match). */
+  private def hexToLong(md5Expr: String, n: Int): String =
+    (1 to n).map { i =>
+      val p = java.lang.Math.pow(16, n - i).toLong
+      s"(instr('0123456789abcdef', substring($md5Expr, $i, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Token counting + quality raw stats (SURVEY §2.12 text stats):
+    * whitespace tokens, BPE-ish regex tokens, char-class counts,
+    * stopword ratio. */
+  val q21TextStats = OpSpec(
+    "q21_text_stats",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          expr("CAST(size(words) AS BIGINT)").as("n_words"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_tokens"),
+          expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)")
+            .as("n_nonspace"),
+          expr("CAST(size(filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+            .as("n_stopwords"),
+          expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)")
+            .as("n_punct"))
+        .withColumn("avg_word_len",
+          col("n_nonspace").cast("double") / col("n_words"))
+        .withColumn("stopword_ratio",
+          col("n_stopwords").cast("double") / col("n_words"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+        CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS DOUBLE) / len(words) AS avg_word_len,
+        CAST(CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS DOUBLE) / len(words) AS stopword_ratio
+      FROM (SELECT doc_id, text, $wordsDuck AS words FROM documents)"""))
+
+  /** Language-ID by marker-word voting (the n-gram-heuristic shape of
+    * langdetect): per-language marker hit counts, deterministic
+    * first-wins argmax, agreement flag against the labeled lang. */
+  val q22LangId = OpSpec(
+    "q22_lang_id",
+    (s, dir) => {
+      def score(markers: Seq[String]): String =
+        s"CAST(size(filter(words, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS BIGINT)"
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("s_en", expr(score(Seq("the", "a", "fast", "slow"))))
+        .withColumn("s_es", expr(score(Seq("data", "table", "row"))))
+        .withColumn("s_de", expr(score(Seq("join", "merge", "sort"))))
+        .withColumn("s_fr", expr(score(Seq("query", "filter", "group"))))
+        .withColumn("s_zh", expr(score(Seq("spark", "stream", "batch"))))
+        .withColumn("pred_lang", expr(
+          """CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END"""))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+          expr("CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT)")
+            .as("agree"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(words, w -> w IN ('the','a','fast','slow'))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(words, w -> w IN ('data','table','row'))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(words, w -> w IN ('join','merge','sort'))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(words, w -> w IN ('query','filter','group'))) AS BIGINT) AS s_fr,
+          CAST(len(list_filter(words, w -> w IN ('spark','stream','batch'))) AS BIGINT) AS s_zh
+        FROM (SELECT doc_id, lang, $wordsDuck AS words FROM documents)),
+      pred AS (
+        SELECT *,
+          CASE
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+        FROM scored)
+      SELECT doc_id, lang, pred_lang, s_en, s_es, s_de, s_fr, s_zh,
+        CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS agree
+      FROM pred"""))
+
+  /** Quality scoring for curation (length / punctuation / stopword
+    * components → one score + keep/drop verdict; the score-band filter
+    * of macvid.py:113-115 `best_ocr_only`). */
+  val q23QualityScore = OpSpec(
+    "q23_quality_score",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_punct",
+          expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr("CAST(size(filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT)"))
+        .withColumn("quality", expr(
+          """round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
+                 + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""))
+        .select(col("doc_id"), col("n_words"), col("quality"),
+          expr("CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END")
+            .as("verdict"))
+    },
+    Some(s"""
+      SELECT doc_id, n_words,
+        round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) AS quality,
+        CASE WHEN round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) >= 0.5
+             THEN 'keep' ELSE 'drop' END AS verdict
+      FROM (SELECT doc_id, text,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+            FROM (SELECT doc_id, text, $wordsDuck AS words FROM documents))"""))
+
+  /** Document fingerprinting: md5 of the whitespace-normalized text plus
+    * a numeric 48-bit fingerprint folded from the hex digits (the
+    * portable stand-in for a rolling hash). */
+  val q24Fingerprint = OpSpec(
+    "q24_fingerprint",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("fp_md5",
+          expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))
+        .select(col("doc_id"), col("fp_md5"),
+          expr(s"CAST(${hexToLong("fp_md5", 12)} AS BIGINT)").as("fp_num"))
+    },
+    Some(s"""
+      SELECT doc_id, fp_md5,
+        CAST(${hexToLong("fp_md5", 12)} AS BIGINT) AS fp_num
+      FROM (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+            FROM documents)"""))
+
+  val all: Seq[OpSpec] = Seq(
+    q21TextStats, q22LangId, q23QualityScore, q24Fingerprint)
+}
