@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over `embeddings` (64-d float vectors;
+  * the CLIP-embedding shape of aesthetic_score.py:100-105, F5 l2-norm).
+  *
+  * Numerics: dot products are strict LEFT-TO-RIGHT IEEE double folds in
+  * both engines — Spark `aggregate(..., 0.0, +)` and DuckDB
+  * `list_reduce(..., +)` (first-element init; 0.0 + x == x exactly), so
+  * every intermediate and the final double are bit-identical. Decimal
+  * summation does NOT work here: Spark's double→decimal cast routes
+  * through the shortest string representation and drops low-order bits
+  * that DuckDB keeps.
+  *
+  * Scale: brute-force top-k is the broadcast-queries pattern (corpus
+  * scanned once, no shuffle of the big side); near-dup search blocks by
+  * label and IVF search probes only the query's nearest centroid's
+  * cluster — both turn O(n²) into an equi-join.
+  */
+object EmbeddingOps {
+
+  /** Exact dot product of two float-array columns (Spark SQL). */
+  private def dotSpark(a: String, b: String): String =
+    s"""aggregate(
+         zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         CAST(0 AS DOUBLE),
+         (acc, v) -> acc + v)"""
+
+  /** DuckDB twin of [[dotSpark]] (same fold order). */
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+          CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  /** Spark: embeddings with the precomputed L2 norm (F5,
+    * aesthetic_score.py:69-74). */
+  private def normedDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("nrm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+
+  private val normedDuck =
+    s"""SELECT vec_id, label, embedding,
+          sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+        FROM embeddings"""
+
+  /** Brute-force cosine top-k: queries (vec_id < 20) broadcast against
+    * the full corpus, rank by cosine with a total tie-break. */
+  val q30CosineTopk = OpSpec(
+    "q30_cosine_topk",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val q = e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("query_id") < 20)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr(dotSpark("qv", "embedding")) / (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+            FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ${dotDuck("q.qv", "e.embedding")} / (q.qnrm * e.nrm) AS cosine
+        FROM e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, rn, neighbor_id, cosine FROM ranked WHERE rn <= 5"""))
+
+  /** Embedding near-dup pairs, label-blocked (the partitioned form that
+    * avoids the all-pairs cross product at scale). */
+  val q31CosineNeardup = OpSpec(
+    "q31_cosine_neardup",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("label").cast("long").as("label"),
+          col("vec_a"), col("vec_b"), col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck)
+      SELECT CAST(a.label AS BIGINT) AS label,
+             a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3"""))
+
+  /** IVF coarse quantization: every vector assigned to its nearest
+    * centroid (centroids = vec_id % 50 = 0, broadcast; count scales with
+    * the table). One linear pass — the build step of an IVF index. */
+  val q32IvfAssign = OpSpec(
+    "q32_ivf_assign",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val c = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("centroid_id").asc)
+      e.crossJoin(broadcast(c))
+        .withColumn("cosine",
+          expr(dotSpark("cv", "embedding")) / (col("cnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv, nrm AS cnrm
+            FROM e WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ${dotDuck("c.cv", "e.embedding")} / (c.cnrm * e.nrm) AS cosine
+        FROM e, c),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, centroid_id ASC) AS rn
+        FROM scored)
+      SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1"""))
+
+  /** IVF search (nprobe=1): queries (vec_id < 20) probe only their own
+    * centroid's cluster — candidate set is n/C instead of n. Returns
+    * top-3 in-cluster neighbors per query. */
+  val q33IvfSearch = OpSpec(
+    "q33_ivf_search",
+    (s, dir) => {
+      val assign = q32IvfAssign.query(s, dir)
+        .select(col("vec_id"), col("centroid_id"))
+      val e = normedDf(s, dir)
+      val members = e.join(assign, "vec_id")
+      val q = members
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("centroid_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      members.join(broadcast(q), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr(dotSpark("qv", "embedding")) / (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"),
+          col("vec_id").as("neighbor_id"), col("centroid_id"), col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      c AS (SELECT vec_id AS centroid_id, cv, cnrm FROM (
+              SELECT vec_id, embedding AS cv, nrm AS cnrm
+              FROM e WHERE vec_id % 50 = 0)),
+      scored0 AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+               ${dotDuck("c.cv", "e.embedding")} / (c.cnrm * e.nrm) AS cosine
+        FROM e, c),
+      assign AS (
+        SELECT vec_id, embedding, nrm, centroid_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, centroid_id ASC) AS rn
+          FROM scored0)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+                   centroid_id
+            FROM assign WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, m.vec_id, m.centroid_id,
+               ${dotDuck("q.qv", "m.embedding")} / (q.qnrm * m.nrm) AS cosine
+        FROM assign m JOIN q ON m.centroid_id = q.centroid_id
+        WHERE m.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, centroid_id, cosine
+      FROM ranked WHERE rn <= 3"""))
+
+  val all: Seq[OpSpec] = Seq(
+    q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch)
+}
