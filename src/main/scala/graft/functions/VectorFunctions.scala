@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the hot vector kernel: a float-array
+  * dot product evaluated directly over Tungsten `ArrayData` — no
+  * intermediate array materialization, unlike the
+  * `aggregate(zip_with(...))` higher-order-function chain which builds a
+  * boxed result array per row. Left-to-right accumulation, matching the
+  * SQL/DuckDB folds used by the oracle-checked queries bit-for-bit.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Cosine similarity from three dot products (norms not cached). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}

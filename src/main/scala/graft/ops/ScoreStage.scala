@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The generic ML scoring stage — the skeleton every reference scorer
+  * shares (SURVEY.md §2.8: partition → batch → model forward → enrich;
+  * aesthetic_score.py:116-135, ocr_score.py:66-74, imaging_quality.py:
+  * 80-92) re-expressed as one `mapPartitions` combinator:
+  *
+  *  - model/codec state is built once per partition via a lazy holder
+  *    (the reference builds once per process, aesthetic_score.py:100-108)
+  *  - rows are fed to the kernel in batches (DataLoader batch_size
+  *    analog; batching amortizes model-call overhead)
+  *  - kernel failures yield a null score + error column instead of
+  *    killing the task (ocr_score.py:77-78's exit() is the bug we do NOT
+  *    replicate; SURVEY §4.3)
+  *  - resume semantics are an anti-join against the done set (P3), so
+  *    re-running a stage is idempotent.
+  */
+object ScoreStage {
+
+  /** A batched scoring kernel: one batch of input rows → one score (or
+    * error) per row, order-preserving. */
+  trait Kernel extends Serializable {
+    def name: String
+    /** Called once per partition before scoring (model load). */
+    def setup(): Unit = ()
+    def score(batch: Seq[Row]): Seq[Either[String, Double]]
+  }
+
+  /** Append `<outCol>` (double) and `<outCol>_error` (string) columns. */
+  def scoreStage(df: DataFrame, kernel: Kernel, batchSize: Int = 8,
+      outCol: String = "score"): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField(outCol, DoubleType))
+      .add(StructField(s"${outCol}_error", StringType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      kernel.setup() // once per partition, not per row (D4/§4.1)
+      it.grouped(batchSize).flatMap { batch =>
+        val scores =
+          try kernel.score(batch)
+          catch { case e: Exception => batch.map(_ => Left(e.getMessage)) }
+        batch.zip(scores).map { case (row, res) =>
+          Row.fromSeq(row.toSeq ++ (res match {
+            case Right(v) => Seq(v, null)
+            case Left(err) => Seq(null, err)
+          }))
+        }
+      }
+    }(enc)
+  }
+
+  /** P6 null-drop: remove rows whose kernel failed (collate_fn drop,
+    * aesthetic_score.py:76-80). */
+  def dropFailed(df: DataFrame, outCol: String): DataFrame =
+    df.filter(col(outCol).isNotNull).drop(s"${outCol}_error")
+
+  /** P3 resume: drop rows whose key is already in the done set. A
+    * zero-byte/invalid "done" row counts as NOT done (ocr_score.py:64) —
+    * callers pre-filter doneDf accordingly. */
+  def resumeFilter(df: DataFrame, doneDf: DataFrame, key: String): DataFrame =
+    df.join(doneDf.select(col(key)).distinct(), Seq(key), "left_anti")
+
+  /** M2 stand-in kernel: L2-normalize the embedding (F5, aesthetic_score
+    * .py:69-74) and apply a fixed linear head — the deterministic shape
+    * of the CLIP+MLP aesthetic scorer. Weights are rational so the exact
+    * same arithmetic is expressible in the SQL oracle. */
+  final class LinearHeadKernel(dim: Int) extends Kernel {
+    override def name = "aesthetic_linear"
+    private def w(i: Int): Double = (((i * 7) % 13) - 6) / 13.0
+    override def score(batch: Seq[Row]): Seq[Either[String, Double]] =
+      batch.map { row =>
+        val v = row.getAs[scala.collection.Seq[Float]]("embedding")
+        if (v == null || v.isEmpty) Left("null embedding")
+        else {
+          // left-to-right folds mirror the SQL oracle bit-for-bit
+          var ss = 0.0
+          v.foreach(x => ss += x.toDouble * x.toDouble)
+          val nrm = math.sqrt(ss)
+          var dot = 0.0
+          var i = 0
+          v.foreach { x => dot += (x.toDouble / nrm) * w(i); i += 1 }
+          Right(dot)
+        }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface. The reference is restartable batch
+  * (SURVEY §2.11 — no true streaming), but every per-row scoring op is
+  * map-shaped, so the same stages run unchanged over `readStream`; only
+  * aggregations need watermarked windows. This module exposes the
+  * streaming twins of the batch event ops (q17/q18) plus a generic
+  * stream-scoring hook, so the engine covers the "continuous ingestion"
+  * deployment the reference handles by re-running stages (D6).
+  */
+object StreamingStages {
+
+  /** events.parquet stream with the nanos→micros conversion of
+    * graft.Tables (file streams require an explicit schema). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Streaming twin of q17: watermarked tumbling 10-minute counts. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming twin of q18: watermarked session windows per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("n_events"), col("total"))
+
+  /** Any map-shaped stage (scoring, enrichment) applies to a stream
+    * as-is — this just documents/types the contract. */
+  def mapStage(stream: DataFrame, stage: DataFrame => DataFrame): DataFrame =
+    stage(stream)
+
+  /** Drive a streaming DF to a named in-memory table and wait until all
+    * available input is processed (test/local harness; production uses a
+    * real sink + checkpointLocation). */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q
+  }
+}

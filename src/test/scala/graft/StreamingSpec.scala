@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamingStages
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins produce the same answers as their batch ops when fed
+  * the same (finite) input — the contract that keeps every scoring stage
+  * deployable over readStream (SURVEY §2.11).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** File streams need a directory source; stage the single parquet. */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling agg == batch q17 (counts per window/type)") {
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.tumblingAgg(stream), "tumbling_out")
+    try {
+      val streamed = spark.table("tumbling_out")
+        .select("win_start", "event_type", "n")
+      val batch = SparkEntry.queries("q17_tumbling_window")(spark, sf)
+        .select("win_start", "event_type", "n")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming session windows cover all events") {
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.sessionAgg(stream), "session_out")
+    try {
+      val total = spark.table("session_out")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+      assert(total == Tables.table(spark, sf, "events").count())
+    } finally q.stop()
+  }
+}
