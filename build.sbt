@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark: driver heap IS executor memory; 32 threads at
+  // sf0.1 + broadcast accumulation across a 36-query bench need far
+  // more than the old 8g default (GC thrash showed up as a 15x bench
+  // regression on the star join)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Catalyst emits large generated classes per query plan; a 36-query
+  // run blows through the 240m default code cache, HotSpot stops
+  // JIT-compiling, and expression-heavy queries go 50x slower.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -61,9 +61,14 @@ object DedupOps {
   private val R = 3  // rows per band
   private val B = K / R
 
-  /** Spark: docs → (doc_id, sh) where sh = distinct 3-word shingles. */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+  /** Spark: docs → (doc_id, sh) where sh = distinct 3-word shingles.
+    * The repartition decouples compute parallelism from the input file
+    * count: hashing work is far heavier than the scan, and a small
+    * shard (locally: one file) would otherwise pin the whole shingle +
+    * signature pipeline to one task. */
+  def shingleDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+      .repartition(col("doc_id"))
       .withColumn("words", expr(wordsSpark))
       .filter(expr("size(words) >= 3"))
       .withColumn("sh", expr(
@@ -87,12 +92,23 @@ object DedupOps {
   val q27MinhashLsh = OpSpec(
     "q27_minhash_lsh",
     (s, dir) => {
-      val docs = shingleDf(s, dir)
+      // Signature computation notes (measured at sf0.1):
+      //  - the HOF form array_min(transform(sh, md5)) is fast (~4 s)
+      //    while it stays inside whole-stage codegen, but re-evaluating
+      //    it interpreted (under a Generate, or on both sides of the
+      //    self-join) cost 50-350 s — so signatures are computed ONCE
+      //    and persisted (a few MB: doc_id + shingles + 12 hashes).
+      //  - the explode + 12×min(md5) aggregate alternative is NOT an
+      //    option: var-length string buffers knock HashAggregate off its
+      //    fast path (~190 µs/row).
       val sigCols = (0 until K).map(i =>
         expr(s"array_min(transform(sh, x -> md5(concat('$i:', x))))").as(s"s$i"))
-      val sigs = docs.select(col("doc_id") +: sigCols: _*)
+      val sigs = shingleDf(s, dir)
+        .select(col("doc_id") +: col("sh") +: sigCols: _*)
+        .persist()
+      val docs = sigs.select(col("doc_id"), col("sh"))
       val bandPairs = (0 until B).map(j =>
-        s"$j, md5(concat_ws('|', ${(0 until R).map(r => s"s${j * R + r}").mkString(", ")}))")
+        s"$j, md5(CAST(concat_ws('|', ${(0 until R).map(r => s"s${j * R + r}").mkString(", ")}) AS BINARY))")
       val bands = sigs.select(col("doc_id"),
         expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
       val cand = bands.as("a")
@@ -140,23 +156,29 @@ object DedupOps {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** ±1 vote for bit `b` (0 = MSB) of the 32-bit hash of lambda var `w`,
-    * derived from md5 hex digits — engine-portable arithmetic. */
+  /** ±1 vote for bit `b` (0 = MSB) of the 32-bit hash held in lambda var
+    * `h` (a precomputed md5 hex string — hashed ONCE per shingle, not
+    * once per bit), derived via hex-digit arithmetic portable to both
+    * engines. */
   private def bitTerm(b: Int): String = {
     val pos = b / 4 + 1           // 1-based hex digit index
     val p = 1 << (3 - (b % 4))    // weight of the bit inside the digit
-    s"(2 * (CASE WHEN ((instr('0123456789abcdef', substring(md5(w), $pos, 1)) - 1) % ${2 * p}) >= $p THEN 1 ELSE 0 END) - 1)"
+    s"(2 * (CASE WHEN ((instr('0123456789abcdef', substring(h, $pos, 1)) - 1) % ${2 * p}) >= $p THEN 1 ELSE 0 END) - 1)"
   }
+
+  /** Spark: shingle hashes, computed once per doc. */
+  private val shhSpark = "transform(sh, w -> md5(CAST(w AS BINARY)))"
+  private val shhDuck = "list_transform(sh, w -> md5(w))"
 
   private def simhashSpark: String =
     (0 until 32).map { b =>
-      val sum = s"aggregate(sh, CAST(0 AS BIGINT), (acc, w) -> acc + ${bitTerm(b)})"
+      val sum = s"aggregate(shh, CAST(0 AS BIGINT), (acc, h) -> acc + ${bitTerm(b)})"
       s"(CASE WHEN $sum >= 0 THEN ${1L << (31 - b)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private def simhashDuck: String =
     (0 until 32).map { b =>
-      val sum = s"CAST(list_sum(list_transform(sh, w -> ${bitTerm(b)})) AS BIGINT)"
+      val sum = s"CAST(list_sum(list_transform(shh, h -> ${bitTerm(b)})) AS BIGINT)"
       s"(CASE WHEN $sum >= 0 THEN ${1L << (31 - b)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -165,11 +187,13 @@ object DedupOps {
     "q28_simhash",
     (s, dir) =>
       shingleDf(s, dir)
+        .withColumn("shh", expr(shhSpark))
         .select(col("doc_id"),
           expr(s"CAST($simhashSpark AS BIGINT)").as("simhash")),
     Some(s"""
-      WITH docs AS ($shingleDuck)
-      SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash FROM docs"""))
+      WITH docs AS ($shingleDuck),
+      hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs)
+      SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash FROM hashed"""))
 
   /** SimHash near-dup pairs: query docs (doc_id % 10 = 0) against the
     * rest, Hamming distance <= 6. At scale the same query runs as an
@@ -180,6 +204,7 @@ object DedupOps {
     "q29_simhash_pairs",
     (s, dir) => {
       val sims = shingleDf(s, dir)
+        .withColumn("shh", expr(shhSpark))
         .select(col("doc_id"), expr(s"CAST($simhashSpark AS BIGINT)").as("simhash"))
       val a = sims.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
@@ -193,7 +218,8 @@ object DedupOps {
     },
     Some(s"""
       WITH docs AS ($shingleDuck),
-      sims AS (SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash FROM docs)
+      hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs),
+      sims AS (SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash FROM hashed)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sims a JOIN sims b

@@ -24,14 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOps {
 
-  /** Exact dot product of two float-array columns (Spark SQL). */
-  private def dotSpark(a: String, b: String): String =
-    s"""aggregate(
-         zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         CAST(0 AS DOUBLE),
-         (acc, v) -> acc + v)"""
-
-  /** DuckDB twin of [[dotSpark]] (same fold order). */
+  /** Spark-side dot products use the native Catalyst expression
+    * [[graft.functions.DotProduct]] — the same left-to-right fold as the
+    * DuckDB oracle (bit-identical; asserted by OperatorSpec), without
+    * the per-row array materialization of aggregate(zip_with(...)). */
   private def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
           CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
@@ -40,7 +36,7 @@ object EmbeddingOps {
     * aesthetic_score.py:69-74). */
   private def normedDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
-      .withColumn("nrm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))))
 
   private val normedDuck =
     s"""SELECT vec_id, label, embedding,
@@ -61,7 +57,7 @@ object EmbeddingOps {
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cosine",
-          expr(dotSpark("qv", "embedding")) / (col("qnrm") * col("nrm")))
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"),
@@ -94,7 +90,7 @@ object EmbeddingOps {
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cosine",
-          expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+          graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cosine") >= 0.3)
         .select(col("label").cast("long").as("label"),
           col("vec_a"), col("vec_b"), col("cosine"))
@@ -121,7 +117,7 @@ object EmbeddingOps {
         .orderBy(col("cosine").desc, col("centroid_id").asc)
       e.crossJoin(broadcast(c))
         .withColumn("cosine",
-          expr(dotSpark("cv", "embedding")) / (col("cnrm") * col("nrm")))
+          graft.functions.VectorFunctions.dot(col("cv"), col("embedding")) / (col("cnrm") * col("nrm")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("centroid_id"), col("cosine"))
@@ -159,7 +155,7 @@ object EmbeddingOps {
       members.join(broadcast(q), Seq("centroid_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cosine",
-          expr(dotSpark("qv", "embedding")) / (col("qnrm") * col("nrm")))
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("query_id"), col("rn"),
