@@ -34,11 +34,15 @@ object CaptionOps {
     Some("""
       SELECT vec_id,
         list_reduce(list_transform(generate_series(1, len(embedding)), i ->
-          (CAST(embedding[i] AS DOUBLE) /
-             sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), j ->
-               CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)), (a, b) -> a + b)))
+          (CAST(embedding[i] AS DOUBLE) / nrm)
           * (CAST((((i - 1) * 7) % 13) - 6 AS DOUBLE) / 13.0)), (a, b) -> a + b) AS aesthetic
-      FROM embeddings"""))
+      FROM (SELECT vec_id, embedding,
+              CASE WHEN ss = 0 THEN 1.0 ELSE sqrt(ss) END AS nrm
+            FROM (SELECT vec_id, embedding,
+                    list_reduce(list_transform(generate_series(1, len(embedding)), j ->
+                      CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
+                      (a, b) -> a + b) AS ss
+                  FROM embeddings))"""))
 
   /** M7 prompt templating (F10, sum_caption_llama.py:34-40) + stub
     * generation + answer parsing (F9, sum_caption_llama.py:42-50):

@@ -68,7 +68,10 @@ object DedupOps {
     * signature pipeline to one task. */
   def shingleDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .repartition(col("doc_id"))
+      // explicit partition count: an AQE-coalescible repartition(col)
+      // collapses this tiny-by-bytes but compute-heavy stage back to
+      // one task (observed: a 9-minute single-task SimHash stage)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("words", expr(wordsSpark))
       .filter(expr("size(words) >= 3"))
       .withColumn("sh", expr(
@@ -156,26 +159,41 @@ object DedupOps {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** ±1 vote for bit `b` (0 = MSB) of the 32-bit hash held in lambda var
-    * `h` (a precomputed md5 hex string — hashed ONCE per shingle, not
-    * once per bit), derived via hex-digit arithmetic portable to both
-    * engines. */
-  private def bitTerm(b: Int): String = {
+  /** ±1 vote for bit `b` (0 = MSB) of the 32-bit hash held in column/
+    * lambda var `h` (a precomputed md5 hex string — hashed ONCE per
+    * shingle, not once per bit), derived via hex-digit arithmetic
+    * portable to both engines. */
+  private def bitTerm(b: Int, h: String = "h"): String = {
     val pos = b / 4 + 1           // 1-based hex digit index
     val p = 1 << (3 - (b % 4))    // weight of the bit inside the digit
-    s"(2 * (CASE WHEN ((instr('0123456789abcdef', substring(h, $pos, 1)) - 1) % ${2 * p}) >= $p THEN 1 ELSE 0 END) - 1)"
+    s"(2 * (CASE WHEN ((instr('0123456789abcdef', substring($h, $pos, 1)) - 1) % ${2 * p}) >= $p THEN 1 ELSE 0 END) - 1)"
   }
 
-  /** Spark: shingle hashes, computed once per doc. */
-  private val shhSpark = "transform(sh, w -> md5(CAST(w AS BINARY)))"
   private val shhDuck = "list_transform(sh, w -> md5(w))"
 
-  private def simhashSpark: String =
-    (0 until 32).map { b =>
-      val sum = s"aggregate(shh, CAST(0 AS BIGINT), (acc, h) -> acc + ${bitTerm(b)})"
-      s"(CASE WHEN $sum >= 0 THEN ${1L << (31 - b)} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+  /** Spark: per-document SimHash via explode + 32 sum(long) aggregates.
+    * Higher-order functions (aggregate/transform) always evaluate
+    * interpreted — 32 of them per row cost minutes at sf0.1 — while
+    * explode + fixed-width long sums stay fully codegen'd end to end.
+    * Bit-vote sums are order-independent integer additions, so the
+    * result is engine-exact regardless of shuffle order. */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleDf(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("w"))
+      .withColumn("h", md5(col("w").cast("binary")))
+    val sums = ex
+      .select(col("doc_id") +:
+        (0 until 32).map(b => expr(bitTerm(b)).cast("long").as(s"v$b")): _*)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("v0")).as("v0"),
+        (1 until 32).map(b => sum(col(s"v$b")).as(s"v$b")): _*)
+    val packed = (0 until 32)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (31 - b)} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    sums.select(col("doc_id"), expr(s"CAST($packed AS BIGINT)").as("simhash"))
+  }
 
+  /** DuckDB twin (lists are fine there — single-process, vectorized). */
   private def simhashDuck: String =
     (0 until 32).map { b =>
       val sum = s"CAST(list_sum(list_transform(shh, h -> ${bitTerm(b)})) AS BIGINT)"
@@ -185,11 +203,7 @@ object DedupOps {
   /** Per-document 32-bit SimHash over 3-word shingles. */
   val q28Simhash = OpSpec(
     "q28_simhash",
-    (s, dir) =>
-      shingleDf(s, dir)
-        .withColumn("shh", expr(shhSpark))
-        .select(col("doc_id"),
-          expr(s"CAST($simhashSpark AS BIGINT)").as("simhash")),
+    (s, dir) => simhashDf(s, dir),
     Some(s"""
       WITH docs AS ($shingleDuck),
       hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs)
@@ -203,9 +217,7 @@ object DedupOps {
   val q29SimhashPairs = OpSpec(
     "q29_simhash_pairs",
     (s, dir) => {
-      val sims = shingleDf(s, dir)
-        .withColumn("shh", expr(shhSpark))
-        .select(col("doc_id"), expr(s"CAST($simhashSpark AS BIGINT)").as("simhash"))
+      val sims = simhashDf(s, dir).persist()
       val a = sims.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
       val b = sims.filter(col("doc_id") % 10 =!= 0)

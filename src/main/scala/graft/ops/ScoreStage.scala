@@ -77,10 +77,11 @@ object ScoreStage {
         val v = row.getAs[scala.collection.Seq[Float]]("embedding")
         if (v == null || v.isEmpty) Left("null embedding")
         else {
-          // left-to-right folds mirror the SQL oracle bit-for-bit
+          // left-to-right folds mirror the SQL oracle bit-for-bit;
+          // zero vector normalizes by 1 (aesthetic_score.py:69-74)
           var ss = 0.0
           v.foreach(x => ss += x.toDouble * x.toDouble)
-          val nrm = math.sqrt(ss)
+          val nrm = if (ss == 0.0) 1.0 else math.sqrt(ss)
           var dot = 0.0
           var i = 0
           v.foreach { x => dot += (x.toDouble / nrm) * w(i); i += 1 }
