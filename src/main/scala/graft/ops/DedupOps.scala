@@ -61,25 +61,44 @@ object DedupOps {
   private val R = 3  // rows per band
   private val B = K / R
 
-  /** Spark: docs → (doc_id, sh) where sh = distinct 3-word shingles.
-    * The repartition decouples compute parallelism from the input file
-    * count: hashing work is far heavier than the scan, and a small
-    * shard (locally: one file) would otherwise pin the whole shingle +
-    * signature pipeline to one task. */
-  def shingleDf(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingle) rows — distinct 3-word shingles, built
+    * relationally (posexplode → window lead → distinct) so the whole
+    * pipeline stays inside whole-stage codegen, with the regex split
+    * evaluated exactly once per document.
+    *
+    * The array/HOF formulation (transform over sequence of element_at)
+    * is a trap at scale: HOFs always evaluate interpreted, and outside
+    * codegen there is no common-subexpression elimination, so every
+    * element_at reference re-evaluates the full regex split — measured
+    * minutes per stage at sf0.1 whenever a Generate or a broadcast
+    * build forced interpretation.
+    *
+    * The repartition pins an explicit partition count: hashing work is
+    * far heavier than the scan bytes, and both the one-file input and
+    * AQE coalescing would otherwise collapse the stage to one task. */
+  def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     table(s, dir, "documents")
-      // explicit partition count: an AQE-coalescible repartition(col)
-      // collapses this tiny-by-bytes but compute-heavy stage back to
-      // one task (observed: a 9-minute single-task SimHash stage)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("words", expr(wordsSpark))
-      .filter(expr("size(words) >= 3"))
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(1, size(words) - 2),
-             i -> concat(element_at(words, i), ' ',
-                         element_at(words, i + 1), ' ',
-                         element_at(words, i + 2))))"""))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), posexplode(expr(wordsSpark)).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .withColumn("w3", lead(col("w"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
+  }
+
+  /** First `n` hex digits of the md5 string held in column `h`, folded
+    * to a non-negative long — the numeric minhash domain. Fixed-width
+    * long min() buffers keep HashAggregate on its fast path (var-length
+    * string minima knock it off: ~190 µs/row measured). */
+  private def hexToLong(h: String, n: Int = 12): String =
+    (1 to n).map { i =>
+      val p = java.lang.Math.pow(16, n - i).toLong
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB twin of [[shingleDf]] as a CTE body. */
   private val shingleDuck = s"""
@@ -95,25 +114,24 @@ object DedupOps {
   val q27MinhashLsh = OpSpec(
     "q27_minhash_lsh",
     (s, dir) => {
-      // Signature computation notes (measured at sf0.1):
-      //  - the HOF form array_min(transform(sh, md5)) is fast (~4 s)
-      //    while it stays inside whole-stage codegen, but re-evaluating
-      //    it interpreted (under a Generate, or on both sides of the
-      //    self-join) cost 50-350 s — so signatures are computed ONCE
-      //    and persisted (a few MB: doc_id + shingles + 12 hashes).
-      //  - the explode + 12×min(md5) aggregate alternative is NOT an
-      //    option: var-length string buffers knock HashAggregate off its
-      //    fast path (~190 µs/row).
-      val sigCols = (0 until K).map(i =>
-        expr(s"array_min(transform(sh, x -> md5(concat('$i:', x))))").as(s"s$i"))
-      val sigs = shingleDf(s, dir)
-        .select(col("doc_id") +: col("sh") +: sigCols: _*)
-        .persist()
-      val docs = sigs.select(col("doc_id"), col("sh"))
+      // shingle rows are reused by signatures and both verify joins
+      val sh = shingleRows(s, dir).persist()
+      // one md5 per (seed, shingle) — a dedicated projection so the
+      // hex-digit folds below reference the materialized h_i columns
+      val hashed = sh.select(col("doc_id") +: col("shingle") +:
+        (0 until K).map(i =>
+          md5(concat(lit(s"$i:"), col("shingle")).cast("binary")).as(s"h$i")): _*)
+      val sigs = hashed.groupBy(col("doc_id")).agg(
+        min(expr(s"CAST(${hexToLong("h0")} AS BIGINT)")).as("s0"),
+        (1 until K).map(i =>
+          min(expr(s"CAST(${hexToLong(s"h$i")} AS BIGINT)")).as(s"s$i")): _*)
       val bandPairs = (0 until B).map(j =>
-        s"$j, md5(CAST(concat_ws('|', ${(0 until R).map(r => s"s${j * R + r}").mkString(", ")}) AS BINARY))")
+        s"$j, md5(CAST(concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")}) AS BINARY))")
       val bands = sigs.select(col("doc_id"),
         expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
+        .persist()
+      val docs = sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("shingle")).as("sh"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -133,9 +151,10 @@ object DedupOps {
     },
     Some {
       val sigSelect = (0 until K).map(i =>
-        s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS s$i").mkString(", ")
+        s"""list_min(list_transform(list_transform(sh, x -> md5('$i:' || x)),
+             h -> CAST(${hexToLong("h")} AS BIGINT))) AS s$i""").mkString(", ")
       val bandUnion = (0 until B).map { j =>
-        val cat = (0 until R).map(r => s"s${j * R + r}").mkString(", ")
+        val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)").mkString(", ")
         s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', $cat)) AS band_val FROM sigs"
       }.mkString("\n      UNION ALL\n      ")
       s"""
@@ -178,9 +197,8 @@ object DedupOps {
     * Bit-vote sums are order-independent integer additions, so the
     * result is engine-exact regardless of shuffle order. */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleDf(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("w"))
-      .withColumn("h", md5(col("w").cast("binary")))
+    val ex = shingleRows(s, dir)
+      .withColumn("h", md5(col("shingle").cast("binary")))
     val sums = ex
       .select(col("doc_id") +:
         (0 until 32).map(b => expr(bitTerm(b)).cast("long").as(s"v$b")): _*)
