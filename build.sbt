@@ -26,12 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local-mode Spark: driver heap IS executor memory; 32 threads at
-  // sf0.1 + broadcast accumulation across a 36-query bench need far
-  // more than the old 8g default (GC thrash showed up as a 15x bench
-  // regression on the star join)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  // Catalyst emits large generated classes per query plan; a 36-query
+  // local-mode Spark: driver heap IS executor memory. Fixed Xms=Xmx:
+  // this VM commits pages at only ~50 MB/s, so G1 heap EXPANSION showed
+  // up as 4.8 s stop-the-world "young" pauses taxing whichever bench
+  // query happened to run; a fixed-size heap never expands. (NO
+  // AlwaysPreTouch — faulting 24 GB up front costs ~9 min here; lazy
+  // faults spread across mutator threads instead.) 12g fits the ~6 GB
+  // live set of a full 41-query run with room for G1.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // Catalyst emits large generated classes per query plan; a 41-query
   // run blows through the 240m default code cache, HotSpot stops
   // JIT-compiling, and expression-heavy queries go 50x slower.
   "-XX:ReservedCodeCacheSize=2g",
