@@ -23,9 +23,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Unit =
+    def materialize(name: String, dir: String): Unit = {
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+      // queries may persist() intermediates for intra-query reuse; drop
+      // them so cached blocks never accumulate across the 40+ query run
+      spark.catalog.clearCache()
+    }
+
+    // This VM commits fresh pages at ~40-50 MB/s: the first queries that
+    // grow the heap absorb the ENTIRE commit cost as multi-second GC
+    // stalls (measured: a trivial scan at 135 s when the band lands on
+    // it). Touch the whole heap now, while untimed — with Xms=Xmx G1
+    // never uncommits, so this is a one-time cost paid in the right
+    // place. (AlwaysPreTouch does the same serially at JVM start, where
+    // it also taxes every sbt test fork.)
+    locally {
+      val chunk = 1 << 28 // 256 MiB
+      val target = (Runtime.getRuntime.maxMemory * 0.72).toLong
+      val held = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var committed = 0L
+      while (committed < target) {
+        val a = new Array[Byte](chunk)
+        var i = 0
+        while (i < chunk) { a(i) = 1; i += 4096 }
+        held += a
+        committed += chunk
+      }
+      held.clear()
+      System.gc()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
@@ -33,16 +60,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // A failed query records -1 (and lands in "errors") — it must never
+    // masquerade as a fast success by reporting its time-to-crash.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(name, sfDir); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString }
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

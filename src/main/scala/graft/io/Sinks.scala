@@ -1,7 +1,9 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField}
 
 /** Sink parity with the reference's output formats (SURVEY §2.1 K1-K5).
   * Internally everything stays parquet; these exist for edge
@@ -40,6 +42,51 @@ object Sinks {
     df.select(concat_ws(" ", col(scoreCol), col(keyCol)).as("value"))
       .write.mode(SaveMode.Overwrite).text(outDir)
 
+  /** K6 clip-file sink: materialize each detected scene as its own clip
+    * file (utils/scenecut.py:120-121 split_video_ffmpeg;
+    * evaluations/scene_cut.py:207-208 — the pipeline's primary physical
+    * output). Encoding runs executor-side inside mapPartitions, in the
+    * partition where the row already lives (no shuffle, no driver
+    * collect); file names are deterministic (`<stem>_<start>_<end>.mp4`,
+    * the F3 clip-id convention) and writes truncate, so speculative or
+    * retried tasks converge on identical bytes. Returns the input rows
+    * plus a `clip_path` column (null + `clip_path_error` on codec
+    * failure — an unreadable clip must not kill the task, SURVEY §4.3).
+    */
+  def clipFiles(df: DataFrame, pathCol: String, startCol: String,
+      endCol: String, outDir: String,
+      codec: graft.media.MediaCodec = graft.media.FakeCodec): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("clip_path", StringType))
+      .add(StructField("clip_path_error", StringType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val (pi, si, ei) = (df.schema.fieldIndex(pathCol),
+      df.schema.fieldIndex(startCol), df.schema.fieldIndex(endCol))
+    df.mapPartitions { it =>
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      it.map { row =>
+        val (out, err) =
+          try {
+            val src = row.getString(pi)
+            val (s, e) = (row.getLong(si), row.getLong(ei))
+            val stem = {
+              val base = src.substring(src.lastIndexOf('/') + 1)
+              val dot = base.lastIndexOf('.')
+              if (dot < 0) base else base.substring(0, dot)
+            }
+            val target = dir.resolve(f"${stem}_${s}%07d_${e}%07d.mp4")
+            java.nio.file.Files.write(target,
+              codec.encodeClip(src, s, e))
+            (target.toString, null)
+          } catch { case ex: Exception =>
+            (null, Option(ex.getMessage).getOrElse(ex.getClass.getName))
+          }
+        Row.fromSeq(row.toSeq ++ Seq(out, err))
+      }
+    }(enc)
+  }
+
   /** Shard-budget writer (README.md:89: ≤1M rows / <1 TB per shard):
     * partitioned parquet with bounded records per file. */
   def shardedParquet(df: DataFrame, outDir: String,
@@ -47,4 +94,32 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+
+  /** K7 archive+cleanup sink (check/check_secne.py:23-26): gate on the
+    * A6 count invariant, zip the completed shard directory, and only
+    * then delete the raw files. Runs against one finished shard dir — an
+    * ops epilogue, not a distributed op (each shard's archive runs where
+    * its sink task ran, or on the driver for a final gather). Returns
+    * Right(zipPath) on success; Left(reason) leaves the raw dir
+    * untouched — the check FAILING must never destroy data. */
+  def archiveShards(shardDir: String, expectedFiles: Long,
+      tol: Long = 3L): Either[String, String] = {
+    val dir = new java.io.File(shardDir)
+    val files = Option(dir.listFiles()).map(_.filter(_.isFile).sorted)
+      .getOrElse(return Left(s"$shardDir is not a directory"))
+    if (math.abs(files.length - expectedFiles) > tol)
+      return Left(
+        s"count check failed: ${files.length} files, expected $expectedFiles ± $tol")
+    val zipPath = shardDir.stripSuffix("/") + ".zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    try files.foreach { f =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+      java.nio.file.Files.copy(f.toPath, zos)
+      zos.closeEntry()
+    } finally zos.close()
+    files.foreach(_.delete())
+    dir.delete()
+    Right(zipPath)
+  }
 }

@@ -24,9 +24,39 @@ trait MediaCodec extends Serializable {
     * data_schema/macvidataset.py:29-42). */
   def decodeFrame(path: String, frameIdx: Long): Array[Byte]
 
+  /** Decode a still image (the gif/png arm of the S8 dispatch;
+    * imaging_quality.py:12-35 load_gif_frames/load_image). */
+  def decodeImage(path: String): Array[Byte] = decodeFrame(path, 0L)
+
+  /** K6: encode frames [startIdx, endIdx) of the source as a standalone
+    * clip container (utils/scenecut.py:120-121 split_video_ffmpeg;
+    * evaluations/scene_cut.py:207-208) — the pipeline's primary physical
+    * output. */
+  def encodeClip(path: String, startIdx: Long, endIdx: Long): Array[Byte]
+
   /** M1 content-change score between consecutive frames (the
     * PySceneDetect ContentDetector kernel, utils/scenecut.py:88-93). */
   def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double
+
+  /** S8 polymorphic loader: dispatch on file extension — still images
+    * decode whole, video containers decode frame `frameIdx`, anything
+    * unrecognized yields None (the reference raises NotImplementedError,
+    * imaging_quality.py:44-46; per SURVEY §4.3 an unreadable asset
+    * becomes a null row, never a dead task). */
+  final def decodeAuto(path: String, frameIdx: Long = 0L): Option[Array[Byte]] = {
+    val dot = path.lastIndexOf('.')
+    val ext = if (dot < 0) "" else path.substring(dot + 1).toLowerCase
+    try {
+      if (MediaCodec.imageExtensions.contains(ext)) Some(decodeImage(path))
+      else if (Media.videoExtensions.contains(ext)) Some(decodeFrame(path, frameIdx))
+      else None
+    } catch { case _: Exception => None }
+  }
+}
+
+object MediaCodec {
+  /** Still-image arm of the S8 dispatch (imaging_quality.py:12-35). */
+  val imageExtensions: Seq[String] = Seq("gif", "png", "jpg", "jpeg", "bmp", "webp")
 }
 
 final case class MediaInfo(width: Int, height: Int, fps: Double,
@@ -50,6 +80,13 @@ object FakeCodec extends MediaCodec {
   override def decodeFrame(path: String, frameIdx: Long): Array[Byte] = {
     val k = h(s"$path#$frameIdx")
     Array.tabulate(64)(i => ((k >> (i % 56)) & 0xff).toByte)
+  }
+  override def encodeClip(path: String, startIdx: Long, endIdx: Long): Array[Byte] = {
+    require(endIdx > startIdx, s"empty clip [$startIdx, $endIdx)")
+    val k = h(s"$path[$startIdx,$endIdx)")
+    // length scales with the span so size-based assertions are possible
+    val len = 32 + math.min(endIdx - startIdx, 4096L).toInt
+    Array.tabulate(len)(i => ((k >> (i % 56)) & 0xff).toByte)
   }
   override def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double =
     prev.zip(cur).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
@@ -97,23 +134,135 @@ object Media {
         .cast("struct<width:int,height:int,fps:double,n_frames:bigint,duration:double>"))
   }
 
+  /** F13 pixel-preprocessing kernels (imaging_quality.py:48-68 transform
+    * modes; macvid.py:186-188 signed normalize). The image model is the
+    * codec's grayscale byte plane; every kernel is a pure function so the
+    * Spark side (mapInPandas analog = mapPartitions batches) carries no
+    * semantics of its own. */
+  object Pixels {
+    /** `x / 255` normalization (imaging_quality.py:50). */
+    def div255(px: Array[Double]): Array[Double] = px.map(_ / 255.0)
+
+    /** `(x / 255 - 0.5) * 2` signed normalization (macvid.py:186-188). */
+    def signed(px: Array[Double]): Array[Double] =
+      px.map(x => (x / 255.0 - 0.5) * 2.0)
+
+    /** Shorter-side-`target` scaled dims, aspect preserved
+      * (imaging_quality.py:56-60). */
+    def shorterSideDims(w: Int, h: Int, target: Int = 512): (Int, Int) =
+      if (w <= h) (target, math.round(h.toDouble * target / w).toInt)
+      else (math.round(w.toDouble * target / h).toInt, target)
+
+    /** Nearest-neighbor resize of a row-major w×h plane. */
+    def resize(px: Array[Double], w: Int, h: Int,
+        ow: Int, oh: Int): Array[Double] = {
+      require(px.length == w * h, s"${px.length} != $w x $h")
+      Array.tabulate(ow * oh) { i =>
+        val (ox, oy) = (i % ow, i / ow)
+        val sx = math.min(w - 1, ox * w / ow)
+        val sy = math.min(h - 1, oy * h / oh)
+        px(sy * w + sx)
+      }
+    }
+
+    /** Center crop to cw×ch (imaging_quality.py:61-63). */
+    def centerCrop(px: Array[Double], w: Int, h: Int,
+        cw: Int, ch: Int): Array[Double] = {
+      require(cw <= w && ch <= h, s"crop ${cw}x$ch > ${w}x$h")
+      val (x0, y0) = ((w - cw) / 2, (h - ch) / 2)
+      Array.tabulate(cw * ch) { i =>
+        val (ox, oy) = (i % cw, i / cw)
+        px((y0 + oy) * w + (x0 + ox))
+      }
+    }
+
+    val modes: Seq[String] = Seq("div255", "signed", "resize512")
+
+    /** The `--mode` policy flag (imaging_quality.py:123): named
+      * preprocessing pipelines over a w×h plane. Returns (pixels, w, h).
+      */
+    def preprocess(mode: String)(px: Array[Double], w: Int, h: Int)
+        : (Array[Double], Int, Int) = mode match {
+      case "div255" => (div255(px), w, h)
+      case "signed" => (signed(px), w, h)
+      case "resize512" =>
+        val (sw, sh) = shorterSideDims(w, h, 512)
+        val scaled = resize(px, w, h, sw, sh)
+        val side = math.min(512, math.min(sw, sh))
+        val cropped = centerCrop(scaled, sw, sh, side, side)
+        (div255(cropped), side, side)
+      case other => throw new IllegalArgumentException(
+        s"unknown preprocess mode '$other'; valid: ${modes.mkString(", ")}")
+    }
+  }
+
+  private val framePolicies =
+    Seq("fractional", "first_mid_last", "stride<N>")
+
   /** S4-S6 unified sampler: decode the frames selected by a policy into
     * an ArrayType(BinaryType) column. Decode cost is per selected frame
     * (never the whole clip), and rows stay where their partition is —
-    * no shuffle. */
+    * no shuffle. An undecodable asset yields a null frames array (S8
+    * error path), never a dead task. The policy is validated HERE, on
+    * the driver — an invalid one must be an immediate
+    * IllegalArgumentException, not a MatchError inside an executor UDF.
+    */
   def withSampledFrames(df: DataFrame, pathCol: String, policy: String,
       codec: MediaCodec = FakeCodec): DataFrame = {
+    val ok = policy == "fractional" || policy == "first_mid_last" ||
+      (policy.startsWith("stride") &&
+        policy.stripPrefix("stride").forall(_.isDigit) &&
+        policy.length > "stride".length)
+    if (!ok) throw new IllegalArgumentException(
+      s"unknown frame policy '$policy'; valid: ${framePolicies.mkString(", ")}")
     val sampler = udf { path: String =>
-      val n = codec.probe(path).nFrames
-      val idx = policy match {
-        case "fractional" => FrameIndex.fractional(n, Seq(0.2, 0.5, 0.8))
-        case "first_mid_last" => FrameIndex.firstMidLast(n)
-        case s if s.startsWith("stride") =>
-          FrameIndex.strided(n, s.stripPrefix("stride").toLong)
-      }
-      idx.map(i => codec.decodeFrame(path, i)).toArray
+      try {
+        val n = codec.probe(path).nFrames
+        val idx = policy match {
+          case "fractional" => FrameIndex.fractional(n, Seq(0.2, 0.5, 0.8))
+          case "first_mid_last" => FrameIndex.firstMidLast(n)
+          case s => FrameIndex.strided(n, s.stripPrefix("stride").toLong)
+        }
+        idx.map(i => codec.decodeAuto(path, i).orNull).toArray
+      } catch { case _: Exception => null }
     }
     df.withColumn("frames", sampler(col(pathCol)))
+  }
+
+  /** S7 strided-window batch reader (data_schema/macvid.py:126-190): the
+    * training consumer's view of a clip — stride-S frame subsampling
+    * (`:176-178`), a fixed-length window at an offset derived
+    * deterministically from the path (the reference randomizes,
+    * `:180-183`; determinism keeps distributed retries and tests
+    * agreeing), per-frame decode, F13 signed [-1,1] normalize
+    * (`:186-188`), emitted as `batch: Array[Array[Float]]` — one inner
+    * array per frame, channel-major (the CHW permute is the identity for
+    * the codec's single-channel plane). Frames whose decode fails yield
+    * an empty inner array (S8 error path) rather than a dead task; a
+    * clip shorter than the window yields a null batch. Decode cost is
+    * per selected frame and rows never shuffle. */
+  def trainingWindows(df: DataFrame, pathCol: String, stride: Long = 4,
+      windowLen: Int = 16, codec: MediaCodec = FakeCodec): DataFrame = {
+    require(stride >= 1 && windowLen >= 1,
+      s"stride=$stride windowLen=$windowLen must be >= 1")
+    val reader = udf { path: String =>
+      val idx = FrameIndex.strided(codec.probe(path).nFrames, stride)
+      if (idx.length < windowLen) null
+      else {
+        val slots = idx.length - windowLen + 1
+        // stand-in for the reference's random window start: stable per path
+        val off = (math.abs(path.hashCode.toLong) % slots).toInt
+        idx.slice(off, off + windowLen).map { i =>
+          codec.decodeAuto(path, i) match {
+            case Some(bytes) =>
+              Pixels.signed(bytes.map(b => (b & 0xff).toDouble))
+                .map(_.toFloat)
+            case None => Array.empty[Float]
+          }
+        }.toArray
+      }
+    }
+    df.withColumn("batch", reader(col(pathCol)))
   }
 
   /** M1 scene detection over decoded frames: contentDelta > threshold ⇒

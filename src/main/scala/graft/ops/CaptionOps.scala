@@ -122,6 +122,37 @@ object CaptionOps {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS scene_end
       FROM scenes GROUP BY user_id, scene_id"""))
 
+  /** F11 caption token cleanup (coca_caption.py:98-99: strip the
+    * `<start_of_text>` marker, truncate at `<end_of_text>`). The raw
+    * generator output is reconstructed from the document text the way
+    * CoCa emits it — marker-wrapped with trailing generation junk — then
+    * cleaned with literal replace + split-at-marker (no regex: marker
+    * tokens contain no metacharacter semantics, and literal ops stay
+    * codegen'd). */
+  val q47CaptionCleanup = OpSpec(
+    "q47_caption_cleanup",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("raw", concat(
+          lit("<start_of_text>"), col("text"),
+          lit("<end_of_text> trailing generation junk !!")))
+        .select(col("doc_id"),
+          expr("""trim(replace(substring_index(raw, '<end_of_text>', 1),
+                  '<start_of_text>', ''))""").as("caption"))
+        .withColumn("caption_len", length(col("caption")).cast("long"))
+    },
+    Some("""
+      SELECT doc_id,
+        trim(replace(split_part(raw, '<end_of_text>', 1),
+             '<start_of_text>', '')) AS caption,
+        CAST(length(trim(replace(split_part(raw, '<end_of_text>', 1),
+             '<start_of_text>', ''))) AS BIGINT) AS caption_len
+      FROM (SELECT doc_id,
+              '<start_of_text>' || text ||
+              '<end_of_text> trailing generation junk !!' AS raw
+            FROM documents)"""))
+
   val all: Seq[OpSpec] = Seq(
-    q34AestheticLinear, q35CaptionParse, q36SceneDetectContent)
+    q34AestheticLinear, q35CaptionParse, q36SceneDetectContent,
+    q47CaptionCleanup)
 }

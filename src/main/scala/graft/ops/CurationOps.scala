@@ -11,19 +11,75 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** Score-band curation via ntile deciles (the `best_ocr_only.json`
-    * selection of macvid.py:113-115 generalized). A global sort is
-    * acceptable for a final curation pass; the streaming-friendly
-    * alternative is approx_percentile thresholds. Total tie-break keeps
-    * tile assignment engine-identical. */
+  /** Score-band curation: top-2-decile selection with exact ntile
+    * semantics (the `best_ocr_only.json` selection of macvid.py:113-115
+    * generalized), WITHOUT a global single-partition window.
+    *
+    * Plan: (1) a fixed-width coarse histogram over the score — bucket
+    * count is bounded by the value range, independent of row count (the
+    * AQE-style bounded-summary the driver may collect); (2) the two
+    * decile-boundary tuples are located inside their histogram buckets
+    * with a window PARTITIONED by bucket (each bucket holds a bounded
+    * value range; at extreme skew, refine the hot bucket with a second
+    * histogram level); (3) one full scan classifies rows against the two
+    * boundary (score, key) literals — pure codegen'd comparisons, no
+    * global sort anywhere. Total tie-break (price, orderkey) makes the
+    * boundary tuples unique, so the result is bit-identical to ntile. */
   val q37QuantileCuration = OpSpec(
     "q37_quantile_curation",
     (s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      table(s, dir, "orders")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
-        .filter(col("decile") >= 9)
-        .select(col("o_orderkey"), col("o_totalprice"), col("decile"))
+      val orders = table(s, dir, "orders")
+      val bucket = floor(col("o_totalprice") / 1000.0).cast("long")
+      val hist = orders.groupBy(bucket.as("hb")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("hb")).collect()
+      val n = hist.map(_.getLong(1)).sum
+      // ntile(10) bucket sizes: first n%10 tiles take one extra row
+      val q = n / 10; val r = n % 10
+      def tileEnd(t: Int): Long = q * t + math.min(r, t)
+      val r0 = tileEnd(8) // last rank of decile 8 = selection threshold
+      val r1 = tileEnd(9) // last rank of decile 9 = 9/10 label boundary
+      def locate(rank: Long): (Long, Long) = {
+        var cum = 0L
+        val it = hist.iterator
+        while (it.hasNext) {
+          val row = it.next()
+          val c = row.getLong(1)
+          if (cum + c >= rank) return (row.getLong(0), rank - cum)
+          cum += c
+        }
+        sys.error(s"rank $rank out of range (n=$n)")
+      }
+      if (n < 10 || r0 == 0) {
+        // degenerate tiny input: every row is in some tile <= 8
+        orders.filter(lit(false))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(0L).as("decile"))
+      } else {
+        val (b0, off0) = locate(r0)
+        val (b1, off1) = locate(r1)
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hb"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val bounds = orders.withColumn("hb", bucket)
+          .filter(col("hb").isin(b0, b1))
+          .withColumn("rn", row_number().over(wB))
+          .filter((col("hb") === b0 && col("rn") === off0) ||
+            (col("hb") === b1 && col("rn") === off1))
+          .select(col("hb"), col("rn"), col("o_totalprice"),
+            col("o_orderkey"))
+          .collect()
+        def tup(b: Long, off: Long): (Double, Long) = bounds
+          .collectFirst { case x if x.getLong(0) == b && x.getInt(1) == off =>
+            (x.getDouble(2), x.getLong(3)) }
+          .getOrElse(sys.error(s"boundary ($b, $off) not found"))
+        val (t0p, t0k) = tup(b0, off0)
+        val (t1p, t1k) = tup(b1, off1)
+        def gt(p: Double, k: Long) = col("o_totalprice") > p ||
+          (col("o_totalprice") === p && col("o_orderkey") > k)
+        orders.filter(gt(t0p, t0k))
+          .withColumn("decile", when(gt(t1p, t1k), 10L).otherwise(9L))
+          .select(col("o_orderkey"), col("o_totalprice"), col("decile"))
+      }
     },
     Some("""
       SELECT o_orderkey, o_totalprice, decile

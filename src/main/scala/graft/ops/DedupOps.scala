@@ -90,97 +90,156 @@ object DedupOps {
       .distinct()
   }
 
-  /** First `n` hex digits of the md5 string held in column `h`, folded
-    * to a non-negative long — the numeric minhash domain. Fixed-width
-    * long min() buffers keep HashAggregate on its fast path (var-length
-    * string minima knock it off: ~190 µs/row measured). */
-  private def hexToLong(h: String, n: Int = 12): String =
-    (1 to n).map { i =>
-      val p = java.lang.Math.pow(16, n - i).toLong
-      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * CAST($p AS BIGINT)"
+  /** Hex digits [start, start+n) of the md5 string held in column `h`,
+    * folded to a non-negative long — the numeric minhash domain. Fixed-
+    * width long min() buffers keep HashAggregate on its fast path (var-
+    * length string minima knock it off: ~190 µs/row measured). */
+  private def hexToLong(h: String, start: Int = 1, n: Int = 12): String =
+    (0 until n).map { i =>
+      val p = java.lang.Math.pow(16, n - 1 - i).toLong
+      s"(instr('0123456789abcdef', substring($h, ${start + i}, 1)) - 1) * CAST($p AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Largest prime below 2^32 — the double-hashing modulus. */
+  private val P = 4294967291L
+
+  /** K independent-enough hash functions from ONE md5: Kirsch-
+    * Mitzenmacher double hashing h_i = (h1 + i*h2) mod P over the two
+    * 32-bit halves of the digest. Versus one md5 per (seed, shingle)
+    * this cuts the dominant q27 cost 12x; h1 < 2^32 and i*h2 < 12*2^32
+    * never overflow a BIGINT. */
+  private def sigExpr(i: Int): String = s"((h1 + $i * h2) % $P)"
+
   /** DuckDB twin of [[shingleDf]] as a CTE body. */
-  private val shingleDuck = s"""
+  private[ops] val shingleDuck = s"""
     SELECT doc_id,
       list_distinct(list_transform(generate_series(1, len(words) - 2),
         i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS sh
     FROM (SELECT doc_id, $wordsDuck AS words FROM documents)
     WHERE len(words) >= 3"""
 
-  /** MinHash near-dup detection with banded LSH (shingle → K md5-min
-    * signature → B bands → equi-join candidates → exact Jaccard verify).
-    * Output: candidate pairs that verify at Jaccard >= 0.25. */
+  /** DuckDB twin of [[shingleRows]] — (doc_id, shingle) ROW form, so the
+    * oracle can mirror the engine's relational Jaccard verify. */
+  private val shingleRowsDuck = s"""
+    SELECT DISTINCT doc_id,
+      words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+    FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i)
+    WHERE len(words) >= 3"""
+
+  /** Candidate buckets holding more than this many docs are dropped: one
+    * hot band value (boilerplate text) would otherwise emit |bucket|²/2
+    * pairs — the quadratic blowup LSH exists to avoid. Dropping loses
+    * only pairs whose EVERY matching band is hot; near-universal patterns
+    * are noise for near-dup purposes. */
+  private val BucketCap = 1000L
+
+  /** MinHash near-dup detection with banded LSH (shingle → one md5 →
+    * K double-hashed minima → B bands → capped equi-join candidates →
+    * relational Jaccard verify). Output: pairs with Jaccard >= 0.25.
+    *
+    * Scale notes: candidates come from an equi-join on (band_idx,
+    * band_val) — never an all-pairs product (plan-audited); buckets over
+    * [[BucketCap]] are dropped before the self-join so a single hot band
+    * value cannot go quadratic; the verify counts common shingles with a
+    * second equi-join + groupBy (whole-stage codegen) instead of
+    * collect_list'd sets and an interpreted O(|a|·|b|) HOF intersection.
+    */
   val q27MinhashLsh = OpSpec(
     "q27_minhash_lsh",
     (s, dir) => {
-      // shingle rows are reused by signatures and both verify joins
+      // shingle rows are reused by signatures, sizes, and the verify join
       val sh = shingleRows(s, dir).persist()
-      // one md5 per (seed, shingle) — a dedicated projection so the
-      // hex-digit folds below reference the materialized h_i columns
-      val hashed = sh.select(col("doc_id") +: col("shingle") +:
-        (0 until K).map(i =>
-          md5(concat(lit(s"$i:"), col("shingle")).cast("binary")).as(s"h$i")): _*)
+      val hashed = sh
+        .withColumn("hx", md5(col("shingle").cast("binary")))
+        .withColumn("h1", expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)"))
+        .withColumn("h2", expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)"))
       val sigs = hashed.groupBy(col("doc_id")).agg(
-        min(expr(s"CAST(${hexToLong("h0")} AS BIGINT)")).as("s0"),
-        (1 until K).map(i =>
-          min(expr(s"CAST(${hexToLong(s"h$i")} AS BIGINT)")).as(s"s$i")): _*)
+        min(expr(sigExpr(0))).as("s0"),
+        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
       val bandPairs = (0 until B).map(j =>
-        s"$j, md5(CAST(concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")}) AS BINARY))")
+        s"$j, concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
       val bands = sigs.select(col("doc_id"),
         expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
         .persist()
-      val docs = sh.groupBy(col("doc_id"))
-        .agg(collect_list(col("shingle")).as("sh"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
+      val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= BucketCap)
+        .select(col("band_idx"), col("band_val"))
+      val capped = bands.join(okBuckets, Seq("band_idx", "band_val"))
+      val cand = capped.as("a")
+        .join(capped.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .withColumn("n_inter", expr(
-          "CAST(size(filter(sha, x -> array_contains(shb, x))) AS BIGINT)"))
-        .withColumn("jaccard", expr(
-          "CAST(n_inter AS DOUBLE) / (size(sha) + size(shb) - n_inter)"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("sza") + col("szb") - col("n_inter")))
         .filter(col("jaccard") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
     },
     Some {
       val sigSelect = (0 until K).map(i =>
-        s"""list_min(list_transform(list_transform(sh, x -> md5('$i:' || x)),
-             h -> CAST(${hexToLong("h")} AS BIGINT))) AS s$i""").mkString(", ")
+        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
       val bandUnion = (0 until B).map { j =>
         val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', $cat)) AS band_val FROM sigs"
+        s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
       }.mkString("\n      UNION ALL\n      ")
       s"""
-      WITH docs AS ($shingleDuck),
-      sigs AS (SELECT doc_id, sh, $sigSelect FROM docs),
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
       bands AS ($bandUnion),
+      ok AS (SELECT band_idx, band_val FROM bands
+             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
+      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b,
-        CAST(len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS BIGINT) AS n_inter,
-        CAST(CAST(len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS BIGINT) AS DOUBLE)
-          / (len(x.sh) + len(y.sh) - CAST(len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS BIGINT)) AS jaccard
-      FROM cand JOIN docs x ON cand.doc_a = x.doc_id
-                JOIN docs y ON cand.doc_b = y.doc_id
-      WHERE CAST(CAST(len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS BIGINT) AS DOUBLE)
-          / (len(x.sh) + len(y.sh) - CAST(len(list_filter(x.sh, v -> list_contains(y.sh, v))) AS BIGINT)) >= 0.25"""
+         AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shrows GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shrows x ON x.doc_id = c.doc_a
+        JOIN shrows y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, n_inter,
+        CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.25"""
     })
 
   // ---- SimHash ------------------------------------------------------
 
-  /** ±1 vote for bit `b` (0 = MSB) of the 32-bit hash held in column/
-    * lambda var `h` (a precomputed md5 hex string — hashed ONCE per
-    * shingle, not once per bit), derived via hex-digit arithmetic
+  /** SimHash width. 60 bits = 15 md5 hex digits — wide enough that LSH
+    * band values (~9 bits each, below) discriminate; the original 32-bit
+    * form made every band a 4-5 bit key whose 2^4-2^5 value space turns
+    * the candidate join quadratic. 60 (not 64) keeps the packed value
+    * positive in a signed BIGINT in both engines. */
+  private val SimBits = 60
+
+  /** ±1 vote for bit `b` (0 = MSB) of the [[SimBits]]-bit hash held in
+    * column/lambda var `h` (a precomputed md5 hex string — hashed ONCE
+    * per shingle, not once per bit), derived via hex-digit arithmetic
     * portable to both engines. */
   private def bitTerm(b: Int, h: String = "h"): String = {
     val pos = b / 4 + 1           // 1-based hex digit index
@@ -190,35 +249,35 @@ object DedupOps {
 
   private val shhDuck = "list_transform(sh, w -> md5(w))"
 
-  /** Spark: per-document SimHash via explode + 32 sum(long) aggregates.
-    * Higher-order functions (aggregate/transform) always evaluate
-    * interpreted — 32 of them per row cost minutes at sf0.1 — while
-    * explode + fixed-width long sums stay fully codegen'd end to end.
-    * Bit-vote sums are order-independent integer additions, so the
+  /** Spark: per-document SimHash via explode + SimBits sum(long)
+    * aggregates. Higher-order functions (aggregate/transform) always
+    * evaluate interpreted — 60 of them per row cost minutes at sf0.1 —
+    * while explode + fixed-width long sums stay fully codegen'd end to
+    * end. Bit-vote sums are order-independent integer additions, so the
     * result is engine-exact regardless of shuffle order. */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val ex = shingleRows(s, dir)
       .withColumn("h", md5(col("shingle").cast("binary")))
     val sums = ex
       .select(col("doc_id") +:
-        (0 until 32).map(b => expr(bitTerm(b)).cast("long").as(s"v$b")): _*)
+        (0 until SimBits).map(b => expr(bitTerm(b)).cast("long").as(s"v$b")): _*)
       .groupBy(col("doc_id"))
       .agg(sum(col("v0")).as("v0"),
-        (1 until 32).map(b => sum(col(s"v$b")).as(s"v$b")): _*)
-    val packed = (0 until 32)
-      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (31 - b)} ELSE 0 END)")
+        (1 until SimBits).map(b => sum(col(s"v$b")).as(s"v$b")): _*)
+    val packed = (0 until SimBits)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (SimBits - 1 - b)} ELSE 0 END)")
       .mkString("(", " + ", ")")
     sums.select(col("doc_id"), expr(s"CAST($packed AS BIGINT)").as("simhash"))
   }
 
   /** DuckDB twin (lists are fine there — single-process, vectorized). */
   private def simhashDuck: String =
-    (0 until 32).map { b =>
+    (0 until SimBits).map { b =>
       val sum = s"CAST(list_sum(list_transform(shh, h -> ${bitTerm(b)})) AS BIGINT)"
-      s"(CASE WHEN $sum >= 0 THEN ${1L << (31 - b)} ELSE 0 END)"
+      s"(CASE WHEN $sum >= 0 THEN ${1L << (SimBits - 1 - b)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Per-document 32-bit SimHash over 3-word shingles. */
+  /** Per-document 60-bit SimHash over 3-word shingles. */
   val q28Simhash = OpSpec(
     "q28_simhash",
     (s, dir) => simhashDf(s, dir),
@@ -227,25 +286,56 @@ object DedupOps {
       hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs)
       SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash FROM hashed"""))
 
+  /** 7 LSH bands over the 60-bit simhash: (index, LSB shift, mask).
+    * Pigeonhole: <= 6 differing bits spread over 7 bands leave at least
+    * one band identical, so the banded equi-join has perfect recall at
+    * hamming <= 6 and the post-join hamming filter makes the band layout
+    * invisible in the result. */
+  private val simBands: Seq[(Int, Int, Long)] = {
+    val widths = Seq(9, 9, 9, 9, 8, 8, 8) // sums to SimBits
+    val shifts = widths.scanRight(0)(_ + _).tail
+    widths.zip(shifts).zipWithIndex.map { case ((w, sh), j) =>
+      (j, sh, (1L << w) - 1) }
+  }
+
   /** SimHash near-dup pairs: query docs (doc_id % 10 = 0) against the
-    * rest, Hamming distance <= 6. At scale the same query runs as an
-    * equi-join on simhash bands (split the 32 bits into 4 bytes; any
-    * equal byte is a candidate) — here the corpus side is small enough
-    * to compare directly. */
+    * rest, Hamming distance <= 6. Candidates come from an equi-join on
+    * (band_idx, band_val) — the cross product this query USED to run is
+    * O(n²) at scale; the banded join is O(sum of bucket products) with
+    * guaranteed recall (see [[simBands]]). */
   val q29SimhashPairs = OpSpec(
     "q29_simhash_pairs",
     (s, dir) => {
       val sims = simhashDf(s, dir).persist()
-      val a = sims.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      val b = sims.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-      a.crossJoin(b)
+      // band values in a codegen'd projection; stack only re-shapes the
+      // 7 precomputed columns (its children stay trivial — a Generate
+      // node evaluates them interpreted)
+      def withBands(df: DataFrame): DataFrame = {
+        val bandCols = simBands.map { case (j, sh, mask) =>
+          (shiftright(col("simhash"), sh).cast("long")
+            .bitwiseAND(lit(mask))).as(s"b$j") }
+        val stackArgs = simBands.map { case (j, _, _) => s"$j, b$j" }
+          .mkString(", ")
+        df.select(col("doc_id") +: col("simhash") +: bandCols: _*)
+          .select(col("doc_id"), col("simhash"),
+            expr(s"stack(${simBands.size}, $stackArgs) AS (band_idx, band_val)"))
+      }
+      val qa = withBands(sims.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("band_idx"), col("band_val"))
+      val qb = withBands(sims.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("band_idx"), col("band_val"))
+      qa.join(qb, Seq("band_idx", "band_val"))
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+        .distinct()
         .withColumn("hamming",
           expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
         .filter(col("hamming") <= 6)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     },
+    // oracle: brute-force — band recall is exact at hamming <= 6, so the
+    // banded join and the cross product define the same result set
     Some(s"""
       WITH docs AS ($shingleDuck),
       hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs),

@@ -23,6 +23,10 @@ object PipelineOps {
       val n = ceil(col("value") / 30.0).cast("long")
       table(s, dir, "events")
         .select(col("event_id"), col("value").as("duration"), n.as("n_clips"))
+        // zero-duration events have n_clips = 0; sequence(0, -1) would
+        // step BACKWARDS ([0, -1]) where the oracle's generate_series is
+        // empty — drop them before the generator, matching the oracle.
+        .filter(col("n_clips") >= 1)
         .withColumn("i", explode(sequence(lit(0L), col("n_clips") - 1)))
         .select(
           col("event_id"),

@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.OpSpec
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quality / invariant operators: M4 imaging quality through the real
+  * scoring skeleton, the A6 count-consistency check, §2.6 INTERSECT, and
+  * the typed MinHash aggregator on a real query path.
+  */
+object QualityOps {
+
+  /** M4 imaging quality (imaging_quality.py:70-95): per-frame score with
+    * F13 signed-normalize preprocessing, mean of 3 frames, executed
+    * through the [[ScoreStage]] mapPartitions skeleton (build-once,
+    * batched, error→null — the same physical shape a real MUSIQ forward
+    * pass would run in). */
+  val q42ImagingQuality = OpSpec(
+    "q42_imaging_quality",
+    (s, dir) => {
+      val df = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      ScoreStage.dropFailed(
+        ScoreStage.scoreStage(df, new ScoreStage.ImagingQualityKernel,
+          batchSize = 8, outCol = "iq_score"),
+        "iq_score")
+        .select(col("vec_id"), col("iq_score"))
+    },
+    Some {
+      def frame(f: Int): String = {
+        val (lo, hi) = (f * 21 + 1, f * 21 + 21)
+        s"""(list_reduce(list_transform(generate_series($lo, $hi),
+             i -> (CAST(embedding[i] AS DOUBLE) / 255.0 - 0.5) * 2.0),
+             (a, b) -> a + b) / 21.0)"""
+      }
+      s"""
+      SELECT vec_id, (f0 + f1 + f2) / 3.0 AS iq_score
+      FROM (SELECT vec_id, ${frame(0)} AS f0, ${frame(1)} AS f1,
+                   ${frame(2)} AS f2
+            FROM embeddings)"""
+    })
+
+  /** A6 count-consistency check op (check/check_secne.py:14-26: expected
+    * clip count vs clips actually materialized, tolerance 3). Generic:
+    * LEFT join so a key with no actual rows counts 0, not a dropped row
+    * — a missing output is exactly what the check must surface. */
+  def checkCounts(expected: DataFrame, actual: DataFrame, key: String,
+      expCol: String, actCol: String, tol: Long): DataFrame =
+    expected.join(actual, Seq(key), "left")
+      .withColumn(actCol, coalesce(col(actCol), lit(0L)))
+      .withColumn("n_diff", abs(col(expCol) - col(actCol)))
+      .withColumn("ok", col("n_diff") <= tol)
+
+  /** A6 instance: the scene-count invariant over the q12 clip table.
+    * Expected = the reference's ±1 estimate (floor(d/30)+1); actual =
+    * clips the explode materialized (ceil(d/30), 0 for zero-duration
+    * events) — diff is 0 or 1, within the reference's tolerance. */
+  val q43CheckCounts = OpSpec(
+    "q43_check_counts",
+    (s, dir) => {
+      val expected = table(s, dir, "events")
+        .select(col("event_id"),
+          (floor(col("value") / 30.0).cast("long") + 1L).as("n_expected"))
+      val actual = PipelineOps.q12SceneExplode.query(s, dir)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_actual"))
+      checkCounts(expected, actual, "event_id", "n_expected", "n_actual",
+        tol = 3L)
+        .select(col("event_id"), col("n_expected"), col("n_actual"),
+          col("n_diff"), col("ok"))
+    },
+    Some("""
+      WITH clips AS (
+        SELECT event_id, COUNT(*) AS n_actual
+        FROM (SELECT event_id,
+                CAST(ceil(value / 30.0) AS BIGINT) AS n_clips FROM events),
+             LATERAL (SELECT unnest(generate_series(0, n_clips - 1)) AS i)
+        GROUP BY event_id)
+      SELECT e.event_id,
+        CAST(floor(e.value / 30.0) AS BIGINT) + 1 AS n_expected,
+        COALESCE(c.n_actual, 0) AS n_actual,
+        abs(CAST(floor(e.value / 30.0) AS BIGINT) + 1
+            - COALESCE(c.n_actual, 0)) AS n_diff,
+        abs(CAST(floor(e.value / 30.0) AS BIGINT) + 1
+            - COALESCE(c.n_actual, 0)) <= 3 AS ok
+      FROM events e LEFT JOIN clips c USING (event_id)"""))
+
+  /** §2.6 INTERSECT (the set-op triple's missing member — q09 covers
+    * EXCEPT/UNION): customers in the BUILDING segment who also hold a
+    * high balance. */
+  val q44Intersect = OpSpec(
+    "q44_intersect",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .intersect(
+          c.filter(col("c_acctbal") > 5000.0)
+            .select(col("c_custkey"), col("c_name")))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0"""))
+
+  /** U-AF on a real query path: the typed [[graft.functions.MinHashAgg]]
+    * folding shingle ROWS into a 4-wide md5-min signature via
+    * `groupByKey(...).agg` — the Dataset-API twin of q27's relational
+    * signature stage (partial aggregation comes from the Aggregator
+    * contract). */
+  val q45MinhashAgg = OpSpec(
+    "q45_minhash_agg",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.shingleRows(s, dir)
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.MinHashAgg(4).toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+        .select(col("doc_id"),
+          col("sig")(0).as("m0"), col("sig")(1).as("m1"),
+          col("sig")(2).as("m2"), col("sig")(3).as("m3"))
+    },
+    Some {
+      val mins = (0 until 4).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n        ")
+      s"""
+      WITH docs AS (${DedupOps.shingleDuck})
+      SELECT doc_id,
+        $mins
+      FROM docs"""
+    })
+
+  /** M9 optical-flow score (mean flow magnitude, mirroring M8 — SURVEY
+    * §2 M9 "same UDF family") through the ScoreStage skeleton. */
+  val q46OfScore = OpSpec(
+    "q46_of_score",
+    (s, dir) => {
+      val df = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      ScoreStage.dropFailed(
+        ScoreStage.scoreStage(df, new ScoreStage.OpticalFlowKernel,
+          batchSize = 8, outCol = "of_score"),
+        "of_score")
+        .select(col("vec_id"), col("of_score"))
+    },
+    Some("""
+      SELECT vec_id,
+        list_reduce(list_transform(generate_series(1, 32),
+          i -> sqrt(CAST(embedding[2*i-1] AS DOUBLE) * CAST(embedding[2*i-1] AS DOUBLE)
+                  + CAST(embedding[2*i] AS DOUBLE) * CAST(embedding[2*i] AS DOUBLE))),
+          (a, b) -> a + b) / 32.0 AS of_score
+      FROM embeddings"""))
+
+  val all: Seq[OpSpec] = Seq(
+    q42ImagingQuality, q43CheckCounts, q44Intersect, q45MinhashAgg,
+    q46OfScore)
+}

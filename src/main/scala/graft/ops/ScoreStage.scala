@@ -65,6 +65,57 @@ object ScoreStage {
   def resumeFilter(df: DataFrame, doneDf: DataFrame, key: String): DataFrame =
     df.join(doneDf.select(col(key)).distinct(), Seq(key), "left_anti")
 
+  /** M4 imaging-quality kernel (imaging_quality.py:70-95 MUSIQ shape):
+    * three "frames" are preprocessed with the F13 signed normalize
+    * ((x/255 - 0.5) * 2, macvid.py:186-188 — [[graft.media.Media.Pixels]]
+    * is the single implementation), scored per frame (mean activation),
+    * and averaged — per-frame score, mean of 3. Deterministic: frame f =
+    * embedding dims [21f, 21f+21); strict left-to-right folds mirror the
+    * SQL oracle bit-for-bit. */
+  final class ImagingQualityKernel extends Kernel {
+    override def name = "imaging_quality"
+    override def score(batch: Seq[Row]): Seq[Either[String, Double]] =
+      batch.map { row =>
+        val v = row.getAs[scala.collection.Seq[Float]]("embedding")
+        if (v == null || v.length < 63) Left("embedding too short")
+        else {
+          val frames = (0 until 3).map { f =>
+            val px = Array.tabulate(21)(i => v(f * 21 + i).toDouble)
+            val norm = graft.media.Media.Pixels.signed(px)
+            var s = 0.0
+            norm.foreach(s += _)
+            s / 21.0
+          }
+          Right((frames(0) + frames(1) + frames(2)) / 3.0)
+        }
+      }
+  }
+
+  /** M9 optical-flow score kernel (OFScore declared at README.md:109-116,
+    * scripts/ofscore.sh:49-52; semantics mirror M8 = mean flow magnitude,
+    * SURVEY §2 M9). The embedding's 64 dims are read as a dense 32-point
+    * (u, v) flow field; score = mean sqrt(u²+v²), strict left-to-right
+    * fold so the SQL oracle's list_reduce is bit-identical. */
+  final class OpticalFlowKernel extends Kernel {
+    override def name = "of_score"
+    override def score(batch: Seq[Row]): Seq[Either[String, Double]] =
+      batch.map { row =>
+        val v = row.getAs[scala.collection.Seq[Float]]("embedding")
+        if (v == null || v.length < 64) Left("flow field too short")
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < 32) {
+            val u = v(2 * i).toDouble
+            val w = v(2 * i + 1).toDouble
+            s += math.sqrt(u * u + w * w)
+            i += 1
+          }
+          Right(s / 32.0)
+        }
+      }
+  }
+
   /** M2 stand-in kernel: L2-normalize the embedding (F5, aesthetic_score
     * .py:69-74) and apply a fixed linear head — the deterministic shape
     * of the CLIP+MLP aesthetic scorer. Weights are rational so the exact

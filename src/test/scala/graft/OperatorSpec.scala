@@ -99,6 +99,67 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("S7 training windows: stride, fixed length, signed [-1,1] floats") {
+    import spark.implicits._
+    val paths = Seq("/v/a.mp4", "/v/b.mkv", "/v/c.webm").toDF("path")
+    val out = graft.media.Media.trainingWindows(
+      paths, "path", stride = 4, windowLen = 4)
+      .select(col("path"), col("batch"))
+      .as[(String, Array[Array[Float]])].collect()
+    assert(out.length == 3)
+    out.foreach { case (_, batch) =>
+      assert(batch != null && batch.length == 4) // fixed window length
+      batch.foreach { frame =>
+        assert(frame.length == 64) // FakeCodec plane, CHW identity
+        assert(frame.forall(v => v >= -1.0f && v <= 1.0f))
+      }
+    }
+    // same path → same deterministic window (retry-stable)
+    val again = graft.media.Media.trainingWindows(
+      paths, "path", stride = 4, windowLen = 4)
+      .select(col("path"), col("batch"))
+      .as[(String, Array[Array[Float]])].collect()
+    assert(out.sortBy(_._1).zip(again.sortBy(_._1)).forall {
+      case ((_, a), (_, b)) => a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq })
+    // a clip shorter than the window yields a null batch, not a crash
+    val short = graft.media.Media.trainingWindows(
+      paths, "path", stride = 4, windowLen = 10000)
+      .filter(col("batch").isNull).count()
+    assert(short == 3)
+  }
+
+  test("K6 clip sink: scenes → files → re-scan count within A6 tolerance") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("clipsink").toString
+    val paths = Seq("/v/a.mp4", "/v/b.mkv", "/v/c.webm").toDF("path")
+    val scenes = graft.media.Media.detectScenes(paths, "path", threshold = 10.0)
+    val written = graft.io.Sinks.clipFiles(
+      scenes, "path", "scene_start_idx", "scene_end_idx", outDir)
+    assert(written.filter(col("clip_path").isNull).count() == 0)
+    // re-scan: every written clip is a real nonzero file on disk
+    val files = new java.io.File(outDir).listFiles().toSeq
+    assert(files.forall(_.length() > 0))
+    // A6 count-consistency: files per source stem vs detected scenes
+    val stemOf = udf { p: String =>
+      val b = p.substring(p.lastIndexOf('/') + 1)
+      b.substring(0, b.indexOf('_')) // <stem>_<start>_<end>.mp4
+    }
+    val expected = scenes.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_expected"))
+      .withColumn("stem", element_at(split(
+        element_at(split(col("path"), "/"), -1), "\\."), 1))
+    val actual = files.map(_.getName).toDF("f")
+      .withColumn("stem", stemOf(col("f")))
+      .groupBy("stem").agg(count(lit(1)).as("n_actual"))
+    val checked = graft.ops.QualityOps.checkCounts(
+      expected, actual, "stem", "n_expected", "n_actual", tol = 0L)
+    assert(checked.filter(!col("ok")).count() == 0)
+    // the sink is idempotent: a re-run (task retry) rewrites identical files
+    graft.io.Sinks.clipFiles(
+      scenes, "path", "scene_start_idx", "scene_end_idx", outDir).count()
+    assert(new java.io.File(outDir).listFiles().length == files.length)
+  }
+
   // ---- physical-plan audits (scale hygiene) -------------------------
 
   test("q02 pushes its filters into the parquet scan") {
@@ -125,6 +186,28 @@ class OperatorSpec extends AnyFunSuite {
   test("q27 LSH candidates come from an equi-join (no cartesian product)") {
     val p = plan("q27_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q29 simhash candidates come from an equi-join (no cartesian product)") {
+    val p = plan("q29_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q37 runs no global (partition-less) window") {
+    // the curation scan classifies against collected boundary literals;
+    // a Window node in the FINAL plan would mean the single-partition
+    // global sort is back
+    val p = plan("q37_quantile_curation")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q32 centroid broadcast is constant-size (independent of corpus)") {
+    val df = SparkEntry.queries("q32_ivf_assign")(spark, sf)
+    import spark.implicits._
+    val nCentroids = df.select(col("centroid_id")).distinct().as[Long]
+      .collect().length
+    assert(nCentroids <= 32, s"$nCentroids centroids")
   }
 
   test("q20 range join keys on user_id (hash join + residual filter)") {
