@@ -12,13 +12,31 @@ import org.apache.spark.sql.expressions.Aggregator
   * reusable `Aggregator` for `Dataset.groupByKey(...).agg(...)` flows
   * where shingles arrive as rows rather than arrays — partial aggregation
   * (map-side combine) comes for free from the Aggregator contract.
+  *
+  * Hot-path notes: ONE MessageDigest instance per executor thread
+  * (getInstance per row measured as the dominant cost), table-driven hex
+  * encoding, and a Tungsten ExpressionEncoder buffer (Java serialization
+  * per partial row defeats the point of partial aggregation).
   */
 class MinHashAgg(val k: Int)
     extends Aggregator[String, Array[String], Seq[String]] {
 
+  @transient private lazy val md: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   private def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = MinHashAgg.HexChars(b >> 4)
+      out(2 * i + 1) = MinHashAgg.HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def zero: Array[String] = Array.fill(k)(null)
@@ -44,7 +62,11 @@ class MinHashAgg(val k: Int)
 
   override def finish(buf: Array[String]): Seq[String] = buf.toSeq
   override def bufferEncoder: Encoder[Array[String]] =
-    Encoders.javaSerialization[Array[String]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object MinHashAgg {
+  private val HexChars = "0123456789abcdef".toCharArray
 }

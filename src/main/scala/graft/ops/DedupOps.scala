@@ -249,24 +249,44 @@ object DedupOps {
 
   private val shhDuck = "list_transform(sh, w -> md5(w))"
 
-  /** Spark: per-document SimHash via explode + SimBits sum(long)
+  /** Spark: per-document SimHash via explode + LANE-PACKED sum(long)
     * aggregates. Higher-order functions (aggregate/transform) always
     * evaluate interpreted — 60 of them per row cost minutes at sf0.1 —
-    * while explode + fixed-width long sums stay fully codegen'd end to
-    * end. Bit-vote sums are order-independent integer additions, so the
-    * result is engine-exact regardless of shuffle order. */
+    * so everything stays codegen'd: the md5's first 15 hex digits fold
+    * into ONE 60-bit long per row, whose bits are then spread into 15
+    * lane-longs (4 lanes × 16 bits each) summed per document. A lane
+    * accumulates the per-bit set-count c_b; the sign-of-votes rule
+    * `sum(±1) >= 0` is equivalently `2*c_b >= n` with n = count(*).
+    * Versus one sum per bit this is 4× fewer aggregate buffers and ~4×
+    * less per-row expression work; versus per-bit hex-digit extraction
+    * it hashes and folds once. Lanes cap at 65535 shingles/doc (a 3-word
+    * shingle set that large would be a ~70k-word document — far beyond
+    * the caption/clip texts this models; overflow would need 2^16
+    * distinct shingles in ONE doc). Bit-vote sums are order-independent
+    * integer additions, so the result is engine-exact regardless of
+    * shuffle order. */
+  private val SimLanes = SimBits / 4
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val ex = shingleRows(s, dir)
       .withColumn("h", md5(col("shingle").cast("binary")))
+      .withColumn("hval", expr(s"CAST(${hexToLong("h", 1, 15)} AS BIGINT)"))
+    // lane j packs global bits 4j..4j+3 (MSB-first) at shifts 48/32/16/0
+    def laneExpr(j: Int): String =
+      (0 until 4).map { t =>
+        val b = 4 * j + t
+        s"(shiftleft(shiftright(hval, ${SimBits - 1 - b}) & 1, ${16 * (3 - t)}))"
+      }.mkString("(", " + ", ")")
     val sums = ex
       .select(col("doc_id") +:
-        (0 until SimBits).map(b => expr(bitTerm(b)).cast("long").as(s"v$b")): _*)
+        (0 until SimLanes).map(j => expr(laneExpr(j)).as(s"l$j")): _*)
       .groupBy(col("doc_id"))
-      .agg(sum(col("v0")).as("v0"),
-        (1 until SimBits).map(b => sum(col(s"v$b")).as(s"v$b")): _*)
-    val packed = (0 until SimBits)
-      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (SimBits - 1 - b)} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+      .agg(count(lit(1)).as("n"),
+        (0 until SimLanes).map(j => sum(col(s"l$j")).as(s"l$j")): _*)
+    // post-aggregate projection runs once per DOCUMENT, not per shingle
+    val packed = (0 until SimBits).map { b =>
+      val c = s"(shiftright(l${b / 4}, ${16 * (3 - b % 4)}) & 65535)"
+      s"(CASE WHEN 2 * $c >= n THEN ${1L << (SimBits - 1 - b)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
     sums.select(col("doc_id"), expr(s"CAST($packed AS BIGINT)").as("simhash"))
   }
 
