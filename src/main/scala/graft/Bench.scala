@@ -62,17 +62,27 @@ object Bench {
 
     // A failed query records -1 (and lands in "errors") — it must never
     // masquerade as a fast success by reporting its time-to-crash.
+    // Two timed passes, per-query MINIMUM: the host commits/steals pages
+    // in multi-second bands that land on arbitrary queries (measured: the
+    // same unchanged query at 1.5 s / 7.7 s / 22.5 s across three runs);
+    // min-of-2 reports the query's actual cost unless a band hits it in
+    // BOTH passes. An error in one pass is masked by a success in the
+    // other; -1 means it never succeeded.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to 2) names.foreach { name =>
       val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name, sfDir); true }
-        catch { case e: Throwable =>
+      try {
+        materialize(name, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= t)) best(name) = t
+        errors.remove(name)
+      } catch { case e: Throwable =>
+        if (!best.contains(name))
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def esc(s: String): String =

@@ -148,12 +148,19 @@ object DedupOps {
   val q27MinhashLsh = OpSpec(
     "q27_minhash_lsh",
     (s, dir) => {
-      // shingle rows are reused by signatures, sizes, and the verify join
-      val sh = shingleRows(s, dir).persist()
-      val hashed = sh
+      // ONLY the 64-bit hash pair is persisted and reused (signatures,
+      // sizes, verify): 3 longs/row instead of shingle strings — smaller
+      // cache, and every downstream shuffle/join keys on fixed-width
+      // longs. The verify intersects (h1, h2) pairs, mirrored exactly in
+      // the oracle's h12 CTE, so both engines see identical semantics
+      // (a cross-string collision would need a 64-bit md5-prefix match
+      // INSIDE one candidate pair).
+      val hashed = shingleRows(s, dir)
         .withColumn("hx", md5(col("shingle").cast("binary")))
-        .withColumn("h1", expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)"))
-        .withColumn("h2", expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)"))
+        .select(col("doc_id"),
+          expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)").as("h1"),
+          expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)").as("h2"))
+        .persist()
       val sigs = hashed.groupBy(col("doc_id")).agg(
         min(expr(sigExpr(0))).as("s0"),
         (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
@@ -174,11 +181,12 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-          Seq("doc_b", "shingle"))
+        .join(hashed.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
+          "doc_a")
+        .join(hashed.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
+          Seq("doc_b", "h1", "h2"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
@@ -213,12 +221,12 @@ object DedupOps {
         FROM capped a JOIN capped b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shrows GROUP BY doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
       inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
         FROM cand c
-        JOIN shrows x ON x.doc_id = c.doc_a
-        JOIN shrows y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        JOIN h12 x ON x.doc_id = c.doc_a
+        JOIN h12 y ON y.doc_id = c.doc_b AND y.h1 = x.h1 AND y.h2 = x.h2
         GROUP BY c.doc_a, c.doc_b)
       SELECT doc_a, doc_b, n_inter,
         CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard

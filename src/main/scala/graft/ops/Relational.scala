@@ -90,18 +90,27 @@ object Relational {
       val c = table(s, dir, "customer")
       val n = table(s, dir, "nation")
       val r = table(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Pre-aggregate the fact table per order BEFORE the join: the
+      // orders join then keys on the same hash partitioning the groupBy
+      // produced (no extra fact shuffle), the join input shrinks ~4x,
+      // and COUNT(DISTINCT o_orderkey) — a two-phase expand aggregate
+      // over every joined row — becomes a plain count of pre-aggregated
+      // order rows. Decimal partial sums re-sum exactly (associative).
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev_o"),
+          count(lit(1)).as("nl"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .filter(col("o_orderstatus") =!= "P")
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast(dec) *
-            (lit(1).cast(dec) - col("l_discount").cast(dec)))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_lines"))
+          sum(col("rev_o")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("nl")).as("n_lines"))
     },
     Some("""
       SELECT r_name, n_name,
