@@ -51,6 +51,38 @@ object StreamingStages {
   def mapStage(stream: DataFrame, stage: DataFrame => DataFrame): DataFrame =
     stage(stream)
 
+  /** Streaming twin of exact dedup (X1/q25): drop rows whose key columns
+    * were already seen. With a watermark the state store evicts keys
+    * older than the horizon — bounded state at unbounded input, the only
+    * shape that survives a continuous 100 TB ingest (an unwatermarked
+    * dropDuplicates grows state forever). */
+  def streamingDedup(stream: DataFrame, tsCol: String,
+      keyCols: Seq[String], horizon: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Per-user running aggregate via mapGroupsWithState — the custom-
+    * state hook (SURVEY §2.11) for semantics the built-in windows can't
+    * express (running counts/means that survive across micro-batches;
+    * the reference's per-video completion counters, P4, are this shape).
+    * State is one (count, sum) pair per key — O(keys), not O(rows). */
+  def runningUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          (user, n, total / n)
+      }
+      .toDF("user_id", "n_events", "mean_value")
+  }
+
   /** Drive a streaming DF to a named in-memory table and wait until all
     * available input is processed (test/local harness; production uses a
     * real sink + checkpointLocation). */

@@ -52,4 +52,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == Tables.table(spark, sf, "events").count())
     } finally q.stop()
   }
+
+  test("streaming dedup == batch distinct on the key within the horizon") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val q = StreamingStages.runToMemory(
+      StreamingStages.streamingDedup(stream, "ts",
+        Seq("user_id", "event_type"), horizon = "10 days"),
+      "dedup_out", outputMode = "append")
+    try {
+      // horizon >> data span, so streaming state never evicts and the
+      // result must equal the batch distinct key set exactly
+      val streamed = spark.table("dedup_out")
+        .select("user_id", "event_type").distinct().count()
+      val batch = Tables.table(spark, sf, "events")
+        .select("user_id", "event_type").distinct().count()
+      assert(spark.table("dedup_out").count() == batch)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running stats == batch groupBy at end of input") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.runningUserStats(spark, stream), "running_out",
+      outputMode = "update")
+    try {
+      val streamed = spark.table("running_out")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events")) // last update per user
+      val batch = Tables.table(spark, sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      assert(streamed.join(batch, Seq("user_id", "n_events")).count()
+        == batch.count())
+    } finally q.stop()
+  }
 }
