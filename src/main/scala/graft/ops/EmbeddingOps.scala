@@ -203,6 +203,109 @@ object EmbeddingOps {
       SELECT query_id, rn, vec_id AS neighbor_id, centroid_id, cosine
       FROM ranked WHERE rn <= 3"""))
 
+  // ---- Random-hyperplane LSH (the cosine twin of q27's MinHash LSH) --
+
+  private val RpPlanes = 32
+  private val RpBandBits = 8
+  private val RpBands = RpPlanes / RpBandBits
+  private val RpDims = 64
+  private val RpThreshold = 0.3
+
+  /** Deterministic "random" hyperplanes: component (p, i) derives from
+    * md5("p:i"), quantized to m/1024 with m in [-1024, 1024] so the
+    * value is EXACT in float, double, and a decimal SQL literal alike —
+    * Spark's float literal array and the oracle's DOUBLE[] literal hold
+    * bit-identical weights, which keeps every dot product (and so every
+    * signature bit) engine-exact. A production deployment would draw
+    * Gaussian planes once and broadcast them; the md5 recipe is the
+    * deterministic stand-in that needs no stored state. */
+  private[ops] def rpWeights(p: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims) { i =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString // first 12 hex digits
+      val k = java.lang.Long.parseLong(hex, 16)
+      (((k % 2049L) - 1024L).toDouble / 1024.0).toFloat
+    }
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH — the scale path that
+    * needs NO blocking key (q31 relies on `label`): the 32-bit sign
+    * signature is computed row-local (32 native dot products against
+    * broadcast-literal planes, no shuffle), candidates come from an
+    * equi-join on (band_idx, band_val) over 4 8-bit bands, and only
+    * candidate ID pairs — never vectors — flow through the distinct;
+    * vectors are fetched back by key for the exact cosine verify. At
+    * 100 TB the pair count is the sum of per-bucket products (buckets
+    * are 1/256 of the corpus per band), not O(n²); the identical band
+    * subtrees on both join sides collapse into one ReusedExchange. */
+  val q48RplshNeardup = OpSpec(
+    "q48_rplsh_neardup",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val sig = (0 until RpPlanes).map { p =>
+        when(graft.functions.VectorFunctions.dot(col("embedding"),
+          typedLit(rpWeights(p))) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bandCols = (0 until RpBands).map { j =>
+        shiftright(col("sig"), RpBandBits * j).bitwiseAND(lit(255L))
+          .as(s"b$j")
+      }
+      val stackArgs = (0 until RpBands).map(j => s"$j, b$j").mkString(", ")
+      val bands = e.select(col("vec_id"), sig.as("sig"))
+        .select(col("vec_id") +: bandCols: _*)
+        .select(col("vec_id"),
+          expr(s"stack($RpBands, $stackArgs) AS (band_idx, band_val)"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("va"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("vb"), col("nrm").as("nb")), "vec_b")
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
+            (col("na") * col("nb")))
+        .filter(col("cosine") >= RpThreshold)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    },
+    Some {
+      def planeLit(p: Int): String =
+        rpWeights(p).map(_.toDouble.toString).mkString("[", ",", "]")
+      def dotLit(p: Int): String =
+        s"""list_reduce(list_transform(generate_series(1, $RpDims),
+             i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i]),
+             (x, y) -> x + y)"""
+      val sigTerms = (0 until RpPlanes).map(p =>
+        s"(CASE WHEN ${dotLit(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val bandUnion = (0 until RpBands).map(j =>
+        s"SELECT vec_id, $j AS band_idx, (sig >> ${RpBandBits * j}) & 255 AS band_val FROM sigs")
+        .mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH e AS ($normedDuck),
+      sigs AS (SELECT vec_id, CAST($sigTerms AS BIGINT) AS sig
+               FROM embeddings),
+      bands AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b,
+             ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+      FROM cand
+      JOIN e x ON x.vec_id = vec_a
+      JOIN e y ON y.vec_id = vec_b
+      WHERE ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $RpThreshold"""
+    })
+
   val all: Seq[OpSpec] = Seq(
-    q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch)
+    q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
+    q48RplshNeardup)
 }

@@ -210,6 +210,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(nCentroids <= 32, s"$nCentroids centroids")
   }
 
+  test("q48 RP-LSH candidates come from an equi-join (no cartesian product)") {
+    val p = plan("q48_rplsh_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q20 range join keys on user_id (hash join + residual filter)") {
     val p = plan("q20_range_join")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
