@@ -160,6 +160,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(new java.io.File(outDir).listFiles().length == files.length)
   }
 
+  test("salted aggregation equals the unsalted plan bit-for-bit") {
+    import graft.ops.Skew
+    // heavy skew: ~97% of lineitem rows forced onto one key
+    val df = Tables.table(spark, sf, "lineitem")
+      .withColumn("k", when(col("l_orderkey") % 30 =!= 0, lit(7L))
+        .otherwise(col("l_orderkey")))
+    val plain = df.groupBy(col("k"))
+      .agg(Tables.dsum(col("l_extendedprice")).as("rev"),
+        count(lit(1)).as("n"), min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"))
+    val salted = Skew.saltedAgg(df, col("k"), "k", col("l_orderkey"),
+      salt = 16, Seq(
+        Skew.SaltedAgg("rev",
+          sum(col("l_extendedprice").cast(Tables.dec)),
+          p => sum(p).cast("double")),
+        Skew.SaltedAgg("n", count(lit(1)), sum(_)),
+        Skew.SaltedAgg("mn", min(col("l_quantity")), min(_)),
+        Skew.SaltedAgg("mx", max(col("l_quantity")), max(_))))
+      .select("k", "rev", "n", "mn", "mx")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // phase-1 sub-groups actually spread the hot key
+    val subGroups = df
+      .withColumn("__salt",
+        pmod(hash(col("l_orderkey")), lit(16)))
+      .filter(col("k") === 7L)
+      .select(col("__salt")).distinct().count()
+    assert(subGroups > 8, s"hot key only spread over $subGroups sub-groups")
+  }
+
+  test("salted join equals the plain join and never goes cartesian") {
+    import graft.ops.Skew
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey").as("k"),
+        col("l_extendedprice"))
+    val dim = Tables.table(spark, sf, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = li.join(dim, "k").select("k", "l_orderkey", "s_name")
+    val salted = Skew.saltedJoin(li, dim, "k", col("l_orderkey"), salt = 8)
+      .select("k", "l_orderkey", "s_name")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    val p = salted.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // ---- physical-plan audits (scale hygiene) -------------------------
 
   test("q02 pushes its filters into the parquet scan") {
