@@ -267,4 +267,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("plan sweep: no query plans a cartesian/nested-loop join or a " +
+    "partition-less window (bounded-broadcast scorers excepted)") {
+    // q30/q32/q33 deliberately cross every corpus row with a CONSTANT-
+    // bounded broadcast side (20 query vectors / 32 centroids): the
+    // correct linear-scan plan for brute-force scoring, which Spark
+    // physically renders as BroadcastNestedLoopJoin. Everything else
+    // must stay equi-join / pushed-down.
+    val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search")
+    def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
+      l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
+        "\\], \\[".r.findAllIn(l).size == 1)
+    // negative control: the detector must fire on a real global window,
+    // so a Spark plan-format change can't silently disable this audit
+    locally {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ctrl = Tables.table(spark, sf, "orders")
+        .withColumn("nt", ntile(10).over(W.orderBy(col("o_totalprice"))))
+        .queryExecution.executedPlan.toString
+      assert(globalWindow(ctrl), s"global-window detector is blind:\n$ctrl")
+    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val flags = Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "BroadcastNestedLoopJoin" -> (p.contains("BroadcastNestedLoopJoin")
+          && !crossOk(name)),
+        // global window prints `Window [exprs], [order]` (one `], [`
+        // separator); a partitioned one prints three bracket groups
+        // (negative control above pins the format)
+        "partition-less Window" -> globalWindow(p)
+      ).collect { case (f, true) => f }
+      if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }
