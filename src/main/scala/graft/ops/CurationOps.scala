@@ -173,7 +173,64 @@ object CurationOps {
             FROM events)
       GROUP BY event_type"""))
 
+  /** End-to-end curation pipeline — the composed form a reference user
+    * actually runs (scenecut → score → curate, §3), over documents:
+    * exact dedup (X1 survivor = min doc_id per content hash) → quality
+    * score (X4, the q23 kernel) → keep-threshold filter → deterministic
+    * shard assignment honoring the reference's shard-budget rule
+    * (README.md:89, ≤1M rows per shard via `Sinks.shardedParquet`).
+    *
+    * Scale shape: the dedup is one hash-shuffle; the survivor semi-join
+    * keys on doc_id (no second full shuffle of text — only survivor ids
+    * travel); scoring is a pure codegen'd projection; the shard id is
+    * row-local arithmetic, so the whole chain is 2 shuffles regardless
+    * of corpus size. */
+  val q49CurationPipeline = OpSpec(
+    "q49_curation_pipeline",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val survivors = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("words", expr(TextOps.wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_punct",
+          expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr("CAST(size(filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT)"))
+        .withColumn("quality", expr(
+          """round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
+                 + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+          col("quality"), (col("doc_id") % 8).as("shard_id"))
+    },
+    Some(s"""
+      WITH survivors AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      kept AS (
+        SELECT d.* FROM documents d SEMI JOIN survivors USING (doc_id)),
+      scored AS (
+        SELECT doc_id, source, lang,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+          length(text) AS n_chars
+        FROM (SELECT *, ${TextOps.wordsDuck} AS words FROM kept))
+      SELECT doc_id, source, lang, n_words,
+        round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) AS quality,
+        doc_id % 8 AS shard_id
+      FROM scored
+      WHERE round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) >= 0.5"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
-    q41JsonExtract)
+    q41JsonExtract, q49CurationPipeline)
 }

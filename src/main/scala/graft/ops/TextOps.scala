@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Spark-side word array (non-empty tokens). */
-  private val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
+  private[ops] val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
   /** DuckDB-side word array. */
-  private val wordsDuck =
+  private[ops] val wordsDuck =
     "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
 
   /** Portable numeric hash: first `n` hex digits of an md5 string column
