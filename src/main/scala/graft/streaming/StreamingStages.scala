@@ -83,6 +83,27 @@ object StreamingStages {
       .toDF("user_id", "n_events", "mean_value")
   }
 
+  /** Production sink: append the stream to sharded parquet with a
+    * checkpoint (the streaming twin of `Sinks.shardedParquet`). The file
+    * sink's write-ahead log gives exactly-once files-per-batch, so a
+    * restart from the same checkpoint resumes AFTER the last committed
+    * input — the D6 restartability the reference implements by hand with
+    * done-lists, here provided by the engine. Blocks until all currently
+    * available input is processed (callers wanting a daemon keep the
+    * returned query running instead). */
+  def runToShardedParquet(df: DataFrame, outDir: String,
+      checkpointDir: String, maxRecordsPerFile: Long = 1000000L)
+      : StreamingQuery = {
+    val q = df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Drive a streaming DF to a named in-memory table and wait until all
     * available input is processed (test/local harness; production uses a
     * real sink + checkpointLocation). */

@@ -1,0 +1,93 @@
+package graft
+
+import graft.media.{FakeCodec, Media}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Generative properties over the pure kernels (frame-index policies,
+  * pixel preprocessing, fake codec determinism) — the invariants that
+  * must hold for ANY clip geometry, not just the fixtures KernelSpec
+  * pins. */
+object KernelProps extends Properties("kernels") {
+
+  private val nFrames = Gen.chooseNum(1L, 1000000L)
+
+  property("fractional indices are in [0, n) and monotone in p") =
+    forAll(nFrames) { n =>
+      val idx = Media.FrameIndex.fractional(n, Seq(0.2, 0.5, 0.8))
+      idx.forall(i => i >= 0 && i < n) && idx == idx.sorted
+    }
+
+  property("firstMidLast is 3 in-range indices; degenerate -> zeros") =
+    forAll(nFrames) { n =>
+      val idx = Media.FrameIndex.firstMidLast(n)
+      idx.length == 3 &&
+        (if (n <= 3) idx.forall(_ == 0L)
+         else idx == Seq(0L, n / 2, n - 1) && idx.forall(_ < n))
+    }
+
+  property("strided covers frame 0, steps by stride, stays < n") =
+    forAll(nFrames, Gen.chooseNum(1L, 100L)) { (n, s) =>
+      val idx = Media.FrameIndex.strided(n, s)
+      idx.headOption.contains(0L) && idx.forall(_ < n) &&
+        idx.sliding(2).forall {
+          case Seq(a, b) => b - a == s
+          case _ => true
+        } &&
+        idx.length == (n + s - 1) / s // every frame within one stride
+    }
+
+  private val dims = Gen.chooseNum(1, 64)
+
+  property("resize emits ow*oh pixels drawn from the source plane") =
+    forAll(dims, dims, dims, dims) { (w, h, ow, oh) =>
+      val px = Array.tabulate(w * h)(_.toDouble)
+      val out = Media.Pixels.resize(px, w, h, ow, oh)
+      out.length == ow * oh && out.forall(px.contains)
+    }
+
+  property("centerCrop keeps exactly cw*ch source pixels") =
+    forAll(dims, dims) { (w, h) =>
+      forAll(Gen.chooseNum(1, w), Gen.chooseNum(1, h)) { (cw, ch) =>
+        val px = Array.tabulate(w * h)(_.toDouble)
+        val out = Media.Pixels.centerCrop(px, w, h, cw, ch)
+        out.length == cw * ch && out.forall(px.contains)
+      }
+    }
+
+  property("div255 lands in [0,1] and signed in [-1,1] for byte planes") =
+    forAll(Gen.listOfN(32, Gen.chooseNum(0, 255))) { bytes =>
+      val px = bytes.map(_.toDouble).toArray
+      Media.Pixels.div255(px).forall(v => v >= 0.0 && v <= 1.0) &&
+        Media.Pixels.signed(px).forall(v => v >= -1.0 && v <= 1.0)
+    }
+
+  property("shorterSideDims makes the shorter side exactly the target " +
+    "and preserves orientation") =
+    forAll(Gen.chooseNum(1, 4096), Gen.chooseNum(1, 4096)) { (w, h) =>
+      val (ow, oh) = Media.Pixels.shorterSideDims(w, h, 512)
+      math.min(ow, oh) == 512 && ((w <= h) == (ow <= oh))
+    }
+
+  property("FakeCodec probe/decode are pure functions of their inputs") =
+    forAll(Gen.identifier, Gen.chooseNum(0L, 10000L)) { (name, idx) =>
+      val p = s"/v/$name.mp4"
+      FakeCodec.probe(p) == FakeCodec.probe(p) &&
+        FakeCodec.decodeFrame(p, idx).toSeq ==
+          FakeCodec.decodeFrame(p, idx).toSeq
+    }
+
+  property("encodeClip output length is bounded and span-dependent") =
+    forAll(Gen.identifier, Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 5000L)) {
+      (name, s, len) =>
+        val bytes = FakeCodec.encodeClip(s"/v/$name.mp4", s, s + len)
+        bytes.length == 32 + math.min(len, 4096L).toInt
+    }
+
+  property("encodeClip rejects empty spans") =
+    forAll(Gen.chooseNum(0L, 100L)) { s =>
+      Prop.throws(classOf[IllegalArgumentException]) {
+        FakeCodec.encodeClip("/v/x.mp4", s, s)
+      }
+    }
+}
