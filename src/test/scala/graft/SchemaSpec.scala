@@ -71,4 +71,25 @@ class SchemaSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("dot_product with wrong arity is an analysis error, not an IOOBE") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(CAST(array(1.0) AS ARRAY<FLOAT>))")
+        .head
+    }
+    assert(e.getMessage.contains("dot_product"), e.getMessage)
+    assert(!e.isInstanceOf[IndexOutOfBoundsException])
+  }
+
+  test("Graft.session() yields a ready session (configs + natives)") {
+    val s = Graft.session(master = "local[2]")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    val r = s.sql(
+      """SELECT dot_product(CAST(array(2.0, 3.0) AS ARRAY<FLOAT>),
+                            CAST(array(4.0, 5.0) AS ARRAY<FLOAT>)) AS d""")
+      .head.getDouble(0)
+    assert(r == 23.0)
+  }
 }
