@@ -319,7 +319,7 @@ object DedupOps {
     * one band identical, so the banded equi-join has perfect recall at
     * hamming <= 6 and the post-join hamming filter makes the band layout
     * invisible in the result. */
-  private val simBands: Seq[(Int, Int, Long)] = {
+  private[graft] val simBands: Seq[(Int, Int, Long)] = {
     val widths = Seq(9, 9, 9, 9, 8, 8, 8) // sums to SimBits
     val shifts = widths.scanRight(0)(_ + _).tail
     widths.zip(shifts).zipWithIndex.map { case ((w, sh), j) =>

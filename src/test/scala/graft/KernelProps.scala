@@ -90,4 +90,31 @@ object KernelProps extends Properties("kernels") {
         FakeCodec.encodeClip("/v/x.mp4", s, s)
       }
     }
+
+  // q29's DuckDB oracle is BRUTE-FORCE, so the banded equi-join matches
+  // it only because <= 6 flipped bits across 7 bands must leave one band
+  // untouched (pigeonhole). This property is load-bearing for the
+  // correctness gate: a wrong band layout would diverge only on inputs
+  // whose flips straddle every band.
+  private val simBits = 60
+  private val bandOf: Long => Seq[Long] = v =>
+    graft.ops.DedupOps.simBands.map { case (_, sh, mask) => (v >> sh) & mask }
+
+  property("simhash bands: any <= 6-bit flip leaves >= 1 band equal") = {
+    val base = Gen.chooseNum(0L, (1L << simBits) - 1)
+    val flips = Gen.chooseNum(0, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(0, simBits - 1)))
+    forAll(base, flips) { (v, bits) =>
+      val w = bits.foldLeft(v)((acc, b) => acc ^ (1L << b))
+      bandOf(v).zip(bandOf(w)).exists { case (a, b) => a == b }
+    }
+  }
+
+  property("simhash bands tile all 60 bits exactly once") = Prop {
+    val bands = graft.ops.DedupOps.simBands
+    val covered = bands.flatMap { case (_, sh, mask) =>
+      (0 until 64).filter(b => ((mask << sh) >> b & 1L) == 1L)
+    }
+    covered.sorted == (0 until simBits).toList
+  }
 }
