@@ -206,6 +206,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q27 bucket cap drops hot boilerplate buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 1100 byte-identical boilerplate docs (every band bucket = 1100 >
+    // cap 1000 -> candidates dropped: the quadratic 600k-pair blowup a
+    // hot band value causes at scale) + one genuine near-dup pair that
+    // must still surface.
+    val boiler = "spam spam ham spam eggs spam ham eggs spam spam"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = ((0 until 1100).map(i => (i.toLong, boiler)) ++
+      Seq((2000L, a), (2001L, b)))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q27cap").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(pairs.contains((2000L, 2001L)), s"real near-dup lost: $pairs")
+    assert(!pairs.exists { case (x, y) => x < 1100 && y < 1100 },
+      s"hot bucket leaked pairs: ${pairs.take(5)}")
+  }
+
   // ---- physical-plan audits (scale hygiene) -------------------------
 
   test("q02 pushes its filters into the parquet scan") {
