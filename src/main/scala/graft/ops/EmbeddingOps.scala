@@ -252,10 +252,15 @@ object EmbeddingOps {
           .as(s"b$j")
       }
       val stackArgs = (0 until RpBands).map(j => s"$j, b$j").mkString(", ")
+      // persisted: 3 longs/row (the 32 dot products per row run ONCE —
+      // measured: the a/b self-join subtrees do not collapse into a
+      // ReusedExchange, so without the cache the signature pass runs
+      // twice). Released by the harness's clearCache.
       val bands = e.select(col("vec_id"), sig.as("sig"))
         .select(col("vec_id") +: bandCols: _*)
         .select(col("vec_id"),
           expr(s"stack($RpBands, $stackArgs) AS (band_idx, band_val)"))
+        .persist()
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
