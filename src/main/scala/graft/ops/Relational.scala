@@ -266,13 +266,18 @@ object Relational {
 
   /** §2.5 running aggregate over a totally-ordered window (the exact
     * decimal sum keeps the running values engine-identical at every row).
+    * l_quantity joins the sort key because (orderkey, linenumber) is NOT
+    * unique in the testdata (sf0.1 has a duplicate with different
+    * quantities); with a ROWS frame, tie order among duplicates is
+    * engine-defined, and rows that also tie on quantity are
+    * interchangeable — the output multiset is then order-independent.
     */
   val q10WindowRunning = OpSpec(
     "q10_window_running",
     (s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
+          col("l_linenumber").asc, col("l_quantity").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // Exact integer cents instead of DECIMAL inside WindowExec: the
       // running state is then a plain long add per row (no per-row
@@ -291,7 +296,7 @@ object Relational {
       SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
       FROM lineitem"""))
 
