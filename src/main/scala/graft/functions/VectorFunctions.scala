@@ -48,9 +48,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED long arrays (set
+  * semantics expected upstream): one O(|a|+|b|) merge pass directly over
+  * Tungsten `ArrayData`. This is the per-pair verify kernel of the exact
+  * Jaccard join (q50): with per-document sorted gram-hash arrays, each
+  * candidate pair costs one fixed-width pass — versus the relational
+  * intersect-count join, whose candidates×grams row explosion was
+  * measured at 200M intermediate rows (7 s of a 9.7 s query) at sf0.1.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var acc = 0L
+    while (i < nx && j < ny) {
+      val (xv, yv) = (x.getLong(i), y.getLong(j))
+      if (xv == yv) { acc += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(
+      bridge.expression(a), bridge.expression(b)))
 
   /** Cosine similarity from three dot products (norms not cached). */
   def cosine(a: Column, b: Column): Column = {

@@ -95,6 +95,22 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
 
+  /** Bucketed + sorted table layout: pays the shuffle ONCE at write
+    * time so every later equi-join or aggregation on `key` between
+    * co-bucketed tables runs with NO exchange (and, with sortBy, no
+    * re-sort) — the layout a 100 TB fact table wants when it is joined
+    * on the same key every day. The reference's shard-budget rule
+    * (README.md:89) partitions by convention; bucketing is the engine-
+    * enforced version the optimizer can actually exploit. */
+  def bucketedTable(df: DataFrame, tableName: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** K7 archive+cleanup sink (check/check_secne.py:23-26): gate on the
     * A6 count invariant, zip the completed shard directory, and only
     * then delete the raw files. Runs against one finished shard dir — an

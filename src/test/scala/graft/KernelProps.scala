@@ -91,6 +91,20 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("sortedIntersectCount equals set-intersection size") = {
+    val xs = Gen.listOf(Gen.chooseNum(-100L, 100L))
+    forAll(xs, xs) { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val (sa, sb) = (a.distinct.sorted, b.distinct.sorted)
+      val e = graft.functions.SortedIntersectCount(
+        Literal(ArrayData.toArrayData(sa.toArray), ArrayType(LongType)),
+        Literal(ArrayData.toArrayData(sb.toArray), ArrayType(LongType)))
+      e.eval(null) == (sa.toSet & sb.toSet).size.toLong
+    }
+  }
+
   // q29's DuckDB oracle is BRUTE-FORCE, so the banded equi-join matches
   // it only because <= 6 flipped bits across 7 bands must leave one band
   // untouched (pigeonhole). This property is load-bearing for the

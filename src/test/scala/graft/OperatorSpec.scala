@@ -230,6 +230,88 @@ class OperatorSpec extends AnyFunSuite {
       s"hot bucket leaked pairs: ${pairs.take(5)}")
   }
 
+  test("q50 prefix-filtered Jaccard join is exact against brute force") {
+    import spark.implicits._
+    // small vocab => heavy cross-doc gram collisions (stresses the
+    // prefix filter); mutations produce pairs on BOTH sides of t = 3/4
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 12).map { j =>
+      val (_, t) = base(j)
+      val words = t.split(" ")
+      val mutated =
+        if (j % 2 == 0) (words :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        else words.updated(rnd.nextInt(words.length),
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (100L + j, mutated)
+    }
+    val rows = base ++ dups
+    val dir = java.nio.file.Files.createTempDirectory("q50").toString
+    rows.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q50_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    def grams(t: String): Set[String] = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val sets = rows.map { case (id, t) => (id, grams(t)) }
+    val expect = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets
+      if ia < ib && ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size
+      uni = ga.size + gb.size - inter
+      if 4 * inter >= 3 * uni
+    } yield (ia, ib, inter.toLong, inter.toDouble / uni)).toSet
+    assert(expect.nonEmpty, "generator produced no true pairs")
+    // and the generator really straddles the threshold: some near-miss
+    // pairs must exist below t, else the filter direction isn't tested
+    val below = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets
+      if ia < ib && ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size
+      uni = ga.size + gb.size - inter
+      if inter > 0 && 4 * inter < 3 * uni
+    } yield (ia, ib)).size
+    assert(below > 0, "no sub-threshold overlapping pairs generated")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("co-bucketed tables join with zero exchanges (pre-shuffled layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("buck").toString
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    graft.io.Sinks.bucketedTable(li, "li_b", "l_orderkey", 8, s"$tmp/li")
+    graft.io.Sinks.bucketedTable(ord, "ord_b", "l_orderkey", 8, s"$tmp/ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(j.count() > 0)
+      // negative control: the same join over plain parquet MUST shuffle,
+      // so a plan-format change can't silently blind this audit
+      val ctrl = li.join(ord, "l_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(ctrl.contains("Exchange"), ctrl)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   // ---- physical-plan audits (scale hygiene) -------------------------
 
   test("q02 pushes its filters into the parquet scan") {
