@@ -82,6 +82,21 @@ class SchemaSpec extends AnyFunSuite {
     assert(!e.isInstanceOf[IndexOutOfBoundsException])
   }
 
+  test("sorted_intersect_count is callable from SQL, arity-checked") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(
+           CAST(array(1, 3, 5, 9) AS ARRAY<BIGINT>),
+           CAST(array(2, 3, 7, 9) AS ARRAY<BIGINT>)) AS n""")
+      .head.getLong(0)
+    assert(r == 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(CAST(array(1) AS ARRAY<BIGINT>))")
+        .head
+    }
+    assert(e.getMessage.contains("sorted_intersect_count"), e.getMessage)
+  }
+
   test("Graft.session() yields a ready session (configs + natives)") {
     val s = Graft.session(master = "local[2]")
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
