@@ -516,7 +516,92 @@ object DedupOps {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE 4 * n_inter >= 3 * (sa.sz + sb.sz - n_inter)"""))
 
+  // ---- Duplicate clusters (connected components) ----------------------
+
+  /** Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    * q27 MinHash pair graph, each doc labeled with its component's min
+    * doc_id (the canonical survivor) plus the cluster size — the final
+    * step of a real dedup pipeline (pairs alone can't drive "keep one
+    * per group" when dups chain A~B~C).
+    *
+    * Spark shape: iterative min-label propagation — each round is ONE
+    * equi-join (labels into edges) + groupBy(min) + join back, i.e. the
+    * Pregel form of distributed CC; rounds are bounded by the component
+    * DIAMETER (not size), and near-dup components are shallow by
+    * construction (dups of one source chain through it). Each round
+    * persists its labels and unpersists the previous — lineage stays
+    * O(1) deep and no cache accumulates. The loop's only driver-side
+    * work is a per-round convergence count; labels never grow: strictly
+    * monotone decreasing, so termination is guaranteed even without the
+    * round cap. The oracle walks the same edges with a recursive CTE —
+    * both engines produce the unique canonical labeling, so the compare
+    * is order-independent. */
+  /** Distributed connected components by min-label propagation over an
+    * UNDIRECTED pair list (columns = two node ids). Returns one row per
+    * node appearing in any pair: (doc_id, cluster) with cluster = the
+    * component's minimum id. Rounds bounded by component diameter;
+    * labels are strictly monotone decreasing, so the loop terminates
+    * with or without the safety cap. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq
+    val edges = pairs.union(pairs.select(col(b), col(a)))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
+  val q51DedupClusters = OpSpec(
+    "q51_dedup_clusters",
+    (s, dir) => {
+      val labels = connectedComponents(
+        q27MinhashLsh.query(s, dir).select(col("doc_a"), col("doc_b")))
+      val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("csize"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      pairs AS (SELECT doc_a, doc_b FROM (${q27MinhashLsh.oracle.get})),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+      cc AS (
+        SELECT doc_id, doc_id AS label FROM verts
+        UNION
+        SELECT e.dst AS doc_id, c.label
+        FROM cc c JOIN edges e ON e.src = c.doc_id
+        WHERE c.label < e.dst),
+      lab AS (SELECT doc_id, min(label) AS cluster FROM cc GROUP BY doc_id),
+      sizes AS (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, s.csize
+      FROM lab l JOIN sizes s USING (cluster)"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
-    q29SimhashPairs, q50NgramJaccard)
+    q29SimhashPairs, q50NgramJaccard, q51DedupClusters)
 }

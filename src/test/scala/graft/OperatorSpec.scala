@@ -284,6 +284,27 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("connected components: chains, cycles, and disjoint pairs") {
+    import spark.implicits._
+    // chain 5-3-8-12 (diameter 3: forces multiple propagation rounds),
+    // triangle 20-21-22 with a redundant closing edge, isolated pair
+    // 30-31, and a self-loop 40-40 (a doc paired with itself must not
+    // corrupt anything)
+    val pairs = Seq(
+      (5L, 3L), (3L, 8L), (8L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L),
+      (40L, 40L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(got == Map(
+      5L -> 3L, 3L -> 3L, 8L -> 3L, 12L -> 3L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L,
+      40L -> 40L), got.toString)
+  }
+
   test("co-bucketed tables join with zero exchanges (pre-shuffled layout)") {
     val tmp = java.nio.file.Files.createTempDirectory("buck").toString
     val li = Tables.table(spark, sf, "lineitem")
