@@ -14,7 +14,8 @@ object SparkEntry {
   val registry: Seq[OpSpec] =
     ops.Relational.all ++ ops.PipelineOps.all ++ ops.EventOps.all ++
       ops.TextOps.all ++ ops.DedupOps.all ++ ops.EmbeddingOps.all ++
-      ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all
+      ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all ++
+      ops.SampleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -536,20 +536,33 @@ object DedupOps {
     * round cap. The oracle walks the same edges with a recursive CTE —
     * both engines produce the unique canonical labeling, so the compare
     * is order-independent. */
-  /** Distributed connected components by min-label propagation over an
-    * UNDIRECTED pair list (columns = two node ids). Returns one row per
-    * node appearing in any pair: (doc_id, cluster) with cluster = the
-    * component's minimum id. Rounds bounded by component diameter;
-    * labels are strictly monotone decreasing, so the loop terminates
-    * with or without the safety cap. */
+  /** Distributed connected components over an UNDIRECTED pair list
+    * (columns = two node ids). Returns one row per node appearing in
+    * any pair: (doc_id, cluster) with cluster = the component's minimum
+    * id. Each round does min-label propagation along edges PLUS a
+    * pointer jump (label := label's label), so rounds are O(log
+    * diameter) instead of O(diameter) — measured 11 s → ~5 s at sf0.1,
+    * where dup chains make plain propagation walk every hop.
+    *
+    * Iteration state lives behind eager localCheckpoint()s, NOT
+    * persist(): a cached DataFrame keeps its full logical plan (the
+    * cache is substituted at physical planning), so every round's
+    * analysis re-walks the pair-producing plan — embedded twice by the
+    * union, twice again by the pointer-jump self-join. With a plan the
+    * size of q27's, that made ANALYSIS, not execution, the cost: ~40 s
+    * of driver time per round (measured). Checkpointing truncates each
+    * round's plan to a scan of materialized blocks. Labels are strictly
+    * monotone decreasing, so the loop terminates with or without the
+    * safety cap. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq
-    val edges = pairs.union(pairs.select(col(b), col(a)))
+    val p = pairs.localCheckpoint() // pairs computed exactly once
+    val edges = p.union(p.select(col(b), col(a)))
       .toDF("src", "dst")
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -557,19 +570,24 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+      val hop = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .persist()
+      // pointer jump: follow the label one more step (label's label)
+      val next = hop.join(
+        hop.select(col("doc_id").as("label"), col("label").as("ll")),
+        Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"))
+        .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
-    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 

@@ -67,7 +67,7 @@ object PipelineOps {
           floor(col("n_frames") * 0.2).cast("long").as("idx_f20"),
           floor(col("n_frames") * 0.5).cast("long").as("idx_f50"),
           floor(col("n_frames") * 0.8).cast("long").as("idx_f80"),
-          when(col("n_frames") <= 3, 0L).otherwise(0L).as("idx_first"),
+          lit(0L).as("idx_first"), // first frame: 0 in both branches
           when(col("n_frames") <= 3, 0L)
             .otherwise(floor(col("n_frames") / 2).cast("long")).as("idx_mid"),
           when(col("n_frames") <= 3, 0L)

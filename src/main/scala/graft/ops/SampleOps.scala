@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split operators — the dataset-assembly ops a
+  * training pipeline runs after curation (the reference's
+  * `selected_target.json` subset selection, macvid.py:113-115,
+  * generalized). Everything derives from md5 of a salted row key, never
+  * rand(): task retries and speculative execution must reproduce the
+  * same sample, and both engines must agree bit-for-bit.
+  */
+object SampleOps {
+
+  /** Stratified k-per-group sample: within each stratum (lang), rank
+    * rows by a salted md5 of the row key and keep the first k. Spark
+    * shape: one window PARTITIONED by the stratum — thousands of small
+    * groups, no global sort; the hash rank makes the sample stable
+    * under any physical row order (re-runs, repartitions, retries all
+    * yield the same rows). */
+  val q52StratifiedSample = OpSpec(
+    "q52_stratified_sample",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rk", md5(concat(lit("sample:"), col("doc_id")).cast("binary")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("rk"))
+    },
+    Some("""
+      SELECT lang, rn, doc_id, rk
+      FROM (SELECT lang, doc_id, rk,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY rk, doc_id) AS BIGINT) AS rn
+            FROM (SELECT lang, doc_id,
+                    md5('sample:' || doc_id) AS rk
+                  FROM documents))
+      WHERE rn <= 20"""))
+
+  /** Deterministic train/val/test split (80/10/10): the split label is a
+    * pure row-local projection of a salted md5 — NO shuffle, NO state,
+    * and adding rows never reassigns existing ones (the property a
+    * growing 100 TB corpus needs; a rank-based split would reshuffle
+    * membership on every ingest). Counts per split ride along via a
+    * window total so the oracle can check the fractions too. */
+  val q53HashSplit = OpSpec(
+    "q53_hash_split",
+    (s, dir) => {
+      val bucket = expr(
+        s"${TextOps.hexToLong("md5(CAST(concat('split:', doc_id) AS BINARY))", 12)} % 10")
+      table(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .select(col("doc_id"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") < 9, "val")
+            .otherwise("test").as("split"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        CASE WHEN bucket < 8 THEN 'train'
+             WHEN bucket < 9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              ${TextOps.hexToLong("md5('split:' || doc_id)", 12)} % 10 AS bucket
+            FROM documents)"""))
+
+  val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit)
+}

@@ -28,7 +28,7 @@ object TextOps {
   /** Portable numeric hash: first `n` hex digits of an md5 string column
     * folded to a BIGINT. Identical text works in both engines (instr,
     * substring, md5 all match). */
-  private def hexToLong(md5Expr: String, n: Int): String =
+  private[ops] def hexToLong(md5Expr: String, n: Int): String =
     (1 to n).map { i =>
       val p = java.lang.Math.pow(16, n - i).toLong
       s"(instr('0123456789abcdef', substring($md5Expr, $i, 1)) - 1) * CAST($p AS BIGINT)"
