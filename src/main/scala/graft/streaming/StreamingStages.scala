@@ -51,6 +51,15 @@ object StreamingStages {
   def mapStage(stream: DataFrame, stage: DataFrame => DataFrame): DataFrame =
     stage(stream)
 
+  /** Stream-static enrichment join: every micro-batch hash-joins
+    * against the static dimension (broadcast when small — the streaming
+    * twin of the clip↔video denormalization join, J3). LEFT join so an
+    * unmatched stream row passes through with nulls instead of being
+    * silently dropped mid-ingest. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(dim, keys, "left")
+
   /** Streaming twin of exact dedup (X1/q25): drop rows whose key columns
     * were already seen. With a watermark the state store evicts keys
     * older than the horizon — bounded state at unbounded input, the only

@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == the batch join, rows preserved") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.table(spark, sf, "events")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("tier", when(col("user_id") % 3 === 0, "gold")
+        .otherwise("basic"))
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+      .select(col("event_id"), col("user_id"))
+    val q = StreamingStages.runToMemory(
+      StreamingStages.enrichWithStatic(stream, dim, Seq("user_id")),
+      "enrich_out", outputMode = "append")
+    try {
+      val streamed = spark.table("enrich_out")
+      assert(streamed.count() == events.count()) // left join drops nothing
+      val batch = events.select(col("event_id"), col("user_id"))
+        .join(dim, Seq("user_id"), "left")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft_sink_in")
