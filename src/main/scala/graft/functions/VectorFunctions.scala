@@ -79,10 +79,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var (i, j) = (0, 0)
     var acc = 0L
     while (i < nx && j < ny) {
-      val (xv, yv) = (x.getLong(i), y.getLong(j))
-      if (xv == yv) { acc += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // null elements never match (the type check admits
+      // containsNull=true arrays, and getLong on a null slot would read
+      // an arbitrary value — SQL callers can pass array(NULL, ...))
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val (xv, yv) = (x.getLong(i), y.getLong(j))
+        if (xv == yv) { acc += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     acc
   }

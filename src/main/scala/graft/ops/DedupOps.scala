@@ -102,7 +102,7 @@ object DedupOps {
     * folded to a non-negative long — the numeric minhash domain. Fixed-
     * width long min() buffers keep HashAggregate on its fast path (var-
     * length string minima knock it off: ~190 µs/row measured). */
-  private def hexToLong(h: String, start: Int = 1, n: Int = 12): String =
+  private[ops] def hexToLong(h: String, start: Int = 1, n: Int = 12): String =
     (0 until n).map { i =>
       val p = java.lang.Math.pow(16, n - 1 - i).toLong
       s"(instr('0123456789abcdef', substring($h, ${start + i}, 1)) - 1) * CAST($p AS BIGINT)"
@@ -518,43 +518,33 @@ object DedupOps {
 
   // ---- Duplicate clusters (connected components) ----------------------
 
-  /** Near-dup PAIRS → duplicate CLUSTERS: connected components over the
-    * q27 MinHash pair graph, each doc labeled with its component's min
-    * doc_id (the canonical survivor) plus the cluster size — the final
-    * step of a real dedup pipeline (pairs alone can't drive "keep one
-    * per group" when dups chain A~B~C).
-    *
-    * Spark shape: iterative min-label propagation — each round is ONE
-    * equi-join (labels into edges) + groupBy(min) + join back, i.e. the
-    * Pregel form of distributed CC; rounds are bounded by the component
-    * DIAMETER (not size), and near-dup components are shallow by
-    * construction (dups of one source chain through it). Each round
-    * persists its labels and unpersists the previous — lineage stays
-    * O(1) deep and no cache accumulates. The loop's only driver-side
-    * work is a per-round convergence count; labels never grow: strictly
-    * monotone decreasing, so termination is guaranteed even without the
-    * round cap. The oracle walks the same edges with a recursive CTE —
-    * both engines produce the unique canonical labeling, so the compare
-    * is order-independent. */
   /** Distributed connected components over an UNDIRECTED pair list
-    * (columns = two node ids). Returns one row per node appearing in
-    * any pair: (doc_id, cluster) with cluster = the component's minimum
-    * id. Each round does min-label propagation along edges PLUS a
-    * pointer jump (label := label's label), so rounds are O(log
-    * diameter) instead of O(diameter) — measured 11 s → ~5 s at sf0.1,
-    * where dup chains make plain propagation walk every hop.
+    * (exactly two columns: the node ids). Returns one row per node
+    * appearing in any pair: (doc_id, cluster) with cluster = the
+    * component's minimum id. Each round does min-label propagation
+    * along edges (one equi-join + min-aggregate — the Pregel form of
+    * distributed CC) PLUS a pointer jump (label := label's label), so
+    * rounds are O(log diameter) instead of O(diameter) — measured 11 s
+    * → ~5 s at sf0.1, where dup chains make plain propagation walk
+    * every hop.
     *
     * Iteration state lives behind eager localCheckpoint()s, NOT
     * persist(): a cached DataFrame keeps its full logical plan (the
     * cache is substituted at physical planning), so every round's
     * analysis re-walks the pair-producing plan — embedded twice by the
-    * union, twice again by the pointer-jump self-join. With a plan the
-    * size of q27's, that made ANALYSIS, not execution, the cost: ~40 s
-    * of driver time per round (measured). Checkpointing truncates each
-    * round's plan to a scan of materialized blocks. Labels are strictly
-    * monotone decreasing, so the loop terminates with or without the
-    * safety cap. */
+    * union, and the pointer-jump self-join would DOUBLE the plan again
+    * every round. With a plan the size of q27's, that made ANALYSIS,
+    * not execution, the cost: ~40 s of driver time per round
+    * (measured). Checkpointing truncates each round's plan to a scan of
+    * materialized blocks; superseded rounds' blocks (a few longs per
+    * graph node) become unreachable on reassignment and are released by
+    * the ContextCleaner — clearCache() does not govern them. Labels are
+    * strictly monotone decreasing, so the loop terminates with or
+    * without the safety cap. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"connectedComponents expects exactly two node-id columns, got " +
+        s"(${pairs.columns.mkString(", ")})")
     val Seq(a, b) = pairs.columns.toSeq
     val p = pairs.localCheckpoint() // pairs computed exactly once
     val edges = p.union(p.select(col(b), col(a)))
@@ -591,6 +581,16 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
+  /** Near-dup PAIRS → duplicate CLUSTERS: [[connectedComponents]] over
+    * the q27 MinHash pair graph, each doc labeled with its component's
+    * min doc_id (the canonical survivor) plus the cluster size — the
+    * final step of a real dedup pipeline (pairs alone can't drive "keep
+    * one per group" when dups chain A~B~C). Near-dup components are
+    * shallow by construction (dups of one source chain through it), so
+    * the log-diameter loop converges in a couple of rounds. The oracle
+    * walks the same edges with a recursive CTE — both engines produce
+    * the unique canonical labeling, so the compare is order-
+    * independent. */
   val q51DedupClusters = OpSpec(
     "q51_dedup_clusters",
     (s, dir) => {

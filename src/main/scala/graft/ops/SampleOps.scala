@@ -50,10 +50,11 @@ object SampleOps {
   val q53HashSplit = OpSpec(
     "q53_hash_split",
     (s, dir) => {
-      val bucket = expr(
-        s"${TextOps.hexToLong("md5(CAST(concat('split:', doc_id) AS BINARY))", 12)} % 10")
       table(s, dir, "documents")
-        .withColumn("bucket", bucket)
+        // digest materialized ONCE as a column, then folded — inlining
+        // the md5 into the 12-digit fold would splice it per digit
+        .withColumn("hx", md5(concat(lit("split:"), col("doc_id")).cast("binary")))
+        .withColumn("bucket", expr(s"${TextOps.hexToLong("hx", 12)} % 10"))
         .select(col("doc_id"),
           when(col("bucket") < 8, "train")
             .when(col("bucket") < 9, "val")
@@ -64,9 +65,9 @@ object SampleOps {
         CASE WHEN bucket < 8 THEN 'train'
              WHEN bucket < 9 THEN 'val'
              ELSE 'test' END AS split
-      FROM (SELECT doc_id,
-              ${TextOps.hexToLong("md5('split:' || doc_id)", 12)} % 10 AS bucket
-            FROM documents)"""))
+      FROM (SELECT doc_id, ${TextOps.hexToLong("hx", 12)} % 10 AS bucket
+            FROM (SELECT doc_id, md5('split:' || doc_id) AS hx
+                  FROM documents))"""))
 
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit)
 }

@@ -26,13 +26,10 @@ object TextOps {
     "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
 
   /** Portable numeric hash: first `n` hex digits of an md5 string column
-    * folded to a BIGINT. Identical text works in both engines (instr,
-    * substring, md5 all match). */
-  private[ops] def hexToLong(md5Expr: String, n: Int): String =
-    (1 to n).map { i =>
-      val p = java.lang.Math.pow(16, n - i).toLong
-      s"(instr('0123456789abcdef', substring($md5Expr, $i, 1)) - 1) * CAST($p AS BIGINT)"
-    }.mkString("(", " + ", ")")
+    * folded to a BIGINT (the shared [[DedupOps.hexToLong]] fold —
+    * identical text works in both engines). */
+  private[ops] def hexToLong(md5Col: String, n: Int): String =
+    DedupOps.hexToLong(md5Col, 1, n)
 
   /** Token counting + quality raw stats (SURVEY §2.12 text stats):
     * whitespace tokens, BPE-ish regex tokens, char-class counts,

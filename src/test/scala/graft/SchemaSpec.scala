@@ -95,6 +95,14 @@ class SchemaSpec extends AnyFunSuite {
         .head
     }
     assert(e.getMessage.contains("sorted_intersect_count"), e.getMessage)
+    // null elements never match — getLong on a null slot would read an
+    // arbitrary value and count phantom intersections
+    val withNull = spark.sql(
+      """SELECT sorted_intersect_count(
+           CAST(array(NULL, 5) AS ARRAY<BIGINT>),
+           CAST(array(0, 5) AS ARRAY<BIGINT>)) AS n""")
+      .head.getLong(0)
+    assert(withNull == 1L)
   }
 
   test("Graft.session() yields a ready session (configs + natives)") {
