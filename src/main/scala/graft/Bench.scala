@@ -23,13 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Unit = {
-      SparkEntry.queries(name)(spark, dir)
+    def materialize(name: String, dir: String): Unit =
+      try SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       // queries may persist() intermediates for intra-query reuse; drop
       // them so cached blocks never accumulate across the 40+ query run
-      spark.catalog.clearCache()
-    }
+      // — on FAILURE too, else a crashed query's cache skews the rest
+      finally spark.catalog.clearCache()
 
     // This VM commits fresh pages at ~40-50 MB/s: the first queries that
     // grow the heap absorb the ENTIRE commit cost as multi-second GC

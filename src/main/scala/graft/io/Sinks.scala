@@ -47,12 +47,14 @@ object Sinks {
     * evaluations/scene_cut.py:207-208 — the pipeline's primary physical
     * output). Encoding runs executor-side inside mapPartitions, in the
     * partition where the row already lives (no shuffle, no driver
-    * collect); file names are deterministic (`<stem>_<start>_<end>.mp4`,
-    * the F3 clip-id convention) and writes truncate, so speculative or
-    * retried tasks converge on identical bytes. Returns the input rows
-    * plus a `clip_path` column (null + `clip_path_error` on codec
-    * failure — an unreadable clip must not kill the task, SURVEY §4.3).
-    */
+    * collect); file names are deterministic
+    * (`<stem>_<pathmd5_8>_<start>_<end>.mp4` — the F3 clip-id convention
+    * plus a full-path digest, since two sources may share a basename and
+    * must not overwrite each other's clips) and writes truncate, so
+    * speculative or retried tasks converge on identical bytes. Returns
+    * the input rows plus a `clip_path` column (null + `clip_path_error`
+    * on codec failure — an unreadable clip must not kill the task,
+    * SURVEY §4.3). */
   def clipFiles(df: DataFrame, pathCol: String, startCol: String,
       endCol: String, outDir: String,
       codec: graft.media.MediaCodec = graft.media.FakeCodec): DataFrame = {
@@ -75,7 +77,10 @@ object Sinks {
               val dot = base.lastIndexOf('.')
               if (dot < 0) base else base.substring(0, dot)
             }
-            val target = dir.resolve(f"${stem}_${s}%07d_${e}%07d.mp4")
+            val pathId = java.security.MessageDigest.getInstance("MD5")
+              .digest(src.getBytes("UTF-8"))
+              .take(4).map(x => f"$x%02x").mkString
+            val target = dir.resolve(f"${stem}_${pathId}_${s}%07d_${e}%07d.mp4")
             java.nio.file.Files.write(target,
               codec.encodeClip(src, s, e))
             (target.toString, null)
@@ -121,8 +126,17 @@ object Sinks {
   def archiveShards(shardDir: String, expectedFiles: Long,
       tol: Long = 3L): Either[String, String] = {
     val dir = new java.io.File(shardDir)
-    val files = Option(dir.listFiles()).map(_.filter(_.isFile).sorted)
+    val entries = Option(dir.listFiles())
       .getOrElse(return Left(s"$shardDir is not a directory"))
+    // refuse nested directories outright: their contents would be
+    // neither counted nor archived, and the later delete would
+    // "succeed" while leaving unarchived data behind
+    val subdirs = entries.filter(_.isDirectory)
+    if (subdirs.nonEmpty)
+      return Left(s"$shardDir contains subdirectories " +
+        s"(${subdirs.take(3).map(_.getName).mkString(", ")}); " +
+        "flatten or clean them before archiving")
+    val files = entries.filter(_.isFile).sorted
     if (math.abs(files.length - expectedFiles) > tol)
       return Left(
         s"count check failed: ${files.length} files, expected $expectedFiles ± $tol")
@@ -135,7 +149,8 @@ object Sinks {
       zos.closeEntry()
     } finally zos.close()
     files.foreach(_.delete())
-    dir.delete()
+    if (!dir.delete())
+      return Left(s"archived to $zipPath but could not remove $shardDir")
     Right(zipPath)
   }
 }

@@ -211,8 +211,9 @@ object Media {
       codec: MediaCodec = FakeCodec): DataFrame = {
     val ok = policy == "fractional" || policy == "first_mid_last" ||
       (policy.startsWith("stride") &&
-        policy.stripPrefix("stride").forall(_.isDigit) &&
-        policy.length > "stride".length)
+        scala.util.Try(policy.stripPrefix("stride").toLong).toOption
+          .exists(_ >= 1)) // stride0 / overflow must fail HERE, not as
+                           // an executor-side exception swallowed to null
     if (!ok) throw new IllegalArgumentException(
       s"unknown frame policy '$policy'; valid: ${framePolicies.mkString(", ")}")
     val sampler = udf { path: String =>
@@ -246,7 +247,11 @@ object Media {
     require(stride >= 1 && windowLen >= 1,
       s"stride=$stride windowLen=$windowLen must be >= 1")
     val reader = udf { path: String =>
-      val idx = FrameIndex.strided(codec.probe(path).nFrames, stride)
+      // an unprobe-able asset yields a null batch, never a dead task
+      // (S8 error path — FakeCodec never throws but a real codec does)
+      val n = try codec.probe(path).nFrames
+        catch { case _: Exception => -1L }
+      val idx = if (n < 0) Seq.empty[Long] else FrameIndex.strided(n, stride)
       if (idx.length < windowLen) null
       else {
         val slots = idx.length - windowLen + 1

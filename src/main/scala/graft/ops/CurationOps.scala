@@ -49,8 +49,12 @@ object CurationOps {
         }
         sys.error(s"rank $rank out of range (n=$n)")
       }
-      if (n < 10 || r0 == 0) {
-        // degenerate tiny input: every row is in some tile <= 8
+      if (n == 0) {
+        // empty input — nothing to band (for 1 <= n <= 9 the general
+        // path is already exact: ntile assigns tiles 1..n one row each,
+        // so r0 = tileEnd(8) = min(n, 8) selects rows ranked above it —
+        // exactly the n = 9 case's single decile-9 row, and nothing for
+        // n <= 8)
         orders.filter(lit(false))
           .select(col("o_orderkey"), col("o_totalprice"),
             lit(0L).as("decile"))
@@ -198,12 +202,10 @@ object CurationOps {
         .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
         .withColumn("n_punct",
           expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
-        .withColumn("n_stop",
-          expr("CAST(size(filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT)"))
-        .withColumn("quality", expr(
-          """round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-                 + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
-                 + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""))
+        .withColumn("n_stop", expr(
+          s"CAST(size(filter(words, w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT)"))
+        .withColumn("quality",
+          expr(TextOps.qualityFormula("length(text)")))
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
           col("quality"), (col("doc_id") % 8).as("shard_id"))
@@ -217,18 +219,14 @@ object CurationOps {
         SELECT doc_id, source, lang,
           CAST(len(words) AS BIGINT) AS n_words,
           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-          CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+          CAST(len(list_filter(words, w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
           length(text) AS n_chars
         FROM (SELECT *, ${TextOps.wordsDuck} AS words FROM kept))
       SELECT doc_id, source, lang, n_words,
-        round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) AS quality,
+        ${TextOps.qualityFormula("n_chars")} AS quality,
         doc_id % 8 AS shard_id
       FROM scored
-      WHERE round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) >= 0.5"""))
+      WHERE ${TextOps.qualityFormula("n_chars")} >= 0.5"""))
 
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,

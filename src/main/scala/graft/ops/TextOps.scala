@@ -31,6 +31,20 @@ object TextOps {
   private[ops] def hexToLong(md5Col: String, n: Int): String =
     DedupOps.hexToLong(md5Col, 1, n)
 
+  /** Stopword list of the quality kernel — single definition so q23 and
+    * the composed pipeline (q49) cannot drift apart. */
+  private[ops] val stopwordsSql: String =
+    Seq("the", "a", "of", "and", "to").map(w => s"'$w'").mkString(", ")
+
+  /** The 0.4/0.3/0.3 quality score over columns (n_words, n_punct,
+    * n_stop) — engine-portable SQL text, shared by q23 and q49.
+    * `lenExpr` is the document-length expression (both engines compute
+    * it the same way, but q49's oracle precomputes it as a column). */
+  private[ops] def qualityFormula(lenExpr: String): String =
+    s"""round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / $lenExpr)
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""
+
   /** Token counting + quality raw stats (SURVEY §2.12 text stats):
     * whitespace tokens, BPE-ish regex tokens, char-class counts,
     * stopword ratio. */
@@ -129,28 +143,21 @@ object TextOps {
         .withColumn("n_punct",
           expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
         .withColumn("n_stop",
-          expr("CAST(size(filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT)"))
-        .withColumn("quality", expr(
-          """round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-                 + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
-                 + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""))
+          expr(s"CAST(size(filter(words, w -> w IN ($stopwordsSql))) AS BIGINT)"))
+        .withColumn("quality", expr(qualityFormula("length(text)")))
         .select(col("doc_id"), col("n_words"), col("quality"),
           expr("CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END")
             .as("verdict"))
     },
     Some(s"""
       SELECT doc_id, n_words,
-        round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
-            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) AS quality,
-        CASE WHEN round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / length(text))
-            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6) >= 0.5
+        ${qualityFormula("length(text)")} AS quality,
+        CASE WHEN ${qualityFormula("length(text)")} >= 0.5
              THEN 'keep' ELSE 'drop' END AS verdict
       FROM (SELECT doc_id, text,
               CAST(len(words) AS BIGINT) AS n_words,
               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-              CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+              CAST(len(list_filter(words, w -> w IN ($stopwordsSql))) AS BIGINT) AS n_stop
             FROM (SELECT doc_id, text, $wordsDuck AS words FROM documents))"""))
 
   /** Document fingerprinting: md5 of the whitespace-normalized text plus

@@ -158,6 +158,14 @@ class OperatorSpec extends AnyFunSuite {
     graft.io.Sinks.clipFiles(
       scenes, "path", "scene_start_idx", "scene_end_idx", outDir).count()
     assert(new java.io.File(outDir).listFiles().length == files.length)
+    // distinct sources sharing a basename must not overwrite each other
+    val dup = Seq("/x/same.mp4", "/y/same.mp4").toDF("path")
+      .withColumn("s", lit(0L)).withColumn("e", lit(48L))
+    val dupDir = java.nio.file.Files.createTempDirectory("clipdup").toString
+    val dupOut = graft.io.Sinks.clipFiles(dup, "path", "s", "e", dupDir)
+      .select("clip_path").as[String].collect()
+    assert(dupOut.distinct.length == 2, dupOut.mkString(", "))
+    assert(new java.io.File(dupDir).listFiles().length == 2)
   }
 
   test("salted aggregation equals the unsalted plan bit-for-bit") {
@@ -282,6 +290,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(below > 0, "no sub-threshold overlapping pairs generated")
     assert(got == expect,
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("q37 small-n inputs match ntile(10) semantics exactly") {
+    import spark.implicits._
+    // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
+    // puts its top row in tile 9 (selected); n <= 8 selects nothing
+    def run(n: Int): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"q37n$n").toString
+      (1 to n).map(i => (i.toLong, i * 1000.0))
+        .toDF("o_orderkey", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q37_quantile_curation")(spark, dir)
+        .select("o_orderkey", "decile").as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(run(5) == Seq.empty)
+    assert(run(9) == Seq((9L, 9L)))
+    assert(run(12) == Seq((11L, 9L), (12L, 10L)))
+    assert(run(0) == Seq.empty)
   }
 
   test("connected components: chains, cycles, and disjoint pairs") {
