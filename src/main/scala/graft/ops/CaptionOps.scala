@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object CaptionOps {
 
-  private val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
-  private val wordsDuck =
-    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+  // the canonical tokenizer (single definition: TextOps)
+  private def wordsSpark = TextOps.wordsSpark
+  private def wordsDuck = TextOps.wordsDuck
 
   /** M2 aesthetic stand-in through the real mapPartitions scoring
     * skeleton ([[ScoreStage]]): L2-normalize + fixed linear head. The

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private val wordsDuck =
-    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
-  private val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
+  // the canonical tokenizer (single definition: TextOps) — dedup and
+  // text analysis must always agree on what a "word" is
+  private def wordsDuck = TextOps.wordsDuck
+  private def wordsSpark = TextOps.wordsSpark
 
   /** Exact dedup by content hash (dropDuplicates re-expressed as
     * groupBy(hash) so the survivor choice is deterministic: min doc_id).

@@ -33,15 +33,22 @@ object EmbeddingOps {
           CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
   /** Spark: embeddings with the precomputed L2 norm (F5,
-    * aesthetic_score.py:69-74). */
+    * aesthetic_score.py:69-74 — zero-safe: an all-zero vector, a common
+    * failed-extraction artifact, normalizes by 1 instead of feeding a
+    * 0 denominator into every cosine, which throws DIVIDE_BY_ZERO under
+    * Spark 4's default ANSI mode and NULL-diverges with ANSI off). */
   private def normedDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
-      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))))
+      .withColumn("ss", graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+      .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+      .drop("ss")
 
   private val normedDuck =
     s"""SELECT vec_id, label, embedding,
-          sqrt(${dotDuck("embedding", "embedding")}) AS nrm
-        FROM embeddings"""
+          CASE WHEN ss = 0 THEN 1.0 ELSE sqrt(ss) END AS nrm
+        FROM (SELECT vec_id, label, embedding,
+                ${dotDuck("embedding", "embedding")} AS ss
+              FROM embeddings)"""
 
   /** Brute-force cosine top-k: queries (vec_id < 20) broadcast against
     * the full corpus, rank by cosine with a total tie-break. */

@@ -92,14 +92,18 @@ object PipelineOps {
   /** M8/F8 motion-vector score kernel: mean sqrt(mx²+my²) over a clip's
     * motion vectors (models/extract_mvs.c:69-81,202). Lineitems of one
     * order stand in for the MVs of one clip. Each sqrt is rounded to 6dp
-    * then summed exactly in decimal — the mean is order-independent and
-    * engine-identical (plain double sums are not). */
+    * — via floor(x·1e6 + 0.5)/1e6, the recipe both engines compute with
+    * IDENTICAL IEEE ops (their native round() functions disagree on
+    * tie-adjacent doubles) — then summed exactly in decimal, so the mean
+    * is order-independent and engine-identical (plain double sums are
+    * not). */
   val q14MvsMean = OpSpec(
     "q14_mvs_mean",
     (s, dir) => {
-      val mag = round(
+      val mag = floor(
         sqrt(col("l_quantity") * col("l_quantity") +
-          (col("l_discount") * 100.0) * (col("l_discount") * 100.0)), 6)
+          (col("l_discount") * 100.0) * (col("l_discount") * 100.0))
+          * 1000000.0 + 0.5) / 1000000.0
       table(s, dir, "lineitem")
         .select(col("l_orderkey"), mag.as("mag"))
         .groupBy(col("l_orderkey"))
@@ -112,8 +116,9 @@ object PipelineOps {
       SELECT l_orderkey, COUNT(*) AS n_mvs,
         CAST(CAST(SUM(CAST(mag AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mvs_mean
       FROM (SELECT l_orderkey,
-              round(sqrt(l_quantity * l_quantity +
-                    (l_discount * 100.0) * (l_discount * 100.0)), 6) AS mag
+              floor(sqrt(l_quantity * l_quantity +
+                    (l_discount * 100.0) * (l_discount * 100.0))
+                    * 1000000.0 + 0.5) / 1000000.0 AS mag
             FROM lineitem)
       GROUP BY l_orderkey"""))
 

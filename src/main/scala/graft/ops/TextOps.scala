@@ -39,11 +39,23 @@ object TextOps {
   /** The 0.4/0.3/0.3 quality score over columns (n_words, n_punct,
     * n_stop) — engine-portable SQL text, shared by q23 and q49.
     * `lenExpr` is the document-length expression (both engines compute
-    * it the same way, but q49's oracle precomputes it as a column). */
+    * it the same way, but q49's oracle precomputes it as a column).
+    *
+    * Empty/whitespace-only documents score 0.0 explicitly: the naked
+    * divisions would throw DIVIDE_BY_ZERO under Spark 4's default ANSI
+    * mode (and NULL-diverge with ANSI off). Rounding is
+    * floor(x·1e6 + 0.5)/1e6 rather than round(x, 6): both engines then
+    * run the IDENTICAL IEEE double ops, whereas Spark's round
+    * (BigDecimal shortest-string HALF_UP) and DuckDB's (scaled-double)
+    * disagree on tie-adjacent values — e.g. round(0.285, 2) = 0.29 vs
+    * 0.28. The score is non-negative, so the +0.5-floor recipe is
+    * well-defined. */
   private[ops] def qualityFormula(lenExpr: String): String =
-    s"""round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / $lenExpr)
-            + 0.3 * (CAST(n_stop AS DOUBLE) / n_words), 6)"""
+    s"""(CASE WHEN n_words = 0 OR $lenExpr = 0 THEN 0.0 ELSE
+         floor((0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+              + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / $lenExpr)
+              + 0.3 * (CAST(n_stop AS DOUBLE) / n_words)) * 1000000.0 + 0.5)
+         / 1000000.0 END)"""
 
   /** Token counting + quality raw stats (SURVEY §2.12 text stats):
     * whitespace tokens, BPE-ish regex tokens, char-class counts,
@@ -61,14 +73,16 @@ object TextOps {
             .as("n_tokens"),
           expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)")
             .as("n_nonspace"),
-          expr("CAST(size(filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          expr(s"CAST(size(filter(words, w -> w IN ($stopwordsSql))) AS BIGINT)")
             .as("n_stopwords"),
           expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)")
             .as("n_punct"))
-        .withColumn("avg_word_len",
-          col("n_nonspace").cast("double") / col("n_words"))
-        .withColumn("stopword_ratio",
-          col("n_stopwords").cast("double") / col("n_words"))
+        // zero-word docs yield NULL ratios in BOTH engines (a naked
+        // division throws under Spark 4's default ANSI mode)
+        .withColumn("avg_word_len", when(col("n_words") === 0, lit(null))
+          .otherwise(col("n_nonspace").cast("double") / col("n_words")))
+        .withColumn("stopword_ratio", when(col("n_words") === 0, lit(null))
+          .otherwise(col("n_stopwords").cast("double") / col("n_words")))
     },
     Some(s"""
       SELECT doc_id,
@@ -76,10 +90,12 @@ object TextOps {
         CAST(len(words) AS BIGINT) AS n_words,
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
-        CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords,
+        CAST(len(list_filter(words, w -> w IN ($stopwordsSql))) AS BIGINT) AS n_stopwords,
         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-        CAST(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS DOUBLE) / len(words) AS avg_word_len,
-        CAST(CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS DOUBLE) / len(words) AS stopword_ratio
+        CASE WHEN len(words) = 0 THEN NULL ELSE
+          CAST(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS DOUBLE) / len(words) END AS avg_word_len,
+        CASE WHEN len(words) = 0 THEN NULL ELSE
+          CAST(CAST(len(list_filter(words, w -> w IN ($stopwordsSql))) AS BIGINT) AS DOUBLE) / len(words) END AS stopword_ratio
       FROM (SELECT doc_id, text, $wordsDuck AS words FROM documents)"""))
 
   /** Language-ID by marker-word voting (the n-gram-heuristic shape of
