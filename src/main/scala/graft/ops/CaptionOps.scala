@@ -42,7 +42,11 @@ object CaptionOps {
                     list_reduce(list_transform(generate_series(1, len(embedding)), j ->
                       CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
                       (a, b) -> a + b) AS ss
-                  FROM embeddings))"""))
+                  -- mirrors the kernel's failure path (null/empty -> Left
+                  -- -> dropFailed); an empty list would also crash
+                  -- DuckDB's list_reduce outright
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) > 0))"""))
 
   /** M7 prompt templating (F10, sum_caption_llama.py:34-40) + stub
     * generation + answer parsing (F9, sum_caption_llama.py:42-50):
@@ -72,12 +76,15 @@ object CaptionOps {
           x -> trim(x)), 'string_agg', '|') AS objects
       FROM (SELECT doc_id, prompt,
               prompt || ' [' ||
-                list_aggregate(list_sort(list_distinct($wordsDuck))[1:3],
-                  'string_agg', ', ') || ']' AS gen
+                coalesce(list_aggregate(list_sort(list_distinct($wordsDuck))[1:3],
+                  'string_agg', ', '), '') || ']' AS gen
             FROM (SELECT doc_id, text,
                     'Extract the main objects. Captions: ' || text ||
                     ' ### Answer:' AS prompt
                   FROM documents))"""))
+    // ^ coalesce: DuckDB's string_agg over an EMPTY word list is NULL and
+    //   would null out gen, while Spark's array_join yields '' — a
+    //   zero-word document must produce '[]' in BOTH engines
 
   /** M1 ContentDetector semantics on a frame stream: a cut wherever the
     * content delta between consecutive "frames" exceeds the threshold
@@ -87,7 +94,11 @@ object CaptionOps {
     "q36_scene_detect_content",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tie-break: on duplicate (user_id, ts) the lag() input
+      // order would otherwise be shuffle-dependent (the q10 lesson —
+      // never assume a timestamp is unique)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
       val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       table(s, dir, "events")
         .withColumn("prev", lag(col("value"), 1).over(byUser))
@@ -105,14 +116,14 @@ object CaptionOps {
     },
     Some("""
       WITH flagged AS (
-        SELECT user_id, ts, value,
-          CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                 OR abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) > 300.0
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300.0
                THEN 1 ELSE 0 END AS new_scene
         FROM events),
       scenes AS (
         SELECT user_id, ts, value,
-          SUM(new_scene) OVER (PARTITION BY user_id ORDER BY ts
+          SUM(new_scene) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
         FROM flagged)
       SELECT user_id, CAST(scene_id AS BIGINT) AS scene_id,

@@ -61,7 +61,7 @@ object CurationOps {
       } else {
         val (b0, off0) = locate(r0)
         val (b1, off1) = locate(r1)
-        val wB = org.apache.spark.sql.expressions.Window
+        val wB = Window
           .partitionBy(col("hb"))
           .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
         val bounds = orders.withColumn("hb", bucket)

@@ -38,7 +38,10 @@ object QualityOps {
       SELECT vec_id, (f0 + f1 + f2) / 3.0 AS iq_score
       FROM (SELECT vec_id, ${frame(0)} AS f0, ${frame(1)} AS f1,
                    ${frame(2)} AS f2
-            FROM embeddings)"""
+            -- mirrors the kernel's failure path: embeddings shorter
+            -- than the 3x21 frame layout go Left -> dropFailed
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) >= 63)"""
     })
 
   /** A6 count-consistency check op (check/check_secne.py:14-26: expected
@@ -152,7 +155,10 @@ object QualityOps {
           i -> sqrt(CAST(embedding[2*i-1] AS DOUBLE) * CAST(embedding[2*i-1] AS DOUBLE)
                   + CAST(embedding[2*i] AS DOUBLE) * CAST(embedding[2*i] AS DOUBLE))),
           (a, b) -> a + b) / 32.0 AS of_score
-      FROM embeddings"""))
+      FROM embeddings
+      -- mirrors the kernel's failure path: a flow field shorter than
+      -- 32 (u, v) points goes Left -> dropFailed
+      WHERE embedding IS NOT NULL AND len(embedding) >= 64"""))
 
   val all: Seq[OpSpec] = Seq(
     q42ImagingQuality, q43CheckCounts, q44Intersect, q45MinhashAgg,

@@ -96,8 +96,17 @@ object ClipMeta {
     out.columns.diff(in.columns).toSeq
 
   /** Upsert a nested field (the `update_value` guard of
-    * scene_cut.py:143-154, minus its silent-drop bug). */
+    * scene_cut.py:143-154, minus its silent-drop bug). A row whose
+    * section struct is NULL (the permissive reader's degraded rows —
+    * exactly the ones worth enriching) gets a fresh all-null struct
+    * first: `withField` on a null struct returns null, which would
+    * silently discard the computed value for those rows. */
   def withNestedField(df: DataFrame, section: String, field: String,
-      value: Column): DataFrame =
-    df.withColumn(section, col(section).withField(field, value))
+      value: Column): DataFrame = {
+    val sectionType = df.schema(section).dataType.asInstanceOf[StructType]
+    val empty = struct(sectionType.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name)): _*)
+    df.withColumn(section,
+      coalesce(col(section), empty).withField(field, value))
+  }
 }

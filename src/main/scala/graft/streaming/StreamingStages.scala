@@ -29,12 +29,15 @@ object StreamingStages {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Streaming twin of q17: watermarked tumbling 10-minute counts. */
+  /** Streaming twin of q17: watermarked tumbling 10-minute counts. The
+    * total goes through the same exact-decimal sum (Tables.dsum) as the
+    * batch twin — a plain double sum is accumulation-order-dependent,
+    * so the twin equivalence would fail on it. */
   def tumblingAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value")).as("total"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("win_start"), col("event_type"), col("n"), col("total"))
 
@@ -43,7 +46,8 @@ object StreamingStages {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(col("value")).as("total"))
       .select(col("user_id"), col("n_events"), col("total"))
 
   /** Any map-shaped stage (scoring, enrichment) applies to a stream

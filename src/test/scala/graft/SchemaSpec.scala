@@ -51,6 +51,19 @@ class SchemaSpec extends AnyFunSuite {
     assert(ClipMeta.addedColumns(df, out).isEmpty) // nested upsert, no new top-level col
   }
 
+  test("withNestedField upserts into a NULL section instead of dropping") {
+    // the v1-reduced row has camera = null; withField on a null struct
+    // returns null, silently losing the score for exactly the degraded
+    // rows the permissive reader keeps — the upsert must create the
+    // section instead
+    val df = spark.read.schema(ClipMeta.macvidSchema).json(fixture)
+      .filter(col("basic.video_id") === "vid_001")
+    assert(df.select("camera").head.isNullAt(0))
+    val out = ClipMeta.withNestedField(df, "camera", "movement", lit("pan"))
+    assert(out.select("camera.movement").head.getString(0) == "pan")
+    assert(out.select("camera.speed").head.isNullAt(0))
+  }
+
   test("mmtrail flat schema round-trips through json") {
     import spark.implicits._
     val row = """{"video_id":"v","clip_id":"v_0000001","clip_duration":3.5,

@@ -32,10 +32,12 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamingStages.runToMemory(
       StreamingStages.tumblingAgg(stream), "tumbling_out")
     try {
+      // total included: it rides the exact-decimal sum, so the twin
+      // compare is bit-exact, not just count-exact
       val streamed = spark.table("tumbling_out")
-        .select("win_start", "event_type", "n")
+        .select("win_start", "event_type", "n", "total")
       val batch = SparkEntry.queries("q17_tumbling_window")(spark, sf)
-        .select("win_start", "event_type", "n")
+        .select("win_start", "event_type", "n", "total")
       assert(streamed.count() > 0)
       assert(streamed.exceptAll(batch).count() == 0)
       assert(batch.exceptAll(streamed).count() == 0)
