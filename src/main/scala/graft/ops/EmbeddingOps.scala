@@ -210,6 +210,86 @@ object EmbeddingOps {
       SELECT query_id, rn, vec_id AS neighbor_id, centroid_id, cosine
       FROM ranked WHERE rn <= 3"""))
 
+  /** IVF search at nprobe=2 — the recall/cost dial of a real IVF
+    * deployment (nprobe=1, q33, misses neighbors whose vector sits just
+    * across a centroid boundary): each query probes its TWO nearest
+    * centroids and ranks candidates from both clusters. Cost scales as
+    * nprobe·n/C per query instead of n (brute force); the corpus-side
+    * assignment is the same single q32 pass, persisted and reused by
+    * both the query and member sides. */
+  val q54IvfSearchNprobe2 = OpSpec(
+    "q54_ivf_nprobe2",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val c = e.filter(expr(centroidPred))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"))
+      val assign = q32IvfAssign.query(s, dir)
+        .select(col("vec_id"), col("centroid_id"))
+        .persist()
+      val members = e.join(assign, "vec_id")
+      // query side: top-2 centroids per query vector
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("qc_cos").desc, col("centroid_id").asc)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+        .crossJoin(broadcast(c))
+        .withColumn("qc_cos",
+          graft.functions.VectorFunctions.dot(col("cv"), col("qv")) /
+            (col("cnrm") * col("qnrm")))
+        .withColumn("prn", row_number().over(wq))
+        .filter(col("prn") <= 2)
+        .select(col("query_id"), col("qv"), col("qnrm"), col("centroid_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      members.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) /
+            (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"),
+          col("vec_id").as("neighbor_id"), col("centroid_id"), col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv, nrm AS cnrm
+            FROM e WHERE $centroidPred),
+      scored0 AS (
+        SELECT e.vec_id, c.centroid_id,
+               ${dotDuck("c.cv", "e.embedding")} / (c.cnrm * e.nrm) AS cosine
+        FROM e, c),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, centroid_id ASC) AS rn
+          FROM scored0)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, centroid_id ASC) AS prn
+          FROM scored0 WHERE vec_id < 20)
+        WHERE prn <= 2),
+      cands AS (
+        SELECT p.query_id, m.vec_id, m.centroid_id
+        FROM probes p JOIN assign m ON m.centroid_id = p.centroid_id
+        WHERE m.vec_id <> p.query_id),
+      scored AS (
+        SELECT cd.query_id, cd.vec_id, cd.centroid_id,
+               ${dotDuck("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+        FROM cands cd
+        JOIN e q ON q.vec_id = cd.query_id
+        JOIN e m ON m.vec_id = cd.vec_id),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, centroid_id, cosine
+      FROM ranked WHERE rn <= 3"""))
+
   // ---- Random-hyperplane LSH (the cosine twin of q27's MinHash LSH) --
 
   private val RpPlanes = 32
@@ -319,5 +399,5 @@ object EmbeddingOps {
 
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
-    q48RplshNeardup)
+    q48RplshNeardup, q54IvfSearchNprobe2)
 }

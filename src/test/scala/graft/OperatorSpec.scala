@@ -423,12 +423,14 @@ class OperatorSpec extends AnyFunSuite {
 
   test("plan sweep: no query plans a cartesian/nested-loop join or a " +
     "partition-less window (bounded-broadcast scorers excepted)") {
-    // q30/q32/q33 deliberately cross every corpus row with a CONSTANT-
-    // bounded broadcast side (20 query vectors / 32 centroids): the
-    // correct linear-scan plan for brute-force scoring, which Spark
-    // physically renders as BroadcastNestedLoopJoin. Everything else
-    // must stay equi-join / pushed-down.
-    val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search")
+    // q30/q32/q33/q54 deliberately cross every corpus row (or the
+    // 20-query set) with a CONSTANT-bounded broadcast side (20 query
+    // vectors / 32 centroids): the correct linear-scan plan for
+    // brute-force scoring, which Spark physically renders as
+    // BroadcastNestedLoopJoin. Everything else must stay equi-join /
+    // pushed-down.
+    val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
+      "q54_ivf_nprobe2")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
