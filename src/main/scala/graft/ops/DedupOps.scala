@@ -620,7 +620,133 @@ object DedupOps {
       SELECT l.doc_id, l.cluster, s.csize
       FROM lab l JOIN sizes s USING (cluster)"""))
 
+  // ---- Incremental ingest dedup (new batch vs existing corpus) --------
+
+  /** Incremental ingest dedup: a NEW batch (doc_id % 10 = 0 stands in
+    * for today's shard) deduped against the EXISTING corpus (the rest)
+    * — the shape that makes daily ingest affordable at 100 TB: every
+    * join is BIPARTITE (new×corpus), so yesterday's corpus is never
+    * re-deduped against itself, and the per-ingest cost scales with the
+    * batch, not the corpus².
+    *
+    * Verdict per new doc, first match wins:
+    *  - `exact_dup`: content hash already present in the corpus (X1);
+    *  - `near_dup`: shares a capped MinHash band with a corpus doc AND
+    *    the relational Jaccard verify confirms >= 1/4 (the q27
+    *    machinery, restricted to new→corpus candidates);
+    *  - `keep`: novel content.
+    * Thresholds are integer arithmetic (4·inter >= union). */
+  val q55IncrementalDedup = OpSpec(
+    "q55_incremental_dedup",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      // exact tier: one hash-semi-join against the corpus's hash set
+      val hashes = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      val exactDup = hashes.filter(isNew)
+        .join(hashes.filter(!isNew).select(col("h")).distinct(),
+          Seq("h"), "left_semi")
+        .select(col("doc_id"))
+      // near tier: q27's signature/band machinery, candidates bipartite
+      val hashed = shingleRows(s, dir)
+        .withColumn("hx", md5(col("shingle").cast("binary")))
+        .select(col("doc_id"),
+          expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)").as("h1"),
+          expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)").as("h2"))
+        .persist()
+      val sigs = hashed.groupBy(col("doc_id")).agg(
+        min(expr(sigExpr(0))).as("s0"),
+        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
+      val bandPairs = (0 until B).map(j =>
+        s"$j, concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
+      val bands = sigs.select(col("doc_id"),
+        expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
+        .persist()
+      val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= BucketCap)
+        .select(col("band_idx"), col("band_val"))
+      val capped = bands.join(okBuckets, Seq("band_idx", "band_val"))
+      val cand = capped.filter(isNew).as("a")
+        .join(capped.filter(!isNew).as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+        .distinct()
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val nearDup = cand
+        .join(hashed.select(col("doc_id").as("new_id"), col("h1"), col("h2")),
+          "new_id")
+        .join(hashed.select(col("doc_id").as("old_id"), col("h1"), col("h2")),
+          Seq("old_id", "h1", "h2"))
+        .groupBy(col("new_id"), col("old_id"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sza")), "new_id")
+        .join(sizes.select(col("doc_id").as("old_id"), col("sz").as("szb")), "old_id")
+        // J >= 1/4  ⟺  4·inter >= sza + szb - inter
+        .filter(lit(4) * col("n_inter") >=
+          col("sza") + col("szb") - col("n_inter"))
+        .select(col("new_id").as("doc_id")).distinct()
+      docs.filter(isNew).select(col("doc_id"))
+        .join(exactDup.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+        .join(nearDup.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1L, "exact_dup")
+            .when(col("is_near") === 1L, "near_dup")
+            .otherwise("keep").as("verdict"))
+    },
+    Some {
+      val sigSelect = (0 until K).map(i =>
+        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+      val bandUnion = (0 until B).map { j =>
+        val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion),
+      ok AS (SELECT band_idx, band_val FROM bands
+             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
+      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
+      exact_dup AS (
+        SELECT DISTINCT n.doc_id
+        FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) n
+        SEMI JOIN (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE doc_id % 10 <> 0) c USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
+      near_dup AS (
+        SELECT DISTINCT new_id AS doc_id FROM (
+          SELECT c.new_id, c.old_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN h12 x ON x.doc_id = c.new_id
+          JOIN h12 y ON y.doc_id = c.old_id AND y.h1 = x.h1 AND y.h2 = x.h2
+          GROUP BY c.new_id, c.old_id) i
+        JOIN sizes sa ON sa.doc_id = i.new_id
+        JOIN sizes sb ON sb.doc_id = i.old_id
+        WHERE 4 * i.n_inter >= sa.sz + sb.sz - i.n_inter)
+      SELECT d.doc_id,
+        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'keep' END AS verdict
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+      LEFT JOIN near_dup nd ON nd.doc_id = d.doc_id"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
-    q29SimhashPairs, q50NgramJaccard, q51DedupClusters)
+    q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
+    q55IncrementalDedup)
 }
