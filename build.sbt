@@ -32,10 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // query happened to run; a fixed-size heap never expands. (NO
   // AlwaysPreTouch — faulting 24 GB up front costs ~9 min here; lazy
   // faults spread across mutator threads instead.) 12g fits the ~6 GB
-  // live set of a full 41-query run with room for G1.
+  // live set of a full 50+-query run with room for G1.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-  // Catalyst emits large generated classes per query plan; a 41-query
+  // Catalyst emits large generated classes per query plan; a 50+-query
   // run blows through the 240m default code cache, HotSpot stops
   // JIT-compiling, and expression-heavy queries go 50x slower.
   "-XX:ReservedCodeCacheSize=2g",
