@@ -35,9 +35,9 @@ object CaptionOps {
       SELECT vec_id,
         list_reduce(list_transform(generate_series(1, len(embedding)), i ->
           (CAST(embedding[i] AS DOUBLE) / nrm)
-          * (CAST((((i - 1) * 7) % 13) - 6 AS DOUBLE) / 13.0)), (a, b) -> a + b) AS aesthetic
+          * (CAST((((i - 1) * 7) % 13) - 6 AS DOUBLE) / 13e0)), (a, b) -> a + b) AS aesthetic
       FROM (SELECT vec_id, embedding,
-              CASE WHEN ss = 0 THEN 1.0 ELSE sqrt(ss) END AS nrm
+              CASE WHEN ss = 0 THEN 1e0 ELSE sqrt(ss) END AS nrm
             FROM (SELECT vec_id, embedding,
                     list_reduce(list_transform(generate_series(1, len(embedding)), j ->
                       CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)),
@@ -118,7 +118,7 @@ object CaptionOps {
       WITH flagged AS (
         SELECT user_id, ts, event_id, value,
           CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                 OR abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 300.0
+                 OR abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3e2
                THEN 1 ELSE 0 END AS new_scene
         FROM events),
       scenes AS (

@@ -113,7 +113,7 @@ object CurationOps {
         WHERE c_mktsegment = 'BUILDING')
       UNION ALL BY NAME
       (SELECT c_custkey, c_acctbal, 'shard_b' AS src FROM customer
-       WHERE c_acctbal > 5000.0)"""))
+       WHERE c_acctbal > 5e3)"""))
 
   /** §2.4 CUBE slicing over status × priority. */
   val q39Cube = OpSpec(
@@ -226,7 +226,7 @@ object CurationOps {
         ${TextOps.qualityFormula("n_chars")} AS quality,
         doc_id % 8 AS shard_id
       FROM scored
-      WHERE ${TextOps.qualityFormula("n_chars")} >= 0.5"""))
+      WHERE ${TextOps.qualityFormula("n_chars")} >= 5e-1"""))
 
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,

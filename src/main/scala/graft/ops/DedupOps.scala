@@ -145,7 +145,8 @@ object DedupOps {
 
   /** MinHash near-dup detection with banded LSH (shingle → one md5 →
     * K double-hashed minima → B bands → capped equi-join candidates →
-    * relational Jaccard verify). Output: pairs with Jaccard >= 0.25.
+    * relational Jaccard verify). Output: pairs with Jaccard >= 1/4
+    * (tested as integer arithmetic 4·inter >= union).
     *
     * Scale notes: candidates come from an equi-join on (band_idx,
     * band_val) — never an all-pairs product (plan-audited); buckets over
@@ -201,9 +202,12 @@ object DedupOps {
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        // J >= 1/4  ⟺  4·inter >= union (pure integers — the q50/q55
+        // discipline; no double-vs-DECIMAL-literal comparison anywhere)
+        .filter(lit(4) * col("n_inter") >=
+          col("sza") + col("szb") - col("n_inter"))
         .withColumn("jaccard", col("n_inter").cast("double") /
           (col("sza") + col("szb") - col("n_inter")))
-        .filter(col("jaccard") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
     },
     Some {
@@ -242,7 +246,7 @@ object DedupOps {
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.25"""
+      WHERE 4 * n_inter >= sa.sz + sb.sz - n_inter"""
     })
 
   // ---- SimHash ------------------------------------------------------

@@ -45,7 +45,7 @@ object EmbeddingOps {
 
   private val normedDuck =
     s"""SELECT vec_id, label, embedding,
-          CASE WHEN ss = 0 THEN 1.0 ELSE sqrt(ss) END AS nrm
+          CASE WHEN ss = 0 THEN 1e0 ELSE sqrt(ss) END AS nrm
         FROM (SELECT vec_id, label, embedding,
                 ${dotDuck("embedding", "embedding")} AS ss
               FROM embeddings)"""
@@ -108,7 +108,7 @@ object EmbeddingOps {
              a.vec_id AS vec_a, b.vec_id AS vec_b,
              ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3"""))
+      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 3e-1"""))
 
   /** The IVF coarse-centroid set: a CONSTANT-size slice of the corpus
     * (32 vectors), so the broadcast side stays 32 rows no matter how
@@ -297,6 +297,9 @@ object EmbeddingOps {
   private val RpBands = RpPlanes / RpBandBits
   private val RpDims = 64
   private val RpThreshold = 0.3
+  /** The same threshold as SQL text — exponent notation, because DuckDB
+    * types `0.3` as DECIMAL (the q23 lesson). */
+  private val RpThresholdSql = "3e-1"
 
   /** Deterministic "random" hyperplanes: component (p, i) derives from
     * md5("p:i"), quantized to m/1024 with m in [-1024, 1024] so the
@@ -306,15 +309,19 @@ object EmbeddingOps {
     * signature bit) engine-exact. A production deployment would draw
     * Gaussian planes once and broadcast them; the md5 recipe is the
     * deterministic stand-in that needs no stored state. */
-  private[ops] def rpWeights(p: Int): Array[Float] = {
+  /** The integer numerators m in [-1024, 1024]; weight = m/1024. */
+  private[ops] def rpWeightInts(p: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(RpDims) { i =>
       val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString // first 12 hex digits
       val k = java.lang.Long.parseLong(hex, 16)
-      (((k % 2049L) - 1024L).toDouble / 1024.0).toFloat
+      (k % 2049L) - 1024L
     }
   }
+
+  private[ops] def rpWeights(p: Int): Array[Float] =
+    rpWeightInts(p).map(m => (m.toDouble / 1024.0).toFloat)
 
   /** Embedding near-dup via random-hyperplane LSH — the scale path that
     * needs NO blocking key (q31 relies on `label`): the 32-bit sign
@@ -367,8 +374,11 @@ object EmbeddingOps {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
     Some {
+      // integer-ratio element expressions (m/1024e0): each weight is a
+      // dyadic rational, so the DOUBLE division is exact and no bare
+      // decimal-point literal reaches DuckDB's parser
       def planeLit(p: Int): String =
-        rpWeights(p).map(_.toDouble.toString).mkString("[", ",", "]")
+        rpWeightInts(p).map(m => s"$m/1024e0").mkString("[", ",", "]")
       def dotLit(p: Int): String =
         s"""list_reduce(list_transform(generate_series(1, $RpDims),
              i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i]),
@@ -394,7 +404,7 @@ object EmbeddingOps {
       FROM cand
       JOIN e x ON x.vec_id = vec_a
       JOIN e y ON y.vec_id = vec_b
-      WHERE ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $RpThreshold"""
+      WHERE ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $RpThresholdSql"""
     })
 
   val all: Seq[OpSpec] = Seq(

@@ -40,10 +40,10 @@ object PipelineOps {
       SELECT event_id,
              printf('%d_%07d', event_id, i) AS clip_id,
              i AS clip_idx,
-             CAST(i AS DOUBLE) * 30.0 AS clip_start,
-             least(CAST(i AS DOUBLE) * 30.0 + 30.0, duration) AS clip_end
+             CAST(i AS DOUBLE) * 3e1 AS clip_start,
+             least(CAST(i AS DOUBLE) * 3e1 + 3e1, duration) AS clip_end
       FROM (SELECT event_id, value AS duration,
-                   CAST(ceil(value / 30.0) AS BIGINT) AS n_clips
+                   CAST(ceil(value / 3e1) AS BIGINT) AS n_clips
             FROM events),
            LATERAL (SELECT unnest(generate_series(0, n_clips - 1)) AS i)"""))
 
@@ -77,9 +77,9 @@ object PipelineOps {
     },
     Some("""
       SELECT event_id, n_frames,
-        CAST(floor(n_frames * 0.2) AS BIGINT) AS idx_f20,
-        CAST(floor(n_frames * 0.5) AS BIGINT) AS idx_f50,
-        CAST(floor(n_frames * 0.8) AS BIGINT) AS idx_f80,
+        CAST(floor(n_frames * 2e-1) AS BIGINT) AS idx_f20,
+        CAST(floor(n_frames * 5e-1) AS BIGINT) AS idx_f50,
+        CAST(floor(n_frames * 8e-1) AS BIGINT) AS idx_f80,
         CAST(0 AS BIGINT) AS idx_first,
         CASE WHEN n_frames <= 3 THEN 0
              ELSE CAST(floor(n_frames / 2) AS BIGINT) END AS idx_mid,
@@ -117,8 +117,8 @@ object PipelineOps {
         CAST(CAST(SUM(CAST(mag AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mvs_mean
       FROM (SELECT l_orderkey,
               floor(sqrt(l_quantity * l_quantity +
-                    (l_discount * 100.0) * (l_discount * 100.0))
-                    * 1000000.0 + 0.5) / 1000000.0 AS mag
+                    (l_discount * 1e2) * (l_discount * 1e2))
+                    * 1e6 + 5e-1) / 1e6 AS mag
             FROM lineitem)
       GROUP BY l_orderkey"""))
 
@@ -145,13 +145,13 @@ object PipelineOps {
     },
     Some("""
       SELECT l_orderkey,
-        abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2.0 AS box_area,
-        (abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2.0) / 10000.0 AS area_ratio
+        abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2e0 AS box_area,
+        (abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2e0) / 1e4 AS area_ratio
       FROM (SELECT l_orderkey,
               l_quantity AS x1, l_discount AS y1,
-              l_extendedprice / 1000.0 AS x2, l_tax AS y2,
-              l_quantity + 1.0 AS x3, l_discount + 1.0 AS y3,
-              l_extendedprice / 2000.0 AS x4, l_tax + 2.0 AS y4
+              l_extendedprice / 1e3 AS x2, l_tax AS y2,
+              l_quantity + 1e0 AS x3, l_discount + 1e0 AS y3,
+              l_extendedprice / 2e3 AS x4, l_tax + 2e0 AS y4
             FROM lineitem WHERE l_linenumber = 1)"""))
 
   /** F1/F2/F3 path algebra: the reference's string-substitution path

@@ -31,11 +31,11 @@ object QualityOps {
       def frame(f: Int): String = {
         val (lo, hi) = (f * 21 + 1, f * 21 + 21)
         s"""(list_reduce(list_transform(generate_series($lo, $hi),
-             i -> (CAST(embedding[i] AS DOUBLE) / 255.0 - 0.5) * 2.0),
-             (a, b) -> a + b) / 21.0)"""
+             i -> (CAST(embedding[i] AS DOUBLE) / 255e0 - 5e-1) * 2e0),
+             (a, b) -> a + b) / 21e0)"""
       }
       s"""
-      SELECT vec_id, (f0 + f1 + f2) / 3.0 AS iq_score
+      SELECT vec_id, (f0 + f1 + f2) / 3e0 AS iq_score
       FROM (SELECT vec_id, ${frame(0)} AS f0, ${frame(1)} AS f1,
                    ${frame(2)} AS f2
             -- mirrors the kernel's failure path: embeddings shorter
@@ -76,15 +76,15 @@ object QualityOps {
       WITH clips AS (
         SELECT event_id, COUNT(*) AS n_actual
         FROM (SELECT event_id,
-                CAST(ceil(value / 30.0) AS BIGINT) AS n_clips FROM events),
+                CAST(ceil(value / 3e1) AS BIGINT) AS n_clips FROM events),
              LATERAL (SELECT unnest(generate_series(0, n_clips - 1)) AS i)
         GROUP BY event_id)
       SELECT e.event_id,
-        CAST(floor(e.value / 30.0) AS BIGINT) + 1 AS n_expected,
+        CAST(floor(e.value / 3e1) AS BIGINT) + 1 AS n_expected,
         COALESCE(c.n_actual, 0) AS n_actual,
-        abs(CAST(floor(e.value / 30.0) AS BIGINT) + 1
+        abs(CAST(floor(e.value / 3e1) AS BIGINT) + 1
             - COALESCE(c.n_actual, 0)) AS n_diff,
-        abs(CAST(floor(e.value / 30.0) AS BIGINT) + 1
+        abs(CAST(floor(e.value / 3e1) AS BIGINT) + 1
             - COALESCE(c.n_actual, 0)) <= 3 AS ok
       FROM events e LEFT JOIN clips c USING (event_id)"""))
 
@@ -104,7 +104,7 @@ object QualityOps {
     Some("""
       SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
       INTERSECT
-      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0"""))
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5e3"""))
 
   /** U-AF on a real query path: the typed [[graft.functions.MinHashAgg]]
     * folding shingle ROWS into a 4-wide md5-min signature via
@@ -154,7 +154,7 @@ object QualityOps {
         list_reduce(list_transform(generate_series(1, 32),
           i -> sqrt(CAST(embedding[2*i-1] AS DOUBLE) * CAST(embedding[2*i-1] AS DOUBLE)
                   + CAST(embedding[2*i] AS DOUBLE) * CAST(embedding[2*i] AS DOUBLE))),
-          (a, b) -> a + b) / 32.0 AS of_score
+          (a, b) -> a + b) / 32e0 AS of_score
       FROM embeddings
       -- mirrors the kernel's failure path: a flow field shorter than
       -- 32 (u, v) points goes Left -> dropFailed

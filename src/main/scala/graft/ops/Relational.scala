@@ -76,7 +76,7 @@ object Relational {
         l_quantity, l_extendedprice,
         l_orderkey || '#' || l_linenumber AS line_key
       FROM lineitem
-      WHERE l_returnflag IN ('A','R') AND l_quantity > 45.0"""))
+      WHERE l_returnflag IN ('A','R') AND l_quantity > 45e0"""))
 
   /** Clip↔video denormalization analog (SURVEY §2.3): star join where the
     * dimension chain region→nation→customer is broadcast (no shuffle of
@@ -185,7 +185,7 @@ object Relational {
               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY l_orderkey) r
       JOIN orders ON l_orderkey = o_orderkey
-      WHERE sum_qty > 150.0"""))
+      WHERE sum_qty > 15e1"""))
 
   /** §2.5 score-ranked curation ("best clips per video",
     * macvid.py:113-115 selected_target/best_ocr_only): top-k per group
@@ -294,10 +294,10 @@ object Relational {
     },
     Some("""
       SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) OVER (
+        CAST(SUM(CAST(round(l_quantity * 1e2) AS BIGINT)) OVER (
           PARTITION BY l_suppkey
           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2 AS running_qty
       FROM lineitem"""))
 
   /** §2.4 grouping-sets slicing (the ad-hoc analysis surface implied by

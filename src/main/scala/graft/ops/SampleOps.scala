@@ -45,8 +45,7 @@ object SampleOps {
     * pure row-local projection of a salted md5 — NO shuffle, NO state,
     * and adding rows never reassigns existing ones (the property a
     * growing 100 TB corpus needs; a rank-based split would reshuffle
-    * membership on every ingest). Counts per split ride along via a
-    * window total so the oracle can check the fractions too. */
+    * membership on every ingest). */
   val q53HashSplit = OpSpec(
     "q53_hash_split",
     (s, dir) => {

@@ -49,13 +49,20 @@ object TextOps {
     * (BigDecimal shortest-string HALF_UP) and DuckDB's (scaled-double)
     * disagree on tie-adjacent values — e.g. round(0.285, 2) = 0.29 vs
     * 0.28. The score is non-negative, so the +0.5-floor recipe is
-    * well-defined. */
+    * well-defined.
+    *
+    * Every numeric literal is EXPONENT notation (4e-1, 5e1, …), never a
+    * bare decimal point: DuckDB types `0.4` as DECIMAL and its
+    * version-dependent DECIMAL↔DOUBLE coercion shifted the value by an
+    * ulp under the driver's DuckDB (CORRECTNESS_r02 q23/q49 hash
+    * mismatch), which the 1e-6 floor grid amplified. `4e-1` is DOUBLE in
+    * both engines, so both run the identical IEEE ops. */
   private[ops] def qualityFormula(lenExpr: String): String =
-    s"""(CASE WHEN n_words = 0 OR $lenExpr = 0 THEN 0.0 ELSE
-         floor((0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-              + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / $lenExpr)
-              + 0.3 * (CAST(n_stop AS DOUBLE) / n_words)) * 1000000.0 + 0.5)
-         / 1000000.0 END)"""
+    s"""(CASE WHEN n_words = 0 OR $lenExpr = 0 THEN 0e0 ELSE
+         floor((4e-1 * least(CAST(n_words AS DOUBLE) / 5e1, 1e0)
+              + 3e-1 * (1e0 - CAST(n_punct AS DOUBLE) / $lenExpr)
+              + 3e-1 * (CAST(n_stop AS DOUBLE) / n_words)) * 1e6 + 5e-1)
+         / 1e6 END)"""
 
   /** Token counting + quality raw stats (SURVEY §2.12 text stats):
     * whitespace tokens, BPE-ish regex tokens, char-class counts,
@@ -162,13 +169,13 @@ object TextOps {
           expr(s"CAST(size(filter(words, w -> w IN ($stopwordsSql))) AS BIGINT)"))
         .withColumn("quality", expr(qualityFormula("length(text)")))
         .select(col("doc_id"), col("n_words"), col("quality"),
-          expr("CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END")
+          expr("CASE WHEN quality >= 5e-1 THEN 'keep' ELSE 'drop' END")
             .as("verdict"))
     },
     Some(s"""
       SELECT doc_id, n_words,
         ${qualityFormula("length(text)")} AS quality,
-        CASE WHEN ${qualityFormula("length(text)")} >= 0.5
+        CASE WHEN ${qualityFormula("length(text)")} >= 5e-1
              THEN 'keep' ELSE 'drop' END AS verdict
       FROM (SELECT doc_id, text,
               CAST(len(words) AS BIGINT) AS n_words,
