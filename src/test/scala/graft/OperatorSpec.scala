@@ -292,6 +292,50 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("dedup tiers on real duplicates: exact wins, survivor = min id") {
+    import spark.implicits._
+    // The driver testdata contains NO exact-text duplicates (q25
+    // n_copies is all 1 there), so the exact/canonical/tier code paths
+    // are compare-validated but exercised empty. This fixture injects
+    // real ones. Corpus = ids not divisible by 10; q55 treats ids
+    // divisible by 10 as the NEW ingest batch.
+    val exactText = "the quick brown fox jumps over the lazy dog today"
+    val nearBase =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearMut = nearBase.split(" ").dropRight(1).mkString(" ") + " nu"
+    val wsBase = "one two three four five"
+    val wsShuffled = "five four three two one two" // same word SET as wsBase
+    val novel = "completely different content nothing shared here at all"
+    val rows = Seq(
+      1L -> exactText, 2L -> nearBase, 3L -> wsBase, // corpus
+      10L -> exactText, // new: byte-identical to doc 1
+      20L -> nearMut,   // new: 1-word mutation of doc 2
+      30L -> novel,     // new: novel content
+      40L -> wsShuffled) // new: word-set copy of doc 3, different shingles
+    val dir = java.nio.file.Files.createTempDirectory("deduptiers").toString
+    rows.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // q25 exact: the injected copy collapses, survivor = min doc_id
+    val exact = SparkEntry.queries("q25_dedup_exact")(spark, dir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)), s"exact dup not collapsed: $exact")
+    assert(exact.count(_._2 > 1) == 1, s"unexpected extra dups: $exact")
+    // q26 canonical: reshuffled/repeated word sets collapse too
+    val ws = SparkEntry.queries("q26_dedup_wordset")(spark, dir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(ws.contains((3L, 2L)), s"word-set dup not collapsed: $ws")
+    assert(ws.contains((1L, 2L)), s"exact dup must also collapse: $ws")
+    // q55 tiers: exact_dup beats near_dup (doc 10 is BOTH an exact and a
+    // trivial near match of doc 1 — the verdict must say exact_dup)
+    val verdicts = SparkEntry.queries("q55_incremental_dedup")(spark, dir)
+      .as[(Long, String)].collect().toMap
+    spark.catalog.clearCache()
+    assert(verdicts == Map(
+      10L -> "exact_dup", 20L -> "near_dup", 30L -> "keep", 40L -> "keep"),
+      verdicts.toString)
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
