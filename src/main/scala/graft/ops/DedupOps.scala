@@ -82,12 +82,17 @@ object DedupOps {
 
   /** (doc_id, gram) rows for any n — the word-n-gram generalization
     * (shingles are the n=3 instance; q50's Jaccard join uses n=2). */
-  def gramRows(s: SparkSession, dir: String, n: Int): DataFrame = {
+  def gramRows(s: SparkSession, dir: String, n: Int): DataFrame =
+    gramRowsOf(table(s, dir, "documents"), n)
+
+  /** [[gramRows]] over an arbitrary documents DataFrame (doc_id, text). */
+  def gramRowsOf(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), posexplode(expr(wordsSpark)).as(Seq("pos", "w0")))
     val withLeads = (1 until n).foldLeft(base) { (df, i) =>
       df.withColumn(s"w$i", lead(col("w0"), i).over(w))
@@ -143,6 +148,29 @@ object DedupOps {
     * are noise for near-dup purposes. */
   private val BucketCap = 1000L
 
+  /** (doc_id, h1, h2): each distinct 3-word shingle hashed ONCE (md5),
+    * folded to the two 32-bit halves the K double-hashed signature
+    * functions derive from. 3 longs/row — the only shingle artifact any
+    * downstream stage needs. */
+  private[ops] def hashedShingles(docs: DataFrame): DataFrame =
+    gramRowsOf(docs, 3)
+      .withColumn("hx", md5(col("gram").cast("binary")))
+      .select(col("doc_id"),
+        expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)").as("h1"),
+        expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)").as("h2"))
+
+  /** (doc_id, band_idx, band_val) LSH band rows: K per-doc signature
+    * minima folded into B = K/R band values. */
+  private[ops] def bandRows(hashed: DataFrame): DataFrame = {
+    val sigs = hashed.groupBy(col("doc_id")).agg(
+      min(expr(sigExpr(0))).as("s0"),
+      (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
+    val bandPairs = (0 until B).map(j =>
+      s"$j, concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
+    sigs.select(col("doc_id"),
+      expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
+  }
+
   /** MinHash near-dup detection with banded LSH (shingle → one md5 →
     * K double-hashed minima → B bands → capped equi-join candidates →
     * relational Jaccard verify). Output: pairs with Jaccard >= 1/4
@@ -165,20 +193,8 @@ object DedupOps {
       // the oracle's h12 CTE, so both engines see identical semantics
       // (a cross-string collision would need a 64-bit md5-prefix match
       // INSIDE one candidate pair).
-      val hashed = shingleRows(s, dir)
-        .withColumn("hx", md5(col("shingle").cast("binary")))
-        .select(col("doc_id"),
-          expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)").as("h1"),
-          expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)").as("h2"))
-        .persist()
-      val sigs = hashed.groupBy(col("doc_id")).agg(
-        min(expr(sigExpr(0))).as("s0"),
-        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
-      val bandPairs = (0 until B).map(j =>
-        s"$j, concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
-      val bands = sigs.select(col("doc_id"),
-        expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
-        .persist()
+      val hashed = hashedShingles(table(s, dir, "documents")).persist()
+      val bands = bandRows(hashed).persist()
       val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("bcnt"))
         .filter(col("bcnt") <= BucketCap)
@@ -626,79 +642,119 @@ object DedupOps {
 
   // ---- Incremental ingest dedup (new batch vs existing corpus) --------
 
-  /** Incremental ingest dedup: a NEW batch (doc_id % 10 = 0 stands in
-    * for today's shard) deduped against the EXISTING corpus (the rest)
-    * — the shape that makes daily ingest affordable at 100 TB: every
-    * join is BIPARTITE (new×corpus), so yesterday's corpus is never
-    * re-deduped against itself, and the per-ingest cost scales with the
-    * batch, not the corpus².
+  /** The per-corpus artifacts an incremental-dedup ingest joins against
+    * — everything derivable from corpus TEXT, precomputed, so an ingest
+    * never re-reads or re-hashes the corpus:
+    *  - `hashes`  (doc_id, h): exact-tier content hashes;
+    *  - `shingles` (doc_id, h1, h2): hashed shingle rows (Jaccard
+    *    verify payload);
+    *  - `bands`   (doc_id, band_idx, band_val): LSH candidate keys;
+    *  - `sizes`   (doc_id, sz): shingle-set sizes for the union term.
+    * At 100 TB these persist ONCE via [[writeCorpusIndex]] (bucketed on
+    * their join keys) and every daily batch joins against the tables —
+    * per-ingest cost scales with the batch, never the corpus. */
+  final case class CorpusIndex(hashes: DataFrame, shingles: DataFrame,
+      bands: DataFrame, sizes: DataFrame)
+
+  /** Build a [[CorpusIndex]] from raw (doc_id, text) documents — the
+    * one corpus-text pass. */
+  def buildCorpusIndex(docs: DataFrame): CorpusIndex = {
+    val hashes = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val shingles = hashedShingles(docs)
+    val bands = bandRows(shingles)
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    CorpusIndex(hashes, shingles, bands, sizes)
+  }
+
+  /** Persist a [[CorpusIndex]] as bucketed+sorted tables
+    * ([[graft.io.Sinks.bucketedTable]]) named `<prefix>_hashes` /
+    * `_shingles` / `_bands` / `_sizes` under `path`. Each table buckets
+    * on the key its ingest-side join probes with, so the corpus side of
+    * every join is pre-shuffled on disk. */
+  def writeCorpusIndex(idx: CorpusIndex, prefix: String, path: String,
+      buckets: Int = 32): Unit = {
+    graft.io.Sinks.bucketedTable(idx.hashes, s"${prefix}_hashes", "h",
+      buckets, s"$path/hashes")
+    graft.io.Sinks.bucketedTable(idx.shingles, s"${prefix}_shingles",
+      "doc_id", buckets, s"$path/shingles")
+    graft.io.Sinks.bucketedTable(idx.bands, s"${prefix}_bands", "band_val",
+      buckets, s"$path/bands")
+    graft.io.Sinks.bucketedTable(idx.sizes, s"${prefix}_sizes", "doc_id",
+      buckets, s"$path/sizes")
+  }
+
+  /** Re-open a persisted [[CorpusIndex]] by table-name prefix. */
+  def readCorpusIndex(s: SparkSession, prefix: String): CorpusIndex =
+    CorpusIndex(s.table(s"${prefix}_hashes"), s.table(s"${prefix}_shingles"),
+      s.table(s"${prefix}_bands"), s.table(s"${prefix}_sizes"))
+
+  /** Incremental ingest dedup of a NEW batch against an existing corpus
+    * index: every join is BIPARTITE (new×corpus), so the corpus is
+    * never re-deduped against itself — and with a persisted index the
+    * corpus TEXT is never even scanned (plan-audited in OperatorSpec).
     *
     * Verdict per new doc, first match wins:
     *  - `exact_dup`: content hash already present in the corpus (X1);
-    *  - `near_dup`: shares a capped MinHash band with a corpus doc AND
-    *    the relational Jaccard verify confirms >= 1/4 (the q27
-    *    machinery, restricted to new→corpus candidates);
-    *  - `keep`: novel content.
-    * Thresholds are integer arithmetic (4·inter >= union). */
+    *  - `near_dup`: shares a MinHash band with a corpus doc (combined
+    *    bucket ≤ [[BucketCap]]) AND the relational Jaccard verify
+    *    confirms >= 1/4 (integer arithmetic, 4·inter >= union);
+    *  - `keep`: novel content. */
+  def incrementalDedup(newDocs: DataFrame, corpus: CorpusIndex): DataFrame = {
+    val fresh = buildCorpusIndex(newDocs)
+    val newShingles = fresh.shingles.persist()
+    val newBands = bandRows(newShingles)
+    // exact tier: one hash-semi-join against the corpus's hash set
+    val exactDup = fresh.hashes
+      .join(corpus.hashes.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    // bucket cap on the COMBINED (corpus + batch) bucket population —
+    // identical semantics to capping a unified band table
+    val okBuckets = corpus.bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("ccnt"))
+      .join(newBands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("ncnt")), Seq("band_idx", "band_val"))
+      .filter(col("ccnt") + col("ncnt") <= BucketCap)
+      .select(col("band_idx"), col("band_val"))
+    val cand = newBands.join(okBuckets, Seq("band_idx", "band_val")).as("a")
+      .join(corpus.bands.join(okBuckets, Seq("band_idx", "band_val")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val nearDup = cand
+      .join(newShingles.select(col("doc_id").as("new_id"), col("h1"), col("h2")),
+        "new_id")
+      .join(corpus.shingles.select(col("doc_id").as("old_id"), col("h1"), col("h2")),
+        Seq("old_id", "h1", "h2"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(fresh.sizes.select(col("doc_id").as("new_id"), col("sz").as("sza")), "new_id")
+      .join(corpus.sizes.select(col("doc_id").as("old_id"), col("sz").as("szb")), "old_id")
+      // J >= 1/4  ⟺  4·inter >= sza + szb - inter
+      .filter(lit(4) * col("n_inter") >=
+        col("sza") + col("szb") - col("n_inter"))
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(exactDup.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1L, "exact_dup")
+          .when(col("is_near") === 1L, "near_dup")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** Incremental ingest dedup, oracle instance: a NEW batch
+    * (doc_id % 10 = 0 stands in for today's shard) deduped against the
+    * EXISTING corpus (the rest) through [[incrementalDedup]] with an
+    * inline-built index. */
   val q55IncrementalDedup = OpSpec(
     "q55_incremental_dedup",
     (s, dir) => {
       val docs = table(s, dir, "documents")
       val isNew = col("doc_id") % 10 === 0
-      // exact tier: one hash-semi-join against the corpus's hash set
-      val hashes = docs.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("h"))
-      val exactDup = hashes.filter(isNew)
-        .join(hashes.filter(!isNew).select(col("h")).distinct(),
-          Seq("h"), "left_semi")
-        .select(col("doc_id"))
-      // near tier: q27's signature/band machinery, candidates bipartite
-      val hashed = shingleRows(s, dir)
-        .withColumn("hx", md5(col("shingle").cast("binary")))
-        .select(col("doc_id"),
-          expr(s"CAST(${hexToLong("hx", 1, 8)} AS BIGINT)").as("h1"),
-          expr(s"CAST(${hexToLong("hx", 9, 8)} AS BIGINT)").as("h2"))
-        .persist()
-      val sigs = hashed.groupBy(col("doc_id")).agg(
-        min(expr(sigExpr(0))).as("s0"),
-        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
-      val bandPairs = (0 until B).map(j =>
-        s"$j, concat_ws('|', ${(0 until R).map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
-      val bands = sigs.select(col("doc_id"),
-        expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
-        .persist()
-      val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
-        .agg(count(lit(1)).as("bcnt"))
-        .filter(col("bcnt") <= BucketCap)
-        .select(col("band_idx"), col("band_val"))
-      val capped = bands.join(okBuckets, Seq("band_idx", "band_val"))
-      val cand = capped.filter(isNew).as("a")
-        .join(capped.filter(!isNew).as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val"))
-        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
-        .distinct()
-      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val nearDup = cand
-        .join(hashed.select(col("doc_id").as("new_id"), col("h1"), col("h2")),
-          "new_id")
-        .join(hashed.select(col("doc_id").as("old_id"), col("h1"), col("h2")),
-          Seq("old_id", "h1", "h2"))
-        .groupBy(col("new_id"), col("old_id"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sza")), "new_id")
-        .join(sizes.select(col("doc_id").as("old_id"), col("sz").as("szb")), "old_id")
-        // J >= 1/4  ⟺  4·inter >= sza + szb - inter
-        .filter(lit(4) * col("n_inter") >=
-          col("sza") + col("szb") - col("n_inter"))
-        .select(col("new_id").as("doc_id")).distinct()
-      docs.filter(isNew).select(col("doc_id"))
-        .join(exactDup.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
-        .join(nearDup.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("is_exact") === 1L, "exact_dup")
-            .when(col("is_near") === 1L, "near_dup")
-            .otherwise("keep").as("verdict"))
+      incrementalDedup(docs.filter(isNew),
+        buildCorpusIndex(docs.filter(!isNew)))
     },
     Some {
       val sigSelect = (0 until K).map(i =>

@@ -336,6 +336,48 @@ class OperatorSpec extends AnyFunSuite {
       verdicts.toString)
   }
 
+  test("incremental dedup against a persisted index never scans corpus text") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    // same duplicate structure as the tier fixture, but corpus and batch
+    // live in SEPARATE parquet dirs so the plan audit can prove the
+    // ingest never touches corpus text (only the persisted index)
+    val exactText = "the quick brown fox jumps over the lazy dog today"
+    val nearBase =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearMut = nearBase.split(" ").dropRight(1).mkString(" ") + " nu"
+    val novel = "completely different content nothing shared here at all"
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val corpusDir = java.nio.file.Files.createTempDirectory("idxcorpus").toString
+    val newDir = java.nio.file.Files.createTempDirectory("idxbatch").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("idxtables").toString
+    write(Seq(1L -> exactText, 2L -> nearBase), corpusDir)
+    write(Seq(10L -> exactText, 20L -> nearMut, 30L -> novel), newDir)
+    try {
+      // one corpus-text pass, persisted as bucketed tables
+      DedupOps.writeCorpusIndex(
+        DedupOps.buildCorpusIndex(
+          spark.read.parquet(s"$corpusDir/documents.parquet")),
+        "ut_idx", idxDir, buckets = 4)
+      val out = DedupOps.incrementalDedup(
+        spark.read.parquet(s"$newDir/documents.parquet"),
+        DedupOps.readCorpusIndex(spark, "ut_idx"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains(corpusDir),
+        s"ingest plan re-scans corpus text:\n$plan")
+      assert(plan.contains(idxDir), s"ingest plan misses the index:\n$plan")
+      val verdicts = out.as[(Long, String)].collect().toMap
+      spark.catalog.clearCache()
+      assert(verdicts == Map(
+        10L -> "exact_dup", 20L -> "near_dup", 30L -> "keep"),
+        verdicts.toString)
+    } finally Seq("hashes", "shingles", "bands", "sizes")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_idx_$t"))
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
