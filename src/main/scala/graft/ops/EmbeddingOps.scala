@@ -84,12 +84,25 @@ object EmbeddingOps {
         FROM scored)
       SELECT query_id, rn, neighbor_id, cosine FROM ranked WHERE rn <= 5"""))
 
+  /** Labels holding more than this many vectors are excluded from the
+    * label-blocked self-join: one hot label (a dominant category at
+    * 100 TB) would otherwise emit |block|²/2 pairs — the same quadratic
+    * blowup [[DedupOps]]' BucketCap guards its band buckets against.
+    * Hot labels still get near-dup coverage through the q48 RP-LSH
+    * path, which needs no blocking key. */
+  private val LabelBlockCap = 1000L
+
   /** Embedding near-dup pairs, label-blocked (the partitioned form that
-    * avoids the all-pairs cross product at scale). */
+    * avoids the all-pairs cross product at scale); blocks over
+    * [[LabelBlockCap]] are dropped (mirrored in the oracle). */
   val q31CosineNeardup = OpSpec(
     "q31_cosine_neardup",
     (s, dir) => {
-      val e = normedDf(s, dir)
+      val ok = normedDf(s, dir).groupBy(col("label"))
+        .agg(count(lit(1)).as("lcnt"))
+        .filter(col("lcnt") <= LabelBlockCap)
+        .select(col("label"))
+      val e = normedDf(s, dir).join(ok, Seq("label"), "left_semi")
       val a = e.select(col("label"), col("vec_id").as("vec_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("vec_b"),
@@ -103,7 +116,9 @@ object EmbeddingOps {
           col("vec_a"), col("vec_b"), col("cosine"))
     },
     Some(s"""
-      WITH e AS ($normedDuck)
+      WITH e0 AS ($normedDuck),
+      ok AS (SELECT label FROM e0 GROUP BY label HAVING COUNT(*) <= $LabelBlockCap),
+      e AS (SELECT e0.* FROM e0 SEMI JOIN ok USING (label))
       SELECT CAST(a.label AS BIGINT) AS label,
              a.vec_id AS vec_a, b.vec_id AS vec_b,
              ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine

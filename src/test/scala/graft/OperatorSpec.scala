@@ -378,6 +378,26 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_idx_$t"))
   }
 
+  test("q31 label cap drops hot labels, keeps normal near-dup pairs") {
+    import spark.implicits._
+    // 1100 same-label vectors (identical direction => every pair would
+    // pass the cosine gate: |block|²/2 ≈ 600k pairs at scale) + one
+    // 2-vector label whose genuine near-dup pair must still surface
+    val hot = (0 until 1100).map(i =>
+      (i.toLong, 7, Array(1.0f, 0.0f, 0.0f, 1.0f)))
+    val smalls = Seq(
+      (2000L, 1, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (2001L, 1, Array(0.0f, 1.0f, 0.1f, 1.0f)))
+    val dir = java.nio.file.Files.createTempDirectory("q31cap").toString
+    (hot ++ smalls).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = SparkEntry.queries("q31_cosine_neardup")(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(pairs == Set((2000L, 2001L)),
+      s"expected only the small-label pair, got ${pairs.take(5)}")
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
