@@ -16,7 +16,10 @@ import org.apache.spark.sql.types._
 object StreamingStages {
 
   /** events.parquet stream with the nanos→micros conversion of
-    * graft.Tables (file streams require an explicit schema). */
+    * graft.Tables (file streams require an explicit schema). Accepts a
+    * directory of parquet files OR one plain .parquet file — the file
+    * source's inferred basePath must be a directory, so for a file path
+    * the parent is pinned explicitly. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -25,8 +28,17 @@ object StreamingStages {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val r = spark.readStream.schema(schema)
+    val f = new java.io.File(dir)
+    // single file: address it as a {name} glob — for a NON-glob path the
+    // file source force-overrides basePath with the path itself, which
+    // then fails "basePath must be a directory"; a glob path keeps the
+    // explicit parent-directory basePath
+    val src =
+      if (f.isFile)
+        r.option("basePath", f.getParent).parquet(s"${f.getParent}/{${f.getName}}")
+      else r.parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Streaming twin of q17: watermarked tumbling 10-minute counts. The
@@ -127,4 +139,27 @@ object StreamingStages {
     q.processAllAvailable()
     q
   }
+
+  private val memSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q56: the streaming surface under the driver's DuckDB gate — the
+    * watermarked tumbling aggregate ([[tumblingAgg]]) executed as a REAL
+    * Structured Streaming query (file source → stateful agg → memory
+    * sink, complete mode so pre-watermark windows also emit), then
+    * returned as the materialized batch table. Batch equivalence is the
+    * oracle: same 10-minute bucketing and the same order-independent
+    * exact decimal sum as q17, so the streaming run must hash-match
+    * q17's DuckDB SQL — which is reused verbatim below. */
+  val q56StreamingTumbling: graft.OpSpec = graft.OpSpec(
+    "q56_streaming_tumbling",
+    (s, dir) => {
+      val name = s"q56_mem_${memSinkId.incrementAndGet()}"
+      runToMemory(tumblingAgg(eventsStream(s, s"$dir/events.parquet")),
+        name, "complete").stop()
+      s.table(name)
+    },
+    graft.ops.EventOps.q17TumblingWindow.oracle)
+
+  /** The oracle-checked streaming ops (SparkEntry registry hook). */
+  val oracleOps: Seq[graft.OpSpec] = Seq(q56StreamingTumbling)
 }
