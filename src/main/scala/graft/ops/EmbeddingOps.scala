@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{OpSpec, Tables}
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,88 @@ object EmbeddingOps {
     * sampling; a fixed id-range keeps the oracle deterministic. Disjoint
     * from the q30/q33 query set (vec_id < 20). */
   private val centroidPred = "vec_id BETWEEN 100 AND 131"
+
+  // ---- Trained IVF centroids (deterministic k-means) -----------------
+
+  /** Deterministic, fixed-iteration k-means over the embedding corpus —
+    * the production centroid builder for the IVF family (q32-q34's
+    * fixed id-slice keeps the ORACLES deterministic; a real deployment
+    * trains on data, and that path must be retry/partitioning-stable):
+    *
+    *  - seeding: the k vectors with the smallest md5("seed:vec_id")
+    *    rank — a data-order-independent deterministic sample (the
+    *    [[SampleOps]] hash-rank recipe), planned as TakeOrdered (no
+    *    global sort materializes);
+    *  - assign: max cosine against broadcast centroid LITERALS (the q32
+    *    scoring shape — one linear corpus pass, no shuffle), ties to
+    *    the lower centroid index via a left fold of codegen'd whens;
+    *  - update: per-dimension mean through EXACT decimal sums
+    *    (components quantized to 1e-15 by the cast) + driver-side
+    *    BigDecimal division — a plain double sum is accumulation-order-
+    *    dependent, which would make training output depend on the
+    *    partitioning;
+    *  - an emptied cluster keeps its previous centroid.
+    *
+    * Scale shape: `iters` linear passes; per pass the reduce state is
+    * k·dims decimal sums (map-side combined to k·dims rows per task)
+    * and the driver collect is k·dims rows — both independent of corpus
+    * size. k stays broadcast-bounded like the id-slice set. */
+  def kmeansCentroids(e: DataFrame, k: Int = 32, iters: Int = 5,
+      seed: String = "ivf"): Array[Array[Float]] = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    var cents: Array[Array[Float]] = e
+      .withColumn("rk",
+        md5(concat_ws(":", lit(seed), col("vec_id")).cast("binary")))
+      .orderBy(col("rk"), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "kmeansCentroids: empty input")
+    val dims = cents(0).length
+    for (_ <- 0 until iters) {
+      val sums = e
+        .withColumn("cid", bestCentroid(col("embedding"), cents))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v").cast("decimal(28,15)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (cid, pos) = (r.getInt(0), r.getInt(1))
+        val mean = r.getDecimal(2)
+          .divide(java.math.BigDecimal.valueOf(r.getLong(3)),
+            20, java.math.RoundingMode.HALF_UP)
+        next(cid)(pos) = mean.floatValue()
+      }
+      cents = next
+      require(cents.forall(_.length == dims))
+    }
+    cents
+  }
+
+  /** Index of the max-cosine centroid for an embedding column, ties to
+    * the lower index — one codegen'd when-chain over broadcast centroid
+    * literals (no join, no shuffle). */
+  private def bestCentroid(emb: Column, cents: Array[Array[Float]]): Column = {
+    val nrm = sqrt(graft.functions.VectorFunctions.dot(emb, emb))
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      val cosine = graft.functions.VectorFunctions.dot(emb, typedLit(c)) /
+        (when(nrm === 0d, 1d).otherwise(nrm) * (if (cn == 0d) 1d else cn))
+      struct(cosine.as("c"), lit(i).as("i"))
+    }
+    scored.reduceLeft { (a, b) =>
+      when(b.getField("c") > a.getField("c"), b).otherwise(a)
+    }.getField("i")
+  }
+
+  /** IVF coarse assignment against TRAINED centroid literals — the
+    * production twin of q32 (whose fixed id-slice keeps the DuckDB
+    * oracle deterministic). One linear pass, zero shuffle. */
+  def ivfAssignTrained(e: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    e.select(col("vec_id"),
+      bestCentroid(col("embedding"), cents).cast("long").as("centroid_id"))
 
   /** IVF coarse quantization: every vector assigned to its nearest
     * centroid (constant 32-centroid broadcast, one linear corpus pass —

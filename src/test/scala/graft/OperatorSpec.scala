@@ -398,6 +398,39 @@ class OperatorSpec extends AnyFunSuite {
       s"expected only the small-label pair, got ${pairs.take(5)}")
   }
 
+  test("k-means IVF centroids: partitioning-stable, beats the id-slice") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+    val a = EmbeddingOps.kmeansCentroids(e.repartition(7), k = 8, iters = 3)
+    val b = EmbeddingOps.kmeansCentroids(e.repartition(3), k = 8, iters = 3)
+    assert(a.length == 8 && a.forall(_.length == 64))
+    // decimal-sum update => training is BIT-identical under any
+    // physical partitioning (a double-sum mean would diverge here)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val assigned = EmbeddingOps.ivfAssignTrained(e, a)
+    assert(assigned.count() == e.count())
+    val ids = assigned.select("centroid_id").distinct().as[Long].collect()
+    assert(ids.forall(i => i >= 0 && i < 8) && ids.length > 1)
+    // trained centroids quantize better than an arbitrary id-slice set
+    // (the oracle queries keep the slice only for determinism)
+    def avgBestCos(cents: Array[Array[Float]]): Double = {
+      val nrm = sqrt(functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+      val best = cents.map { c =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        functions.VectorFunctions.dot(col("embedding"), typedLit(c)) /
+          (when(nrm === 0d, 1d).otherwise(nrm) * (if (cn == 0d) 1d else cn))
+      }.reduce(greatest(_, _))
+      e.select(avg(best)).head.getDouble(0)
+    }
+    val slice = e.filter(col("vec_id").between(100, 107))
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    assert(slice.length == 8)
+    assert(avgBestCos(a) >= avgBestCos(slice) - 1e-9,
+      s"trained ${avgBestCos(a)} vs slice ${avgBestCos(slice)}")
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
