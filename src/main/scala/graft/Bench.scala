@@ -54,7 +54,11 @@ object Bench {
       System.gc()
     }
 
+    // SPARK_GRAFT_ONLY=q50_ngram_jaccard,q51_dedup_clusters restricts the
+    // run (local profiling loop); the driver sets no filter and times all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try materialize(n, warmDir)
       catch { case _: Throwable => () }

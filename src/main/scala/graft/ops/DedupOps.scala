@@ -85,23 +85,30 @@ object DedupOps {
   def gramRows(s: SparkSession, dir: String, n: Int): DataFrame =
     gramRowsOf(table(s, dir, "documents"), n)
 
-  /** [[gramRows]] over an arbitrary documents DataFrame (doc_id, text). */
+  /** [[gramRows]] over an arbitrary documents DataFrame (doc_id, text).
+    *
+    * Built ROW-LOCALLY: one doc's grams all derive from its own `words`
+    * array (`transform` + `slice`), deduped per row with
+    * `array_distinct` before the explode — so the only shuffle is the
+    * small raw-TEXT repartition that spreads hashing work across tasks
+    * (one parquet file would otherwise scan as a single partition).
+    * The previous formulation posexploded every word and rebuilt grams
+    * with window `lead`s — shuffling and sorting ALL word rows by
+    * doc_id, then paying a distinct aggregate (measured ~0.9 s of q50
+    * at sf0.1). The `words` array is referenced multiple times in one
+    * projection, so CollapseProject keeps it materialized once per row
+    * — the per-ELEMENT regex re-evaluation trap of inlined HOFs (see
+    * the git history of this function) does not reappear. */
   def gramRowsOf(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = docs
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
-      .select(col("doc_id"), posexplode(expr(wordsSpark)).as(Seq("pos", "w0")))
-    val withLeads = (1 until n).foldLeft(base) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w0"), i).over(w))
-    }
-    withLeads
-      .filter(if (n == 1) lit(true) else col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("gram"))
-      .distinct()
+      .withColumn("words", expr(wordsSpark))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(words) - $n),
+            i -> array_join(slice(words, i + 1, $n), ' ')))""")).as("gram"))
   }
 
   /** Hex digits [start, start+n) of the md5 string held in column `h`,
@@ -582,21 +589,22 @@ object DedupOps {
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val hop = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-      // pointer jump: follow the label one more step (label's label)
+      // pointer jump: follow the label one more step (label's label);
+      // the previous round's label rides along so the convergence count
+      // is one cheap scan of the checkpointed blocks, not a second
+      // labels-join job per round
       val next = hop.join(
         hop.select(col("doc_id").as("label"), col("label").as("ll")),
         Seq("label"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
@@ -701,9 +709,21 @@ object DedupOps {
     *    confirms >= 1/4 (integer arithmetic, 4·inter >= union);
     *  - `keep`: novel content. */
   def incrementalDedup(newDocs: DataFrame, corpus: CorpusIndex): DataFrame = {
-    val fresh = buildCorpusIndex(newDocs)
-    val newShingles = fresh.shingles.persist()
-    val newBands = bandRows(newShingles)
+    val shingles = hashedShingles(newDocs).persist()
+    val fresh = CorpusIndex(
+      newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
+      shingles, bandRows(shingles),
+      shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+    incrementalDedupFrom(newDocs.select(col("doc_id")), fresh, corpus)
+  }
+
+  /** [[incrementalDedup]] core over prebuilt batch artifacts — shared by
+    * the raw-batch entry point above and the q55 oracle instance (which
+    * derives BOTH sides from one persisted shingle pass). */
+  private def incrementalDedupFrom(newIds: DataFrame, fresh: CorpusIndex,
+      corpus: CorpusIndex): DataFrame = {
+    val newShingles = fresh.shingles
+    val newBands = fresh.bands
     // exact tier: one hash-semi-join against the corpus's hash set
     val exactDup = fresh.hashes
       .join(corpus.hashes.select(col("h")).distinct(), Seq("h"), "left_semi")
@@ -735,7 +755,7 @@ object DedupOps {
       .filter(lit(4) * col("n_inter") >=
         col("sza") + col("szb") - col("n_inter"))
       .select(col("new_id").as("doc_id")).distinct()
-    newDocs.select(col("doc_id"))
+    newIds
       .join(exactDup.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
       .join(nearDup.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -753,8 +773,18 @@ object DedupOps {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       val isNew = col("doc_id") % 10 === 0
-      incrementalDedup(docs.filter(isNew),
-        buildCorpusIndex(docs.filter(!isNew)))
+      // both sides derive from ONE persisted shingle pass (building two
+      // independent CorpusIndexes would scan + window + hash the
+      // documents twice — measured +1.4 s at sf0.1)
+      val hashed = hashedShingles(docs).persist()
+      val bands = bandRows(hashed)
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val hashes = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      def side(p: org.apache.spark.sql.Column) = CorpusIndex(
+        hashes.filter(p), hashed.filter(p), bands.filter(p), sizes.filter(p))
+      incrementalDedupFrom(docs.filter(isNew).select(col("doc_id")),
+        side(isNew), side(!isNew))
     },
     Some {
       val sigSelect = (0 until K).map(i =>
