@@ -116,29 +116,40 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** [[archiveShards]] outcome. `Refused` means nothing was touched;
+    * `Archived` means the zip is durably written — a non-empty
+    * `cleanupWarning` flags raw files/dir that could not be removed
+    * AFTER the archive succeeded. The two must not be conflated: a
+    * caller that retried a "failure" whose zip already existed would
+    * then hit a misleading empty-dir count check. */
+  sealed trait ArchiveResult
+  final case class Archived(zipPath: String,
+      cleanupWarning: Option[String] = None) extends ArchiveResult
+  final case class ArchiveRefused(reason: String) extends ArchiveResult
+
   /** K7 archive+cleanup sink (check/check_secne.py:23-26): gate on the
     * A6 count invariant, zip the completed shard directory, and only
     * then delete the raw files. Runs against one finished shard dir — an
     * ops epilogue, not a distributed op (each shard's archive runs where
-    * its sink task ran, or on the driver for a final gather). Returns
-    * Right(zipPath) on success; Left(reason) leaves the raw dir
-    * untouched — the check FAILING must never destroy data. */
+    * its sink task ran, or on the driver for a final gather).
+    * [[ArchiveRefused]] leaves the raw dir untouched — the check
+    * FAILING must never destroy data. */
   def archiveShards(shardDir: String, expectedFiles: Long,
-      tol: Long = 3L): Either[String, String] = {
+      tol: Long = 3L): ArchiveResult = {
     val dir = new java.io.File(shardDir)
     val entries = Option(dir.listFiles())
-      .getOrElse(return Left(s"$shardDir is not a directory"))
+      .getOrElse(return ArchiveRefused(s"$shardDir is not a directory"))
     // refuse nested directories outright: their contents would be
     // neither counted nor archived, and the later delete would
     // "succeed" while leaving unarchived data behind
     val subdirs = entries.filter(_.isDirectory)
     if (subdirs.nonEmpty)
-      return Left(s"$shardDir contains subdirectories " +
+      return ArchiveRefused(s"$shardDir contains subdirectories " +
         s"(${subdirs.take(3).map(_.getName).mkString(", ")}); " +
         "flatten or clean them before archiving")
     val files = entries.filter(_.isFile).sorted
     if (math.abs(files.length - expectedFiles) > tol)
-      return Left(
+      return ArchiveRefused(
         s"count check failed: ${files.length} files, expected $expectedFiles ± $tol")
     val zipPath = shardDir.stripSuffix("/") + ".zip"
     val zos = new java.util.zip.ZipOutputStream(
@@ -148,9 +159,13 @@ object Sinks {
       java.nio.file.Files.copy(f.toPath, zos)
       zos.closeEntry()
     } finally zos.close()
-    files.foreach(_.delete())
-    if (!dir.delete())
-      return Left(s"archived to $zipPath but could not remove $shardDir")
-    Right(zipPath)
+    val undeleted = files.filterNot(_.delete())
+    val dirGone = undeleted.isEmpty && dir.delete()
+    val warning =
+      if (dirGone) None
+      else if (undeleted.nonEmpty) Some(s"archived to $zipPath but " +
+        s"${undeleted.length} raw files could not be removed")
+      else Some(s"archived to $zipPath but could not remove $shardDir")
+    Archived(zipPath, warning)
   }
 }

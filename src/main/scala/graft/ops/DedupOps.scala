@@ -835,8 +835,72 @@ object DedupOps {
       LEFT JOIN near_dup nd ON nd.doc_id = d.doc_id"""
     })
 
+  // ---- Train/eval decontamination -------------------------------------
+
+  /** Grams present in more than this many documents are ignored by the
+    * contamination check: a boilerplate 3-gram shared corpus-wide says
+    * nothing about test leakage, and — exactly like [[BucketCap]] — a
+    * hot gram would make the bipartite join quadratic. */
+  private val GramDfCap = 1000L
+
+  /** Train/eval DECONTAMINATION — the check every LLM training pipeline
+    * must run before shipping a dataset: find training documents that
+    * overlap a held-out benchmark set (here doc_id % 25 = 7 stands in
+    * for the eval set) in >= 5 distinct 3-gram shingles. The industry
+    * recipe is exactly this n-gram-overlap scan (WebText/GPT-style
+    * 8-13-gram matching, scaled to this corpus's short documents).
+    *
+    * Shape: one shared shingle-hash pass; document-frequency cap drops
+    * corpus-wide boilerplate grams ([[GramDfCap]]); the join is
+    * BIPARTITE train×eval on fixed-width hash pairs, so cost scales
+    * with the eval set's gram postings, never train². Output: one row
+    * per contaminated training doc with the breadth (how many eval
+    * docs) and depth (max shared grams) of the leak. */
+  val q58Decontamination = OpSpec(
+    "q58_decontamination",
+    (s, dir) => {
+      val isEval = col("doc_id") % 25 === 7
+      val hashed = hashedShingles(table(s, dir, "documents")).persist()
+      val okGrams = hashed.groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= GramDfCap)
+        .select(col("h1"), col("h2"))
+      val ok = hashed.join(okGrams, Seq("h1", "h2"))
+      ok.filter(!isEval)
+        .select(col("doc_id").as("train_id"), col("h1"), col("h2"))
+        .join(ok.filter(isEval)
+          .select(col("doc_id").as("eval_id"), col("h1"), col("h2")),
+          Seq("h1", "h2"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 5)
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_eval_docs"), max(col("overlap")).as("max_overlap"))
+        .select(col("train_id").as("doc_id"), col("n_eval_docs"),
+          col("max_overlap"))
+    },
+    Some(s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      okg AS (SELECT h1, h2 FROM h12 GROUP BY h1, h2
+              HAVING COUNT(*) <= $GramDfCap),
+      ok AS (SELECT h12.* FROM h12 SEMI JOIN okg USING (h1, h2)),
+      ov AS (
+        SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS overlap
+        FROM ok t JOIN ok e ON t.h1 = e.h1 AND t.h2 = e.h2
+        WHERE t.doc_id % 25 <> 7 AND e.doc_id % 25 = 7
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT train_id AS doc_id, COUNT(*) AS n_eval_docs,
+             max(overlap) AS max_overlap
+      FROM ov GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
-    q55IncrementalDedup)
+    q55IncrementalDedup, q58Decontamination)
 }

@@ -202,6 +202,59 @@ object TextOps {
               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
             FROM documents)"""))
 
+  /** Intra-document repetition metrics (the Gopher-style repetition
+    * filters every LLM data pipeline runs: a document whose content is
+    * mostly repeated words/n-grams is boilerplate or generation loops):
+    * duplicate-word fraction and duplicate-3-gram fraction, with a
+    * keep/drop verdict at the 2e-1 gram-repetition threshold. All
+    * row-local column arithmetic — no shuffle at any scale; ratios are
+    * single IEEE divisions of exact integers (bit-identical across
+    * engines), zero-guarded for Spark 4's ANSI division. */
+  val q57Repetition = OpSpec(
+    "q57_repetition",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_distinct_words",
+          expr("CAST(size(array_distinct(words)) AS BIGINT)"))
+        .withColumn("n_grams", expr(
+          "CAST(greatest(size(words) - 2, 0) AS BIGINT)"))
+        .withColumn("n_distinct_grams", expr(
+          """CAST(size(array_distinct(CASE WHEN size(words) >= 3
+               THEN transform(sequence(0, size(words) - 3),
+                 i -> array_join(slice(words, i + 1, 3), ' '))
+               ELSE array() END)) AS BIGINT)"""))
+        .withColumn("dup_word_ratio", expr(
+          """CASE WHEN n_words = 0 THEN 0e0 ELSE
+             1e0 - CAST(n_distinct_words AS DOUBLE) / n_words END"""))
+        .withColumn("dup_gram_ratio", expr(
+          """CASE WHEN n_grams = 0 THEN 0e0 ELSE
+             1e0 - CAST(n_distinct_grams AS DOUBLE) / n_grams END"""))
+        .select(col("doc_id"), col("n_words"), col("n_grams"),
+          col("dup_word_ratio"), col("dup_gram_ratio"),
+          // drop ⟺ dup_gram_ratio > 1/5 ⟺ 5·(g - dg) > g, pure integers
+          expr("""CASE WHEN 5 * (n_grams - n_distinct_grams) > n_grams
+                  THEN 'drop' ELSE 'keep' END""").as("verdict"))
+    },
+    Some(s"""
+      SELECT doc_id, n_words, n_grams,
+        CASE WHEN n_words = 0 THEN 0e0 ELSE
+          1e0 - CAST(n_distinct_words AS DOUBLE) / n_words END AS dup_word_ratio,
+        CASE WHEN n_grams = 0 THEN 0e0 ELSE
+          1e0 - CAST(n_distinct_grams AS DOUBLE) / n_grams END AS dup_gram_ratio,
+        CASE WHEN 5 * (n_grams - n_distinct_grams) > n_grams
+             THEN 'drop' ELSE 'keep' END AS verdict
+      FROM (SELECT doc_id,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+              CAST(greatest(len(words) - 2, 0) AS BIGINT) AS n_grams,
+              CAST(len(list_distinct(CASE WHEN len(words) >= 3
+                THEN list_transform(generate_series(1, len(words) - 2),
+                  i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])
+                ELSE [] END)) AS BIGINT) AS n_distinct_grams
+            FROM (SELECT doc_id, $wordsDuck AS words FROM documents))"""))
+
   val all: Seq[OpSpec] = Seq(
-    q21TextStats, q22LangId, q23QualityScore, q24Fingerprint)
+    q21TextStats, q22LangId, q23QualityScore, q24Fingerprint, q57Repetition)
 }

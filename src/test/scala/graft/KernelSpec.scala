@@ -104,14 +104,17 @@ class KernelSpec extends AnyFunSuite {
     }
     val ok = mkShard(5)
     val res = graft.io.Sinks.archiveShards(ok.getPath, expectedFiles = 6)
-    assert(res.isRight)
+    val zip = res match {
+      case graft.io.Sinks.Archived(p, warn) => assert(warn.isEmpty); p
+      case other => fail(s"expected Archived, got $other")
+    }
     assert(!ok.exists(), "raw dir must be deleted after archiving")
-    val zf = new java.util.zip.ZipFile(res.toOption.get)
+    val zf = new java.util.zip.ZipFile(zip)
     try assert(zf.size() == 5) finally zf.close()
-    // a failed count check must leave the raw files untouched
+    // a failed count check must REFUSE and leave the raw files untouched
     val bad = mkShard(5)
     val err = graft.io.Sinks.archiveShards(bad.getPath, expectedFiles = 20)
-    assert(err.isLeft)
+    assert(err.isInstanceOf[graft.io.Sinks.ArchiveRefused])
     assert(bad.exists() && bad.listFiles().length == 5)
   }
 
