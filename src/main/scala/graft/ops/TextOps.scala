@@ -255,6 +255,43 @@ object TextOps {
                 ELSE [] END)) AS BIGINT) AS n_distinct_grams
             FROM (SELECT doc_id, $wordsDuck AS words FROM documents))"""))
 
+  /** Sequence packing — the dataset-assembly step that turns curated
+    * documents into fixed-budget training sequences (pack = 512 tokens
+    * here): each document gets a pack id and token offset from
+    * the running token total of its shard, in deterministic doc_id
+    * order. Packing is PER-SHARD (doc_id % 8), the way real pipelines
+    * pack per output worker — a single global running total would be a
+    * partition-less window (the exact scale smell the plan-audit test
+    * forbids). Pure integer arithmetic end to end. */
+  val q59SequencePacking = OpSpec(
+    "q59_sequence_packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .withColumn("shard_id", col("doc_id") % 8)
+        .withColumn("n_tokens", expr(s"CAST(size($wordsSpark) AS BIGINT)"))
+        .withColumn("cum0",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard_id"), col("n_tokens"),
+          expr("cum0 DIV 512").as("pack_id"),
+          expr("cum0 % 512").as("offset_in_pack"))
+    },
+    Some(s"""
+      SELECT doc_id, shard_id, n_tokens,
+        CAST(cum0 // 512 AS BIGINT) AS pack_id,
+        CAST(cum0 % 512 AS BIGINT) AS offset_in_pack
+      FROM (SELECT doc_id, shard_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum0
+            FROM (SELECT doc_id, doc_id % 8 AS shard_id,
+                    CAST(len($wordsDuck) AS BIGINT) AS n_tokens
+                  FROM documents))"""))
+
   val all: Seq[OpSpec] = Seq(
-    q21TextStats, q22LangId, q23QualityScore, q24Fingerprint, q57Repetition)
+    q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
+    q57Repetition, q59SequencePacking)
 }
