@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.bridge
 import org.apache.spark.sql.types._
@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(...))` higher-order-function chain which builds a
   * boxed result array per row. Left-to-right accumulation, matching the
   * SQL/DuckDB folds used by the oracle-checked queries bit-for-bit.
+  * Generates real Java (doGenCode), so surrounding operators keep
+  * whole-stage codegen — a CodegenFallback here would force every
+  * signature/scoring projection that embeds it into interpreted mode.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
@@ -43,6 +46,27 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // the fold lives in its OWN generated method: projections embed
+    // this expression up to 32x per row (q48's signature), and inlining
+    // the loop each time makes one huge method HotSpot refuses to JIT
+    // (measured: q48 0.6 s -> 1.0 s with inline bodies)
+    val dot = ctx.addNewFunction("graftDotProduct",
+      s"""
+      private double graftDotProduct(org.apache.spark.sql.catalyst.util.ArrayData x, org.apache.spark.sql.catalyst.util.ArrayData y) {
+        final int n = java.lang.Math.min(x.numElements(), y.numElements());
+        double acc = 0.0;
+        // same left-to-right double fold as nullSafeEval — generated
+        // and interpreted paths must stay bit-identical
+        for (int i = 0; i < n; i++) {
+          acc += (double) x.getFloat(i) * (double) y.getFloat(i);
+        }
+        return acc;
+      }""")
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $dot($x, $y);")
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -57,7 +81,7 @@ case class DotProduct(left: Expression, right: Expression)
   * measured at 200M intermediate rows (7 s of a 9.7 s query) at sf0.1.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -92,6 +116,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       }
     }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // own generated method, not inlined — see DotProduct.doGenCode
+    val merge = ctx.addNewFunction("graftSortedIntersect",
+      s"""
+      private long graftSortedIntersect(org.apache.spark.sql.catalyst.util.ArrayData x, org.apache.spark.sql.catalyst.util.ArrayData y) {
+        final int nx = x.numElements();
+        final int ny = y.numElements();
+        int i = 0; int j = 0;
+        long acc = 0L;
+        // mirrors nullSafeEval exactly, including the null-slot skips
+        while (i < nx && j < ny) {
+          if (x.isNullAt(i)) { i++; }
+          else if (y.isNullAt(j)) { j++; }
+          else {
+            final long xv = x.getLong(i);
+            final long yv = y.getLong(j);
+            if (xv == yv) { acc++; i++; j++; }
+            else if (xv < yv) { i++; }
+            else { j++; }
+          }
+        }
+        return acc;
+      }""")
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $merge($x, $y);")
   }
 
   override protected def withNewChildrenInternal(

@@ -499,9 +499,12 @@ object DedupOps {
           col("arr").as("arrb"), col("sz").as("szb")), "doc_b")
         .withColumn("n_inter", graft.functions.VectorFunctions
           .sortedIntersectCount(col("arra"), col("arrb")))
-        // J >= 3/4  ⟺  4·inter >= 3·(sza + szb - inter)
-        .filter(lit(4) * col("n_inter") >=
-          lit(3) * (col("sza") + col("szb") - col("n_inter")))
+        // J >= 3/4  ⟺  4i >= 3(s-i)  ⟺  7i >= 3s: the single-reference
+        // form matters — Catalyst folds this filter into the join
+        // condition, and every reference to n_inter there re-runs the
+        // whole merge pass per candidate pair
+        .filter(lit(7) * col("n_inter") >=
+          lit(3) * (col("sza") + col("szb")))
         .withColumn("jaccard", col("n_inter").cast("double") /
           (col("sza") + col("szb") - col("n_inter")))
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
@@ -542,7 +545,7 @@ object DedupOps {
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE 4 * n_inter >= 3 * (sa.sz + sb.sz - n_inter)"""))
+      WHERE 7 * n_inter >= 3 * (sa.sz + sb.sz)"""))
 
   // ---- Duplicate clusters (connected components) ----------------------
 
