@@ -291,7 +291,53 @@ object TextOps {
                     CAST(len($wordsDuck) AS BIGINT) AS n_tokens
                   FROM documents))"""))
 
+  /** Pack materialization — q59's companion: concatenate each pack's
+    * documents (deterministic doc_id order, explicit separator token)
+    * into the actual training-sequence body, emitted as length + md5 so
+    * the compare stays compact. Ordered string aggregation is exactly
+    * the operation whose row-order nondeterminism silently corrupts
+    * training data at scale — here it is pinned on both engines
+    * (sort_array over (doc_id, text) structs / string_agg ORDER BY). */
+  val q60PackMaterialize = OpSpec(
+    "q60_pack_materialize",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .withColumn("shard_id", col("doc_id") % 8)
+        .withColumn("n_tokens", expr(s"CAST(size($wordsSpark) AS BIGINT)"))
+        .withColumn("pack_id", expr(
+          "coalesce(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV 512"))
+        .groupBy(col("shard_id"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          expr("""array_join(transform(
+               array_sort(collect_list(struct(doc_id, text))),
+               x -> x.text), ' <eod> ')""").as("body"))
+        .select(col("shard_id"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          length(col("body")).cast("long").as("pack_chars"),
+          md5(col("body").cast("binary")).as("body_md5"))
+    },
+    Some(s"""
+      SELECT shard_id, pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        CAST(length(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS BIGINT)
+          AS pack_chars,
+        md5(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS body_md5
+      FROM (SELECT doc_id, text, shard_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) // 512 AS pack_id
+            FROM (SELECT doc_id, text, doc_id % 8 AS shard_id,
+                    CAST(len($wordsDuck) AS BIGINT) AS n_tokens
+                  FROM documents))
+      GROUP BY shard_id, pack_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
-    q57Repetition, q59SequencePacking)
+    q57Repetition, q59SequencePacking, q60PackMaterialize)
 }

@@ -431,6 +431,34 @@ class OperatorSpec extends AnyFunSuite {
       s"trained ${avgBestCos(a)} vs slice ${avgBestCos(slice)}")
   }
 
+  test("q58 decontamination flags injected eval overlap, honors df cap") {
+    import spark.implicits._
+    // eval doc 7 (7 % 25 = 7); train doc 1 copies an 8-word span of it
+    // (6 shared 3-grams >= threshold 5) -> contaminated. Train doc 2
+    // shares only 1 gram -> clean. Eval doc 32 contains a 5-gram
+    // boilerplate snippet pasted into >1000 train docs: without the df
+    // cap every one of them would flag (overlap 5 >= 5); the cap drops
+    // the hot grams, so none may appear in the output.
+    val evalText = "zeta alpha beta gamma delta epsilon theta iota kappa mu"
+    val contam = "zeta alpha beta gamma delta epsilon theta iota other words"
+    val lowOverlap = "zeta alpha beta unrelated tokens entirely different here"
+    val boiler = "click here to subscribe and like below" // 5 hot grams
+    val rows = Seq(
+      7L -> evalText,
+      32L -> s"intro text $boiler",
+      1L -> contam,
+      2L -> lowOverlap) ++
+      (100L until 1300L).filter(_ % 25 != 7).map(i => i -> s"doc $i $boiler")
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    rows.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q58_decontamination")(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    spark.catalog.clearCache()
+    assert(got == List((1L, 1L, 6L)), got.toString)
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
