@@ -665,17 +665,21 @@ object DedupOps {
     * their join keys) and every daily batch joins against the tables —
     * per-ingest cost scales with the batch, never the corpus. */
   final case class CorpusIndex(hashes: DataFrame, shingles: DataFrame,
-      bands: DataFrame, sizes: DataFrame)
+      bands: DataFrame, sizes: DataFrame, bandCounts: DataFrame)
 
   /** Build a [[CorpusIndex]] from raw (doc_id, text) documents — the
-    * one corpus-text pass. */
+    * one corpus-text pass. `bandCounts` is precomputed here: the bucket
+    * cap needs corpus bucket populations, and aggregating them per
+    * ingest would be corpus-sized compute on every batch. */
   def buildCorpusIndex(docs: DataFrame): CorpusIndex = {
     val hashes = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h"))
     val shingles = hashedShingles(docs)
     val bands = bandRows(shingles)
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    CorpusIndex(hashes, shingles, bands, sizes)
+    val bandCounts = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("ccnt"))
+    CorpusIndex(hashes, shingles, bands, sizes, bandCounts)
   }
 
   /** Persist a [[CorpusIndex]] as bucketed+sorted tables
@@ -693,12 +697,15 @@ object DedupOps {
       buckets, s"$path/bands")
     graft.io.Sinks.bucketedTable(idx.sizes, s"${prefix}_sizes", "doc_id",
       buckets, s"$path/sizes")
+    graft.io.Sinks.bucketedTable(idx.bandCounts, s"${prefix}_bandcounts",
+      "band_val", buckets, s"$path/bandcounts")
   }
 
   /** Re-open a persisted [[CorpusIndex]] by table-name prefix. */
   def readCorpusIndex(s: SparkSession, prefix: String): CorpusIndex =
     CorpusIndex(s.table(s"${prefix}_hashes"), s.table(s"${prefix}_shingles"),
-      s.table(s"${prefix}_bands"), s.table(s"${prefix}_sizes"))
+      s.table(s"${prefix}_bands"), s.table(s"${prefix}_sizes"),
+      s.table(s"${prefix}_bandcounts"))
 
   /** Incremental ingest dedup of a NEW batch against an existing corpus
     * index: every join is BIPARTITE (new×corpus), so the corpus is
@@ -713,10 +720,13 @@ object DedupOps {
     *  - `keep`: novel content. */
   def incrementalDedup(newDocs: DataFrame, corpus: CorpusIndex): DataFrame = {
     val shingles = hashedShingles(newDocs).persist()
+    val bands = bandRows(shingles)
     val fresh = CorpusIndex(
       newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
-      shingles, bandRows(shingles),
-      shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+      shingles, bands,
+      shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
+      bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("ccnt")))
     incrementalDedupFrom(newDocs.select(col("doc_id")), fresh, corpus)
   }
 
@@ -732,9 +742,10 @@ object DedupOps {
       .join(corpus.hashes.select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id"))
     // bucket cap on the COMBINED (corpus + batch) bucket population —
-    // identical semantics to capping a unified band table
-    val okBuckets = corpus.bands.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("ccnt"))
+    // identical semantics to capping a unified band table; corpus-side
+    // populations come PRECOMPUTED from the index (aggregating them
+    // here would be corpus-sized compute on every ingest)
+    val okBuckets = corpus.bandCounts
       .join(newBands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("ncnt")), Seq("band_idx", "band_val"))
       .filter(col("ccnt") + col("ncnt") <= BucketCap)
@@ -785,7 +796,9 @@ object DedupOps {
       val hashes = docs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
       def side(p: org.apache.spark.sql.Column) = CorpusIndex(
-        hashes.filter(p), hashed.filter(p), bands.filter(p), sizes.filter(p))
+        hashes.filter(p), hashed.filter(p), bands.filter(p), sizes.filter(p),
+        bands.filter(p).groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("ccnt")))
       incrementalDedupFrom(docs.filter(isNew).select(col("doc_id")),
         side(isNew), side(!isNew))
     },
