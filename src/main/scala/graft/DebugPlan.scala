@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: print a query's final adaptive plan + per-stage timing. */
+/** Scratch: run a registered query through the noop sink, print total
+  * elapsed and the query's STATIC physical plan. Note the printed plan
+  * is freshly planned (`isFinalPlan=false`) — the noop write executes
+  * through its own QueryExecution, so AQE runtime re-planning (skew
+  * splits, coalesced partitions) is NOT reflected here; use it for
+  * operator/shuffle structure, not final partition counts. */
 object DebugPlan {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q50_ngram_jaccard")

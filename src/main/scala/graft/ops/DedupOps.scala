@@ -720,7 +720,10 @@ object DedupOps {
     *  - `keep`: novel content. */
   def incrementalDedup(newDocs: DataFrame, corpus: CorpusIndex): DataFrame = {
     val shingles = hashedShingles(newDocs).persist()
-    val bands = bandRows(shingles)
+    // persisted: the K-min signature aggregate behind bandRows is the
+    // batch's dominant cost and is referenced by both the cap and the
+    // candidate join — unpersisted it would re-run per reference
+    val bands = bandRows(shingles).persist()
     val fresh = CorpusIndex(
       newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
       shingles, bands,
@@ -744,10 +747,11 @@ object DedupOps {
     // bucket cap on the COMBINED (corpus + batch) bucket population —
     // identical semantics to capping a unified band table; corpus-side
     // populations come PRECOMPUTED from the index (aggregating them
-    // here would be corpus-sized compute on every ingest)
+    // here would be corpus-sized compute on every ingest), batch-side
+    // from the caller-built fresh index
     val okBuckets = corpus.bandCounts
-      .join(newBands.groupBy(col("band_idx"), col("band_val"))
-        .agg(count(lit(1)).as("ncnt")), Seq("band_idx", "band_val"))
+      .join(fresh.bandCounts.withColumnRenamed("ccnt", "ncnt"),
+        Seq("band_idx", "band_val"))
       .filter(col("ccnt") + col("ncnt") <= BucketCap)
       .select(col("band_idx"), col("band_val"))
     val cand = newBands.join(okBuckets, Seq("band_idx", "band_val")).as("a")
@@ -788,10 +792,12 @@ object DedupOps {
       val docs = table(s, dir, "documents")
       val isNew = col("doc_id") % 10 === 0
       // both sides derive from ONE persisted shingle pass (building two
-      // independent CorpusIndexes would scan + window + hash the
-      // documents twice — measured +1.4 s at sf0.1)
+      // independent CorpusIndexes would scan + hash the documents twice
+      // — measured +1.4 s at sf0.1); bands persisted too: the K-min
+      // signature aggregate is referenced by both sides' band tables
+      // and counts
       val hashed = hashedShingles(docs).persist()
-      val bands = bandRows(hashed)
+      val bands = bandRows(hashed).persist()
       val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val hashes = docs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))

@@ -171,23 +171,28 @@ object EmbeddingOps {
     require(cents.nonEmpty, "kmeansCentroids: empty input")
     val dims = cents(0).length
     for (_ <- 0 until iters) {
+      // decimal(38,15) leaves 23 integer digits — no legal float
+      // component (|x| < 3.4e38 is clamped far below 1e23 in practice,
+      // and embeddings are unit-scale) can overflow the cast under
+      // ANSI; (28,15) would already throw at |x| >= 1e13
       val sums = e
         .withColumn("cid", bestCentroid(col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("v").cast("decimal(28,15)")).as("s"),
+        .agg(sum(col("v").cast("decimal(38,15)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       sums.foreach { r =>
         val (cid, pos) = (r.getInt(0), r.getInt(1))
+        require(pos < dims, s"embedding dimension $pos exceeds the seed " +
+          s"centroids' $dims — ragged input vectors")
         val mean = r.getDecimal(2)
           .divide(java.math.BigDecimal.valueOf(r.getLong(3)),
             20, java.math.RoundingMode.HALF_UP)
         next(cid)(pos) = mean.floatValue()
       }
       cents = next
-      require(cents.forall(_.length == dims))
     }
     cents
   }

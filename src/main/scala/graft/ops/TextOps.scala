@@ -263,33 +263,49 @@ object TextOps {
     * pack per output worker — a single global running total would be a
     * partition-less window (the exact scale smell the plan-audit test
     * forbids). Pure integer arithmetic end to end. */
+  /** Tokens per training sequence — q59/q60's shared pack budget. */
+  private val PackBudget = 512
+
+  /** The ONE definition of the q59/q60 pack-assignment rule (Spark
+    * side): per-shard exclusive running token total `cum0`; a document
+    * belongs to pack `cum0 DIV budget` at offset `cum0 % budget`.
+    * Emits (doc_id, text, shard_id, n_tokens, cum0). Factored so the
+    * materializer can never drift from the assigner. */
+  private def packedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    table(s, dir, "documents")
+      .withColumn("shard_id", col("doc_id") % 8)
+      .withColumn("n_tokens", expr(s"CAST(size($wordsSpark) AS BIGINT)"))
+      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
+  /** DuckDB twin of [[packedDocs]] as a subquery body. */
+  private val packedDuck = s"""
+    SELECT doc_id, text, shard_id, n_tokens,
+      CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY shard_id ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS cum0
+    FROM (SELECT doc_id, text, doc_id % 8 AS shard_id,
+            CAST(len($wordsDuck) AS BIGINT) AS n_tokens
+          FROM documents)"""
+
   val q59SequencePacking = OpSpec(
     "q59_sequence_packing",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard_id")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      table(s, dir, "documents")
-        .withColumn("shard_id", col("doc_id") % 8)
-        .withColumn("n_tokens", expr(s"CAST(size($wordsSpark) AS BIGINT)"))
-        .withColumn("cum0",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      packedDocs(s, dir)
         .select(col("doc_id"), col("shard_id"), col("n_tokens"),
-          expr("cum0 DIV 512").as("pack_id"),
-          expr("cum0 % 512").as("offset_in_pack"))
+          expr(s"cum0 DIV $PackBudget").as("pack_id"),
+          expr(s"cum0 % $PackBudget").as("offset_in_pack"))
     },
     Some(s"""
       SELECT doc_id, shard_id, n_tokens,
-        CAST(cum0 // 512 AS BIGINT) AS pack_id,
-        CAST(cum0 % 512 AS BIGINT) AS offset_in_pack
-      FROM (SELECT doc_id, shard_id, n_tokens,
-              CAST(COALESCE(SUM(n_tokens) OVER (
-                PARTITION BY shard_id ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) AS cum0
-            FROM (SELECT doc_id, doc_id % 8 AS shard_id,
-                    CAST(len($wordsDuck) AS BIGINT) AS n_tokens
-                  FROM documents))"""))
+        CAST(cum0 // $PackBudget AS BIGINT) AS pack_id,
+        CAST(cum0 % $PackBudget AS BIGINT) AS offset_in_pack
+      FROM ($packedDuck)"""))
 
   /** Pack materialization — q59's companion: concatenate each pack's
     * documents (deterministic doc_id order, explicit separator token)
@@ -301,15 +317,8 @@ object TextOps {
   val q60PackMaterialize = OpSpec(
     "q60_pack_materialize",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard_id")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      table(s, dir, "documents")
-        .withColumn("shard_id", col("doc_id") % 8)
-        .withColumn("n_tokens", expr(s"CAST(size($wordsSpark) AS BIGINT)"))
-        .withColumn("pack_id", expr(
-          "coalesce(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id " +
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV 512"))
+      packedDocs(s, dir)
+        .withColumn("pack_id", expr(s"cum0 DIV $PackBudget"))
         .groupBy(col("shard_id"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
@@ -327,14 +336,8 @@ object TextOps {
         CAST(length(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS BIGINT)
           AS pack_chars,
         md5(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS body_md5
-      FROM (SELECT doc_id, text, shard_id, n_tokens,
-              CAST(COALESCE(SUM(n_tokens) OVER (
-                PARTITION BY shard_id ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) // 512 AS pack_id
-            FROM (SELECT doc_id, text, doc_id % 8 AS shard_id,
-                    CAST(len($wordsDuck) AS BIGINT) AS n_tokens
-                  FROM documents))
+      FROM (SELECT *, CAST(cum0 // $PackBudget AS BIGINT) AS pack_id
+            FROM ($packedDuck))
       GROUP BY shard_id, pack_id"""))
 
   val all: Seq[OpSpec] = Seq(

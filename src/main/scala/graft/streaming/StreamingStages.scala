@@ -153,7 +153,12 @@ object StreamingStages {
   val q56StreamingTumbling: graft.OpSpec = graft.OpSpec(
     "q56_streaming_tumbling",
     (s, dir) => {
-      val name = s"q56_mem_${memSinkId.incrementAndGet()}"
+      // fresh name per run (a memory sink cannot be re-attached), but
+      // the PREVIOUS run's temp view is dropped so repeated bench/
+      // verify invocations don't accumulate result sets on the driver
+      val id = memSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q56_mem_${id - 1}")
+      val name = s"q56_mem_$id"
       runToMemory(tumblingAgg(eventsStream(s, s"$dir/events.parquet")),
         name, "complete").stop()
       s.table(name)

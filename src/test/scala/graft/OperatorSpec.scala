@@ -374,7 +374,7 @@ class OperatorSpec extends AnyFunSuite {
       assert(verdicts == Map(
         10L -> "exact_dup", 20L -> "near_dup", 30L -> "keep"),
         verdicts.toString)
-    } finally Seq("hashes", "shingles", "bands", "sizes")
+    } finally Seq("hashes", "shingles", "bands", "sizes", "bandcounts")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_idx_$t"))
   }
 
