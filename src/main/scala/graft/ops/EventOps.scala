@@ -138,6 +138,45 @@ object EventOps {
         ON a.user_id = b.user_id
        AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE"""))
 
+  /** Per-key aggregate STATE of an event slice — the mergeable partial
+    * shape (count, exact decimal sum, min, max): counts add, decimal
+    * sums add exactly (order-independent), min/max combine. */
+  private def aggState(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(Tables.dec)).as("total_dec"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+
+  /** Incremental aggregate maintenance (the daily-ingest shape at
+    * 100 TB: yesterday's per-key stats are a stored STATE table; a new
+    * batch contributes only its OWN partial state, and the two merge by
+    * key — the full history is never rescanned). Here event_id % 10 = 0
+    * stands in for today's delta; the oracle recomputes from scratch,
+    * so the gate proves merged-state == full-recompute exactly — which
+    * only holds because the sum state is exact decimal (a double sum
+    * state would drift by accumulation order). */
+  val q61IncrementalStats = OpSpec(
+    "q61_incremental_stats",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val prev = aggState(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = aggState(ev.filter(col("event_id") % 10 === 0))
+      prev.unionByName(delta)
+        .groupBy(col("user_id")).agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("total_dec")).cast("double").as("total"),
+          min(col("min_value")).as("min_value"),
+          max(col("max_value")).as("max_value"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        min(value) AS min_value, max(value) AS max_value
+      FROM events
+      GROUP BY user_id"""))
+
   val all: Seq[OpSpec] = Seq(
-    q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin)
+    q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
+    q61IncrementalStats)
 }
