@@ -221,6 +221,41 @@ object EmbeddingOps {
     e.select(col("vec_id"),
       bestCentroid(col("embedding"), cents).cast("long").as("centroid_id"))
 
+  /** Embedding near-dup over TRAINED IVF clusters — the production
+    * blocking scheme when no natural key exists and hot labels defeat
+    * q31's label blocks: vectors pair only within their k-means cluster
+    * (cluster count fixes the expected block size at n/k), clusters
+    * larger than `clusterCap` are dropped exactly like [[DedupOps]]'
+    * band-bucket cap, and every surviving pair pays one exact cosine.
+    * Returns (centroid_id, vec_a, vec_b, cosine) with cosine >=
+    * `threshold`. Candidate generation is an equi-join on the cluster
+    * id — never an all-pairs product. */
+  def ivfNearDup(e0: DataFrame, cents: Array[Array[Float]],
+      threshold: Double, clusterCap: Long = 10000L): DataFrame = {
+    val e = e0
+      .withColumn("ss", graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+      .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+      .withColumn("centroid_id",
+        bestCentroid(col("embedding"), cents).cast("long"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val ok = e.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= clusterCap)
+      .select(col("centroid_id"))
+    val blocked = e.join(ok, Seq("centroid_id"), "left_semi")
+    val a = blocked.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = blocked.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("centroid_id"), col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** IVF coarse quantization: every vector assigned to its nearest
     * centroid (constant 32-centroid broadcast, one linear corpus pass —
     * the build step of an IVF index). */

@@ -459,6 +459,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == List((1L, 1L, 6L)), got.toString)
   }
 
+  test("IVF near-dup: finds a planted pair, caps oversized clusters") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+    val cents = EmbeddingOps.kmeansCentroids(e, k = 8, iters = 2)
+    // a planted near-identical pair must surface within its cluster
+    val v = e.filter(col("vec_id") === 5).select("embedding")
+      .as[Array[Float]].head()
+    val planted = Seq((9001L, 0, v), (9002L, 0, v.map(x => x * 0.999f)))
+      .toDF("vec_id", "label", "embedding")
+    val all = e.select("vec_id", "label", "embedding").unionByName(planted)
+    val pairs = EmbeddingOps.ivfNearDup(all, cents, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)), s"planted pair missing: $pairs")
+    // a cap below every cluster size must yield zero pairs (the guard
+    // actually gates), while the default cap yields some
+    assert(EmbeddingOps.ivfNearDup(all, cents, 0.95, clusterCap = 1L)
+      .count() == 0)
+    // candidate generation stays an equi-join
+    val p = EmbeddingOps.ivfNearDup(all, cents, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
