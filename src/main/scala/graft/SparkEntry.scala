@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.PipelineOps.all ++ ops.EventOps.all ++
       ops.TextOps.all ++ ops.DedupOps.all ++ ops.EmbeddingOps.all ++
       ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all ++
-      ops.SampleOps.all ++ streaming.StreamingStages.oracleOps
+      ops.SampleOps.all ++ ops.Skew.all ++ ops.BloomPrune.all ++
+      streaming.StreamingStages.oracleOps
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

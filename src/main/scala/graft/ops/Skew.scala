@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.{OpSpec, Tables}
+import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -60,4 +62,68 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** D-family under the hash gate: the salted two-phase aggregate must be
+    * bit-identical to the plain GROUP BY the oracle runs. l_returnflag has
+    * 3 values — the degenerate hot-key shape where an unsalted reduce
+    * funnels the whole table through 3 tasks; salt=16 spreads each key
+    * over 16 sub-groups keyed by a deterministic hash of l_orderkey.
+    * Exactness: decimal partials (associative), count-as-sum, min/min,
+    * max/max. Reference tie: SURVEY §2.10 D1 (the reference shards by
+    * worker rank and merges rank outputs — same partial/merge contract).
+    */
+  val q62SaltedAgg = OpSpec(
+    "q62_salted_agg",
+    (s, dir) => {
+      saltedAgg(table(s, dir, "lineitem"),
+        col("l_returnflag"), "l_returnflag", col("l_orderkey"), salt = 16,
+        Seq(
+          SaltedAgg("sum_qty", sum(col("l_quantity").cast(dec)),
+            c => sum(c).cast("double")),
+          SaltedAgg("sum_price", sum(col("l_extendedprice").cast(dec)),
+            c => sum(c).cast("double")),
+          SaltedAgg("n_rows", count(lit(1)), c => sum(c).cast("long")),
+          SaltedAgg("min_qty", min(col("l_quantity")), min(_)),
+          SaltedAgg("max_qty", max(col("l_quantity")), max(_))))
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag"""))
+
+  /** Salted fact⨝dim join under the hash gate: oracle is the plain join.
+    * lineitem joins supplier on suppkey with the supplier side exploded
+    * salt-fold (8×100 rows at sf0.01 — dimension-sized), then rolls up
+    * revenue per supplier; result must match the unsalted plan exactly.
+    */
+  val q63SaltedJoin = OpSpec(
+    "q63_salted_join",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val dim = table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      saltedJoin(li, dim, "suppkey", col("l_orderkey"), salt = 8)
+        .groupBy(col("s_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT s_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name"""))
+
+  val all: Seq[OpSpec] = Seq(q62SaltedAgg, q63SaltedJoin)
 }

@@ -165,6 +165,33 @@ object StreamingStages {
     },
     graft.ops.EventOps.q17TumblingWindow.oracle)
 
+  private val dedupSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q65: [[streamingDedup]] as a REAL streaming query under the gate
+    * (file source → watermarked dropDuplicatesWithinWatermark → append
+    * memory sink). Only the key columns are projected, so WHICH
+    * duplicate survives (arrival-order-dependent in a file stream)
+    * cannot affect the hash; the horizon exceeds the testdata's event
+    * span so every key emits exactly once and the batch oracle is a
+    * plain DISTINCT. Production callers use a real horizon — the
+    * watermark then bounds state at O(keys-per-horizon), the only shape
+    * that survives continuous ingest (see [[streamingDedup]]). */
+  val q65StreamingDedup: graft.OpSpec = graft.OpSpec(
+    "q65_streaming_dedup",
+    (s, dir) => {
+      val id = dedupSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q65_mem_${id - 1}")
+      val name = s"q65_mem_$id"
+      val deduped = streamingDedup(
+        eventsStream(s, s"$dir/events.parquet"),
+        "ts", Seq("user_id", "event_type"), horizon = "3650 days")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(deduped, name, "append").stop()
+      s.table(name)
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events"))
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
-  val oracleOps: Seq[graft.OpSpec] = Seq(q56StreamingTumbling)
+  val oracleOps: Seq[graft.OpSpec] =
+    Seq(q56StreamingTumbling, q65StreamingDedup)
 }

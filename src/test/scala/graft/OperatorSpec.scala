@@ -214,6 +214,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom-pruned semi join is exact and prunes before the join") {
+    import graft.ops.BloomPrune
+    val li = Tables.table(spark, sf, "lineitem")
+    val urgent = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = BloomPrune.semiJoinPruned(
+      li, "l_orderkey", urgent, "o_orderkey", expectedKeys = 4096)
+    val plain = li.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "leftsemi")
+    assert(pruned.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(pruned).count() == 0)
+    // the bloom probe must sit under the join (scan-side), not above it
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+    intercept[IllegalArgumentException] {
+      BloomPrune.semiJoinPruned(li, "l_orderkey", urgent, "o_orderkey", 0L)
+    }
+  }
+
   test("q27 bucket cap drops hot boilerplate buckets, keeps normal pairs") {
     import spark.implicits._
     // 1100 byte-identical boilerplate docs (every band bucket = 1100 >
