@@ -256,6 +256,59 @@ object EmbeddingOps {
       .select(col("centroid_id"), col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** IVF top-k search over TRAINED centroids — the production twin of
+    * q33/q54 (whose id-slice centroids keep the DuckDB oracle
+    * deterministic). Queries probe their `nprobe` nearest centroids and
+    * rank candidates from those clusters only: cost per query is
+    * nprobe·n/C instead of n. The corpus side is one linear assignment
+    * pass (broadcast centroid literals, no shuffle) followed by one
+    * equi-join on centroid_id; the query side must be broadcast-sized
+    * (same contract as q30's bounded query set).
+    *
+    * Ranking ties break on (cosine DESC, vec_id ASC) — a total order,
+    * so results are partitioning-stable, and probing ALL centroids
+    * reproduces brute force exactly (asserted by the recall test). */
+  def ivfSearchTrained(e0: DataFrame, cents: Array[Array[Float]],
+      queries0: DataFrame, k: Int = 10, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(cents.zipWithIndex
+      .map { case (c, i) =>
+        val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        (i.toLong, c, if (n == 0d) 1d else n)
+      }.toSeq.toDF("centroid_id", "cv", "cnrm"))
+    def normed(df: DataFrame, idOut: String): DataFrame = df
+      .withColumn("ss",
+        graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+      .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+      .select(col(df.columns.head).as(idOut), col("embedding"), col("nrm"))
+    val members = normed(e0, "vec_id")
+      .withColumn("centroid_id", bestCentroid(col("embedding"), cents).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id").asc)
+    val probes = normed(queries0, "query_id")
+      .withColumnRenamed("embedding", "qv").withColumnRenamed("nrm", "qnrm")
+      .crossJoin(cdf)
+      .withColumn("qc_cos",
+        graft.functions.VectorFunctions.dot(col("cv"), col("qv")) /
+          (col("cnrm") * col("qnrm")))
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    members.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"),
+        col("vec_id").as("neighbor_id"), col("centroid_id"), col("cosine"))
+  }
+
   /** IVF coarse quantization: every vector assigned to its nearest
     * centroid (constant 32-centroid broadcast, one linear corpus pass —
     * the build step of an IVF index). */

@@ -160,7 +160,42 @@ object QualityOps {
       -- 32 (u, v) points goes Left -> dropFailed
       WHERE embedding IS NOT NULL AND len(embedding) >= 64"""))
 
+  /** Per-stratum column profile — the ANALYZE-style audit an ingest
+    * runs before trusting a new shard (row counts, null counts,
+    * distinct cardinalities, value ranges). COUNT(DISTINCT) over a
+    * grouped frame plans as one Expand + two-phase aggregate — a single
+    * shuffle whose width is the distinct (lang, source/doc_id) pairs,
+    * not the row count, so the audit stays cheap at any corpus size.
+    * Reference tie: `check_secne.py`'s count-consistency intent (A6)
+    * widened to a full per-column profile. */
+  val q67ColumnProfile = OpSpec(
+    "q67_column_profile",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          countDistinct(col("doc_id")).as("n_doc_id"),
+          countDistinct(col("source")).as("n_source"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+    Some("""
+      SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_text,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_doc_id,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_source,
+        MIN(n_chars) AS min_chars,
+        MAX(n_chars) AS max_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang"""))
+
   val all: Seq[OpSpec] = Seq(
     q42ImagingQuality, q43CheckCounts, q44Intersect, q45MinhashAgg,
-    q46OfScore)
+    q46OfScore, q67ColumnProfile)
 }

@@ -340,7 +340,34 @@ object TextOps {
             FROM ($packedDuck))
       GROUP BY shard_id, pack_id"""))
 
+  /** Corpus-wide heavy-hitter mining (vocabulary / stopword discovery —
+    * the frequency pass a BPE-vocab or stopword-list build starts from).
+    * Scale shape: explode → partial-aggregated count (map-side combine
+    * absorbs the token blowup before the shuffle — the shuffle carries
+    * one row per DISTINCT word per task, not per token) → global top-k
+    * via TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows, never a full sort). Ties at rank k are broken by the word
+    * itself, so the limit is a total order and both engines cut the same
+    * 100 rows. Reference tie: the word-frequency half of
+    * `utils/filter_captions.py`-style caption vocabulary checks. */
+  val q66VocabMining = OpSpec(
+    "q66_vocab_mining",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(expr(wordsSpark)).as("w"))
+        .select(lower(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    },
+    Some(s"""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT lower(unnest($wordsDuck)) AS word FROM documents)
+      GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 100"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
-    q57Repetition, q59SequencePacking, q60PackMaterialize)
+    q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining)
 }

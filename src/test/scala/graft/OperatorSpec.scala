@@ -503,6 +503,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("trained IVF search: recall monotone in nprobe, exact at full probe") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = EmbeddingOps.kmeansCentroids(
+      Tables.table(spark, sf, "embeddings"), k = 8, iters = 2)
+    val queries = e.filter(col("vec_id") < 20)
+    // independent brute force: full query×corpus scoring, same
+    // (cosine DESC, vec_id ASC) total tie order as the IVF path
+    def normed(df: org.apache.spark.sql.DataFrame, idOut: String) = df
+      .withColumn("ss",
+        functions.VectorFunctions.dot(col("embedding"), col("embedding")))
+      .withColumn("nrm",
+        when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+      .select(col("vec_id").as(idOut), col("embedding"), col("nrm"))
+    val m = normed(e, "vec_id")
+    val q = normed(queries, "query_id")
+      .withColumnRenamed("embedding", "qv").withColumnRenamed("nrm", "qnrm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val brute = m.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        functions.VectorFunctions.dot(col("qv"), col("embedding")) /
+          (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.size == 20 * 10)
+    def hits(np: Int): Set[(Long, Long, Long)] =
+      EmbeddingOps.ivfSearchTrained(e, cents, queries, k = 10, nprobe = np)
+        .select("query_id", "rn", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long, Long)]): Double =
+      s.map(t => (t._1, t._3))
+        .intersect(brute.map(t => (t._1, t._3))).size.toDouble / brute.size
+    val r1 = recall(hits(1)); val r3 = recall(hits(3))
+    // probe sets are nested, so recall can only grow with nprobe; a
+    // brute top-k neighbor inside the candidate set always survives
+    // the candidate-set ranking (it beats all but < k rows globally)
+    assert(r1 > 0.0, s"recall@nprobe=1 is zero")
+    assert(r1 <= r3 + 1e-12, s"recall fell: nprobe=1 $r1 > nprobe=3 $r3")
+    // probing every centroid IS brute force — identical ranked rows
+    assert(hits(cents.length) == brute,
+      s"full-probe IVF diverged from brute force (recall ${recall(hits(cents.length))})")
+  }
+
   test("q37 small-n inputs match ntile(10) semantics exactly") {
     import spark.implicits._
     // ntile(10) over n < 10 rows assigns tiles 1..n one row each: n = 9
