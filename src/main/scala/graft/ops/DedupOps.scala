@@ -921,8 +921,145 @@ object DedupOps {
              max(overlap) AS max_overlap
       FROM ov GROUP BY 1"""))
 
+  /** (doc_id, 5-gram) DuckDB rows — the q68 shingle width (wider than
+    * the 3-gram near-dup shingles: coverage wants specific phrases, not
+    * topical overlap). */
+  private val gram5Duck = s"""
+    SELECT DISTINCT doc_id,
+      words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] || ' '
+        || words[i + 3] || ' ' || words[i + 4] AS gram
+    FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i)
+    WHERE len(words) >= 5"""
+
+  /** Shingle-duplication coverage — the scalable approximation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): per document, the fraction of
+    * its distinct 5-gram shingles that also occur in at least one OTHER
+    * document. High coverage = the document is assembled from corpus-
+    * repeated phrasing even when no single whole-doc near-dup exists.
+    *
+    * Scale shape: shingles are folded to fixed-width longs (md5 12-hex
+    * fold — the [[hexToLong]] discipline), document-frequency is one
+    * map-side-combined groupBy on the long key, and the per-doc rollup
+    * joins rows→counts on that same key — two hash shuffles of narrow
+    * rows, nothing quadratic, no string keys in any exchange. The
+    * verdict threshold is pure integer arithmetic (2·shared > total ⟺
+    * coverage > 1/2). */
+  val q68DupCoverage = OpSpec(
+    "q68_dup_coverage",
+    (s, dir) => {
+      val g = gramRows(s, dir, 5)
+        .withColumn("hx", md5(col("gram").cast("binary")))
+        .select(col("doc_id"),
+          expr(s"CAST(${hexToLong("hx", 1, 12)} AS BIGINT)").as("h"))
+      val df = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val per = g.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("cnt") >= 2, lit(1))).as("n_shared"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("dup_coverage", expr(
+          """CASE WHEN n_shingles = 0 THEN 0e0
+             ELSE CAST(n_shared AS DOUBLE) / n_shingles END"""))
+        .withColumn("verdict", expr(
+          "CASE WHEN 2 * n_shared > n_shingles THEN 'drop' ELSE 'keep' END"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, CAST(${hexToLong("hx", 1, 12)} AS BIGINT) AS h
+        FROM (SELECT doc_id, md5(gram) AS hx FROM ($gram5Duck))),
+      df AS (SELECT h, COUNT(*) AS cnt FROM g GROUP BY h),
+      per AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS BIGINT) AS n_shared
+        FROM g JOIN df USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(n_shingles, 0) AS n_shingles,
+        COALESCE(n_shared, 0) AS n_shared,
+        CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0e0
+             ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE)
+                  / COALESCE(n_shingles, 0) END AS dup_coverage,
+        CASE WHEN 2 * COALESCE(n_shared, 0) > COALESCE(n_shingles, 0)
+             THEN 'drop' ELSE 'keep' END AS verdict
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""))
+
+  /** Words per dedup block of q69 (the "paragraph" granularity — the
+    * corpus has no newlines, so fixed 16-word blocks stand in for the
+    * paragraph splitter; `blockDedup` below takes the real splitter). */
+  private val BlockWords = 16
+
+  /** Block-level (paragraph) dedup + document reconstruction — the
+    * Dolma/RefinedWeb pass that strips repeated boilerplate blocks
+    * (headers, footers, license banners) from otherwise-unique
+    * documents, where whole-doc dedup sees nothing. First GLOBAL
+    * occurrence of a block survives (ordered by (doc_id, block_idx) —
+    * deterministic under retries); each document is re-assembled from
+    * its surviving blocks in original order.
+    *
+    * Scale shape: one window shuffle keyed by the block digest (fixed-
+    * width md5), one groupBy doc_id for reconstruction; the ordered
+    * re-assembly is sort_array/string_agg-ORDER-BY — pinned row order
+    * in both engines, because unordered concat is exactly the
+    * nondeterminism that silently corrupts training text at scale. */
+  val q69BlockDedup = OpSpec(
+    "q69_block_dedup",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bh")).orderBy(col("doc_id"), col("block_idx"))
+      table(s, dir, "documents")
+        .withColumn("words", expr(TextOps.wordsSpark))
+        .withColumn("n", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("block_idx", explode(expr(
+          s"sequence(0, (n + ${BlockWords - 1}) DIV $BlockWords - 1)")))
+        .withColumn("btext", expr(
+          s"array_join(slice(words, block_idx * $BlockWords + 1, $BlockWords), ' ')"))
+        .withColumn("bh", md5(col("btext").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("rn") === 1, lit(1))).as("n_kept"),
+          expr("""array_join(transform(
+               array_sort(collect_list(CASE WHEN rn = 1
+                 THEN struct(block_idx, btext) END)),
+               x -> x.btext), ' ')""").as("body"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("body")).cast("long").as("kept_chars"),
+          md5(col("body").cast("binary")).as("kept_md5"))
+    },
+    Some(s"""
+      WITH blocks AS (
+        SELECT doc_id, block_idx,
+          array_to_string(words[block_idx * $BlockWords + 1
+            : block_idx * $BlockWords + $BlockWords], ' ') AS btext
+        FROM (SELECT doc_id, words,
+                CAST(unnest(generate_series(0,
+                  (n + ${BlockWords - 1}) // $BlockWords - 1)) AS BIGINT)
+                  AS block_idx
+              FROM (SELECT doc_id, $wordsDuck AS words,
+                      CAST(len($wordsDuck) AS BIGINT) AS n
+                    FROM documents))),
+      ranked AS (
+        SELECT doc_id, block_idx, btext,
+          ROW_NUMBER() OVER (PARTITION BY md5(btext)
+            ORDER BY doc_id, block_idx) AS rn
+        FROM blocks)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        CAST(length(COALESCE(string_agg(CASE WHEN rn = 1 THEN btext END,
+          ' ' ORDER BY block_idx), '')) AS BIGINT) AS kept_chars,
+        md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN btext END,
+          ' ' ORDER BY block_idx), '')) AS kept_md5
+      FROM ranked GROUP BY doc_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
-    q55IncrementalDedup, q58Decontamination)
+    q55IncrementalDedup, q58Decontamination, q68DupCoverage,
+    q69BlockDedup)
 }

@@ -597,7 +597,80 @@ object EmbeddingOps {
       WHERE ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $RpThresholdSql"""
     })
 
+  /** Per-vector max-|x| int8 scalar quantization (both engines):
+    * q_i = floor(127·x_i/maxabs + 1/2), all-zero vectors map to zeros.
+    * Single-division + single-multiply IEEE chain, identical in both
+    * engines; everything downstream of the cast is exact integers. */
+  private def quantDuck(v: String, maxabs: String): String =
+    s"""CASE WHEN $maxabs = 0e0
+         THEN list_transform($v, x -> CAST(0 AS BIGINT))
+         ELSE list_transform($v, x -> CAST(floor(
+           (CAST(x AS DOUBLE) / $maxabs) * 1.27e2 + 5e-1) AS BIGINT)) END"""
+
+  /** Int8-quantized similarity search with exact re-rank — the memory
+    * story for 100 TB ANN: an int8 corpus is 4× smaller than float32
+    * (64 B/vector here), the candidate scan runs entirely in integer
+    * arithmetic (exact, order-independent — no float-sum nondeterminism
+    * in the hot loop), and only the k survivors pay a float cosine.
+    * Ranking is by quantized dot with a vec_id tie-break (a total
+    * order), and the emitted exact cosine is the re-rank score a caller
+    * sorts by. Same broadcast-bounded-queries shape as q30: the corpus
+    * shuffles nowhere. */
+  val q73Int8Quant = OpSpec(
+    "q73_int8_quant",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .withColumn("maxabs", expr(
+          """aggregate(embedding, CAST(0 AS DOUBLE),
+             (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"""))
+        .withColumn("v8", expr(
+          """CASE WHEN maxabs = 0e0
+               THEN transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE transform(embedding, x -> CAST(floor(
+                 (CAST(x AS DOUBLE) / maxabs) * 1.27e2 + 5e-1) AS BIGINT)) END"""))
+      val q = e.select(col("vec_id").as("query_id"), col("v8").as("q8"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("query_id") < 20)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("qdot", expr(
+          """aggregate(zip_with(q8, v8, (a, b) -> a * b),
+             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) /
+            (col("qnrm") * col("nrm")))
+        .select(col("query_id"), col("rn"),
+          col("vec_id").as("neighbor_id"), col("qdot"), col("cosine"))
+    },
+    Some(s"""
+      WITH e0 AS ($normedDuck),
+      e AS (SELECT vec_id, embedding, nrm,
+              ${quantDuck("embedding", "maxabs")} AS v8
+            FROM (SELECT *, list_reduce(
+                    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                    (a, b) -> greatest(a, b)) AS maxabs
+                  FROM e0)),
+      q AS (SELECT vec_id AS query_id, v8 AS q8, embedding AS qv,
+              nrm AS qnrm
+            FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.embedding, e.nrm, q.qv, q.qnrm,
+          list_reduce(list_transform(generate_series(1, len(q.q8)),
+            i -> q.q8[i] * e.v8[i]), (x, y) -> x + y) AS qdot
+        FROM e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY qdot DESC, vec_id ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, qdot,
+        ${dotDuck("qv", "embedding")} / (qnrm * nrm) AS cosine
+      FROM ranked WHERE rn <= 5"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
-    q48RplshNeardup, q54IvfSearchNprobe2)
+    q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant)
 }

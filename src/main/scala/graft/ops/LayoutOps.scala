@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{OpSpec, Tables}
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: the write-side organization a 100 TB table
+  * needs so the read side can prune. Z-order clustering co-locates rows
+  * that are close in BOTH of two filter dimensions into the same files
+  * (so a scan with predicates on either column touches a small fraction
+  * of files), and the percentile profile is the range-metadata audit
+  * that tells you whether the layout/statistics actually discriminate.
+  *
+  * Reference tie: the reference organizes output by group directories
+  * (`utils/scenecut.py` writes per-group shards) — a 1-D layout; Z-order
+  * is the 2-D generalization a Spark lakehouse uses for the same
+  * purpose.
+  */
+object LayoutOps {
+
+  /** Bits per dimension of the Z-value (10 → 20-bit interleaved key). */
+  private val ZBits = 10
+
+  /** Bit-interleave two [[ZBits]]-bit ints: bit i of x lands at 2i, bit
+    * i of y at 2i+1. Emitted as a plain integer-arithmetic sum so both
+    * engines evaluate the identical expression; `shl`/`shr`/`and` are
+    * dialect formatters (Spark: shiftleft/shiftright functions, DuckDB:
+    * `<<`/`>>` operators). */
+  private def interleave(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(shl(s"(${shr(x, i)} & 1)", 2 * i),
+        shl(s"(${shr(y, i)} & 1)", 2 * i + 1))
+    }.mkString("(", " + ", ")")
+
+  private def sparkShl(e: String, n: Int) = s"shiftleft($e, $n)"
+  private def sparkShr(e: String, n: Int) = s"shiftright($e, $n)"
+  private def duckShl(e: String, n: Int) = s"(($e) << $n)"
+  private def duckShr(e: String, n: Int) = s"(($e) >> $n)"
+
+  /** Files-per-table target expressed as a tile shift: tile = z >> 14
+    * keeps 64 tiles over the 20-bit z space; at a real scale the shift
+    * is chosen from target file size, the keyspace math is unchanged. */
+  private val TileShift = 14
+
+  /** Z-order clustering key over orders (customer × order-day): each row
+    * gets its interleaved z-value and tile (= target file) id. The sort
+    * that actually lays data out is `df.repartitionByRange(col("zval"))`
+    * + sortWithinPartitions — metadata-only here; the oracle checks the
+    * key math. Row-local integer arithmetic: no shuffle, no state. */
+  val q71Zorder = OpSpec(
+    "q71_zorder",
+    (s, dir) => {
+      val x = "(o_custkey % 1024)"
+      val y = "(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') % 1024)"
+      table(s, dir, "orders")
+        .withColumn("xk", expr(s"CAST($x AS BIGINT)"))
+        .withColumn("yk", expr(s"CAST($y AS BIGINT)"))
+        .withColumn("zval",
+          expr(s"CAST(${interleave("xk", "yk", sparkShl, sparkShr)} AS BIGINT)"))
+        .select(col("o_orderkey"), col("xk"), col("yk"), col("zval"),
+          expr(s"CAST(${sparkShr("zval", TileShift)} AS BIGINT)").as("tile"))
+    },
+    Some(s"""
+      SELECT o_orderkey, xk, yk,
+        CAST(${interleave("xk", "yk", duckShl, duckShr)} AS BIGINT) AS zval,
+        CAST(${duckShr("CAST(" + interleave("xk", "yk", duckShl, duckShr) + " AS BIGINT)", TileShift)} AS BIGINT) AS tile
+      FROM (SELECT o_orderkey,
+              CAST(o_custkey % 1024 AS BIGINT) AS xk,
+              CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS yk
+            FROM orders)"""))
+
+  /** Column-range/percentile profile per stratum — exact percentile_disc
+    * (p50/p90/p99 of document length per source) computed portably: the
+    * value at 1-based rank ceil(p·n), selected by row_number, with
+    * ceilings as pure integer arithmetic ((p·n + (q-1)) DIV q — no
+    * DOUBLE percentile math to diverge). One window pass + one
+    * aggregation; at scale this is the per-partition statistics audit
+    * that drives layout/skew decisions (see [[Skew]]). */
+  val q72PercentileProfile = OpSpec(
+    "q72_percentile_profile",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      // group count rides the SAME ordered window with an explicit
+      // full frame — one Window operator, one sort, no second pass
+      val wAll = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("source"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("n_chars")))
+            .as("p50_chars"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("n_chars")))
+            .as("p90_chars"),
+          max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("n_chars")))
+            .as("p99_chars"),
+          max(col("n_chars")).as("max_chars"))
+    },
+    Some("""
+      SELECT source,
+        CAST(MAX(n) AS BIGINT) AS n_docs,
+        MIN(n_chars) AS min_chars,
+        MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+        MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars,
+        MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99_chars,
+        MAX(n_chars) AS max_chars
+      FROM (SELECT source, n_chars,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM documents)
+      GROUP BY source"""))
+
+  val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile)
+}

@@ -367,7 +367,103 @@ object TextOps {
       ORDER BY n DESC, word
       LIMIT 100"""))
 
+  /** Email / phone patterns of the PII scrubber — basic character
+    * classes only, so the Java-regex (Spark) and RE2-style (DuckDB)
+    * dialects parse them identically. */
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+  private val PhoneRe = "[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrub pass every published-corpus pipeline runs
+    * before training. The synthetic corpus carries no PII, so both
+    * engines append an IDENTICAL deterministic contact line (derived
+    * from doc_id) and the kernel is judged on redacting it out of real
+    * surrounding text: match counts + redacted body digest. Row-local
+    * regex work (one pass per pattern) — no shuffle at any scale. */
+  val q70PiiRedact = OpSpec(
+    "q70_pii_redact",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("synth", expr(
+          """concat(text, ' contact user', CAST(doc_id AS STRING),
+             '@example.com or +1-555-', lpad(CAST(doc_id AS STRING), 4, '0'))"""))
+        .withColumn("redacted", expr(
+          s"""regexp_replace(regexp_replace(synth, '$EmailRe', '<EMAIL>'),
+              '$PhoneRe', '<PHONE>')"""))
+        .select(col("doc_id"),
+          expr(s"CAST(size(regexp_extract_all(synth, '$EmailRe', 0)) AS BIGINT)")
+            .as("n_emails"),
+          expr(s"CAST(size(regexp_extract_all(synth, '$PhoneRe', 0)) AS BIGINT)")
+            .as("n_phones"),
+          length(col("redacted")).cast("long").as("red_chars"),
+          md5(col("redacted").cast("binary")).as("red_md5"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(synth, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(synth, '$PhoneRe')) AS BIGINT) AS n_phones,
+        CAST(length(redacted) AS BIGINT) AS red_chars,
+        md5(redacted) AS red_md5
+      FROM (SELECT doc_id, synth,
+              regexp_replace(regexp_replace(synth, '$EmailRe', '<EMAIL>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS redacted
+            FROM (SELECT doc_id,
+                    text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1-555-'
+                      || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS synth
+                  FROM documents))"""))
+
+  /** Sliding-window chunk size / stride (tokens) — RAG-style chunking
+    * with 8-token overlap. */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** Overlapping-window document chunking — the context-window splitter
+    * for retrieval corpora and long-doc training (complement of q59's
+    * gap-free packing): chunk i covers tokens [i·stride+1, i·stride+len].
+    * n_chunks = 1 + ceil(max(n-len,0)/stride) so the final partial
+    * window is kept and short docs yield exactly one chunk. Pure
+    * row-local explode — the 1→N generator shape of M1, integer
+    * arithmetic end to end, chunk body compared by digest. */
+  val q74ChunkOverlap = OpSpec(
+    "q74_chunk_overlap",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("n", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_chunks", expr(
+          s"""CASE WHEN n <= $ChunkLen THEN 1
+              ELSE (n - $ChunkLen + ${ChunkStride - 1}) DIV $ChunkStride + 1 END"""))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0, n_chunks - 1)")))
+        .withColumn("start_tok", expr(s"chunk_idx * $ChunkStride + 1"))
+        .withColumn("n_tok", expr(s"least(CAST($ChunkLen AS BIGINT), n - start_tok + 1)"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start_tok"), col("n_tok"),
+          expr("md5(CAST(array_join(slice(words, start_tok, n_tok), ' ') AS BINARY))")
+            .as("chunk_md5"))
+    },
+    Some(s"""
+      SELECT doc_id, chunk_idx, start_tok,
+        least(CAST($ChunkLen AS BIGINT), n - start_tok + 1) AS n_tok,
+        md5(array_to_string(
+          words[start_tok : start_tok
+            + least(CAST($ChunkLen AS BIGINT), n - start_tok + 1) - 1], ' '))
+          AS chunk_md5
+      FROM (SELECT doc_id, words, n, chunk_idx,
+              chunk_idx * $ChunkStride + 1 AS start_tok
+            FROM (SELECT doc_id, words, n,
+                    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT)
+                      AS chunk_idx
+                  FROM (SELECT doc_id, words, n,
+                          CASE WHEN n <= $ChunkLen THEN 1
+                               ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END
+                            AS n_chunks
+                        FROM (SELECT doc_id, $wordsDuck AS words,
+                                CAST(len($wordsDuck) AS BIGINT) AS n
+                              FROM documents))))"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
-    q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining)
+    q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
+    q70PiiRedact, q74ChunkOverlap)
 }

@@ -691,7 +691,7 @@ class OperatorSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin. Everything else must stay equi-join /
     // pushed-down.
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
-      "q54_ivf_nprobe2")
+      "q54_ivf_nprobe2", "q73_int8_quant")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -718,5 +718,119 @@ class OperatorSpec extends AnyFunSuite {
       if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
     }
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("q71 z-value de-interleaves back to its inputs (bijective layout key)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q71_zorder")(spark, sf)
+      .select("xk", "yk", "zval").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (x, y, z) =>
+      var (dx, dy) = (0L, 0L)
+      (0 until 10).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == x && dy == y, s"z=$z decoded ($dx,$dy) != ($x,$y)")
+    }
+  }
+
+  test("q71 z-order tiles bound both key ranges (the pruning property)") {
+    // within one tile, each dimension spans at most 2^(ceil(14/2)) = 128
+    // of its 1024-value range — a predicate on EITHER column prunes to
+    // a fraction of tiles, which is the point of the layout
+    import spark.implicits._
+    val spans = SparkEntry.queries("q71_zorder")(spark, sf)
+      .groupBy("tile")
+      .agg((max("xk") - min("xk")).as("xs"), (max("yk") - min("yk")).as("ys"))
+      .as[(Long, Long, Long)].collect()
+    spans.foreach { case (t, xs, ys) =>
+      assert(xs <= 127 && ys <= 127, s"tile $t spans x=$xs y=$ys")
+    }
+  }
+
+  test("q72 percentile profile is ordered and within range per stratum") {
+    val bad = SparkEntry.queries("q72_percentile_profile")(spark, sf)
+      .filter(!(col("min_chars") <= col("p50_chars") &&
+        col("p50_chars") <= col("p90_chars") &&
+        col("p90_chars") <= col("p99_chars") &&
+        col("p99_chars") <= col("max_chars")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q68 dup coverage: verbatim duplicate docs reach coverage 1") {
+    import spark.implicits._
+    // synthetic corpus: doc 1 and 2 identical (coverage 1 for both),
+    // doc 3 unique (coverage 0), doc 4 shares only its first 5 words
+    // with doc 3's start — partial coverage strictly between
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five SIX different tail words here")
+    ).toDF("doc_id", "text")
+    val g = graft.ops.DedupOps.gramRowsOf(docs, 5)
+      .withColumn("h", md5(col("gram").cast("binary")))
+    val dfreq = g.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val cov = g.join(dfreq, "h").groupBy("doc_id")
+      .agg((count(when(col("cnt") >= 2, lit(1))).cast("double") /
+        count(lit(1))).as("coverage"))
+      .as[(Long, Double)].collect().toMap
+    assert(cov(1L) == 1.0 && cov(2L) == 1.0)
+    assert(cov(3L) > 0.0 && cov(3L) < 1.0) // shares its first shingle with 4
+    assert(cov(4L) > 0.0 && cov(4L) < 1.0)
+  }
+
+  test("q69 block dedup drops later copies of a repeated block only") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q69_block_dedup")(spark, sf)
+    // global invariants on real data: kept blocks never exceed total,
+    // every doc keeps at least one block unless ALL its blocks appeared
+    // earlier; reconstruction digest of fully-kept docs matches the
+    // direct text digest
+    assert(out.filter(col("n_kept") > col("n_blocks")).count() == 0)
+    assert(out.filter(col("n_blocks") === 0).count() == 0)
+    // the corpus has near-duplicate docs (TESTDATA near-dup pairs), so
+    // at least one block must have been deduped somewhere
+    val dropped = out.agg(sum(col("n_blocks") - col("n_kept"))).head.getLong(0)
+    assert(dropped > 0, "no block was ever deduplicated — detector dead?")
+  }
+
+  test("q73 int8 quantized top-5 overlaps exact top-5 (recall sanity)") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q30_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = SparkEntry.queries("q73_int8_quant")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q) intersect quant.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"mean quantized recall@5 = $mean%.2f")
+  }
+
+  test("q74 chunking covers every token and overlaps by len-stride") {
+    import spark.implicits._
+    val chunks = SparkEntry.queries("q74_chunk_overlap")(spark, sf)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(chunks.size == nDocs, "every document must chunk")
+    chunks.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      // stride spacing and window size
+      sorted.foreach { case (_, idx, start, n) =>
+        assert(start == idx * 24 + 1 && n >= 1 && n <= 32)
+      }
+      // coverage: next chunk starts inside the previous window (+1)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, n1), (_, _, s2, _)) => assert(s2 <= s1 + n1)
+        case _ =>
+      }
+    }
   }
 }
