@@ -462,8 +462,170 @@ object TextOps {
                                 CAST(len($wordsDuck) AS BIGINT) AS n
                               FROM documents))))"""))
 
+  /** Gopher-rule bounds (Rae et al., "Scaling Language Models" §A1.1):
+    * word count in [MinWords, MaxWords], mean word length in
+    * [MinWordLen, MaxWordLen], at least MinStopHits stopword hits. */
+  private val MinWords = 50
+  private val MaxWords = 100000
+  private val MinWordLen = 3
+  private val MaxWordLen = 10
+  private val MinStopHits = 2
+
+  /** Gopher-style rule-based quality gate — the hard-threshold
+    * complement of q23's soft score: each rule is an independent 0/1
+    * flag plus an all-rules verdict, so the curation report can show
+    * WHY a document was dropped, not just that it was. Mean word length
+    * is bounded with pure integer cross-multiplication
+    * (lo·n ≤ chars ≤ hi·n ⟺ lo ≤ chars/n ≤ hi) so no double ever
+    * enters a comparison; the reported mean itself is one exact IEEE
+    * division. Row-local arithmetic — no shuffle at any scale. */
+  val q75GopherRules = OpSpec(
+    "q75_gopher_rules",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_wchars", expr(
+          "CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr(s"CAST(size(filter(words, w -> w IN ($stopwordsSql))) AS BIGINT)"))
+        .withColumn("mean_word_len", expr(
+          """CASE WHEN n_words = 0 THEN NULL
+             ELSE CAST(n_wchars AS DOUBLE) / n_words END"""))
+        .withColumn("ok_count", expr(
+          s"CAST(CASE WHEN n_words BETWEEN $MinWords AND $MaxWords THEN 1 ELSE 0 END AS BIGINT)"))
+        .withColumn("ok_len", expr(
+          s"""CAST(CASE WHEN n_words > 0 AND $MinWordLen * n_words <= n_wchars
+               AND n_wchars <= $MaxWordLen * n_words THEN 1 ELSE 0 END AS BIGINT)"""))
+        .withColumn("ok_stop", expr(
+          s"CAST(CASE WHEN n_stop >= $MinStopHits THEN 1 ELSE 0 END AS BIGINT)"))
+        .select(col("doc_id"), col("n_words"), col("n_wchars"), col("n_stop"),
+          col("mean_word_len"), col("ok_count"), col("ok_len"), col("ok_stop"),
+          expr("""CASE WHEN ok_count + ok_len + ok_stop = 3
+                  THEN 'keep' ELSE 'drop' END""").as("verdict"))
+    },
+    Some(s"""
+      SELECT doc_id, n_words, n_wchars, n_stop,
+        CASE WHEN n_words = 0 THEN NULL
+             ELSE CAST(n_wchars AS DOUBLE) / n_words END AS mean_word_len,
+        CAST(CASE WHEN n_words BETWEEN $MinWords AND $MaxWords THEN 1 ELSE 0 END AS BIGINT) AS ok_count,
+        CAST(CASE WHEN n_words > 0 AND $MinWordLen * n_words <= n_wchars
+          AND n_wchars <= $MaxWordLen * n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+        CAST(CASE WHEN n_stop >= $MinStopHits THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+        CASE WHEN (CASE WHEN n_words BETWEEN $MinWords AND $MaxWords THEN 1 ELSE 0 END)
+                + (CASE WHEN n_words > 0 AND $MinWordLen * n_words <= n_wchars
+                     AND n_wchars <= $MaxWordLen * n_words THEN 1 ELSE 0 END)
+                + (CASE WHEN n_stop >= $MinStopHits THEN 1 ELSE 0 END) = 3
+             THEN 'keep' ELSE 'drop' END AS verdict
+      FROM (SELECT doc_id,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS n_wchars,
+              CAST(len(list_filter(words, w -> w IN ($stopwordsSql))) AS BIGINT) AS n_stop
+            FROM (SELECT doc_id, $wordsDuck AS words FROM documents))"""))
+
+  /** Top-k terms to keep per document in q76. */
+  private val TfIdfTopK = 3
+
+  /** TF-IDF keyword extraction (log-free): score = tf · N / df — the
+    * same ordering as classic tf·idf for ranking within a document
+    * (idf is monotone in N/df) without log(), which the oracle bans
+    * (libm vs JVM rounding is not guaranteed identical; N/df division
+    * IS exactly rounded IEEE in both engines). tf·N is exact BIGINT
+    * arithmetic before the single division, ties broken by term text.
+    *
+    * Scale shape: tf is one map-side-combined groupBy on (doc_id,
+    * term); df is a second groupBy over those already-distinct rows;
+    * the df table is vocab-sized → broadcast back onto tf (at a
+    * 100 TB corpus with unbounded vocab this join falls back to a
+    * sort-merge on term — still one shuffle of narrow rows); the
+    * top-k window partitions by doc_id. */
+  val q76TfIdf = OpSpec(
+    "q76_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+      val tf = docs
+        .select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfTab), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr("CAST(tf * n_docs AS DOUBLE) / df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TfIdfTopK)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("score"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, unnest(words) AS term
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents)),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf * n_docs AS DOUBLE) / df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        FROM sc)
+      SELECT doc_id, rank, term, tf, df, score
+      FROM r WHERE rank <= $TfIdfTopK"""))
+
+  /** Posting-list head length for q77. */
+  private val PostingsHead = 8
+
+  /** Inverted-index build — the retrieval-side artifact of a curated
+    * corpus (term → document frequency + the first [[PostingsHead]]
+    * postings by doc_id). The posting list is CAPPED BEFORE
+    * aggregation: a per-term row_number window ranks postings and
+    * collect_list only ever sees ≤ $PostingsHead rows per term, so a
+    * stopword-grade term ('data' in every document of a 100 TB corpus)
+    * costs 8 longs, not an unbounded buffer. The window and the
+    * groupBy share the `term` hash partitioning — Catalyst reuses the
+    * exchange, one shuffle total. Postings are emitted as a
+    * comma-joined string (both engines render BIGINT identically). */
+  val q77InvertedIndex = OpSpec(
+    "q77_inverted_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(col("doc_id"), explode(array_distinct(col("words"))).as("term"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          expr(s"""array_join(transform(
+              sort_array(collect_list(CASE WHEN rn <= $PostingsHead
+                THEN doc_id END)), x -> CAST(x AS STRING)), ',')""")
+            .as("postings_head"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(words) AS term
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents)),
+      r AS (
+        SELECT doc_id, term,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM p)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= $PostingsHead)), ',')
+          AS postings_head
+      FROM r GROUP BY term"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
-    q70PiiRedact, q74ChunkOverlap)
+    q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
+    q77InvertedIndex)
 }

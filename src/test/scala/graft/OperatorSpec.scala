@@ -690,8 +690,10 @@ class OperatorSpec extends AnyFunSuite {
     // brute-force scoring, which Spark physically renders as
     // BroadcastNestedLoopJoin. Everything else must stay equi-join /
     // pushed-down.
+    // q76's only nested-loop is the 1-row broadcast of the global doc
+    // count (the scalar-subquery shape) — constant payload at any scale
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
-      "q54_ivf_nprobe2", "q73_int8_quant")
+      "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -832,5 +834,63 @@ class OperatorSpec extends AnyFunSuite {
         case _ =>
       }
     }
+  }
+
+  test("q75 verdict is the conjunction of its rule flags") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q75_gopher_rules")(spark, sf)
+      .select($"ok_count" + $"ok_len" + $"ok_stop", $"verdict",
+        $"mean_word_len", $"ok_len")
+      .as[(Long, String, Option[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nOk, verdict, mean, okLen) =>
+      assert((verdict == "keep") == (nOk == 3))
+      if (okLen == 1) {
+        val m = mean.get
+        assert(m >= 3.0 && m <= 10.0,
+          s"ok_len row outside the mean-word-length bounds: $m")
+      }
+    }
+    // both verdicts must actually occur on the fixture, or the gate
+    // is vacuous
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq("drop", "keep"))
+  }
+
+  test("q76 emits contiguous ranks with non-increasing scores") {
+    import spark.implicits._
+    val byDoc = SparkEntry.queries("q76_tfidf_topterms")(spark, sf)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1), (_, _, s2)) => assert(s1 >= s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("q77 postings are a sorted prefix of the term's documents") {
+    import spark.implicits._
+    val idx = SparkEntry.queries("q77_inverted_index")(spark, sf)
+      .as[(String, Long, String)].collect()
+    assert(idx.nonEmpty)
+    // recompute the ground truth per term from the raw table
+    val truth = Tables.table(spark, sf, "documents")
+      .select($"doc_id", explode(array_distinct(
+        expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)"))).as("term"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    idx.foreach { case (term, df, posts) =>
+      val docs = truth(term)
+      assert(df == docs.length, s"df mismatch for $term")
+      val head = posts.split(",").map(_.toLong).toSeq
+      assert(head == docs.take(8), s"postings head mismatch for $term")
+    }
+    // the window cap must bound every posting list
+    assert(idx.forall(_._3.split(",").length <= 8))
   }
 }
