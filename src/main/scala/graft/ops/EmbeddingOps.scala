@@ -670,7 +670,68 @@ object EmbeddingOps {
         ${dotDuck("qv", "embedding")} / (qnrm * nrm) AS cosine
       FROM ranked WHERE rn <= 5"""))
 
+  /** Representatives kept per cluster. */
+  private val RepsPerCluster = 3
+
+  /** Cluster-representative (coreset) selection — the SemDeDup-style
+    * diversity pass: assign every vector to its nearest coarse centroid
+    * (the q32 scan — broadcast centroids, no shuffle), then keep the
+    * [[RepsPerCluster]] members closest to the centroid as that
+    * cluster's representatives. Downstream consumers train/evaluate on
+    * the representatives instead of the full corpus — the selection
+    * dual of [[ivfNearDup]]'s within-cluster pruning.
+    *
+    * Scale shape: the assignment pass is linear and shuffle-free; the
+    * per-cluster ranking shuffles only (vec_id, centroid_id, cosine)
+    * triples — never the vectors — and AQE handles the k-partitions
+    * skew. At extreme scale the same result comes from a per-partition
+    * local top-k before the exchange (the q66 heap pattern); the window
+    * form is the oracle-checkable shape of the identical semantics. */
+  val q81ClusterReps = OpSpec(
+    "q81_cluster_reps",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val c = e.filter(expr(centroidPred))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("centroid_id").asc)
+      val assigned = e.crossJoin(broadcast(c))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("cv"), col("embedding")) /
+            (col("cnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("cosine"))
+      val wc = Window.partitionBy(col("centroid_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      assigned
+        .withColumn("rep_rank", row_number().over(wc).cast("long"))
+        .filter(col("rep_rank") <= RepsPerCluster)
+        .select(col("centroid_id"), col("rep_rank"), col("vec_id"),
+          col("cosine"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv, nrm AS cnrm
+            FROM e WHERE $centroidPred),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ${dotDuck("c.cv", "e.embedding")} / (c.cnrm * e.nrm) AS cosine
+        FROM e, c),
+      assigned AS (
+        SELECT vec_id, centroid_id, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, centroid_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1)
+      SELECT centroid_id, rep_rank, vec_id, cosine
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+              ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rep_rank
+            FROM assigned)
+      WHERE rep_rank <= $RepsPerCluster"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
-    q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant)
+    q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps)
 }

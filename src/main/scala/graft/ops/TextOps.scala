@@ -623,9 +623,116 @@ object TextOps {
           AS postings_head
       FROM r GROUP BY term"""))
 
+  /** Winnowing parameters: k-word grams, window of w consecutive gram
+    * hashes. Any shared run of at least w + k - 1 words between two
+    * documents is GUARANTEED to share a fingerprint (the winnowing
+    * theorem) — the no-false-negative local complement to q24's global
+    * digest and q27's probabilistic MinHash. */
+  private val WinK = 3
+  private val WinW = 4
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL k-gram,
+    * slide a w-gram window, keep each window's minimum hash; the
+    * distinct kept hashes are the document's fingerprint set. Emitted
+    * as a per-document profile (count / min / exact integer checksum
+    * of the fingerprint set) so the gate hashes the full selection
+    * without materializing per-fingerprint rows.
+    *
+    * Unlike [[DedupOps.gramRowsOf]] the grams here keep their position
+    * and are NOT pre-deduped — winnowing's guarantee is positional.
+    * The window min and the per-doc gram count ride the same ordered
+    * window spec (one Window operator, one sort). Scale shape: grams
+    * shuffle once by doc_id (the partition key of both windows); the
+    * aggregate is map-side combined. Documents too short for one full
+    * window keep a zero profile via the left join (same convention as
+    * q68). */
+  /** Full-window winnowing rows for an arbitrary (doc_id, text)
+    * DataFrame: one row per window position with its selected minimum
+    * gram hash `wmin` and the doc's gram count `ng`. Both window specs
+    * share one ordered spec (one Window operator, one sort). */
+  private def winnowWmin(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minWords = WinK + WinW - 1 // one full window of grams
+    val g = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("words", expr(wordsSpark))
+      .filter(size(col("words")) >= minWords)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) - $WinK),
+            i -> array_join(slice(words, i + 1, $WinK), ' '))"""))
+        .as(Seq("pos", "gram")))
+      .withColumn("hx", md5(col("gram").cast("binary")))
+      .withColumn("h", expr(s"CAST(${hexToLong("hx", 12)} AS BIGINT)"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wWin = wOrd.rowsBetween(Window.currentRow, WinW - 1)
+    val wDoc = wOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("ng", count(lit(1)).over(wDoc))
+      .withColumn("wmin", min(col("h")).over(wWin))
+      .filter(col("pos") <= col("ng") - WinW)
+  }
+
+  /** Library form: the distinct winnowing fingerprint set as (doc_id,
+    * fp) rows — what an overlap-detection join consumes. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    winnowWmin(docs).select(col("doc_id"), col("wmin").as("fp")).distinct()
+
+  val q80Winnowing = OpSpec(
+    "q80_winnowing",
+    (s, dir) => {
+      val per = winnowWmin(table(s, dir, "documents"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("ng")).as("n_grams"),
+          count(lit(1)).as("n_windows"),
+          countDistinct(col("wmin")).as("n_fingerprints"),
+          min(col("wmin")).as("fp_min"),
+          sum_distinct(col("wmin")).as("fp_sum"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+          col("fp_min"),
+          coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, pos, CAST(${hexToLong("hx", 12)} AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, i - 1 AS pos,
+            md5(words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS hx
+          FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(words) - ${WinK - 1})) AS i)
+          WHERE len(words) >= ${WinK + WinW - 1})),
+      wm AS (
+        SELECT doc_id, pos,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin,
+          CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng
+        FROM g),
+      per AS (
+        SELECT doc_id, MAX(ng) AS n_grams,
+          CAST(COUNT(*) AS BIGINT) AS n_windows,
+          CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+          MIN(wmin) AS fp_min,
+          CAST(SUM(DISTINCT wmin) AS BIGINT) AS fp_sum
+        FROM wm WHERE pos <= ng - $WinW GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(n_grams, 0) AS n_grams,
+        COALESCE(n_windows, 0) AS n_windows,
+        COALESCE(n_fingerprints, 0) AS n_fingerprints,
+        fp_min,
+        COALESCE(fp_sum, 0) AS fp_sum
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
-    q77InvertedIndex)
+    q77InvertedIndex, q80Winnowing)
 }

@@ -691,9 +691,12 @@ class OperatorSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin. Everything else must stay equi-join /
     // pushed-down.
     // q76's only nested-loop is the 1-row broadcast of the global doc
-    // count (the scalar-subquery shape) — constant payload at any scale
+    // count (the scalar-subquery shape) — constant payload at any scale;
+    // q78's are the same shape (1-row ΣW and T totals of the per-domain
+    // count aggregate)
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
-      "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms")
+      "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms",
+      "q78_domain_mix", "q81_cluster_reps")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -892,5 +895,89 @@ class OperatorSpec extends AnyFunSuite {
     }
     // the window cap must bound every posting list
     assert(idx.forall(_._3.split(",").length <= 8))
+  }
+
+  test("q78 domain mix: quotas respect weights and never over-draw") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q78_domain_mix")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val avail = Tables.table(spark, sf, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val bysrc = rows.groupBy(_._1)
+    // every domain draws exactly its quota, and the quota is feasible
+    bysrc.foreach { case (src, rs) =>
+      val quota = rs.head._4
+      assert(rs.map(_._4).distinct.length == 1)
+      assert(rs.length == quota, s"$src drew ${rs.length} != quota $quota")
+      assert(quota <= avail(src), s"$src over-drawn")
+      assert(rs.map(_._2).sorted.toSeq == (1L to quota).toSeq)
+    }
+    // drawn counts are proportional to the configured weights: for any
+    // two domains, |q_a/w_a - q_b/w_b| * W <= W (integer floors differ
+    // by at most one T/W unit) — check via cross-multiplication
+    def w(src: String) = 1L + src.stripPrefix("src").toLong % 4
+    val qs = bysrc.view.mapValues(_.head._4).toMap
+    for (a <- qs.keys; b <- qs.keys if a < b) {
+      val (qa, wa, qb, wb) = (qs(a), w(a), qs(b), w(b))
+      assert((qa * wb - qb * wa).abs <= wa * wb,
+        s"mixture skew between $a ($qa/$wa) and $b ($qb/$wb)")
+    }
+  }
+
+  test("q79 token budget: cut is tight and cumulative sums are exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q79_token_budget")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      assert(total == rs.map(_._4).max, s"$src cum/total mismatch")
+      assert(total <= 600L, s"$src exceeds budget: $total")
+    }
+  }
+
+  test("q80 winnowing fingerprints detect a shared run (the theorem)") {
+    import spark.implicits._
+    // two docs sharing a >= w+k-1 = 6 word run MUST share a fingerprint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three alpha beta gamma delta epsilon zeta nine"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("winnow_docs")
+    val fp = graft.ops.TextOps.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 7-word run missed")
+    assert((fp(1L) & fp(3L)).isEmpty, "false overlap")
+    // the oracle query's checksum agrees with the library fingerprints
+    val prof = SparkEntry.queries("q80_winnowing")(spark, sf)
+      .select("doc_id", "n_fingerprints", "fp_sum")
+      .as[(Long, Long, Long)].collect()
+    assert(prof.nonEmpty)
+    val lib = graft.ops.TextOps.winnowFingerprints(
+      Tables.table(spark, sf, "documents").select($"doc_id", $"text"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    prof.filter(_._2 > 0).foreach { case (id, n, s) =>
+      assert(lib(id).size == n && lib(id).sum == s, s"doc $id profile drift")
+    }
+  }
+
+  test("q81 cluster reps: at most 3 reps per cluster, best-first") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q81_cluster_reps")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, c1), (_, _, _, c2)) => assert(c1 >= c2)
+        case _ =>
+      }
+    }
   }
 }
