@@ -731,7 +731,116 @@ object EmbeddingOps {
             FROM assigned)
       WHERE rep_rank <= $RepsPerCluster"""))
 
+  /** Shared CTE: per-label exact centroid as an element-wise strict
+    * left-to-right fold over members in vec_id order. DuckDB's init-less
+    * list_reduce starts from the first member; the Spark twin starts
+    * from a zero vector — 0e0 + x == x exactly, so both run the
+    * identical IEEE add chain. `n` rides along for the mean division. */
+  private val centroidDuck = s"""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      list_reduce(list(embedding ORDER BY vec_id),
+        (a, b) -> list_transform(generate_series(1, len(a)),
+          i -> CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE))) AS sumv
+    FROM embeddings GROUP BY label"""
+
+  /** Spark twin of [[centroidDuck]]: (label, n, sumv) with sumv the
+    * exact ordered component sums as ARRAY<DOUBLE>. */
+  private def centroidDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("vs"))
+      .withColumn("sumv", expr(
+        """aggregate(vs, transform(vs[0].embedding, x -> 0e0),
+           (acc, v) -> zip_with(acc, v.embedding,
+             (a, x) -> a + CAST(x AS DOUBLE)))"""))
+      .select(col("label"), col("n"), col("sumv"))
+
+  /** Per-label mean embedding (mean pooling) — the mean-vector
+    * aggregation every multimodal pipeline runs (frame embeddings →
+    * clip embedding, chunk embeddings → doc embedding), done EXACTLY:
+    * component sums are a strict vec_id-ordered IEEE fold (a plain
+    * float sum is accumulation-order-dependent — the result would
+    * change with partitioning), and the mean is one division per
+    * component. Emitted as (label, pos, mean_v) scalar rows — k·dims
+    * rows total, independent of corpus size.
+    *
+    * Scale shape: collect_list holds one label's vectors — bounded by
+    * the label-group size; for unbounded groups the [[kmeansCentroids]]
+    * decimal-sum path is the alternative (order-independent by summing
+    * on an exact grid). One shuffle (the groupBy), tiny output. */
+  val q82LabelCentroid = OpSpec(
+    "q82_label_centroid",
+    (s, dir) => {
+      centroidDf(s, dir)
+        .select(col("label").cast("long").as("label"), col("n"),
+          posexplode(col("sumv")).as(Seq("pos", "sv")))
+        .select(col("label"), col("n"), col("pos").cast("long").as("pos"),
+          (col("sv") / col("n")).as("mean_v"))
+    },
+    Some(s"""
+      SELECT CAST(label AS BIGINT) AS label, n,
+        CAST(i - 1 AS BIGINT) AS pos, sumv[i] / n AS mean_v
+      FROM ($centroidDuck),
+           LATERAL (SELECT unnest(generate_series(1, len(sumv))) AS i)"""))
+
+  /** Members farthest from their label centroid — the embedding-quality
+    * audit that flags mislabeled / failed-extraction vectors (the
+    * outlier complement of [[q81ClusterReps]]' best-first selection).
+    * Cosine against the UNNORMALIZED exact component sums: cos(v, S/n)
+    * == cos(v, S), so no mean division enters the comparison chain.
+    * Bottom-3 per label by cosine, ties to the lower vec_id.
+    *
+    * Scale shape: the centroid table is k rows and broadcast; members
+    * join by label (equi-join, one shuffle), the rank window partitions
+    * by label. */
+  val q83CentroidOutliers = OpSpec(
+    "q83_centroid_outliers",
+    (s, dir) => {
+      val cents = centroidDf(s, dir)
+        .withColumn("cnrm", expr(
+          """CASE WHEN aggregate(sumv, 0e0, (a, x) -> a + x * x) = 0e0
+             THEN 1e0 ELSE
+             sqrt(aggregate(sumv, 0e0, (a, x) -> a + x * x)) END"""))
+        .select(col("label"), col("sumv"), col("cnrm"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cosine").asc, col("vec_id").asc)
+      normedDf(s, dir)
+        .join(broadcast(cents), Seq("label"))
+        .withColumn("dotc", expr(
+          """aggregate(zip_with(embedding, sumv,
+             (x, c) -> CAST(x AS DOUBLE) * c), 0e0, (a, y) -> a + y)"""))
+        .withColumn("cosine", col("dotc") / (col("nrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("label").cast("long").as("label"), col("rnk"),
+          col("vec_id"), col("cosine"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT label, sumv,
+          CASE WHEN list_reduce(list_transform(sumv, x -> x * x),
+                 (a, b) -> a + b) = 0e0 THEN 1e0
+               ELSE sqrt(list_reduce(list_transform(sumv, x -> x * x),
+                 (a, b) -> a + b)) END AS cnrm
+        FROM ($centroidDuck)),
+      e AS ($normedDuck),
+      scored AS (
+        SELECT e.label, e.vec_id,
+          list_reduce(list_transform(generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * c.sumv[i]),
+            (x, y) -> x + y) / (e.nrm * c.cnrm) AS cosine
+        FROM e JOIN cents c ON e.label = c.label)
+      SELECT CAST(label AS BIGINT) AS label,
+        CAST(ROW_NUMBER() OVER (PARTITION BY label
+          ORDER BY cosine ASC, vec_id ASC) AS BIGINT) AS rnk,
+        vec_id, cosine
+      FROM scored
+      QUALIFY rnk <= 3"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
-    q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps)
+    q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
+    q82LabelCentroid, q83CentroidOutliers)
 }

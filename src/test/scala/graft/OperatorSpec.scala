@@ -965,6 +965,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q82 label centroids: full dim coverage, counts add up") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q82_label_centroid")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = Tables.table(spark, sf, "embeddings").count()
+    val byLabel = rows.groupBy(_._1)
+    // each label's n is its member count; every dim position appears once
+    assert(byLabel.values.map(_.head._2).sum == total)
+    byLabel.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until 64L).toSeq)
+      assert(rs.map(_._2).distinct.length == 1)
+    }
+    // spot-check one component against an independent driver-side fold
+    val (lbl, pos) = (byLabel.keys.min, 0L)
+    val members = Tables.table(spark, sf, "embeddings")
+      .filter(col("label") === lbl).orderBy(col("vec_id"))
+      .select(col("embedding")).as[Seq[Float]].collect()
+    val want = members.foldLeft(0.0)((a, v) => a + v(pos.toInt).toDouble) /
+      members.length
+    val got = rows.find(r => r._1 == lbl && r._3 == pos).get._4
+    assert(got == want, s"label $lbl pos $pos: $got != $want")
+  }
+
+  test("q83 centroid outliers: worst-first contiguous ranks per label") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q83_centroid_outliers")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, c1), (_, _, _, c2)) => assert(c1 <= c2)
+        case _ =>
+      }
+      // an outlier's cosine to its own label centroid is still a cosine
+      rs.foreach { case (_, _, _, c) => assert(c >= -1.0001 && c <= 1.0001) }
+    }
+  }
+
   test("q81 cluster reps: at most 3 reps per cluster, best-first") {
     import spark.implicits._
     val rows = SparkEntry.queries("q81_cluster_reps")(spark, sf)
