@@ -23,19 +23,27 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    // a nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong —
-    // set in Session.builder). Convert to a micros timestamp with exact
-    // integer division (a double division would lose precision at 1e18).
+    // The driver has generated events.ts both as TIMESTAMP(NANOS) (which
+    // Spark 4 only reads as a nanos-since-epoch long via
+    // spark.sql.legacy.parquet.nanosAsLong) and as plain TIMESTAMP(US).
+    // Normalize either encoding to a micros TimestampType column; the
+    // long branch uses exact integer division (a double division would
+    // lose precision at 1e18). TIMESTAMP(US) columns arrive as
+    // TimestampType directly because inferTimestampNTZ is disabled below.
     if (name == "events" &&
       df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 
-  /** Session settings every entry point needs (nanos parquet + AQE). */
+  /** Session settings every entry point needs (timestamp parquet + AQE).
+    * inferTimestampNTZ=false: isAdjustedToUTC=false parquet timestamps
+    * read as session-TZ TimestampType (session TZ pinned to UTC), the
+    * same instants DuckDB's naive TIMESTAMP sees — not TIMESTAMP_NTZ,
+    * which unix_micros/window functions reject. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
 

@@ -735,12 +735,18 @@ object EmbeddingOps {
     * left-to-right fold over members in vec_id order. DuckDB's init-less
     * list_reduce starts from the first member; the Spark twin starts
     * from a zero vector — 0e0 + x == x exactly, so both run the
-    * identical IEEE add chain. `n` rides along for the mean division. */
+    * identical IEEE add chain. `n` rides along for the mean division.
+    * The member lists are cast to DOUBLE[] BEFORE the reduce:
+    * list_reduce types its accumulator as the input element type, so a
+    * FLOAT[] input silently truncates every partial sum to float32
+    * (measured: 639/640 mean components off by an ulp at sf0.01). */
   private val centroidDuck = s"""
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-      list_reduce(list(embedding ORDER BY vec_id),
+      list_reduce(
+        list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+          ORDER BY vec_id),
         (a, b) -> list_transform(generate_series(1, len(a)),
-          i -> CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE))) AS sumv
+          i -> a[i] + b[i])) AS sumv
     FROM embeddings GROUP BY label"""
 
   /** Spark twin of [[centroidDuck]]: (label, n, sumv) with sumv the

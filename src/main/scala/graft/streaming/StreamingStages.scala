@@ -15,21 +15,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingStages {
 
-  /** events.parquet stream with the nanos→micros conversion of
-    * graft.Tables (file streams require an explicit schema). Accepts a
+  /** events.parquet stream with the same ts normalization as
+    * graft.Tables (file streams require an explicit schema — taken from
+    * a static read of the same files, so the stream schema always agrees
+    * with whatever timestamp encoding the files carry). Accepts a
     * directory of parquet files OR one plain .parquet file — the file
     * source's inferred basePath must be a directory, so for a file path
     * the parent is pinned explicitly. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val r = spark.readStream.schema(schema)
     val f = new java.io.File(dir)
+    val staticPath = if (f.isFile) dir else dir + "/*.parquet"
+    val schema = spark.read.parquet(staticPath).schema
+    val r = spark.readStream.schema(schema)
     // single file: address it as a {name} glob — for a NON-glob path the
     // file source force-overrides basePath with the path itself, which
     // then fails "basePath must be a directory"; a glob path keeps the
@@ -38,7 +35,13 @@ object StreamingStages {
       if (f.isFile)
         r.option("basePath", f.getParent).parquet(s"${f.getParent}/{${f.getName}}")
       else r.parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as long (nanosAsLong)
+        src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** Streaming twin of q17: watermarked tumbling 10-minute counts. The
