@@ -16,7 +16,7 @@ object SparkEntry {
       ops.TextOps.all ++ ops.DedupOps.all ++ ops.EmbeddingOps.all ++
       ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all ++
       ops.SampleOps.all ++ ops.Skew.all ++ ops.BloomPrune.all ++
-      ops.LayoutOps.all ++ ops.AssembleOps.all ++
+      ops.LayoutOps.all ++ ops.AssembleOps.all ++ ops.SketchOps.all ++
       streaming.StreamingStages.oracleOps
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -176,7 +176,133 @@ object EventOps {
       FROM events
       GROUP BY user_id"""))
 
+  /** Ordered conversion funnel (view → click → purchase): for each user
+    * the first view, the first click strictly after it, and the first
+    * purchase strictly after that — order matters, so this is NOT three
+    * independent mins. Implemented with RUNNING windows over one
+    * (user_id, ts) sort: `fv_run` at any row is the user's first view so
+    * far, so "click after the first view" is the row-local test
+    * ts > fv_run (strict — (user_id, ts) is unique in the data);
+    * likewise purchases against the running first qualifying click. The
+    * two windows and the final groupBy share the same partitioning and
+    * order, so the WHOLE funnel costs ONE shuffle + ONE sort of the
+    * type-filtered events — vs the naive per-stage aggregate-and-join
+    * cascade, which re-shuffles (and under broadcast plans re-scans)
+    * events once per stage. Per-user state stays O(1): no collected
+    * event lists, no hot-user blowup. */
+  val q84Funnel = OpSpec(
+    "q84_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("fv_run",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          when(col("event_type") === "click" && col("ts") > col("fv_run"),
+            col("ts")))
+        .withColumn("fc_run", min(col("c_ts")).over(w))
+        .withColumn("p_ts",
+          when(col("event_type") === "purchase" && col("ts") > col("fc_run"),
+            col("ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(col("c_ts")).as("fc"),
+          min(col("p_ts")).as("fp"))
+        .filter(col("fv").isNotNull) // funnel population: users who viewed
+        .select(col("user_id"),
+          (lit(1) + when(col("fc").isNotNull, 1).otherwise(0)
+            + when(col("fp").isNotNull, 1).otherwise(0))
+            .cast("long").as("stage"),
+          fmtTs(col("fv")).as("first_view"),
+          fmtTs(col("fc")).as("first_click"),
+          fmtTs(col("fp")).as("first_purchase"))
+    },
+    Some("""
+      WITH fv AS (
+        SELECT user_id, min(ts) AS fv FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (
+        SELECT e.user_id, min(e.ts) AS fc
+        FROM events e JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.fv
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      fp AS (
+        SELECT e.user_id, min(e.ts) AS fp
+        FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.fc
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT fv.user_id,
+        CAST(1 + (CASE WHEN fc.fc IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS stage,
+        strftime(fv.fv, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        strftime(fc.fc, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        strftime(fp.fp, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase
+      FROM fv
+      LEFT JOIN fc ON fv.user_id = fc.user_id
+      LEFT JOIN fp ON fv.user_id = fp.user_id"""))
+
+  /** Cohort retention: users grouped by first-activity day; for every
+    * (cohort_day, day_offset) the count of distinct users active that
+    * many days later. Shape: one aggregate keys the user's first ts
+    * (shuffle on user_id), the activity join reuses that partitioning,
+    * and the final (cohort, offset) rollup is the second shuffle —
+    * output is bounded by days², independent of event volume. The day
+    * offset is pure integer date arithmetic (no timestamp subtraction
+    * enters the compare). */
+  val q85Retention = OpSpec(
+    "q85_retention",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      ev.select(col("user_id"), col("ts"))
+        .join(first, Seq("user_id"))
+        .select(
+          date_format(col("first_ts"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("ts").cast("date"), col("first_ts").cast("date"))
+            .cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      WITH first AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+      SELECT strftime(f.first_ts, '%Y-%m-%d') AS cohort_day,
+        CAST(datediff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE))
+          AS BIGINT) AS day_offset,
+        COUNT(DISTINCT e.user_id) AS n_users
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      GROUP BY 1, 2"""))
+
+  /** Hopping (sliding) window aggregate — 30-minute windows every
+    * 10 minutes, so each event lands in exactly 3 overlapping buckets.
+    * Spark's window(duration, slide) derives all bucket keys row-locally
+    * (a 3× row expansion, NO extra shuffle vs the tumbling case); the
+    * oracle makes the same expansion explicit with generate_series. */
+  val q86HoppingWindow = OpSpec(
+    "q86_hopping_window",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(fmtTsSec(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+    },
+    Some("""
+      SELECT strftime(make_timestamp(
+               (epoch_us(ts) // 600000000 - k) * 600000000),
+               '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events, (SELECT unnest(generate_series(0, 2)) AS k)
+      GROUP BY 1, 2"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
-    q61IncrementalStats)
+    q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow)
 }

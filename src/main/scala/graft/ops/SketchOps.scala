@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.OpSpec
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators. The reference never aggregates beyond
+  * exact counts (SURVEY §2.4), but a 100 TB engine needs cardinality
+  * summaries whose shuffle cost is O(sketch), not O(distinct values) —
+  * the role HLL plays in warehouse engines. Here the sketch is KMV
+  * ([[graft.functions.KmvAgg]]): unlike HLL registers, the k smallest
+  * distinct md5 values are an engine-independent SET property of the
+  * data, so the whole estimate sits under the bit-exact DuckDB gate.
+  */
+object SketchOps {
+
+  private val K = 128
+
+  /** Both engines fold the k-th smallest hash's first 15 hex digits
+    * (60 bits) to a BIGINT with the same text. */
+  private val kthV = s"CAST(${DedupOps.hexToLong("kh", 1, 15)} AS BIGINT)"
+
+  /** Shared estimator text: below k distinct the sketch IS the exact
+    * answer; at capacity, est = (k-1)/R with R = kth_v/2^60 the k-th
+    * smallest hash as a fraction of hash space, algebraically flipped to
+    * one multiply (exact: 127·2^60 has 7 significant bits) and one
+    * divide of identically-rounded doubles. GREATEST guards the
+    * theoretical all-zero-digit hash from an ANSI division-by-zero; the
+    * branch keeps it unreachable. */
+  private val estSql = s"""
+    CASE WHEN n_seen < $K THEN CAST(n_seen AS DOUBLE)
+         ELSE ${K - 1}e0 * 1152921504606846976
+              / CAST(GREATEST(kth_v, 1) AS DOUBLE) END"""
+
+  /** Distinct parts per returnflag, estimated from a K=128 KMV sketch,
+    * with the exact COUNT(DISTINCT) alongside (gate anchor + visible
+    * estimation error; a production rollup drops it — the sketch column
+    * is the point). Scale shape: the Aggregator partial-aggregates per
+    * task, so each group contributes one 128-string array per task to
+    * the shuffle regardless of input rows; sketches of disjoint shards
+    * merge associatively (unit-tested), which is what makes the sketch
+    * storable per-partition and rolled up later — the pattern exact
+    * distinct counting cannot follow. */
+  val q88KmvDistinct = OpSpec(
+    "q88_kmv_distinct",
+    (s, dir) => {
+      val kmv = udaf(new graft.functions.KmvAgg(K))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          md5(concat(lit("kmv:"), col("l_partkey")).cast("binary")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("h")).as("sketch"),
+          countDistinct(col("h")).as("n_exact"))
+        .withColumn("n_seen", size(col("sketch")).cast("long"))
+        .withColumn("kh", element_at(col("sketch"), K))
+        .withColumn("kth_v", expr(kthV))
+        .select(col("l_returnflag"), col("n_exact"), col("n_seen"),
+          col("kth_v"), expr(estSql).as("est"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag, md5('kmv:' || l_partkey) AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+        FROM h),
+      g AS (
+        SELECT l_returnflag,
+          CAST(max(nd) AS BIGINT) AS n_exact,
+          CAST(LEAST(max(nd), $K) AS BIGINT) AS n_seen,
+          max(CASE WHEN rn = $K THEN h END) AS kh
+        FROM r GROUP BY l_returnflag)
+      SELECT l_returnflag, n_exact, n_seen, kth_v, $estSql AS est
+      FROM (SELECT *, $kthV AS kth_v FROM g)"""))
+
+  val all: Seq[OpSpec] = Seq(q88KmvDistinct)
+}

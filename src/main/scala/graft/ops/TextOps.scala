@@ -730,9 +730,51 @@ object TextOps {
         COALESCE(fp_sum, 0) AS fp_sum
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""))
 
+  /** Corpus-commonness score — the log-free stand-in for the unigram-LM
+    * perplexity filter (CCNet-style quality bucketing): per-token mean
+    * document frequency. Docs dominated by corpus-rare tokens (gibberish,
+    * OCR noise, foreign-language leakage) score LOW; boilerplate-heavy
+    * docs score HIGH — both tails are curation targets. All-integer
+    * arithmetic (Σ df and token count) until one final double division,
+    * so the gate stays bit-exact (Σ log p would diverge per-ulp between
+    * engines' libm).
+    *
+    * Scale shape: token explode → distinct (word, doc) → per-word df
+    * (each partial-aggregated before its shuffle); the tokens⨝df join
+    * keys on word — a plain hash join, NOT broadcast (a 100 TB corpus
+    * vocabulary is itself huge); the final per-doc rollup is one more
+    * exchange. Token traffic dominates and is irreducible — every
+    * occurrence must meet its df. */
+  val q87Commonness = OpSpec(
+    "q87_commonness",
+    (s, dir) => {
+      val tokens = table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("word"))
+      val df = tokens.distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      tokens.join(df, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .select(col("doc_id"), col("n_tok"), col("sum_df"),
+          (col("sum_df").cast("double") / col("n_tok").cast("double"))
+            .as("commonness"))
+    },
+    Some(s"""
+      WITH tokens AS (
+        SELECT doc_id, unnest($wordsDuck) AS word FROM documents),
+      df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, word FROM tokens)
+        GROUP BY word)
+      SELECT t.doc_id, COUNT(*) AS n_tok,
+        CAST(SUM(df.df) AS BIGINT) AS sum_df,
+        CAST(SUM(df.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS commonness
+      FROM tokens t JOIN df ON t.word = df.word
+      GROUP BY t.doc_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
-    q77InvertedIndex, q80Winnowing)
+    q77InvertedIndex, q80Winnowing, q87Commonness)
 }

@@ -1022,4 +1022,91 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q84 funnel stages are ordered and monotone (stage k needs k-1)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q84_funnel")(spark, sf)
+      .as[(Long, Long, String, Option[String], Option[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, stage, fv, fc, fp) =>
+      assert(stage >= 1 && stage <= 3)
+      assert(fc.isDefined == (stage >= 2))
+      assert(fp.isDefined == (stage == 3))
+      // string timestamps compare chronologically (fixed-width format)
+      fc.foreach(c => assert(c > fv))
+      (fc, fp) match {
+        case (Some(c), Some(p)) => assert(p > c)
+        case _ =>
+      }
+    }
+  }
+
+  test("q85 retention: offset-0 cell covers every cohort member") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q85_retention")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0)) // first activity is the cohort floor
+    val day0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // every user appears in their own cohort's day-0 cell, so summing
+    // day-0 counts recovers the distinct-user total
+    val users = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(day0.values.sum == users)
+  }
+
+  test("q86 hopping windows triple-count relative to q17's tumbling") {
+    val hop = SparkEntry.queries("q86_hopping_window")(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    val events = Tables.table(spark, sf, "events").count()
+    assert(hop == 3 * events) // 30min/10min => every event in 3 windows
+  }
+
+  test("q87 commonness is bounded by the corpus document count") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents").count().toDouble
+    val rows = SparkEntry.queries("q87_commonness")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, sumDf, c) =>
+      assert(nTok > 0 && sumDf >= nTok) // df >= 1 per token
+      assert(c >= 1.0 && c <= docs)
+    }
+  }
+
+  test("KMV sketch: merge order never changes the state (associative)") {
+    val agg = new graft.functions.KmvAgg(8)
+    val hashes = (1 to 200).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$i".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+    // duplicates included: set semantics must hold
+    val input = hashes ++ hashes.take(50)
+    val whole = input.foldLeft(agg.zero)(agg.reduce)
+    val expected = hashes.distinct.sorted.take(8)
+    assert(whole.toSeq == expected)
+    // arbitrary 3-way split, merged in both associations
+    val (a, rest) = input.splitAt(57)
+    val (b, c) = rest.splitAt(91)
+    def fold(xs: Seq[String]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.merge(agg.merge(fold(a), fold(b)), fold(c))
+    val m2 = agg.merge(fold(a), agg.merge(fold(b), fold(c)))
+    assert(m1.toSeq == expected && m2.toSeq == expected)
+  }
+
+  test("q88 KMV estimate is within the k=128 theoretical error band") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
+      .as[(String, Long, Long, Option[Long], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, exact, seen, kth, est) =>
+      if (seen < 128) { // sketch below capacity IS exact
+        assert(kth.isEmpty && est == exact.toDouble)
+      } else {
+        // KMV relative std error is ~1/sqrt(k-2) ≈ 8.9%; allow 5 sigma
+        assert(math.abs(est - exact) / exact < 0.45,
+          s"est $est vs exact $exact")
+      }
+    }
+  }
 }
