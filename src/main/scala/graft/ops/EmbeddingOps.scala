@@ -845,8 +845,111 @@ object EmbeddingOps {
       FROM scored
       QUALIFY rnk <= 3"""))
 
+  /** Lists fused per ranker before the cut. */
+  private val RrfDepth = 10
+  /** The standard RRF dampening constant (Cormack et al. 2009). */
+  private val RrfC = 60
+
+  /** Reciprocal-rank fusion of two retrieval lists per query — exact
+    * cosine (the q30 ranker) and int8-quantized dot (the q73 ranker):
+    * rrf(d) = Σ_lists 1/(C + rank_list(d)), candidates outside a list's
+    * top-[[RrfDepth]] contribute 0. The hybrid-retrieval merge every
+    * embedding-backed search stack runs (dense + lexical/quantized);
+    * each addend is one IEEE division on an exact integer rank, so the
+    * fused score — and therefore the output order — is engine-exact.
+    *
+    * Scale shape: BOTH rankers score in the same single broadcast pass
+    * over the corpus (no second scan for the second ranker); the two
+    * rank windows and the final fusion window all partition by
+    * query_id, so one exchange feeds three sorts of a per-query slice.
+    * At retrieval scale the full-corpus rankers would be replaced by
+    * each ranker's own candidate generator (IVF / inverted index) —
+    * the fusion stage is unchanged. */
+  val q89RrfFusion = OpSpec(
+    "q89_rrf_fusion",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .withColumn("maxabs", expr(
+          """aggregate(embedding, CAST(0 AS DOUBLE),
+             (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"""))
+        .withColumn("v8", expr(
+          """CASE WHEN maxabs = 0e0
+               THEN transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE transform(embedding, x -> CAST(floor(
+                 (CAST(x AS DOUBLE) / maxabs) * 1.27e2 + 5e-1) AS BIGINT)) END"""))
+      val q = e.select(col("vec_id").as("query_id"), col("v8").as("q8"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("query_id") < 20)
+      val wCos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val wQ8 = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id").asc)
+      val wRrf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) /
+            (col("qnrm") * col("nrm")))
+        .withColumn("qdot", expr(
+          """aggregate(zip_with(q8, v8, (a, b) -> a * b),
+             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+        .withColumn("rc", row_number().over(wCos).cast("long"))
+        .withColumn("rq", row_number().over(wQ8).cast("long"))
+        .filter(col("rc") <= RrfDepth || col("rq") <= RrfDepth)
+        .withColumn("r_cos", when(col("rc") <= RrfDepth, col("rc")))
+        .withColumn("r_q8", when(col("rq") <= RrfDepth, col("rq")))
+        .withColumn("rrf",
+          expr(s"COALESCE(1e0 / ($RrfC + r_cos), 0e0)" +
+            s" + COALESCE(1e0 / ($RrfC + r_q8), 0e0)"))
+        .withColumn("rrf_rank", row_number().over(wRrf).cast("long"))
+        .filter(col("rrf_rank") <= 5)
+        .select(col("query_id"), col("rrf_rank"),
+          col("vec_id").as("neighbor_id"), col("r_cos"), col("r_q8"),
+          col("rrf"))
+    },
+    Some(s"""
+      WITH e0 AS ($normedDuck),
+      e AS (SELECT vec_id, embedding, nrm,
+              ${quantDuck("embedding", "maxabs")} AS v8
+            FROM (SELECT *, list_reduce(
+                    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                    (a, b) -> greatest(a, b)) AS maxabs
+                  FROM e0)),
+      q AS (SELECT vec_id AS query_id, v8 AS q8, embedding AS qv,
+              nrm AS qnrm
+            FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          ${dotDuck("q.qv", "e.embedding")} / (q.qnrm * e.nrm) AS cosine,
+          list_reduce(list_transform(generate_series(1, len(q.q8)),
+            i -> q.q8[i] * e.v8[i]), (x, y) -> x + y) AS qdot
+        FROM e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rc,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY qdot DESC, vec_id ASC) AS BIGINT) AS rq
+        FROM scored),
+      fused AS (
+        SELECT query_id, vec_id,
+          CASE WHEN rc <= $RrfDepth THEN rc END AS r_cos,
+          CASE WHEN rq <= $RrfDepth THEN rq END AS r_q8,
+          COALESCE(1e0 / ($RrfC + CASE WHEN rc <= $RrfDepth THEN rc END), 0e0)
+            + COALESCE(1e0 / ($RrfC + CASE WHEN rq <= $RrfDepth THEN rq END), 0e0)
+            AS rrf
+        FROM ranked
+        WHERE rc <= $RrfDepth OR rq <= $RrfDepth)
+      SELECT query_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, vec_id ASC) AS BIGINT) AS rrf_rank,
+        vec_id AS neighbor_id, r_cos, r_q8, rrf
+      FROM fused
+      QUALIFY rrf_rank <= 5"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
-    q82LabelCentroid, q83CentroidOutliers)
+    q82LabelCentroid, q83CentroidOutliers, q89RrfFusion)
 }

@@ -302,7 +302,65 @@ object EventOps {
       FROM events, (SELECT unnest(generate_series(0, 2)) AS k)
       GROUP BY 1, 2"""))
 
+  /** Shared z-score text: for exact integer cents x and per-group exact
+    * sums (n, s1=Σx, s2=Σx²), the population z-score algebraically
+    * reduces to (n·x − s1)/√(n·s2 − s1²) — the n in (x−μ) and the n in
+    * σ cancel, leaving ONE double division and ONE sqrt over exactly-
+    * representable integers, identical IEEE ops in both engines. */
+  private val zSql =
+    """CAST(CAST(n AS DECIMAL(38,0)) * cents - s1 AS DOUBLE)
+       / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE))"""
+
+  /** Per-type outlier events (|z| > 3 against the event_type's own
+    * value distribution) — the score-sanity audit every ingest needs
+    * (a bad scorer shard shows up as a z-score cliff). The SELECTION is
+    * all-integer: |z| > 3 ⟺ (n·x−s1)² > 9·(n·s2−s1²) in exact
+    * DECIMAL(38,0) arithmetic, so no float comparison ever decides
+    * membership (a z exactly at the boundary cannot flip between
+    * engines); z itself is emitted afterwards, only for survivors —
+    * whose σ > 0 is implied by the predicate, keeping the division
+    * ANSI-safe. Exactness bound: |n·x| < 10^19 holds through 10^12 rows
+    * of 10-digit cents, far past any per-group slice of 100 TB.
+    *
+    * Scale shape: one partial-aggregated groupBy over event_type (the
+    * stats), one broadcast join back (|event_type| rows), row-local
+    * predicate + projection — the scan dominates, as it should. */
+  val q90Anomaly = OpSpec(
+    "q90_anomaly",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("cents", expr("CAST(round(value * 1e2) AS BIGINT)"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("s2"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(expr(
+          """(CAST(n AS DECIMAL(38,0)) * cents - s1)
+             * (CAST(n AS DECIMAL(38,0)) * cents - s1)
+             > 9 * (CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1)"""))
+        .select(col("event_type"), col("event_id"), col("value"),
+          expr(zSql).as("z"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, event_id, value,
+          CAST(round(value * 1e2) AS BIGINT) AS cents
+        FROM events),
+      stats AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(cents AS DECIMAL(38,0))) AS s1,
+          SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+        FROM ev GROUP BY event_type)
+      SELECT event_type, event_id, value, $zSql AS z
+      FROM (SELECT ev.*, stats.n, stats.s1, stats.s2
+            FROM ev JOIN stats USING (event_type)
+            WHERE (CAST(n AS DECIMAL(38,0)) * cents - s1)
+                  * (CAST(n AS DECIMAL(38,0)) * cents - s1)
+                  > 9 * (CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1))"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
-    q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow)
+    q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
+    q90Anomaly)
 }

@@ -1094,6 +1094,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(m1.toSeq == expected && m2.toSeq == expected)
   }
 
+  test("q89 RRF fusion: scores decompose into the rank addends") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q89_rrf_fusion")(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, rc, rq, rrf) =>
+      assert(rc.isDefined || rq.isDefined) // came from at least one list
+      val expect = rc.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rq.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf == expect) // exact: same IEEE ops
+    }
+    rows.groupBy(_._1).values.foreach { qs =>
+      val sorted = qs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 >= b._6) // rrf non-increasing
+        case _ =>
+      }
+    }
+  }
+
+  test("q90 anomalies match a driver-side exact recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q90_anomaly")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 1e2) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).iterator.flatMap { case (t, rows) =>
+      val n = BigInt(rows.length)
+      val s1 = rows.map(r => BigInt(r._3)).sum
+      val s2 = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.filter { r =>
+        val d = n * r._3 - s1
+        d * d > 9 * (n * s2 - s1 * s1)
+      }.map(r => (t, r._2))
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
