@@ -56,6 +56,18 @@ object StreamingStages {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("win_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming twin of q86: watermarked HOPPING 30-minute windows every
+    * 10 minutes — the row-local 3× bucket expansion works identically
+    * over a stream; only the watermark decides when a window closes. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value")).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"), col("total"))
+
   /** Streaming twin of q18: watermarked session windows per user. */
   def sessionAgg(events: DataFrame): DataFrame =
     events

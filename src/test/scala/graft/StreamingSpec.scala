@@ -44,6 +44,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping agg == batch q86 (3x bucket expansion)") {
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.hoppingAgg(stream), "hopping_out")
+    try {
+      val streamed = spark.table("hopping_out")
+        .select("win_start", "event_type", "n", "total")
+      val batch = SparkEntry.queries("q86_hopping_window")(spark, sf)
+        .select("win_start", "event_type", "n", "total")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows cover all events") {
     val stream = StreamingStages.eventsStream(spark, eventsDir)
     val q = StreamingStages.runToMemory(
