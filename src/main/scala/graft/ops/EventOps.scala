@@ -359,8 +359,102 @@ object EventOps {
                   * (CAST(n AS DECIMAL(38,0)) * cents - s1)
                   > 9 * (CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1))"""))
 
+  /** Latest row per user (ts is unique per user, so rn=1 is total). */
+  private def latestPerUser(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** CDC MERGE (upsert + tombstone) semantics: the event log is a
+    * changelog keyed by user_id — any event upserts the user's row;
+    * 'error' is the delete marker. The engine path maintains the state
+    * INCREMENTALLY: a base snapshot is materialized at a cutoff
+    * (last-writer-wins, tombstones dropped — a tombstone only matters
+    * if it stays the global latest, and then the merge re-derives it
+    * from the delta), then the post-cutoff delta merges against the
+    * one-row-per-key base, NOT the full history. The oracle recomputes
+    * the final state from the whole log in one pass — so the gate
+    * proves merge(snapshot(t), delta(t..)) == snapshot(now) exactly,
+    * the invariant that lets a 100 TB state table absorb daily
+    * changelogs without ever rescanning itself (the row-state twin of
+    * q61's aggregate-state maintenance).
+    *
+    * Shape: both snapshot passes are one (user_id, ts desc) window; the
+    * merge unions |keys| base rows with the delta and re-runs the same
+    * window — every step one shuffle on the state key. */
+  val q92CdcMerge = OpSpec(
+    "q92_cdc_merge",
+    (s, dir) => {
+      val cutoff = lit("2024-02-01 00:00:00").cast("timestamp")
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val base = latestPerUser(ev.filter(col("ts") <= cutoff))
+        .filter(col("event_type") =!= "error")
+      val delta = ev.filter(col("ts") > cutoff)
+      latestPerUser(base.unionByName(delta))
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), fmtTs(col("ts")).as("snap_ts"),
+          col("event_type").as("last_op"), col("value"))
+    },
+    Some("""
+      SELECT user_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS snap_ts,
+        event_type AS last_op, value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'"""))
+
+  /** Attribution lookback. */
+  private val AttrWindowUs = 3600000000L // 1 hour in microseconds
+
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent click/view within the 1-hour lookback, else 'direct'. Same
+    * single-shuffle union+running-window shape as the q19 as-of join
+    * (no per-purchase probe join): last_value(... IGNORE NULLS) over
+    * (user_id, ts) carries the latest touch forward, and the lookback
+    * test is exact integer microseconds. */
+  val q93Attribution = OpSpec(
+    "q93_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isSrc = col("event_type").isin("click", "view")
+      table(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click", "view"))
+        .withColumn("src_ts",
+          last(when(isSrc, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("src_type",
+          last(when(isSrc, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("src_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("src_ts"))
+              <= AttrWindowUs,
+            col("src_type")).otherwise("direct").as("channel"),
+          fmtTs(col("ts")).as("ts"))
+    },
+    Some(s"""
+      SELECT event_id AS purchase_id, user_id,
+        CASE WHEN src_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(src_ts) <= $AttrWindowUs
+             THEN src_type ELSE 'direct' END AS channel,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+            THEN ts END IGNORE NULLS) OVER w AS src_ts,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+            THEN event_type END IGNORE NULLS) OVER w AS src_type
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      WHERE event_type = 'purchase'"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
-    q90Anomaly)
+    q90Anomaly, q92CdcMerge, q93Attribution)
 }

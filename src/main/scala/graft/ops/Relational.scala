@@ -322,8 +322,42 @@ object Relational {
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
 
+  /** PIVOT: one row per user, event types spread into columns (the
+    * wide feature-vector shape model-training exports want). The value
+    * list is EXPLICIT — `pivot(col, values)` with enumerated values
+    * compiles to plain conditional aggregation in one pass; the
+    * values-less overload runs a separate distinct-scan job first and
+    * caps at spark.sql.pivotMaxValues, which is both a second pass and
+    * a nondeterministic schema at 100 TB. UNPIVOT is the inverse
+    * (`unpivot`/`melt`, stack() in SQL) — exercised in the spec by
+    * round-tripping this output back to long form. */
+  val q91Pivot = OpSpec(
+    "q91_pivot",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+    },
+    Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS n_click,
+        COUNT(*) FILTER (event_type = 'error') AS n_error,
+        COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        COUNT(*) FILTER (event_type = 'view') AS n_view
+      FROM events
+      GROUP BY user_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
-    q09SetOps, q10WindowRunning, q11Rollup)
+    q09SetOps, q10WindowRunning, q11Rollup, q91Pivot)
 }

@@ -1137,6 +1137,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q91 pivot round-trips through unpivot back to the long form") {
+    val wide = SparkEntry.queries("q91_pivot")(spark, sf)
+    val long = wide.unpivot(Array(col("user_id")),
+      Array(col("n_click"), col("n_error"), col("n_purchase"),
+        col("n_signup"), col("n_view")), "event_type", "n")
+      .filter(col("n") > 0)
+      .withColumn("event_type",
+        expr("substring(event_type, 3)")) // strip the n_ prefix
+    val direct = Tables.table(spark, sf, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(long.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(long).count() == 0)
+  }
+
+  test("q92 CDC merge equals the from-scratch snapshot (tombstones drop)") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q92_cdc_merge")(spark, sf)
+      .as[(Long, String, String, Double)].collect().toSet
+    // from-scratch: global latest row per user, tombstones dropped
+    val log = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    val want = log.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val last = rows.maxBy(_._2.getTime)
+      if (last._3 == "error") None else Some(last)
+    }.map { case (u, ts, t, v) =>
+      val s = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      s.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      (u, s.format(ts) + f".${ts.getNanos / 1000}%06d", t, v)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q93 attribution: channels legal, purchases all covered") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q93_attribution")(spark, sf)
+      .as[(Long, Long, String, String)].collect()
+    val purchases = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases) // attribution never drops a purchase
+    assert(rows.forall(r => Set("click", "view", "direct")(r._3)))
+    assert(rows.exists(_._3 != "direct")) // lookback actually fires
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
