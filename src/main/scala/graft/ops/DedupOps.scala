@@ -1066,9 +1066,58 @@ object DedupOps {
           ' ' ORDER BY block_idx), '')) AS kept_md5
       FROM ranked GROUP BY doc_id"""))
 
+  /** Per-doc triangle participation over the q27 near-dup pair graph —
+    * the cluster-density audit that separates tight duplicate cliques
+    * (every member pairs with every other: many triangles) from fragile
+    * chains (A~B~C with no A~C: zero) before a conservative "keep one
+    * per cluster" drop. Standard oriented-edge enumeration: pairs are
+    * already doc_a < doc_b, and the join pattern (x<y)(y<z)(x<z) admits
+    * each triangle exactly once, so no post-hoc dedup factor of 6.
+    *
+    * Scale shape: two hash self-joins on node ids; intermediate wedge
+    * count is Σ deg², which the LSH BucketCap already bounds per band —
+    * the classic triangle-count shuffle profile. Pairs are
+    * localCheckpoint()ed so the q27 plan is computed ONCE, not analyzed
+    * and executed three times (the q51 lesson). */
+  /** Per-node triangle participation counts over an ordered pair list
+    * (both columns node ids, first < second in every row — the q27/q50
+    * pair convention). Library form of q94; see its doc for shape. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"triangleCounts expects exactly two node-id columns, got " +
+        s"(${pairs.columns.mkString(", ")})")
+    val Seq(a, b) = pairs.columns.toSeq
+    val e = pairs.select(col(a).as("doc_a"), col(b).as("doc_b"))
+      .localCheckpoint() // pair plan computed once, not thrice
+    e.as("e1")
+      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("x"), col("e1.doc_b").as("y"),
+        col("e2.doc_b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  val q94TriangleCount = OpSpec(
+    "q94_triangle_count",
+    (s, dir) => triangleCounts(
+      q27MinhashLsh.query(s, dir).select(col("doc_a"), col("doc_b"))),
+    Some(s"""
+      WITH pairs AS (
+        SELECT doc_a, doc_b FROM (${q27MinhashLsh.oracle.get})),
+      tri AS (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+      SELECT doc_id, COUNT(*) AS n_tri
+      FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+      GROUP BY doc_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
-    q69BlockDedup)
+    q69BlockDedup, q94TriangleCount)
 }

@@ -1182,6 +1182,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_._3 != "direct")) // lookback actually fires
   }
 
+  test("triangleCounts: 4-clique, chain, and isolated edge (exact)") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, each node in 3), a chain 5-6-7
+    // (no closure, zero triangles), and an isolated edge 8-9
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupOps.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
