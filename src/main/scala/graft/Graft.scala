@@ -27,4 +27,13 @@ object Graft {
     GraftExtensions.install(s)
     s
   }
+
+  /** Register every corpus table of `dir` as a temp view (with the same
+    * ts normalization as [[Tables.table]]), so the full SQL surface —
+    * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")`, including
+    * the registered native functions — works against a scale-factor
+    * directory with one call. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach(n =>
+      Tables.table(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -85,6 +85,24 @@ class SchemaSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("registerTables exposes the corpus to plain spark.sql") {
+    GraftExtensions.install(spark)
+    Graft.registerTables(spark, "/root/testdata/sf0.001")
+    // a cross-table SQL query with a native function — the full ad-hoc
+    // surface a reference user would expect after switching
+    val n = spark.sql("""
+      SELECT count(*) FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey""").head.getLong(0)
+    assert(n > 0)
+    val d = spark.sql(
+      "SELECT dot_product(embedding, embedding) FROM embeddings LIMIT 1")
+      .head.getDouble(0)
+    assert(d >= 0.0)
+    // events.ts arrives normalized exactly like Tables.table
+    assert(spark.sql("SELECT unix_micros(ts) FROM events LIMIT 1")
+      .head.getLong(0) > 0L)
+  }
+
   test("dot_product with wrong arity is an analysis error, not an IOOBE") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {
