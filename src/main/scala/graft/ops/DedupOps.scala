@@ -1115,9 +1115,65 @@ object DedupOps {
       FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri)
       GROUP BY doc_id"""))
 
+  /** Edit-distance cap of the fuzzy match. */
+  private val EditCap = 2
+
+  /** Fuzzy (edit-distance) self-join over the part-name entity table —
+    * the entity-resolution primitive (catalog titles, author names,
+    * product variants). Candidates come from a character-bigram
+    * equi-join + length filter, NEVER all pairs: one edit destroys at
+    * most 2 bigrams, so strings of length ≥ 6 within distance
+    * [[EditCap]] must still share a bigram (every name here is ≥ 8
+    * chars; the bound is the q50 prefix-filter idea in character space).
+    * The levenshtein verify — integer, identical in both engines — runs
+    * only on candidates. Distinct names are resolved first, so the join
+    * keys the ENTITY table (|distinct| ≪ |rows|), and each bigram
+    * bucket is degree-bounded by the alphabet, not the corpus.
+    *
+    * Scale: candidate volume is Σ_bigram |bucket|²; for natural-language
+    * names buckets follow letter-pair frequency — the hot-bucket cap
+    * pattern (BucketCap) applies unchanged if a pathological corpus
+    * needs it. */
+  val q95FuzzyJoin = OpSpec(
+    "q95_fuzzy_join",
+    (s, dir) => {
+      val names = table(s, dir, "part").select(col("p_name")).distinct()
+      val grams = names
+        .select(col("p_name"), explode(expr(
+          """array_distinct(transform(sequence(1, length(p_name) - 1),
+             i -> substring(p_name, i, 2)))""")).as("bg"))
+      grams.as("a")
+        .join(grams.as("b"),
+          col("a.bg") === col("b.bg") &&
+            col("a.p_name") < col("b.p_name") &&
+            abs(length(col("a.p_name")) - length(col("b.p_name")))
+              <= EditCap)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        .distinct()
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= EditCap)
+    },
+    Some(s"""
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+      grams AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name) - 1),
+            i -> substring(p_name, i, 2)))) AS bg
+        FROM names),
+      cand AS (
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        FROM grams a JOIN grams b
+          ON a.bg = b.bg AND a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= $EditCap)
+      SELECT name_a, name_b,
+        CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM cand
+      WHERE levenshtein(name_a, name_b) <= $EditCap"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
-    q69BlockDedup, q94TriangleCount)
+    q69BlockDedup, q94TriangleCount, q95FuzzyJoin)
 }

@@ -356,8 +356,37 @@ object Relational {
       FROM events
       GROUP BY user_id"""))
 
+  /** Explicit GROUPING SETS (the general form q11's ROLLUP and q39's
+    * CUBE are sugar for): the hour-of-day × event-type heatmap plus
+    * BOTH one-dimensional margins and the grand total, in ONE pass —
+    * Spark plans a single Expand (4 replicas) + one aggregate, exactly
+    * the shape a dashboard's "all the subtotals" query needs without
+    * re-scanning per slice. Spark 4's Dataset.groupingSets API. */
+  val q96GroupingSets = OpSpec(
+    "q96_grouping_sets",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("hod", hour(col("ts")).cast("long"))
+      ev.groupingSets(
+          Seq(Seq(col("hod"), col("event_type")), Seq(col("hod")),
+            Seq(col("event_type")), Seq()),
+          col("hod"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(coalesce(col("hod"), lit(-1L)).as("hod"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("total"))
+    },
+    Some("""
+      SELECT coalesce(hod, -1) AS hod,
+             coalesce(event_type, 'ALL') AS event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM (SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type, value
+            FROM events)
+      GROUP BY GROUPING SETS ((hod, event_type), (hod), (event_type), ())"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
-    q09SetOps, q10WindowRunning, q11Rollup, q91Pivot)
+    q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets)
 }

@@ -1196,6 +1196,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("q95 fuzzy join finds EVERY pair a brute-force sweep finds") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q95_fuzzy_join")(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    val names = Tables.table(spark, sf, "part")
+      .select("p_name").distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want) // blocking loses nothing (names are >= 6 chars)
+    assert(got.nonEmpty)
+  }
+
+  test("q96 grouping sets: margins and grand total are consistent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q96_grouping_sets")(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    val cells = rows.filter(r => r._1 >= 0 && r._2 != "ALL")
+    val hodMargin = rows.filter(r => r._1 >= 0 && r._2 == "ALL")
+    val typeMargin = rows.filter(r => r._1 < 0 && r._2 != "ALL")
+    val grand = rows.filter(r => r._1 < 0 && r._2 == "ALL")
+    assert(grand.length == 1)
+    assert(cells.map(_._3).sum == grand.head._3)
+    assert(hodMargin.map(_._3).sum == grand.head._3)
+    assert(typeMargin.map(_._3).sum == grand.head._3)
+    // each hod margin equals the sum of its cells
+    cells.groupBy(_._1).foreach { case (h, cs) =>
+      assert(hodMargin.find(_._1 == h).get._3 == cs.map(_._3).sum)
+    }
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
