@@ -453,8 +453,66 @@ object EventOps {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       WHERE event_type = 'purchase'"""))
 
+  /** Top event-type paths (trigrams) within 30-minute sessions — the
+    * behavioral-sequence mining behind "what do users do before X".
+    * Sessionization is the q18 gaps-and-islands recipe; the trigram is
+    * then ROW-LOCAL: two `lead`s over the SAME (user_id, ts) sort
+    * deliver the next two types and their session ids, and a trigram
+    * counts only when all three rows share a session. Every window
+    * (lag flag, running session id, both leads) rides one shuffle + one
+    * sort; the count is partial-aggregated and the top-20 cut is
+    * TakeOrderedAndProject (per-partition heaps), never a full sort. */
+  val q97PathMining = OpSpec(
+    "q97_path_mining",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(wOrd).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+              >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(wRun))
+        .withColumn("t2", lead(col("event_type"), 1).over(wOrd))
+        .withColumn("s2", lead(col("sid"), 1).over(wOrd))
+        .withColumn("t3", lead(col("event_type"), 2).over(wOrd))
+        .withColumn("s3", lead(col("sid"), 2).over(wOrd))
+        .filter(col("s2") === col("sid") && col("s3") === col("sid"))
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, event_type,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      tri AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+            || '>' || lead(event_type, 2) OVER w AS path,
+          sid, lead(sid, 1) OVER w AS s2, lead(sid, 2) OVER w AS s3
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT path, COUNT(*) AS n
+      FROM tri WHERE s2 = sid AND s3 = sid
+      GROUP BY path
+      ORDER BY n DESC, path ASC
+      LIMIT 20"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
-    q90Anomaly, q92CdcMerge, q93Attribution)
+    q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining)
 }

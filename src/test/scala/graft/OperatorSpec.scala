@@ -1236,6 +1236,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 path mining: trigram mass equals sum of max(0, len-2)") {
+    import spark.implicits._
+    // fewer than 20 distinct paths exist at this sf, so the top-20 cut
+    // keeps ALL trigrams and the total mass is checkable exactly
+    val paths = SparkEntry.queries("q97_path_mining")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(paths.nonEmpty && paths.length < 20)
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val want = evs.groupBy(_._1).valuesIterator.map { rows =>
+      val ts = rows.map(_._2.getTime).sorted // ms; 30-min gap
+      var lens = List.empty[Int]
+      var cur = 0
+      var prev = Long.MinValue
+      ts.foreach { t =>
+        if (cur > 0 && t - prev >= 1800000L) { lens ::= cur; cur = 0 }
+        cur += 1; prev = t
+      }
+      lens ::= cur
+      lens.map(l => math.max(0, l - 2)).sum.toLong
+    }.sum
+    assert(paths.map(_._2).sum == want)
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
