@@ -1150,9 +1150,15 @@ object DedupOps {
               <= EditCap)
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
         .distinct()
+        // bounded form: banded O(cap·n) DP that bails out early (returns
+        // -1 past the threshold) — the verify cost per candidate is then
+        // proportional to the cap, not |a|·|b|; exact distance for every
+        // kept row, so the emitted value matches the oracle's unbounded
+        // levenshtein
         .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= EditCap)
+          levenshtein(col("name_a"), col("name_b"), EditCap)
+            .cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= EditCap)
     },
     Some(s"""
       WITH names AS (SELECT DISTINCT p_name FROM part),
