@@ -1261,6 +1261,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(paths.map(_._2).sum == want)
   }
 
+  test("q98 trained k-means: full assignment mass, full dim coverage") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q98_kmeans_train")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.table(spark, sf, "embeddings").count()
+    val perCid = rows.groupBy(_._1).map { case (cid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until 64L)) // every dim
+      assert(rs.map(_._2).distinct.length == 1) // one n per cluster
+      cid -> rs.head._2
+    }
+    assert(perCid.values.sum == corpus) // every vector assigned once
+    assert(perCid.keys.forall(c => c >= 0 && c < 8))
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
