@@ -75,5 +75,36 @@ object SketchOps {
       SELECT l_returnflag, n_exact, n_seen, kth_v, $estSql AS est
       FROM (SELECT *, $kthV AS kth_v FROM g)"""))
 
-  val all: Seq[OpSpec] = Seq(q88KmvDistinct)
+  /** Sketch MERGE under the gate — the property that makes q88 a real
+    * distributed summary: per-shard sketches (4 disjoint event_id % 4
+    * shards standing in for stored per-partition summaries), re-merged
+    * by feeding their elements through a second KMV pass, must equal a
+    * single whole-corpus sketch. The oracle computes only the latter —
+    * so the gate proves merge(shard sketches) == sketch(corpus) exactly,
+    * the invariant that lets 100 TB keep one tiny sketch row per
+    * partition and answer global distinct queries without rescanning
+    * (the sketch twin of q61/q92's state-merge gates). Emits the k-min
+    * elements themselves (as rows), not just the estimate — a stricter
+    * equality than any estimator comparison. */
+  val q99KmvMerge = OpSpec(
+    "q99_kmv_merge",
+    (s, dir) => {
+      val kmv = udaf(new graft.functions.KmvAgg(K))
+      table(s, dir, "lineitem")
+        .select((col("l_orderkey") % 4).as("shard"),
+          md5(concat(lit("kmv:"), col("l_partkey")).cast("binary")).as("h"))
+        .groupBy(col("shard"))
+        .agg(kmv(col("h")).as("sketch"))
+        .select(explode(col("sketch")).as("h")) // shard-sketch elements
+        .agg(kmv(col("h")).as("sketch"))        // merge = second pass
+        .select(posexplode(col("sketch")).as(Seq("pos", "h")))
+        .select((col("pos") + 1).cast("long").as("rnk"), col("h"))
+    },
+    Some(s"""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rnk, h
+      FROM (SELECT DISTINCT md5('kmv:' || l_partkey) AS h FROM lineitem)
+      ORDER BY h
+      LIMIT $K"""))
+
+  val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge)
 }
