@@ -772,9 +772,111 @@ object TextOps {
       FROM tokens t JOIN df ON t.word = df.word
       GROUP BY t.doc_id"""))
 
+  /** Per-source docs kept by the v2 pipeline's final quota. */
+  private val V2Quota = 10
+
+  /** Composed curation pipeline v2 — the round-3/4 operators chained the
+    * way a production corpus build runs them, under ONE gate: (1) the
+    * q75 Gopher rule gate (integer bounds); (2) exact-dedup survivors
+    * (min doc_id per content hash — q25); (3) corpus-RELATIVE
+    * commonness band over the surviving corpus (q87's integer df sums;
+    * membership by cross-multiplied 0.85 ≤ Σdf/(n_tok·N) ≤ 0.95 where N
+    * is the survivor count — a 1-row broadcast, and absolute-threshold
+    * drift across scale factors never decides rows); (4) a
+    * deterministic per-source quota (q52's salted-md5 rank). Every
+    * stage's selection is integer/exact, so the composed plan —
+    * filters, dedup aggregate, token join, scalar subquery, quota
+    * window — hash-matches end to end (the q49 composition widened to
+    * the newer operator families). */
+  val q100PipelineV2 = OpSpec(
+    "q100_pipeline_v2",
+    (s, dir) => {
+      val gated = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_wchars", expr(
+          "CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          s"CAST(size(filter(words, w -> w IN ($stopwordsSql))) AS BIGINT)"))
+        .filter(expr(
+          s"""n_words BETWEEN $MinWords AND $MaxWords
+              AND n_words > 0 AND $MinWordLen * n_words <= n_wchars
+              AND n_wchars <= $MaxWordLen * n_words
+              AND n_stop >= $MinStopHits"""))
+      val surv = gated
+        .withColumn("chash", md5(col("text").cast("binary")))
+      val keep = surv.groupBy(col("chash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val docs = surv.join(keep, Seq("chash", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("words"))
+      val n = docs.agg(count(lit(1)).as("corpus_n"))
+      val tokens = docs
+        .select(col("doc_id"), col("source"),
+          explode(col("words")).as("word"))
+      val df = tokens.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+      tokens.join(df, Seq("word"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .crossJoin(broadcast(n))
+        .filter(lit(20) * col("sum_df") >=
+            lit(17) * col("n_tok") * col("corpus_n") &&
+          lit(20) * col("sum_df") <=
+            lit(19) * col("n_tok") * col("corpus_n"))
+        .withColumn("rk",
+          md5(concat(lit("cur:"), col("doc_id")).cast("binary")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= V2Quota)
+        .select(col("source"), col("rn"), col("doc_id"), col("n_tok"),
+          col("sum_df"))
+    },
+    Some(s"""
+      WITH gated AS (
+        SELECT doc_id, source, text, words FROM (
+          SELECT doc_id, source, text, words,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+              AS BIGINT) AS n_wchars,
+            CAST(len(list_filter(words, w -> w IN ($stopwordsSql)))
+              AS BIGINT) AS n_stop
+          FROM (SELECT doc_id, source, text, $wordsDuck AS words
+                FROM documents))
+        WHERE n_words BETWEEN $MinWords AND $MaxWords
+          AND n_words > 0 AND $MinWordLen * n_words <= n_wchars
+          AND n_wchars <= $MaxWordLen * n_words
+          AND n_stop >= $MinStopHits),
+      surv AS (
+        SELECT doc_id, source, words
+        FROM (SELECT *, md5(text) AS chash FROM gated)
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY chash)),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM surv),
+      tokens AS (
+        SELECT doc_id, source, unnest(words) AS word FROM surv),
+      df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY word),
+      scored AS (
+        SELECT t.doc_id, t.source, COUNT(*) AS n_tok,
+          CAST(SUM(df.df) AS BIGINT) AS sum_df
+        FROM tokens t JOIN df USING (word)
+        GROUP BY t.doc_id, t.source),
+      banded AS (
+        SELECT s.*, md5('cur:' || s.doc_id) AS rk
+        FROM scored s, n
+        WHERE 20 * s.sum_df >= 17 * s.n_tok * n.corpus_n
+          AND 20 * s.sum_df <= 19 * s.n_tok * n.corpus_n)
+      SELECT source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id)
+          AS BIGINT) AS rn,
+        doc_id, n_tok, sum_df
+      FROM banded
+      QUALIFY rn <= $V2Quota"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
-    q77InvertedIndex, q80Winnowing, q87Commonness)
+    q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2)
 }

@@ -695,10 +695,13 @@ class OperatorSpec extends AnyFunSuite {
     // q78's are the same shape (1-row ΣW and T totals of the per-domain
     // count aggregate)
     // q89 fuses the q30 and q73 rankers, so it carries the same bounded
-    // 20-query broadcast scoring pass
+    // 20-query broadcast scoring pass; q98's nested loops broadcast the
+    // k=8 centroid table per Lloyd iteration; q100's is the 1-row
+    // survivor-count scalar (the q76/q78 shape)
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
       "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms",
-      "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion")
+      "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion",
+      "q98_kmeans_train", "q100_pipeline_v2")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
