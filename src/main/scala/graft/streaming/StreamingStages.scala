@@ -123,6 +123,43 @@ object StreamingStages {
       .toDF("user_id", "n_events", "mean_value")
   }
 
+  /** Streaming twin of the q84 funnel: per-user (first_view,
+    * first_click_after, first_purchase_after) carried as
+    * mapGroupsWithState state — three longs per user, the O(1)-state
+    * property the batch twin's running windows rely on, here surviving
+    * across micro-batches. Rows are sorted by ts WITHIN each batch
+    * (micro-batch group iterators are unordered); stages only ever
+    * latch forward, so with batch boundaries that respect event time
+    * (file-per-period ingestion) the end state equals the batch funnel
+    * — asserted by StreamingSpec. Emits micros (-1 = unreached). */
+  def runningFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          var (fv, fc, fp) = state.getOption.getOrElse((-1L, -1L, -1L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, t, ts) =>
+            t match {
+              case "view" if fv < 0 => fv = ts
+              case "click" if fv >= 0 && ts > fv && fc < 0 => fc = ts
+              case "purchase" if fc >= 0 && ts > fc && fp < 0 => fp = ts
+              case _ =>
+            }
+          }
+          state.update((fv, fc, fp))
+          val stage = 1L + (if (fc >= 0) 1L else 0L) + (if (fp >= 0) 1L else 0L)
+          (user, if (fv >= 0) stage else 0L, fv, fc, fp)
+      }
+      .toDF("user_id", "stage", "fv_us", "fc_us", "fp_us")
+      .filter(col("stage") >= 1) // funnel population: users who viewed
+  }
+
   /** Production sink: append the stream to sharded parquet with a
     * checkpoint (the streaming twin of `Sinks.shardedParquet`). The file
     * sink's write-ahead log gives exactly-once files-per-batch, so a

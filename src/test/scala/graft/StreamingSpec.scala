@@ -138,6 +138,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.toString).count() == 2 * nBatch)
   }
 
+  test("stateful streaming funnel == batch q84 at end of input") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingStages.eventsStream(spark, eventsDir)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.runningFunnel(spark, stream), "funnel_out",
+      outputMode = "update")
+    try {
+      def us(c: String) = when(col(c) >= 0,
+        Tables.fmtTs(timestamp_micros(col(c)))) // -1 => null
+      val streamed = spark.table("funnel_out")
+        .select(col("user_id"), col("stage"),
+          us("fv_us").as("first_view"), us("fc_us").as("first_click"),
+          us("fp_us").as("first_purchase"))
+      val batch = SparkEntry.queries("q84_funnel")(spark, sf)
+      assert(streamed.count() == batch.count()) // one state row per user
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats == batch groupBy at end of input") {
     import org.apache.spark.sql.functions._
     val stream = StreamingStages.eventsStream(spark, eventsDir)
