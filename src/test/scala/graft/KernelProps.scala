@@ -131,4 +131,22 @@ object KernelProps extends Properties("kernels") {
     }
     covered.sorted == (0 until simBits).toList
   }
+
+  // KMV state law: for ANY inputs (duplicates included), ANY split, and
+  // ANY merge shape, the state is the k smallest distinct values — the
+  // invariant that makes q88/q99's sketch partition- and retry-stable
+  private val kmvInputs =
+    Gen.listOf(Gen.chooseNum(0, 999).map(i => f"h$i%03x"))
+  property("KMV reduce/merge == sorted distinct take k, any split") =
+    forAll(kmvInputs, Gen.chooseNum(2, 16), Gen.chooseNum(0, 1000)) {
+      (xs, k, cut) =>
+        val agg = new graft.functions.KmvAgg(k)
+        def fold(s: Seq[String]) = s.foldLeft(agg.zero)(agg.reduce)
+        val expected = xs.distinct.sorted.take(k)
+        val (a, b) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
+        fold(xs).toSeq == expected &&
+          agg.merge(fold(a), fold(b)).toSeq == expected &&
+          agg.merge(fold(b), fold(a)).toSeq == expected &&
+          agg.merge(fold(xs), fold(xs)).toSeq == expected // self-merge
+    }
 }
