@@ -385,8 +385,97 @@ object Relational {
             FROM events)
       GROUP BY GROUPING SETS ((hod, event_type), (hod), (event_type), ())"""))
 
+  /** Exact per-group median WITHOUT sorting rows: aggregate to
+    * (group, value) counts first — the count table is bounded by
+    * DISTINCT values, not row count — then pick the rank-⌈n/2⌉ value
+    * with one ordered window over that small table (percentile_disc
+    * 0.5 semantics: lower median, deterministic). At 100 TB the row
+    * data crosses the wire once as partial-aggregated counts; a
+    * sort-based median would shuffle every row. Values go through
+    * exact integer cents (the q10 recipe) so the emitted double is the
+    * same IEEE quotient in both engines. */
+  val q101ExactMedian = OpSpec(
+    "q101_exact_median",
+    (s, dir) => {
+      val counts = table(s, dir, "lineitem")
+        .withColumn("pc", round(col("l_extendedprice") * 100.0).cast("long"))
+        .groupBy(col("l_returnflag"), col("pc"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      counts
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        // first value whose cumulative count reaches rank (n+1) DIV 2
+        .filter(col("cum") - col("c") < expr("(n + 1) DIV 2") &&
+          expr("(n + 1) DIV 2") <= col("cum"))
+        .select(col("l_returnflag"), col("n"),
+          (col("pc").cast("double") / 100.0).as("median_price"))
+    },
+    Some("""
+      SELECT l_returnflag, n, CAST(pc AS DOUBLE) / 1e2 AS median_price
+      FROM (
+        SELECT l_returnflag, pc, c,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY pc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM (SELECT l_returnflag,
+                CAST(round(l_extendedprice * 1e2) AS BIGINT) AS pc,
+                COUNT(*) AS c
+              FROM lineitem GROUP BY 1, 2))
+      WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum"""))
+
+  /** Referential-integrity / key-quality audit suite — the relational
+    * data-quality checks every warehouse runs before publishing a
+    * table set: orphaned FKs (anti-joins), duplicate PKs, null keys.
+    * One row per check so the suite extends by union; each check is a
+    * single partial-aggregated anti-join or aggregate — no check ever
+    * rescans another's work. */
+  /** Library form of q102 over arbitrary fact/dim/dim2 frames —
+    * OperatorSpec exercises it on deliberately broken data (the corpus
+    * tables are clean, so the gated run's zeros alone would prove
+    * nothing about the checks' semantics). */
+  def integrityAudit(li: DataFrame, o: DataFrame, c: DataFrame)
+      : DataFrame = {
+    def one(name: String, n: DataFrame) =
+      n.select(lit(name).as("check"), col("n"))
+    one("lineitem_orphan_orderkey",
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+      .unionByName(one("orders_orphan_custkey",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionByName(one("orders_dup_orderkey",
+        o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1).agg(count(lit(1)).as("n"))))
+      .unionByName(one("lineitem_null_orderkey",
+        li.filter(col("l_orderkey").isNull).agg(count(lit(1)).as("n"))))
+  }
+
+  val q102IntegrityAudit = OpSpec(
+    "q102_integrity_audit",
+    (s, dir) => integrityAudit(table(s, dir, "lineitem"),
+      table(s, dir, "orders"), table(s, dir, "customer")),
+    Some("""
+      SELECT 'lineitem_orphan_orderkey' AS check, COUNT(*) AS n
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_orphan_custkey', COUNT(*)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orders_dup_orderkey', COUNT(*)
+      FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+            HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'lineitem_null_orderkey', COUNT(*)
+      FROM lineitem WHERE l_orderkey IS NULL"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
-    q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets)
+    q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
+    q101ExactMedian, q102IntegrityAudit)
 }

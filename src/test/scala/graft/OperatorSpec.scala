@@ -1279,6 +1279,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(perCid.keys.forall(c => c >= 0 && c < 8))
   }
 
+  test("q101 exact median matches a driver-side sort per group") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q101_exact_median")(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = Tables.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val median = sorted((sorted.length + 1) / 2 - 1) // lower median
+      assert(got(flag) == (sorted.length.toLong, median / 100.0))
+    }
+  }
+
+  test("q102 integrity audit counts injected violations exactly") {
+    import spark.implicits._
+    // 3 keyed lineitem orphans + 1 null key (a NULL FK never matches, so
+    // it counts as an orphan too — NOT EXISTS and left_anti agree);
+    // 1 orphan order; one duplicated PK
+    val li = Seq(Some(1L), Some(1L), Some(99L), Some(98L), Some(97L), None)
+      .toDF("l_orderkey")
+    val o = Seq((1L, 10L), (1L, 10L), (2L, 77L)).toDF("o_orderkey", "o_custkey")
+    val c = Seq(10L).toDF("c_custkey")
+    val got = graft.ops.Relational.integrityAudit(li, o, c)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "lineitem_orphan_orderkey" -> 4L,
+      "orders_orphan_custkey" -> 1L,
+      "orders_dup_orderkey" -> 1L,
+      "lineitem_null_orderkey" -> 1L))
+    // and the gated corpus is clean — zeros are the CORRECT answer there
+    val corpus = SparkEntry.queries("q102_integrity_audit")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(corpus.forall(_._2 == 0L))
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
