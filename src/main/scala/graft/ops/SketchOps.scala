@@ -45,12 +45,19 @@ object SketchOps {
     "q88_kmv_distinct",
     (s, dir) => {
       val kmv = udaf(new graft.functions.KmvAgg(K))
+      // the exact anchor forces a distinct pass anyway — running it
+      // FIRST (instead of countDistinct's Expand alongside the sketch)
+      // halves the shuffled rows and feeds the Aggregator |distinct|
+      // rows instead of |raw| (measured 30x fewer here). The pure
+      // production sketch path is q99's: raw rows straight into the
+      // map-side-combined Aggregator, no distinct shuffle at all.
       table(s, dir, "lineitem")
         .select(col("l_returnflag"),
           md5(concat(lit("kmv:"), col("l_partkey")).cast("binary")).as("h"))
+        .distinct()
         .groupBy(col("l_returnflag"))
         .agg(kmv(col("h")).as("sketch"),
-          countDistinct(col("h")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .withColumn("n_seen", size(col("sketch")).cast("long"))
         .withColumn("kh", element_at(col("sketch"), K))
         .withColumn("kth_v", expr(kthV))
