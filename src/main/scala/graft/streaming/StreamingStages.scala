@@ -160,6 +160,33 @@ object StreamingStages {
       .filter(col("stage") >= 1) // funnel population: users who viewed
   }
 
+  /** Watermarked STREAM-STREAM interval join — the q20 range join with
+    * both sides unbounded: purchases within 5 minutes after an error by
+    * the same user. The time-range predicate plus both watermarks is
+    * exactly what lets the engine BOUND the join state (errors older
+    * than watermark + 5 min can never match a future purchase and are
+    * evicted) — an unbounded-state stream-stream equi-join without the
+    * range condition would grow forever. Equality on user_id keys the
+    * state store; the interval is a residual, mirroring the batch
+    * plan's hash-join + filter shape. */
+  def streamStreamRangeJoin(errors: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val a = errors
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = purchases
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("error_id"), col("purchase_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"))
+  }
+
   /** Production sink: append the stream to sharded parquet with a
     * checkpoint (the streaming twin of `Sinks.shardedParquet`). The file
     * sink's write-ahead log gives exactly-once files-per-batch, so a

@@ -158,6 +158,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch q20 range join") {
+    import org.apache.spark.sql.functions._
+    val errors = StreamingStages.eventsStream(spark, eventsDir)
+      .filter(col("event_type") === "error")
+    val purchases = StreamingStages.eventsStream(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+    val q = StreamingStages.runToMemory(
+      StreamingStages.streamStreamRangeJoin(errors, purchases), "ssj_out",
+      outputMode = "append")
+    try {
+      val streamed = spark.table("ssj_out")
+      val batch = SparkEntry.queries("q20_range_join")(spark, sf)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats == batch groupBy at end of input") {
     import org.apache.spark.sql.functions._
     val stream = StreamingStages.eventsStream(spark, eventsDir)
