@@ -402,7 +402,10 @@ object Relational {
         .groupBy(col("l_returnflag"), col("pc"))
         .agg(count(lit(1)).as("c"))
       val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
+      // group total rides the SAME ordered window with an explicit full
+      // frame (the q72 trick): one Window operator, one sort
+      val wAll = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       counts
         .withColumn("cum", sum(col("c")).over(wOrd))
         .withColumn("n", sum(col("c")).over(wAll))
