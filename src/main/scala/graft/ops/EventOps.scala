@@ -511,8 +511,69 @@ object EventOps {
       ORDER BY n DESC, path ASC
       LIMIT 20"""))
 
+  /** First-order Markov transition estimates over within-session event
+    * bigrams — the behavioral model fit behind next-action prediction
+    * and anomaly scoring (q97's trigram mining reduced to estimation):
+    * P(next | cur) as exact integer transition counts over one shared
+    * (user, ts) sort, the probability being the single division
+    * count/row-total. Output is |types|² rows max, independent of
+    * event volume. */
+  val q103MarkovTransitions = OpSpec(
+    "q103_markov_transitions",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val trans = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(wOrd).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+              >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(wRun))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wOrd))
+        .withColumn("s2", lead(col("sid"), 1).over(wOrd))
+        .filter(col("s2") === col("sid"))
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("cur"))
+        .orderBy(col("nxt")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+      trans
+        .withColumn("row_n", sum(col("n")).over(w))
+        .select(col("cur"), col("nxt"), col("n"), col("row_n"),
+          (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, event_type,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      trans AS (
+        SELECT cur, nxt, COUNT(*) AS n FROM (
+          SELECT event_type AS cur, lead(event_type, 1) OVER w AS nxt,
+            sid, lead(sid, 1) OVER w AS s2
+          FROM sess
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        WHERE s2 = sid GROUP BY cur, nxt)
+      SELECT cur, nxt, n,
+        CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS row_n,
+        CAST(n AS DOUBLE)
+          / CAST(CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS DOUBLE)
+          AS p
+      FROM trans"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
-    q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining)
+    q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
+    q103MarkovTransitions)
 }

@@ -476,9 +476,48 @@ object Relational {
       SELECT 'lineitem_null_orderkey', COUNT(*)
       FROM lineitem WHERE l_orderkey IS NULL"""))
 
+  /** Order-independent table fingerprint — the replication/migration
+    * audit that answers "are these two copies of a 100 TB table
+    * identical?" without moving rows: each row is serialized with
+    * explicit delimiters, hashed, folded to a BIGINT, and combined with
+    * commutative aggregates (sum mod nothing — BIGINT wrap is
+    * commutative too — plus xor and count). ANY row order / partitioning
+    * / engine yields the same triple, so two sites compare three
+    * numbers. Only integer/string columns enter the serialization —
+    * float-to-string formatting is engine-specific, exactly what a
+    * portable fingerprint must avoid (doubles would go through exact
+    * integer cents first). */
+  val q104TableChecksum = OpSpec(
+    "q104_table_checksum",
+    (s, dir) => {
+      table(s, dir, "orders")
+        .withColumn("hx", md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")).cast("binary")))
+        .withColumn("hv", expr(
+          s"CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT)"))
+        .agg(count(lit(1)).as("n_rows"),
+          // sum folded into the 2^61-1 Mersenne field: exact decimal
+          // accumulation (a raw BIGINT sum overflows ANSI at ~2^13 rows
+          // of 60-bit hashes), one exact mod at the end — commutative,
+          // so still order/partitioning-independent
+          expr("""CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                  % 2305843009213693951 AS BIGINT)""").as("sum_h"),
+          expr("CAST(bit_xor(hv) AS BIGINT)").as("xor_h"))
+    },
+    Some(s"""
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+             % 2305843009213693951 AS BIGINT) AS sum_h,
+        CAST(bit_xor(hv) AS BIGINT) AS xor_h
+      FROM (SELECT CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT) AS hv
+            FROM (SELECT md5(o_orderkey || '|' || o_custkey || '|' ||
+                    o_orderstatus || '|' || o_orderpriority) AS hx
+                  FROM orders))"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
-    q101ExactMedian, q102IntegrityAudit)
+    q101ExactMedian, q102IntegrityAudit, q104TableChecksum)
 }

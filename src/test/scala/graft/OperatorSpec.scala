@@ -1317,6 +1317,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(corpus.forall(_._2 == 0L))
   }
 
+  test("q103 Markov rows are proper distributions per current state") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q103_markov_transitions")(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sum == rs.head._4) // counts sum to the row total
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("q104 checksum is invariant under repartitioning and row order") {
+    import spark.implicits._
+    val base = SparkEntry.queries("q104_table_checksum")(spark, sf)
+      .as[(Long, Long, Long)].head()
+    // same fingerprint off a deliberately reshuffled, reordered scan
+    val shuffled = Tables.table(spark, sf, "orders")
+      .repartition(13, col("o_orderpriority"))
+      .sortWithinPartitions(col("o_totalprice").desc)
+      .withColumn("hx", md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority")).cast("binary")))
+      .withColumn("hv", expr {
+        val fold = (0 until 15).map { i =>
+          val p = math.pow(16, 14 - i).toLong
+          s"(instr('0123456789abcdef', substring(hx, ${1 + i}, 1)) - 1)" +
+            s" * CAST($p AS BIGINT)"
+        }.mkString("(", " + ", ")")
+        s"CAST($fold AS BIGINT)"
+      })
+      .agg(count(lit(1)),
+        expr("""CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                % 2305843009213693951 AS BIGINT)"""),
+        expr("CAST(bit_xor(hv) AS BIGINT)"))
+      .as[(Long, Long, Long)].head()
+    assert(shuffled == base)
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
