@@ -571,9 +571,48 @@ object EventOps {
           AS p
       FROM trans"""))
 
+  /** Rolling 7-day distinct users per day (trailing WAU) — the rolling-
+    * cardinality metric a frame-bound COUNT(DISTINCT) cannot express
+    * (window frames don't support DISTINCT aggregates in either
+    * engine). Shape: dedup to (day, user) pairs FIRST (the big
+    * reduction — day-level activity is tiny vs events), then each pair
+    * row-locally explodes into the ≤ 7 report days it contributes to
+    * (integer day arithmetic), and one distinct-count per report day
+    * finishes. No self-join of the fact table, no per-day rescan;
+    * report days beyond the last activity day are clipped so every
+    * window is fully defined. */
+  val q105RollingDistinct = OpSpec(
+    "q105_rolling_distinct",
+    (s, dir) => {
+      val days = table(s, dir, "events")
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"), col("user_id"))
+        .distinct()
+      val maxDay = days.agg(max(col("day")).as("max_day"))
+      days
+        .withColumn("report_day", explode(expr("sequence(day, day + 6)")))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("report_day") <= col("max_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS day,
+          user_id
+        FROM events),
+      m AS (SELECT max(day) AS max_day FROM days)
+      SELECT report_day, COUNT(DISTINCT user_id) AS wau
+      FROM (SELECT day + k AS report_day, user_id
+            FROM days, (SELECT unnest(generate_series(0, 6)) AS k)), m
+      WHERE report_day <= m.max_day
+      GROUP BY report_day"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
-    q103MarkovTransitions)
+    q103MarkovTransitions, q105RollingDistinct)
 }

@@ -701,7 +701,7 @@ class OperatorSpec extends AnyFunSuite {
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
       "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms",
       "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion",
-      "q98_kmeans_train", "q100_pipeline_v2")
+      "q98_kmeans_train", "q100_pipeline_v2", "q105_rolling_distinct")
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -1353,6 +1353,22 @@ class OperatorSpec extends AnyFunSuite {
         expr("CAST(bit_xor(hv) AS BIGINT)"))
       .as[(Long, Long, Long)].head()
     assert(shuffled == base)
+  }
+
+  test("q105 trailing WAU equals a brute-force window recount") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q105_rolling_distinct")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Tables.table(spark, sf, "events")
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long"), col("user_id"))
+      .as[(Long, Long)].collect().distinct
+    val maxDay = pairs.map(_._1).max
+    val want = (0L to maxDay).map { d =>
+      d -> pairs.filter(p => p._1 >= d - 6 && p._1 <= d)
+        .map(_._2).distinct.length.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want)
   }
 
   test("q88 KMV estimate is within the k=128 theoretical error band") {
