@@ -1177,9 +1177,104 @@ object DedupOps {
       FROM cand
       WHERE levenshtein(name_a, name_b) <= $EditCap"""))
 
+  /** Containment (near-subset) join — the ASYMMETRIC complement of
+    * q50's Jaccard join: flag pairs where ≥ 3/4 of the SMALLER doc's
+    * 2-gram set lives inside the larger (excerpts, quoted passages,
+    * doc-in-doc duplication that symmetric Jaccard misses outright
+    * when sizes are skewed — a 10× larger superset caps J at 0.1).
+    * Prefix filtering still applies but one-sided: if containment ≥ τ,
+    * the smaller side's first sz − ⌈τ·sz⌉ + 1 grams (global
+    * rarest-first order, shared with q50) must hit the larger side
+    * SOMEWHERE — so candidates come from prefix(small) ⨝ all-grams,
+    * with NO size-ratio filter (size skew is the point). Verify is the
+    * same native sorted-intersect; the threshold is the integer
+    * cross-product 4·i ≥ 3·sz_small. */
+  val q107ContainmentJoin = OpSpec(
+    "q107_containment_join",
+    (s, dir) => {
+      val grams = gramRows(s, dir, 2)
+        .withColumn("hx", md5(col("gram").cast("binary")))
+        .select(col("doc_id"),
+          expr(s"CAST(${hexToLong("hx", 1, 15)} AS BIGINT)").as("g"))
+        .distinct()
+        .persist()
+      val docArr = grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("g"))).as("arr"),
+          count(lit(1)).as("sz"))
+        .persist()
+      val sizes = docArr.select(col("doc_id"), col("sz"))
+      val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
+      val prefix = grams.join(freq, "g").join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
+        .select(col("doc_id"), col("g"), col("sz"))
+      val allG = grams.join(sizes, "doc_id")
+      val cand = prefix.as("a")
+        .join(allG.as("b"),
+          col("a.g") === col("b.g") &&
+            (col("a.sz") < col("b.sz") ||
+              (col("a.sz") === col("b.sz") &&
+                col("a.doc_id") < col("b.doc_id"))))
+        .select(col("a.doc_id").as("doc_small"),
+          col("b.doc_id").as("doc_large"))
+        .distinct()
+      cand
+        .join(docArr.select(col("doc_id").as("doc_small"),
+          col("arr").as("arrs"), col("sz").as("szs")), "doc_small")
+        .join(docArr.select(col("doc_id").as("doc_large"),
+          col("arr").as("arrl")), "doc_large")
+        .withColumn("n_inter", graft.functions.VectorFunctions
+          .sortedIntersectCount(col("arrs"), col("arrl")))
+        .filter(lit(4) * col("n_inter") >= lit(3) * col("szs"))
+        .withColumn("containment",
+          col("n_inter").cast("double") / col("szs").cast("double"))
+        .select(col("doc_small"), col("doc_large"), col("n_inter"),
+          col("containment"))
+    },
+    Some(s"""
+      WITH grows0 AS (
+        SELECT DISTINCT doc_id, words[i] || ' ' || words[i + 1] AS gram
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+        WHERE len(words) >= 2),
+      grows AS (
+        SELECT DISTINCT doc_id,
+          CAST(${hexToLong("hx", 1, 15)} AS BIGINT) AS g
+        FROM (SELECT doc_id, md5(gram) AS hx FROM grows0)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grows GROUP BY doc_id),
+      freq AS (SELECT g, COUNT(*) AS df FROM grows GROUP BY g),
+      prefix AS (
+        SELECT doc_id, g, sz FROM (
+          SELECT w.doc_id, w.g, s.sz,
+            CAST(ROW_NUMBER() OVER (PARTITION BY w.doc_id
+              ORDER BY f.df ASC, w.g ASC) AS BIGINT) AS rn
+          FROM grows w JOIN freq f USING (g) JOIN sizes s USING (doc_id))
+        WHERE 3 * sz <= 4 * (sz - rn + 1)),
+      allg AS (
+        SELECT w.doc_id, w.g, s.sz
+        FROM grows w JOIN sizes s USING (doc_id)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_large
+        FROM prefix a JOIN allg b
+          ON a.g = b.g
+         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
+      inter AS (
+        SELECT c.doc_small, c.doc_large, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN grows x ON x.doc_id = c.doc_small
+        JOIN grows y ON y.doc_id = c.doc_large AND y.g = x.g
+        GROUP BY c.doc_small, c.doc_large)
+      SELECT doc_small, doc_large, n_inter,
+        CAST(n_inter AS DOUBLE) / CAST(ss.sz AS DOUBLE) AS containment
+      FROM inter
+      JOIN sizes ss ON ss.doc_id = doc_small
+      WHERE 4 * n_inter >= 3 * ss.sz"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
-    q69BlockDedup, q94TriangleCount, q95FuzzyJoin)
+    q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin)
 }

@@ -874,9 +874,80 @@ object TextOps {
       FROM banded
       QUALIFY rn <= $V2Quota"""))
 
+  /** Minimum bigram occurrences before a collocation is scored (the
+    * classic low-count PMI-noise guard). */
+  private val MinPairCount = 5
+
+  /** Collocation (phrase) mining by log-free lift — the statistic that
+    * ranks identically to PMI (log is monotone; neither engine's libm
+    * is bit-pinned, so the oracle bans it): lift(x,y) = N·c(xy) /
+    * (c(x)·c(y)) over corpus word bigrams. The phrase-discovery pass a
+    * tokenizer/vocab build runs before merging frequent pairs. All
+    * counts are exact BIGINTs and the one division is the only float
+    * op (N·c(xy) needs N·c_xy < 2^63 — holds far past this corpus; a
+    * 10^12-token corpus would move the product into DECIMAL first).
+    *
+    * Shape: bigram counts and unigram counts are two map-side-combined
+    * aggregates over the same token stream; unigrams join back onto
+    * the pair table by each side (vocab-keyed hash joins); the final
+    * top-k is a heap cut, ties broken by the pair text. */
+  val q106Collocations = OpSpec(
+    "q106_collocations",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(col("doc_id"), expr(wordsSpark).as("words"))
+      val pairs = words
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> struct(words[i - 1] AS w1, words[i] AS w2))"""))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= MinPairCount)
+      val uni = words
+        .select(explode(col("words")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = words
+        .agg(sum(size(col("words")).cast("long")).as("n_tok"))
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          ((col("n_tok") * col("c_xy")).cast("double") /
+            (col("c_x") * col("c_y")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, $wordsDuck AS words FROM documents),
+      pairs AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1))
+                         AS i)
+        WHERE len(words) >= 2),
+      pc AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM pairs GROUP BY w1, w2
+        HAVING COUNT(*) >= $MinPairCount),
+      uni AS (
+        SELECT word, COUNT(*) AS c
+        FROM (SELECT unnest(words) AS word FROM w) GROUP BY word),
+      n AS (SELECT CAST(SUM(len(words)) AS BIGINT) AS n_tok FROM w)
+      SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+        CAST(n.n_tok * c_xy AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE)
+          AS lift
+      FROM pc
+      JOIN uni ux ON ux.word = pc.w1
+      JOIN uni uy ON uy.word = pc.w2, n
+      ORDER BY lift DESC, w1 ASC, w2 ASC
+      LIMIT 50"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
-    q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2)
+    q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
+    q106Collocations)
 }

@@ -1371,6 +1371,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q107 containment join finds EVERY pair brute force finds") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q107_containment_join")(spark, sf)
+      .select("doc_small", "doc_large", "n_inter")
+      .as[(Long, Long, Long)].collect().toSet
+    val words = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        "filter(split(text, '\\\\s+'), x -> length(x) > 0)"))
+      .as[(Long, Seq[String])].collect()
+    val gsets = words.map { case (id, ws) =>
+      id -> ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, ga) <- gsets; (ib, gb) <- gsets
+      if ga.size < gb.size || (ga.size == gb.size && ia < ib)
+      inter = ga.intersect(gb).size
+      if 4 * inter >= 3 * ga.size
+    } yield (ia, ib, inter.toLong)).toSet
+    assert(got == want) // one-sided prefix blocking loses nothing
+    assert(got.nonEmpty)
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
