@@ -610,9 +610,53 @@ object EventOps {
       WHERE report_day <= m.max_day
       GROUP BY report_day"""))
 
+  /** Week-over-week deltas per event type — the period-comparison
+    * report every metrics dashboard leads with. Weekly exact-cents
+    * totals (one small aggregate), then lag() within each type gives
+    * prior week; absolute delta stays exact integer cents, and the
+    * relative change is the single division of exact integers (emitted
+    * NULL for the first week — no prior). ISO-independent week key:
+    * integer days-since-epoch DIV 7, so both engines bucket
+    * identically with no WEEK() locale semantics in play. */
+  val q108WeekOverWeek = OpSpec(
+    "q108_week_over_week",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      table(s, dir, "events")
+        .select(col("event_type"),
+          expr("""datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7""")
+            .cast("long").as("wk"),
+          expr("CAST(round(value * 1e2) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_c"))
+        .withColumn("prev_c", lag(col("tot_c"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("n"),
+          (col("tot_c").cast("double") / 100.0).as("total"),
+          (col("tot_c") - col("prev_c")).as("delta_cents"),
+          ((col("tot_c") - col("prev_c")).cast("double") /
+            col("prev_c").cast("double")).as("rel_change"))
+    },
+    Some("""
+      SELECT event_type, wk, n,
+        CAST(tot_c AS DOUBLE) / 1e2 AS total,
+        tot_c - prev_c AS delta_cents,
+        CAST(tot_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE)
+          AS rel_change
+      FROM (
+        SELECT event_type, wk, n, tot_c,
+          lag(tot_c, 1) OVER (PARTITION BY event_type ORDER BY wk)
+            AS prev_c
+        FROM (SELECT event_type,
+                CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  // 7 AS BIGINT) AS wk,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS BIGINT)
+                  AS tot_c
+              FROM events GROUP BY 1, 2))"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
-    q103MarkovTransitions, q105RollingDistinct)
+    q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek)
 }
