@@ -654,9 +654,79 @@ object EventOps {
                   AS tot_c
               FROM events GROUP BY 1, 2))"""))
 
+  /** A/B experiment readout over a DETERMINISTIC assignment: users
+    * split 50/50 by salted md5 (the q53 recipe — retries, reruns and
+    * late-arriving events always land a user in the same arm, which
+    * rand() cannot promise), conversion = did the user purchase.
+    * Per-arm counts are exact; the conversion rate is one division,
+    * and the B-vs-A lift is computed from the exact integer cross
+    * product (conv_b·users_a) / (conv_a·users_b) — one division of two
+    * exactly-representable products, not a ratio of ratios (which
+    * would stack four rounding steps). */
+  val q109AbReadout = OpSpec(
+    "q109_ab_readout",
+    (s, dir) => {
+      val assigned = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .withColumn("hx",
+          md5(concat(lit("exp1:"), col("user_id")).cast("binary")))
+        .withColumn("arm", expr(
+          s"CASE WHEN ${graft.ops.DedupOps.hexToLong("hx", 1, 12)} % 2 = 0" +
+            " THEN 'A' ELSE 'B' END"))
+      val perArm = assigned
+        .groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("converters"))
+      val wide = perArm.groupBy()
+        .agg(
+          max(when(col("arm") === "A", col("users"))).as("users_a"),
+          max(when(col("arm") === "A", col("converters"))).as("conv_a"),
+          max(when(col("arm") === "B", col("users"))).as("users_b"),
+          max(when(col("arm") === "B", col("converters"))).as("conv_b"))
+      wide.select(col("users_a"), col("conv_a"), col("users_b"),
+        col("conv_b"),
+        (col("conv_a").cast("double") / col("users_a").cast("double"))
+          .as("rate_a"),
+        (col("conv_b").cast("double") / col("users_b").cast("double"))
+          .as("rate_b"),
+        ((col("conv_b") * col("users_a")).cast("double") /
+          (col("conv_a") * col("users_b")).cast("double")).as("lift_b"))
+    },
+    Some(s"""
+      WITH assigned AS (
+        SELECT user_id, event_type,
+          CASE WHEN ${graft.ops.DedupOps.hexToLong("hx", 1, 12)} % 2 = 0
+               THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT user_id, event_type, md5('exp1:' || user_id) AS hx
+              FROM events)),
+      per_arm AS (
+        SELECT arm, COUNT(DISTINCT user_id) AS users,
+          COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+            THEN user_id END) AS converters
+        FROM assigned GROUP BY arm)
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN users END) AS users_a,
+        MAX(CASE WHEN arm = 'A' THEN converters END) AS conv_a,
+        MAX(CASE WHEN arm = 'B' THEN users END) AS users_b,
+        MAX(CASE WHEN arm = 'B' THEN converters END) AS conv_b,
+        CAST(MAX(CASE WHEN arm = 'A' THEN converters END) AS DOUBLE)
+          / CAST(MAX(CASE WHEN arm = 'A' THEN users END) AS DOUBLE)
+          AS rate_a,
+        CAST(MAX(CASE WHEN arm = 'B' THEN converters END) AS DOUBLE)
+          / CAST(MAX(CASE WHEN arm = 'B' THEN users END) AS DOUBLE)
+          AS rate_b,
+        CAST(MAX(CASE WHEN arm = 'B' THEN converters END)
+             * MAX(CASE WHEN arm = 'A' THEN users END) AS DOUBLE)
+          / CAST(MAX(CASE WHEN arm = 'A' THEN converters END)
+             * MAX(CASE WHEN arm = 'B' THEN users END) AS DOUBLE)
+          AS lift_b
+      FROM per_arm"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
-    q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek)
+    q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
+    q109AbReadout)
 }
