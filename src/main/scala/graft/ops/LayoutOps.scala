@@ -119,5 +119,50 @@ object LayoutOps {
             FROM documents)
       GROUP BY source"""))
 
-  val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile)
+  /** Power-of-two (log-scale) histogram of document length per source —
+    * the size-distribution audit for power-law data where linear bins
+    * (q08) put everything in one bucket. floor(log2(x)) is computed
+    * EXACTLY as length(binary(x)) − 1 — no floating log2(), whose libm
+    * rounding at exact powers of two differs per platform and would
+    * flip boundary rows between engines. Bucket bounds re-derived by
+    * integer shifts; the per-source share is the one division of exact
+    * counts. Single aggregate, output ≤ sources × 64 rows. */
+  val q110Log2Histogram = OpSpec(
+    "q110_log2_histogram",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+      table(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .withColumn("bin",
+          expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) AS BIGINT)"))
+        .withColumn("hi", expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) + 1) - 1 AS BIGINT)"))
+        .withColumn("src_n", sum(col("n")).over(
+          w.orderBy(col("bin")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("source"), col("bin"), col("lo"), col("hi"), col("n"),
+          (col("n").cast("double") / col("src_n").cast("double"))
+            .as("share"))
+    },
+    Some("""
+      SELECT source, bin,
+        CAST(1 << bin AS BIGINT) AS lo,
+        CAST((1 << (bin + 1)) - 1 AS BIGINT) AS hi,
+        n,
+        CAST(n AS DOUBLE)
+          / CAST(CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT)
+                 AS DOUBLE) AS share
+      FROM (
+        SELECT source,
+          CAST(length(format('{:b}', n_chars)) - 1 AS BIGINT) AS bin,
+          COUNT(*) AS n
+        FROM documents WHERE n_chars > 0
+        GROUP BY 1, 2)"""))
+
+  val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
+    q110Log2Histogram)
 }
