@@ -701,7 +701,8 @@ class OperatorSpec extends AnyFunSuite {
     val crossOk = Set("q30_cosine_topk", "q32_ivf_assign", "q33_ivf_search",
       "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms",
       "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion",
-      "q98_kmeans_train", "q100_pipeline_v2", "q105_rolling_distinct")
+      "q98_kmeans_train", "q100_pipeline_v2", "q105_rolling_distinct",
+      "q106_collocations") // 1-row token-total scalar, the q76 shape
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
