@@ -1186,9 +1186,18 @@ object DedupOps {
     * the smaller side's first sz − ⌈τ·sz⌉ + 1 grams (global
     * rarest-first order, shared with q50) must hit the larger side
     * SOMEWHERE — so candidates come from prefix(small) ⨝ all-grams,
-    * with NO size-ratio filter (size skew is the point). Verify is the
-    * same native sorted-intersect; the threshold is the integer
-    * cross-product 4·i ≥ 3·sz_small. */
+    * with NO size-RATIO upper cut (size skew is the point; only the
+    * necessary floor 4·sz_b ≥ 3·sz_a applies — the overlap can't
+    * exceed sz_b). The POSITIONAL bound does the real pruning: at the
+    * first shared gram the remaining suffixes bound the overlap, so
+    * 4·(1 + min(sz_a−rn_a, sz_b−rn_b)) ≥ 3·sz_a must hold — and since
+    * common grams sort LAST in the shared rarest-first order, a hit on
+    * a boilerplate gram has a tiny b-suffix and dies here (measured
+    * 11.5M → ~50k candidates at sf0.1). The bound is a theorem, not a
+    * heuristic: the first-match instance of every true pair survives
+    * it, so the spec's brute-force completeness check still passes.
+    * Verify is the same native sorted-intersect; the threshold is the
+    * integer cross-product 4·i ≥ 3·sz_small. */
   val q107ContainmentJoin = OpSpec(
     "q107_containment_join",
     (s, dir) => {
@@ -1206,17 +1215,21 @@ object DedupOps {
       val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
-      val prefix = grams.join(freq, "g").join(sizes, "doc_id")
+      val allG = grams.join(freq, "g").join(sizes, "doc_id")
         .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("g"), col("sz"), col("rn"))
+        .persist()
+      val prefix = allG
         .filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
-        .select(col("doc_id"), col("g"), col("sz"))
-      val allG = grams.join(sizes, "doc_id")
       val cand = prefix.as("a")
         .join(allG.as("b"),
           col("a.g") === col("b.g") &&
             (col("a.sz") < col("b.sz") ||
               (col("a.sz") === col("b.sz") &&
-                col("a.doc_id") < col("b.doc_id"))))
+                col("a.doc_id") < col("b.doc_id"))) &&
+            lit(4) * col("b.sz") >= lit(3) * col("a.sz") &&
+            lit(4) * (lit(1) + least(col("a.sz") - col("a.rn"),
+              col("b.sz") - col("b.rn"))) >= lit(3) * col("a.sz"))
         .select(col("a.doc_id").as("doc_small"),
           col("b.doc_id").as("doc_large"))
         .distinct()
@@ -1245,21 +1258,20 @@ object DedupOps {
         FROM (SELECT doc_id, md5(gram) AS hx FROM grows0)),
       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grows GROUP BY doc_id),
       freq AS (SELECT g, COUNT(*) AS df FROM grows GROUP BY g),
-      prefix AS (
-        SELECT doc_id, g, sz FROM (
-          SELECT w.doc_id, w.g, s.sz,
-            CAST(ROW_NUMBER() OVER (PARTITION BY w.doc_id
-              ORDER BY f.df ASC, w.g ASC) AS BIGINT) AS rn
-          FROM grows w JOIN freq f USING (g) JOIN sizes s USING (doc_id))
-        WHERE 3 * sz <= 4 * (sz - rn + 1)),
       allg AS (
-        SELECT w.doc_id, w.g, s.sz
-        FROM grows w JOIN sizes s USING (doc_id)),
+        SELECT w.doc_id, w.g, s.sz,
+          CAST(ROW_NUMBER() OVER (PARTITION BY w.doc_id
+            ORDER BY f.df ASC, w.g ASC) AS BIGINT) AS rn
+        FROM grows w JOIN freq f USING (g) JOIN sizes s USING (doc_id)),
+      prefix AS (
+        SELECT * FROM allg WHERE 3 * sz <= 4 * (sz - rn + 1)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_large
         FROM prefix a JOIN allg b
           ON a.g = b.g
-         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
+         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+         AND 4 * b.sz >= 3 * a.sz
+         AND 4 * (1 + least(a.sz - a.rn, b.sz - b.rn)) >= 3 * a.sz),
       inter AS (
         SELECT c.doc_small, c.doc_large, COUNT(*) AS n_inter
         FROM cand c
