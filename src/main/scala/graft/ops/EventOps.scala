@@ -723,10 +723,72 @@ object EventOps {
           AS lift_b
       FROM per_arm"""))
 
+  /** Per-entry-type bounce rate: sessions (q18's 30-minute gap rule)
+    * that end after a single event, grouped by what that event was —
+    * the engagement metric behind landing-page triage. The whole
+    * sessionization + classification is the one (user_id, ts) window
+    * pass (session id via running sum, session length via a count over
+    * the session partition would need a second shuffle — instead the
+    * single-event test is lead/lag session-id inequality, row-local on
+    * the SAME sort); the rate is the one division of exact counts. */
+  val q112BounceRate = OpSpec(
+    "q112_bounce_rate",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(wOrd).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+              >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(wRun))
+        // first event of a session whose NEXT row starts a new session
+        // (or doesn't exist) == a single-event session; row-local on
+        // the same sort
+        .withColumn("nxt_sid", lead(col("sid"), 1).over(wOrd))
+        .filter(col("new_sess") === 1)
+        .groupBy(col("event_type").as("entry_type"))
+        .agg(count(lit(1)).as("sessions"),
+          sum(when(col("nxt_sid").isNull ||
+            col("nxt_sid") =!= col("sid"), 1L).otherwise(0L))
+            .as("bounces"))
+        .select(col("entry_type"), col("sessions"), col("bounces"),
+          (col("bounces").cast("double") / col("sessions").cast("double"))
+            .as("bounce_rate"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess0 AS (
+        SELECT user_id, ts, event_type, new_sess,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT *, lead(sid, 1) OVER (PARTITION BY user_id ORDER BY ts)
+          AS nxt_sid
+        FROM sess0)
+      SELECT event_type AS entry_type,
+        COUNT(*) AS sessions,
+        CAST(SUM(CASE WHEN nxt_sid IS NULL OR nxt_sid <> sid
+          THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        CAST(SUM(CASE WHEN nxt_sid IS NULL OR nxt_sid <> sid
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS bounce_rate
+      FROM sess WHERE new_sess = 1
+      GROUP BY event_type"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
-    q109AbReadout)
+    q109AbReadout, q112BounceRate)
 }

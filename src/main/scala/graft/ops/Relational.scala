@@ -515,9 +515,51 @@ object Relational {
                     o_orderstatus || '|' || o_orderpriority) AS hx
                   FROM orders))"""))
 
+  /** Grouped MODE (most frequent value per group) with a PINNED tie
+    * rule — engines' built-in mode() leaves ties unspecified (DuckDB
+    * documents "first encountered", which is scan-order-dependent), so
+    * the deterministic form is the two-level aggregate: count per
+    * (group, value), then rank by (count desc, value asc). Both levels
+    * partial-aggregate; the shuffle carries one row per distinct
+    * (group, value). The mode share is the one exact division. */
+  val q111GroupedMode = OpSpec(
+    "q111_grouped_mode",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cnt").desc, col("c_nationkey").asc)
+      val wAll = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp_n", sum(col("cnt")).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("mode_nation"),
+          col("cnt").as("mode_n"), col("grp_n"),
+          (col("cnt").cast("double") / col("grp_n").cast("double"))
+            .as("mode_share"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+        CAST(c_nationkey AS BIGINT) AS mode_nation,
+        cnt AS mode_n, grp_n,
+        CAST(cnt AS DOUBLE) / CAST(grp_n AS DOUBLE) AS mode_share
+      FROM (
+        SELECT c_mktsegment, c_nationkey, cnt,
+          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY cnt DESC, c_nationkey ASC) AS rn,
+          CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+            AS grp_n
+        FROM (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+              FROM customer GROUP BY 1, 2))
+      WHERE rn = 1"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
-    q101ExactMedian, q102IntegrityAudit, q104TableChecksum)
+    q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
+    q111GroupedMode)
 }
