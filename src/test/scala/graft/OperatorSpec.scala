@@ -1394,6 +1394,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q106 lift decomposes into its exact count factors") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q106_collocations")(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nTok = Tables.table(spark, sf, "documents")
+      .select(expr("CAST(size(filter(split(text, '\\\\s+'), " +
+        "x -> length(x) > 0)) AS BIGINT)").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    rows.foreach { case (_, _, cxy, cx, cy, lift) =>
+      assert(cxy >= 5 && cx >= cxy && cy >= cxy)
+      assert(lift == (nTok * cxy).toDouble / (cx * cy).toDouble)
+    }
+    // descending by lift with the pinned tie-break
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._6 > b._6 ||
+        (a._6 == b._6 && (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2))))
+      case _ =>
+    }
+  }
+
+  test("q108 WoW deltas reconcile against the weekly totals") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q108_week_over_week")(spark, sf)
+      .as[(String, Long, Long, Double, Option[Long], Option[Double])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val byWk = rs.sortBy(_._2).toSeq
+      assert(byWk.head._5.isEmpty) // first week has no prior
+      byWk.sliding(2).foreach {
+        case Seq(prev, cur) =>
+          val prevCents = math.round(prev._4 * 100)
+          val curCents = math.round(cur._4 * 100)
+          assert(cur._5.contains(curCents - prevCents))
+        case _ =>
+      }
+    }
+  }
+
+  test("q110 log2 bins bound their members and shares sum to 1") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q110_log2_histogram")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bin, lo, hi, _, _) =>
+      assert(lo == (1L << bin) && hi == (1L << (bin + 1)) - 1)
+    }
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._6).sum - 1.0) < 1e-9)
+    }
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("n_chars") > 0).count()
+    assert(rows.map(_._5).sum == docs) // every doc in exactly one bin
+  }
+
   test("q88 KMV estimate is within the k=128 theoretical error band") {
     import spark.implicits._
     val rows = SparkEntry.queries("q88_kmv_distinct")(spark, sf)
