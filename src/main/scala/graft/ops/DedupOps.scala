@@ -1118,43 +1118,115 @@ object DedupOps {
   /** Edit-distance cap of the fuzzy match. */
   private val EditCap = 2
 
+  /** Rarest-gram prefix size: one edit op removes at most 2 distinct
+    * bigram values from a string's bigram SET (it destroys ≤ 2
+    * occurrences, and a value leaves the set only when its last
+    * occurrence dies), so [[EditCap]] edits remove ≤ 2·EditCap values —
+    * keeping the 2·EditCap+1 globally-rarest bigrams per name
+    * guarantees ≥ 1 of them survives into any string within the cap. */
+  private val FuzzyPrefixK = 2 * EditCap + 1
+
+  /** Candidate pairs for the fuzzy (edit-distance ≤ [[EditCap]]) name
+    * join, complete for EVERY input length — the lossless-blocking
+    * precondition is enforced by tiering, not assumed:
+    *
+    *  - '''len ≥ 6''' (≥ 2·EditCap+2): rarest-[[FuzzyPrefixK]]-bigram
+    *    prefix ⨝ ALL bigram rows, one-sided (the q107 shape, in
+    *    character space). Lossless: a length-≥6 string has ≥ 5 bigram
+    *    occurrences and ≤ 2 edit ops destroy ≤ 4 of them, so a shared
+    *    bigram VALUE always exists, and by the set argument above at
+    *    least one of the prefix side's 5 rarest is shared. This is the
+    *    hot-bucket fix: boilerplate bigrams ("an", "er") sort LAST in
+    *    the shared df-ascending order, so they enter a prefix only when
+    *    a name has < 5 rarer bigrams — candidate volume is
+    *    Σ_g prefcount(g)·df(g) with Σ_g prefcount(g) ≤ 5n, not
+    *    Σ_g df(g)².
+    *  - '''len 1..5''': unigram blocking among short names. Lossless
+    *    when both lengths ≥ 3 (an alignment with ≤ 2 ops leaves ≥ 1
+    *    position of a length-≥3 string untouched, and a length-1/2
+    *    partner keeps a char through any op mix that stays within the
+    *    length-diff cap), and pairs of two ≤2-char names fall through
+    *    to the constant tier.
+    *  - '''len ≤ 2''' (≤ EditCap): one constant bucket — the only
+    *    regime where two strings can share no character within the cap
+    *    ("ab" vs "cd"); the bucket is alphabet-bounded, not
+    *    corpus-bounded.
+    *
+    * `hotGramCap`: optional q27-style guard for adversarial corpora
+    * (names whose FIVE rarest bigrams are all ultra-hot — i.e. < 5
+    * distinct bigrams total, e.g. "aaaaaaaa" floods). When set, tier-1
+    * grams with df > cap are dropped from blocking in BOTH join sides;
+    * the documented recall trade (a pair is lost only when every
+    * shared prefix gram is hotter than the cap) mirrors
+    * [[BucketCap]]'s. [[q95FuzzyJoin]] leaves it off — its oracle is
+    * the NAIVE complete bigram join, so the gate itself proves the
+    * tiered blocking lossless on the gated corpus. */
+  private[graft] def fuzzyCandidates(names: DataFrame,
+      hotGramCap: Option[Long] = None): DataFrame = {
+    val named = names.select(col("p_name"), length(col("p_name")).as("ln"))
+    val lenOk = abs(col("a.ln") - col("b.ln")) <= EditCap &&
+      col("a.p_name") =!= col("b.p_name")
+    def normalized(cand: DataFrame): DataFrame = cand.select(
+      least(col("a.p_name"), col("b.p_name")).as("name_a"),
+      greatest(col("a.p_name"), col("b.p_name")).as("name_b"))
+
+    val grams = named.filter(col("ln") >= 2)
+      .select(col("p_name"), col("ln"), explode(expr(
+        """array_distinct(transform(sequence(1, length(p_name) - 1),
+           i -> substring(p_name, i, 2)))""")).as("bg"))
+    val gramsIn = hotGramCap match {
+      case Some(cap) =>
+        val ok = grams.groupBy(col("bg")).agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") <= cap).select(col("bg"))
+        grams.join(ok, "bg")
+      case None => grams
+    }
+    val gdf = gramsIn.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_name")).orderBy(col("df").asc, col("bg").asc)
+    val prefix = gramsIn.filter(col("ln") >= 2 * EditCap + 2)
+      .join(gdf, "bg")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= FuzzyPrefixK)
+      .select(col("p_name"), col("ln"), col("bg"))
+    val t1 = normalized(prefix.as("a")
+      .join(gramsIn.as("b"), col("a.bg") === col("b.bg") && lenOk))
+
+    val shorts = named.filter(col("ln").between(1, 2 * EditCap + 1))
+    val chars = shorts.select(col("p_name"), col("ln"), explode(expr(
+      """array_distinct(transform(sequence(1, length(p_name)),
+         i -> substring(p_name, i, 1)))""")).as("ch"))
+    val t2 = normalized(chars.as("a")
+      .join(chars.as("b"), col("a.ch") === col("b.ch") && lenOk))
+
+    val tiny = named.filter(col("ln") <= EditCap)
+    val t3 = normalized(tiny.as("a").join(tiny.as("b"), lenOk))
+
+    t1.unionByName(t2).unionByName(t3).distinct()
+  }
+
   /** Fuzzy (edit-distance) self-join over the part-name entity table —
     * the entity-resolution primitive (catalog titles, author names,
-    * product variants). Candidates come from a character-bigram
-    * equi-join + length filter, NEVER all pairs: one edit destroys at
-    * most 2 bigrams, so strings of length ≥ 6 within distance
-    * [[EditCap]] must still share a bigram (every name here is ≥ 8
-    * chars; the bound is the q50 prefix-filter idea in character space).
-    * The levenshtein verify — integer, identical in both engines — runs
-    * only on candidates. Distinct names are resolved first, so the join
-    * keys the ENTITY table (|distinct| ≪ |rows|), and each bigram
-    * bucket is degree-bounded by the alphabet, not the corpus.
+    * product variants). Candidates come from [[fuzzyCandidates]]'s
+    * tiered lossless blocking — rarest-bigram prefixes, NEVER all
+    * pairs and never a full bigram self-join. The levenshtein verify —
+    * integer, identical in both engines — runs only on candidates, in
+    * the bounded form: a banded O(cap·n) DP that bails out early
+    * (returns -1 past the threshold), so verify cost per candidate is
+    * proportional to the cap, not |a|·|b|; exact distance for every
+    * kept row, matching the oracle's unbounded levenshtein. Distinct
+    * names are resolved first, so all blocking keys the ENTITY table
+    * (|distinct| ≪ |rows|).
     *
-    * Scale: candidate volume is Σ_bigram |bucket|²; for natural-language
-    * names buckets follow letter-pair frequency — the hot-bucket cap
-    * pattern (BucketCap) applies unchanged if a pathological corpus
-    * needs it. */
+    * The oracle is deliberately the NAIVE complete candidate rule
+    * (full bigram equi-join + length filter): the hash gate therefore
+    * PROVES the prefix blocking drops no true pair on the gated
+    * corpus, rather than mirroring the optimization on both sides. */
   val q95FuzzyJoin = OpSpec(
     "q95_fuzzy_join",
     (s, dir) => {
       val names = table(s, dir, "part").select(col("p_name")).distinct()
-      val grams = names
-        .select(col("p_name"), explode(expr(
-          """array_distinct(transform(sequence(1, length(p_name) - 1),
-             i -> substring(p_name, i, 2)))""")).as("bg"))
-      grams.as("a")
-        .join(grams.as("b"),
-          col("a.bg") === col("b.bg") &&
-            col("a.p_name") < col("b.p_name") &&
-            abs(length(col("a.p_name")) - length(col("b.p_name")))
-              <= EditCap)
-        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
-        .distinct()
-        // bounded form: banded O(cap·n) DP that bails out early (returns
-        // -1 past the threshold) — the verify cost per candidate is then
-        // proportional to the cap, not |a|·|b|; exact distance for every
-        // kept row, so the emitted value matches the oracle's unbounded
-        // levenshtein
+      fuzzyCandidates(names)
         .withColumn("dist",
           levenshtein(col("name_a"), col("name_b"), EditCap)
             .cast("long"))

@@ -617,7 +617,15 @@ object EventOps {
     * relative change is the single division of exact integers (emitted
     * NULL for the first week — no prior). ISO-independent week key:
     * integer days-since-epoch DIV 7, so both engines bucket
-    * identically with no WEEK() locale semantics in play. */
+    * identically with no WEEK() locale semantics in play.
+    *
+    * Gap weeks: lag() over observed weeks alone would compare a week
+    * after a zero-activity gap against the last OBSERVED week — not
+    * week-over-week. The prior week qualifies only when it is the
+    * immediately preceding calendar week (wk - prev_wk = 1); across a
+    * gap both deltas are NULL, the honest answer ("no prior week to
+    * compare against" — the prior week's true total, 0, would make
+    * rel_change a division by zero anyway). */
   val q108WeekOverWeek = OpSpec(
     "q108_week_over_week",
     (s, dir) => {
@@ -629,7 +637,9 @@ object EventOps {
           expr("CAST(round(value * 1e2) AS BIGINT)").as("cents"))
         .groupBy(col("event_type"), col("wk"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_c"))
-        .withColumn("prev_c", lag(col("tot_c"), 1).over(w))
+        .withColumn("prev_c",
+          when(col("wk") - lag(col("wk"), 1).over(w) === 1,
+            lag(col("tot_c"), 1).over(w)))
         .select(col("event_type"), col("wk"), col("n"),
           (col("tot_c").cast("double") / 100.0).as("total"),
           (col("tot_c") - col("prev_c")).as("delta_cents"),
@@ -644,8 +654,10 @@ object EventOps {
           AS rel_change
       FROM (
         SELECT event_type, wk, n, tot_c,
-          lag(tot_c, 1) OVER (PARTITION BY event_type ORDER BY wk)
-            AS prev_c
+          CASE WHEN wk - lag(wk, 1) OVER
+                 (PARTITION BY event_type ORDER BY wk) = 1
+               THEN lag(tot_c, 1) OVER
+                 (PARTITION BY event_type ORDER BY wk) END AS prev_c
         FROM (SELECT event_type,
                 CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
                   // 7 AS BIGINT) AS wk,

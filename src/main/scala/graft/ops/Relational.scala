@@ -478,22 +478,35 @@ object Relational {
 
   /** Order-independent table fingerprint — the replication/migration
     * audit that answers "are these two copies of a 100 TB table
-    * identical?" without moving rows: each row is serialized with
-    * explicit delimiters, hashed, folded to a BIGINT, and combined with
-    * commutative aggregates (sum mod nothing — BIGINT wrap is
-    * commutative too — plus xor and count). ANY row order / partitioning
-    * / engine yields the same triple, so two sites compare three
-    * numbers. Only integer/string columns enter the serialization —
-    * float-to-string formatting is engine-specific, exactly what a
-    * portable fingerprint must avoid (doubles would go through exact
-    * integer cents first). */
+    * identical?" without moving rows: each row is serialized with an
+    * INJECTIVE, NULL-aware encoding, hashed, folded to a BIGINT, and
+    * combined with commutative aggregates (Mersenne-mod sum, xor,
+    * count). ANY row order / partitioning / engine yields the same
+    * triple, so two sites compare three numbers. Only integer/string
+    * columns enter the serialization — float-to-string formatting is
+    * engine-specific, exactly what a portable fingerprint must avoid
+    * (doubles would go through exact integer cents first).
+    *
+    * Field encoding: `N` for NULL, else `V<len>:<value>` — the length
+    * prefix makes the row serialization injective even when values
+    * contain the join delimiter, and the explicit N/V tag keeps NULL
+    * distinct from every real string (including "N"). A naive
+    * concat_ws would silently SKIP null fields (collapsing
+    * (NULL,'x') with ('x',NULL)) and `||` in the oracle would null
+    * the whole row — both non-options for a replication audit. */
+  private def chkField(c: String): String =
+    s"""CASE WHEN $c IS NULL THEN 'N'
+        ELSE 'V' || CAST(LENGTH(CAST($c AS STRING)) AS STRING)
+             || ':' || CAST($c AS STRING) END"""
+
+  private val chkSer = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority").map(chkField).mkString(" || '|' || ")
+
   val q104TableChecksum = OpSpec(
     "q104_table_checksum",
     (s, dir) => {
       table(s, dir, "orders")
-        .withColumn("hx", md5(concat_ws("|",
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_orderpriority")).cast("binary")))
+        .withColumn("hx", md5(expr(chkSer).cast("binary")))
         .withColumn("hv", expr(
           s"CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT)"))
         .agg(count(lit(1)).as("n_rows"),
@@ -511,8 +524,7 @@ object Relational {
              % 2305843009213693951 AS BIGINT) AS sum_h,
         CAST(bit_xor(hv) AS BIGINT) AS xor_h
       FROM (SELECT CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT) AS hv
-            FROM (SELECT md5(o_orderkey || '|' || o_custkey || '|' ||
-                    o_orderstatus || '|' || o_orderpriority) AS hx
+            FROM (SELECT md5($chkSer) AS hx
                   FROM orders))"""))
 
   /** Grouped MODE (most frequent value per group) with a PINNED tie

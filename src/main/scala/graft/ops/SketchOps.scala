@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.OpSpec
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch operators. The reference never aggregates beyond
@@ -41,28 +42,41 @@ object SketchOps {
     * merge associatively (unit-tested), which is what makes the sketch
     * storable per-partition and rolled up later — the pattern exact
     * distinct counting cannot follow. */
+  /** KMV estimation tail over DISTINCT (grp, h) md5-hex rows: sketch,
+    * exact anchor, k-th hash, estimate. Exposed for the below-capacity
+    * spec — groups with fewer than [[K]] distinct hashes must flow
+    * through the NULL-kh branch (est = exact count), not crash. */
+  private[graft] def kmvEstimate(distinctHashes: DataFrame): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(K))
+    distinctHashes
+      .groupBy(col("grp"))
+      .agg(kmv(col("h")).as("sketch"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("n_seen", size(col("sketch")).cast("long"))
+      // guard: under ANSI mode element_at throws on out-of-range, so a
+      // below-capacity sketch (n_seen < K) must short-circuit to NULL —
+      // the same NULL kh the oracle's `CASE WHEN rn = K` produces.
+      .withColumn("kh",
+        when(size(col("sketch")) >= K, element_at(col("sketch"), lit(K))))
+      .withColumn("kth_v", expr(kthV))
+      .select(col("grp"), col("n_exact"), col("n_seen"),
+        col("kth_v"), expr(estSql).as("est"))
+  }
+
   val q88KmvDistinct = OpSpec(
     "q88_kmv_distinct",
     (s, dir) => {
-      val kmv = udaf(new graft.functions.KmvAgg(K))
       // the exact anchor forces a distinct pass anyway — running it
       // FIRST (instead of countDistinct's Expand alongside the sketch)
       // halves the shuffled rows and feeds the Aggregator |distinct|
       // rows instead of |raw| (measured 30x fewer here). The pure
       // production sketch path is q99's: raw rows straight into the
       // map-side-combined Aggregator, no distinct shuffle at all.
-      table(s, dir, "lineitem")
-        .select(col("l_returnflag"),
+      kmvEstimate(table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
           md5(concat(lit("kmv:"), col("l_partkey")).cast("binary")).as("h"))
-        .distinct()
-        .groupBy(col("l_returnflag"))
-        .agg(kmv(col("h")).as("sketch"),
-          count(lit(1)).as("n_exact"))
-        .withColumn("n_seen", size(col("sketch")).cast("long"))
-        .withColumn("kh", element_at(col("sketch"), K))
-        .withColumn("kth_v", expr(kthV))
-        .select(col("l_returnflag"), col("n_exact"), col("n_seen"),
-          col("kth_v"), expr(estSql).as("est"))
+        .distinct())
+        .withColumnRenamed("grp", "l_returnflag")
     },
     Some(s"""
       WITH h AS (

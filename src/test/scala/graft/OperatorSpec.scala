@@ -1222,6 +1222,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fuzzyCandidates: tiered blocking is complete at EVERY length") {
+    import spark.implicits._
+    // lengths 0..7, engineered to hit every tier and tier boundary:
+    // tiny pairs with NO shared character ("ab"/"cd"), short unigram
+    // pairs, and cross-tier (5,6)/(5,7) pairs that only tier 1 covers
+    val names = Seq("", "a", "b", "ab", "ba", "cd", "ce", "abc", "abd",
+      "xyz", "abcd", "abde", "hello", "hallo", "help", "helps",
+      "kitten", "sitting", "mitten", "bitten", "abcde", "abcdef",
+      "abcdefg", "vwxyz")
+    val cand = graft.ops.DedupOps.fuzzyCandidates(names.toDF("p_name"))
+      .as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      a <- names; b <- names if a < b
+      if lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty && (truth -- cand).isEmpty) // no pair lost
+    assert(truth.contains(("ab", "cd")))     // the shared-char-free case
+    assert(truth.contains(("abcde", "abcdefg"))) // cross-tier (5,7)
+  }
+
+  test("fuzzyCandidates: corpus-wide hot bigram stays out of blocking") {
+    import spark.implicits._
+    // every name shares the hot bigram "zz"; suffix chars are
+    // hash-derived so each name carries >= 5 rare bigrams. A naive
+    // bigram join emits ALL n(n-1)/2 pairs through the zz bucket alone;
+    // the rarest-5 prefix never selects zz (5 rarer grams always
+    // exist), so candidate volume collapses to rare-gram collisions.
+    val n = 400
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val names = (0 until n).map { i =>
+      val h = md.digest(s"hot$i".getBytes("UTF-8"))
+      "zz" + h.take(8).map(b => ('a' + ((b & 0xff) % 24)).toChar).mkString
+    }.distinct
+    val allPairs = names.length.toLong * (names.length - 1) / 2
+    val cand = graft.ops.DedupOps.fuzzyCandidates(names.toDF("p_name"))
+    assert(cand.count() < allPairs / 4) // bounded, not quadratic
+    // hotGramCap = 1 drops every gram from tier-1 blocking; with all
+    // names long, the other tiers are empty -> zero candidates (the
+    // documented recall trade of the cap, taken to its limit)
+    val capped = graft.ops.DedupOps.fuzzyCandidates(
+      names.toDF("p_name"), hotGramCap = Some(1L))
+    assert(capped.count() == 0)
+  }
+
+  test("kmvEstimate: below-capacity groups return NULL kth and exact est") {
+    import spark.implicits._
+    // group "small" has 5 distinct hashes (< K=128): kh/kth_v must be
+    // NULL (not an ANSI element_at crash) and est falls back to the
+    // exact count; group "big" has 300 and exercises the sketch path
+    val rows =
+      (1 to 5).map(i => ("small", s"s$i")) ++
+        (1 to 300).map(i => ("big", s"b$i"))
+    val hashed = rows.toDF("grp", "v")
+      .select(col("grp"), md5(col("v").cast("binary")).as("h"))
+      .distinct()
+    val out = graft.ops.SketchOps.kmvEstimate(hashed)
+      .as[(String, Long, Long, Option[Long], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val small = out("small")
+    assert(small._2 == 5 && small._3 == 5 && small._4.isEmpty)
+    assert(small._5 == 5.0)
+    val big = out("big")
+    assert(big._2 == 300 && big._3 == 128 && big._4.isDefined)
+    assert(big._5 > 150 && big._5 < 600) // estimator engaged, sane band
+  }
+
   test("q96 grouping sets: margins and grand total are consistent") {
     import spark.implicits._
     val rows = SparkEntry.queries("q96_grouping_sets")(spark, sf)
