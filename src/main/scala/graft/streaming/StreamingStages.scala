@@ -270,7 +270,62 @@ object StreamingStages {
     },
     Some("SELECT DISTINCT user_id, event_type FROM events"))
 
+  private val funnelSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q113: [[runningFunnel]] as a REAL streaming query under the gate
+    * (file source → mapGroupsWithState → update-mode memory sink),
+    * hash-checked against the BATCH funnel's oracle (q84's DuckDB SQL,
+    * reused verbatim). The single input file arrives as one micro-batch
+    * and the stage sorts rows by ts within a batch, so the latched
+    * per-user state equals the batch funnel exactly; each user emits
+    * once, and the micros state is formatted to the oracle's timestamp
+    * strings (-1 = unreached → NULL) only at the sink edge. */
+  val q113StreamingFunnel: graft.OpSpec = graft.OpSpec(
+    "q113_streaming_funnel",
+    (s, dir) => {
+      val id = funnelSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q113_mem_${id - 1}")
+      val name = s"q113_mem_$id"
+      runToMemory(
+        runningFunnel(s, eventsStream(s, s"$dir/events.parquet")),
+        name, "update").stop()
+      def fmt(c: String) = graft.Tables.fmtTs(
+        when(col(c) >= 0, timestamp_micros(col(c))))
+      s.table(name).select(col("user_id"), col("stage"),
+        fmt("fv_us").as("first_view"),
+        fmt("fc_us").as("first_click"),
+        fmt("fp_us").as("first_purchase"))
+    },
+    graft.ops.EventOps.q84Funnel.oracle)
+
+  private val ssjSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q114: [[streamStreamRangeJoin]] as a REAL streaming query under
+    * the gate — BOTH join sides are unbounded file streams over the
+    * same events file, and the inner interval join emits matches in
+    * append mode as state fills. The batch q20 range join's oracle is
+    * reused verbatim: stream-stream inner-join results are
+    * arrival-insensitive (every error×purchase pair within the
+    * interval emits exactly once regardless of micro-batching), so the
+    * hash must match the batch plan's. */
+  val q114StreamingRangeJoin: graft.OpSpec = graft.OpSpec(
+    "q114_streaming_range_join",
+    (s, dir) => {
+      val id = ssjSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q114_mem_${id - 1}")
+      val name = s"q114_mem_$id"
+      val errors = eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "error")
+      val purchases = eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+      runToMemory(streamStreamRangeJoin(errors, purchases),
+        name, "append").stop()
+      s.table(name)
+    },
+    graft.ops.EventOps.q20RangeJoin.oracle)
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
-    Seq(q56StreamingTumbling, q65StreamingDedup)
+    Seq(q56StreamingTumbling, q65StreamingDedup,
+      q113StreamingFunnel, q114StreamingRangeJoin)
 }
