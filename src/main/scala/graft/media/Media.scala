@@ -35,8 +35,12 @@ trait MediaCodec extends Serializable {
   def encodeClip(path: String, startIdx: Long, endIdx: Long): Array[Byte]
 
   /** M1 content-change score between consecutive frames (the
-    * PySceneDetect ContentDetector kernel, utils/scenecut.py:88-93). */
-  def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double
+    * PySceneDetect ContentDetector kernel, utils/scenecut.py:88-93):
+    * mean absolute plane difference — codec-independent, so it lives
+    * on the trait. */
+  def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double =
+    prev.zip(cur).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+      .sum.toDouble / prev.length
 
   /** S8 polymorphic loader: dispatch on file extension — still images
     * decode whole, video containers decode frame `frameIdx`, anything
@@ -88,9 +92,101 @@ object FakeCodec extends MediaCodec {
     val len = 32 + math.min(endIdx - startIdx, 4096L).toInt
     Array.tabulate(len)(i => ((k >> (i % 56)) & 0xff).toByte)
   }
-  override def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double =
-    prev.zip(cur).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
-      .sum.toDouble / prev.length
+}
+
+/** A codec that reads REAL bytes from disk — over "GRF1", a trivial
+  * deterministic container (big-endian header
+  * `'G' 'R' 'F' '1' | width:i32 | height:i32 | fps_milli:i32 |
+  * n_frames:i64`, then `n_frames` row-major grayscale planes of
+  * width·height bytes each). The format exists so the [[MediaCodec]]
+  * seam is exercised end-to-end against actual files — open, header
+  * validation, frame seek, short-read/truncation errors, clip
+  * re-encode — the I/O lifecycle a production FFmpeg binding walks
+  * (imaging_quality.py:12-46 dispatch; utils/scenecut.py:120-121
+  * split), with none of its codec dependencies. Every malformed input
+  * THROWS (missing file, bad magic, corrupt header, out-of-range
+  * frame, truncated body); `decodeAuto`/the sampler UDFs translate
+  * that to the S8 null-row error path, never a dead task. */
+object GrfCodec extends MediaCodec {
+  private val Magic = "GRF1".getBytes("US-ASCII")
+  private val HeaderLen = 4 + 4 + 4 + 4 + 8
+
+  private final case class Header(width: Int, height: Int, fpsMilli: Int,
+      nFrames: Long) {
+    def frameSize: Int = width * height
+    def fps: Double = fpsMilli / 1000.0
+  }
+
+  private def withFile[A](path: String)(f: java.io.RandomAccessFile => A): A = {
+    // the binaryFile source (scanVideoDir) hands out file: URIs — a real
+    // codec binding must accept both those and plain local paths
+    val local =
+      if (path.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(path)).toString
+      else path
+    val raf = new java.io.RandomAccessFile(local, "r")
+    try f(raf) finally raf.close()
+  }
+
+  private def header(raf: java.io.RandomAccessFile): Header = {
+    val m = new Array[Byte](4)
+    raf.readFully(m)
+    require(m.sameElements(Magic), "not a GRF1 container")
+    val h = Header(raf.readInt(), raf.readInt(), raf.readInt(), raf.readLong())
+    require(h.width > 0 && h.height > 0 && h.fpsMilli > 0 && h.nFrames >= 0 &&
+      h.width.toLong * h.height <= Int.MaxValue, "corrupt GRF1 header")
+    h
+  }
+
+  override def probe(path: String): MediaInfo = withFile(path) { raf =>
+    val h = header(raf)
+    MediaInfo(h.width, h.height, h.fps, h.nFrames, h.nFrames / h.fps)
+  }
+
+  override def decodeFrame(path: String, frameIdx: Long): Array[Byte] =
+    withFile(path) { raf =>
+      val h = header(raf)
+      require(frameIdx >= 0 && frameIdx < h.nFrames,
+        s"frame $frameIdx out of [0, ${h.nFrames})")
+      raf.seek(HeaderLen + frameIdx * h.frameSize.toLong)
+      val buf = new Array[Byte](h.frameSize)
+      raf.readFully(buf) // EOFException on a truncated body
+      buf
+    }
+
+  override def encodeClip(path: String, startIdx: Long, endIdx: Long): Array[Byte] = {
+    require(endIdx > startIdx, s"empty clip [$startIdx, $endIdx)")
+    withFile(path) { raf =>
+      val h = header(raf)
+      require(startIdx >= 0 && endIdx <= h.nFrames,
+        s"clip [$startIdx, $endIdx) out of [0, ${h.nFrames})")
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      d.write(Magic); d.writeInt(h.width); d.writeInt(h.height)
+      d.writeInt(h.fpsMilli); d.writeLong(endIdx - startIdx)
+      raf.seek(HeaderLen + startIdx * h.frameSize.toLong)
+      val buf = new Array[Byte](h.frameSize)
+      (startIdx until endIdx).foreach { _ =>
+        raf.readFully(buf); d.write(buf)
+      }
+      d.flush()
+      out.toByteArray
+    }
+  }
+
+  /** Test-fixture writer: one GRF1 file from in-memory planes. */
+  def write(path: String, width: Int, height: Int, fps: Double,
+      frames: Seq[Array[Byte]]): Unit = {
+    require(frames.forall(_.length == width * height),
+      s"every plane must be $width x $height bytes")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    try {
+      out.write(Magic); out.writeInt(width); out.writeInt(height)
+      out.writeInt(math.round(fps * 1000).toInt); out.writeLong(frames.length.toLong)
+      frames.foreach(out.write)
+    } finally out.close()
+  }
 }
 
 object Media {
@@ -114,7 +210,8 @@ object Media {
     * extension whitelist (utils/scenecut.py:101-112). Reads metadata
     * lazily — content only when a downstream op needs the bytes. */
   val videoExtensions: Seq[String] =
-    Seq("mp4", "avi", "mkv", "mov", "wmv", "flv", "webm", "mpeg", "mpg")
+    Seq("mp4", "avi", "mkv", "mov", "wmv", "flv", "webm", "mpeg", "mpg",
+      "grf") // the [[GrfCodec]] fixture container rides the same dispatch
 
   def scanVideoDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile")
