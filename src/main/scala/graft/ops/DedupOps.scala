@@ -1199,8 +1199,17 @@ object DedupOps {
     val t2 = normalized(chars.as("a")
       .join(chars.as("b"), col("a.ch") === col("b.ch") && lenOk))
 
+    // the length-diff cap IS an equi-join once one side fans out to its
+    // admissible partner lengths (≤ 2·EditCap+1 keys per name) — keeps
+    // the alphabet-bounded tier a hash join, not a nested loop (a
+    // constant key would be folded away by the optimizer)
     val tiny = named.filter(col("ln") <= EditCap)
-    val t3 = normalized(tiny.as("a").join(tiny.as("b"), lenOk))
+    val t3 = normalized(tiny
+      .withColumn("lnk",
+        explode(expr(s"sequence(greatest(ln - $EditCap, 0), ln + $EditCap)")))
+      .as("a")
+      .join(tiny.as("b"), col("a.lnk") === col("b.ln") &&
+        col("a.p_name") =!= col("b.p_name")))
 
     t1.unionByName(t2).unionByName(t3).distinct()
   }

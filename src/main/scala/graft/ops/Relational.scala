@@ -499,8 +499,9 @@ object Relational {
         ELSE 'V' || CAST(LENGTH(CAST($c AS STRING)) AS STRING)
              || ':' || CAST($c AS STRING) END"""
 
-  private val chkSer = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-    "o_orderpriority").map(chkField).mkString(" || '|' || ")
+  private[graft] val chkSer = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_orderpriority").map(chkField)
+    .mkString(" || '|' || ")
 
   val q104TableChecksum = OpSpec(
     "q104_table_checksum",

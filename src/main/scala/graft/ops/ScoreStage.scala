@@ -54,6 +54,79 @@ object ScoreStage {
     }(enc)
   }
 
+  /** External-process scoring — the reference's shell-out lifecycle
+    * (run_extract_mvs.sh:10-16 spawns one ffmpeg per CLIP) with the
+    * spawn amortized to ONE subprocess per PARTITION: at 100 TB the
+    * exec + model-load cost must be paid once per task, the same
+    * once-per-partition discipline as [[Kernel.setup]], not once per
+    * row. Protocol: one serialized row per stdin line; the child
+    * answers exactly one line per input line — a decimal score, or
+    * `ERR <message>`. Rows are written in flushed batches of
+    * `batchSize` and the replies drained batch-wise, so at most one
+    * batch is in flight (keep batchSize × line length under the OS
+    * pipe buffer so a child that replies only after a full batch
+    * cannot write-deadlock). Failure containment (SURVEY §4.3):
+    * an unparseable reply errors THAT row; a child crash / early EOF /
+    * write failure errors the partition's remaining rows — null score
+    * + error column, never a dead task. */
+  def pipeScoreStage(df: DataFrame, command: Seq[String],
+      serialize: Row => String, batchSize: Int = 64,
+      outCol: String = "score"): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField(outCol, DoubleType))
+      .add(StructField(s"${outCol}_error", StringType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(command: _*).start()
+        val toChild = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+        val fromChild = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        var dead: String = null // once set, no further child I/O
+        def errRow(row: Row, msg: String) =
+          Row.fromSeq(row.toSeq ++ Seq(null, msg))
+        val scored = it.grouped(batchSize).flatMap { batch =>
+          if (dead != null) batch.map(errRow(_, dead))
+          else {
+            try {
+              batch.foreach { r => toChild.write(serialize(r)); toChild.newLine() }
+              toChild.flush()
+            } catch { case e: Exception =>
+              dead = s"scorer write failed: ${e.getMessage}"
+            }
+            batch.map { row =>
+              if (dead != null) errRow(row, dead)
+              else {
+                val line =
+                  try fromChild.readLine()
+                  catch { case _: Exception => null }
+                if (line == null) {
+                  dead = "scorer terminated early"
+                  errRow(row, dead)
+                } else if (line.startsWith("ERR "))
+                  errRow(row, line.substring(4))
+                else
+                  try Row.fromSeq(row.toSeq ++ Seq(line.trim.toDouble, null))
+                  catch { case _: NumberFormatException =>
+                    errRow(row, s"unparseable scorer reply: $line")
+                  }
+              }
+            }
+          }
+        }
+        // by-name ++ suffix: runs after the last row, closing the child
+        scored ++ {
+          try toChild.close() catch { case _: Exception => }
+          try fromChild.close() catch { case _: Exception => }
+          proc.destroy()
+          Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** P6 null-drop: remove rows whose kernel failed (collate_fn drop,
     * aesthetic_score.py:76-80). */
   def dropFailed(df: DataFrame, outCol: String): DataFrame =

@@ -67,6 +67,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(ScoreStage.dropFailed(out, "score").count() == 2)
   }
 
+  private def writeScript(body: String): String = {
+    val p = java.nio.file.Files.createTempFile("scorer", ".sh")
+    java.nio.file.Files.writeString(p, "#!/bin/sh\n" + body)
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  test("pipeScoreStage: one subprocess per partition, line protocol, ERR rows") {
+    import spark.implicits._
+    // doubles the input; input "bad" answers the ERR arm. The child
+    // also logs its PID once per process so the test can PROVE the
+    // spawn count equals the partition count, not the row count.
+    val script = writeScript(
+      """echo $$ >> "$PIDLOG"
+        |while IFS= read -r x; do
+        |  case "$x" in
+        |    bad*) printf 'ERR bad row\n' ;;
+        |    *) printf '%s\n' $((x * 2)) ;;
+        |  esac
+        |done
+        |""".stripMargin)
+    val pidLog = java.nio.file.Files.createTempFile("pids", ".log")
+    val df = (1 to 20).map(_.toString).toDF("v")
+      .withColumn("v", when(col("v") === "13", lit("bad")).otherwise(col("v")))
+      .repartition(3)
+    val cmd = Seq("/bin/sh", "-c", s"""PIDLOG='$pidLog' exec '$script'""")
+    val out = ScoreStage.pipeScoreStage(df, cmd,
+      row => row.getString(0), batchSize = 4)
+      .select(col("v"), col("score"), col("score_error")).collect()
+    assert(out.length == 20)
+    val errs = out.filter(_.get(2) != null)
+    assert(errs.toSeq.map(_.getString(0)) == Seq("bad") &&
+      errs.head.getString(2) == "bad row")
+    out.filter(_.get(2) == null).foreach { r =>
+      assert(r.getDouble(1) == r.getString(0).toDouble * 2)
+    }
+    // amortization: <= 1 process per partition (empty partitions skip)
+    val pids = java.nio.file.Files.readAllLines(pidLog)
+    assert(pids.size() <= 3 && pids.size() >= 1)
+  }
+
+  test("pipeScoreStage: child crash errors remaining rows, not the task") {
+    import spark.implicits._
+    // answers 2 lines then dies mid-partition
+    val script = writeScript(
+      """n=0
+        |while IFS= read -r x; do
+        |  printf '%s\n' $((x * 2))
+        |  n=$((n + 1))
+        |  [ "$n" -ge 2 ] && exit 3
+        |done
+        |""".stripMargin)
+    val df = (1 to 6).map(_.toString).toDF("v").coalesce(1)
+    val out = ScoreStage.pipeScoreStage(df, Seq(script),
+      row => row.getString(0), batchSize = 2)
+      .select(col("score"), col("score_error")).collect()
+    assert(out.count(_.get(0) != null) == 2) // the two answered rows
+    val failed = out.filter(_.get(0) == null)
+    assert(failed.length == 4 &&
+      failed.forall(_.getString(1).contains("scorer")))
+  }
+
   test("custom DotProduct expression matches the HOF fold bit-for-bit") {
     val e = Tables.table(spark, sf, "embeddings").limit(64)
     val hof =
@@ -1411,9 +1473,8 @@ class OperatorSpec extends AnyFunSuite {
     val shuffled = Tables.table(spark, sf, "orders")
       .repartition(13, col("o_orderpriority"))
       .sortWithinPartitions(col("o_totalprice").desc)
-      .withColumn("hx", md5(concat_ws("|",
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority")).cast("binary")))
+      .withColumn("hx",
+        md5(expr(graft.ops.Relational.chkSer).cast("binary")))
       .withColumn("hv", expr {
         val fold = (0 until 15).map { i =>
           val p = math.pow(16, 14 - i).toLong
