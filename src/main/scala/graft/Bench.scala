@@ -95,7 +95,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures stdout's tail, which has been observed
+    // truncated — also persist the full record in-repo so every round's
+    // per-query timings survive regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local_latest.json"), line + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

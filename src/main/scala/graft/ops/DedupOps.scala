@@ -1302,8 +1302,26 @@ object DedupOps {
         .persist()
       val prefix = allG
         .filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
+        .persist()
+      // b-side prune, lossless by construction: a candidate's shared
+      // gram is ALWAYS one of some prefix row's g (broadcast semi-join
+      // on the distinct prefix gram values — the rare quarter of the
+      // vocabulary), and the positional bound with a.sz replaced by its
+      // minimum over all prefix rows is a necessary condition for ANY
+      // partner — both prunes only discard b rows no a row can join,
+      // so the candidate set (and the spec's completeness proof) is
+      // unchanged while the join's b-side shuffle shrinks to the rows
+      // that can actually collide
+      val prefG = prefix.select(col("g")).distinct()
+      val minA = prefix.agg(min(col("sz")).as("min_asz"))
+      val bSide = allG
+        .join(broadcast(prefG), Seq("g"), "left_semi")
+        .crossJoin(broadcast(minA))
+        .filter(lit(4) * (lit(1) + col("sz") - col("rn")) >=
+          lit(3) * col("min_asz"))
+        .select(col("doc_id"), col("g"), col("sz"), col("rn"))
       val cand = prefix.as("a")
-        .join(allG.as("b"),
+        .join(bSide.as("b"),
           col("a.g") === col("b.g") &&
             (col("a.sz") < col("b.sz") ||
               (col("a.sz") === col("b.sz") &&
@@ -1364,6 +1382,244 @@ object DedupOps {
       FROM inter
       JOIN sizes ss ON ss.doc_id = doc_small
       WHERE 4 * n_inter >= 3 * ss.sz"""))
+
+  // ---- Incremental containment / entity matching on a persisted index --
+
+  /** Gram-level corpus artifacts for the CONTAINMENT tier (the q107
+    * blocking), precomputed in ONE corpus-text pass so every ingest
+    * joins persisted tables (the q55 pattern — per-batch cost scales
+    * with the batch, never the corpus):
+    *  - `ranked` (doc_id, g, sz, rn): every corpus gram with its doc's
+    *    gram-set size and its rank in the global df-ascending order;
+    *  - `prefixes`: the containment-prefix subset of `ranked`
+    *    (3·sz ≤ 4·(sz − rn + 1)) — the corpus-small-side probe rows;
+    *  - `docGrams` (doc_id, arr, sz): sorted gram arrays for the
+    *    native sorted-intersect verify;
+    *  - `gramDf` (g, df): corpus document frequency — the FROZEN
+    *    global rarity order a new batch ranks ITS grams by (unseen
+    *    grams get df 0 = rarest), so both sides of the positional
+    *    bound sort by the same total order, which is what the bound's
+    *    proof needs. */
+  final case class GramIndex(ranked: DataFrame, prefixes: DataFrame,
+      docGrams: DataFrame, gramDf: DataFrame)
+
+  /** (doc_id, g): distinct word-2-grams folded to 60-bit longs — the
+    * q107 gram domain, off an arbitrary (doc_id, text) frame. */
+  private def hashedGramRows(docs: DataFrame): DataFrame =
+    gramRowsOf(docs, 2)
+      .withColumn("hx", md5(col("gram").cast("binary")))
+      .select(col("doc_id"),
+        expr(s"CAST(${hexToLong("hx", 1, 15)} AS BIGINT)").as("g"))
+      .distinct()
+
+  /** Rank gram rows by a df order (df asc, g asc) and attach sizes. */
+  private def rankGrams(grams: DataFrame, df: DataFrame): DataFrame = {
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
+    grams.join(df, Seq("g"), "left").na.fill(0L, Seq("df"))
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("g"), col("sz"), col("rn"))
+  }
+
+  private def containPrefix(ranked: DataFrame): DataFrame =
+    ranked.filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
+
+  /** One corpus-text pass → [[GramIndex]]. */
+  def buildGramIndex(docs: DataFrame): GramIndex = {
+    val grams = hashedGramRows(docs)
+    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = rankGrams(grams, gramDf)
+    val docGrams = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("arr"),
+        count(lit(1)).as("sz"))
+    GramIndex(ranked, containPrefix(ranked), docGrams, gramDf)
+  }
+
+  /** Persist a [[GramIndex]] as bucketed tables, each on its
+    * ingest-side probe key (`g` for the two candidate-join tables,
+    * `doc_id` for the verify arrays). */
+  def writeGramIndex(idx: GramIndex, prefix: String, path: String,
+      buckets: Int = 32): Unit = {
+    graft.io.Sinks.bucketedTable(idx.ranked, s"${prefix}_ranked", "g",
+      buckets, s"$path/ranked")
+    graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "g",
+      buckets, s"$path/prefixes")
+    graft.io.Sinks.bucketedTable(idx.docGrams, s"${prefix}_docgrams",
+      "doc_id", buckets, s"$path/docgrams")
+    graft.io.Sinks.bucketedTable(idx.gramDf, s"${prefix}_gramdf", "g",
+      buckets, s"$path/gramdf")
+  }
+
+  def readGramIndex(s: SparkSession, prefix: String): GramIndex =
+    GramIndex(s.table(s"${prefix}_ranked"), s.table(s"${prefix}_prefixes"),
+      s.table(s"${prefix}_docgrams"), s.table(s"${prefix}_gramdf"))
+
+  /** Incremental containment join: flag (small ⊂≈ large) pairs BETWEEN
+    * a new batch and an indexed corpus — q107's semantics with every
+    * join bipartite and every corpus-side input a persisted table
+    * (plan-audited: no corpus-text rescan). Both orientations are
+    * covered: prefix(new) ⨝ ranked(corpus) catches new-doc-is-smaller
+    * pairs, prefixes(corpus) ⨝ ranked(new) the reverse; equal-size
+    * pairs ride the first orientation only (no double count). The
+    * batch ranks its grams by the index's frozen df order, so the
+    * lossless positional bound applies verbatim. Output:
+    * (doc_small, doc_large, n_inter, containment). */
+  def incrementalContainment(newDocs: DataFrame, corpus: GramIndex)
+      : DataFrame = {
+    val grams = hashedGramRows(newDocs).persist()
+    val ranked = rankGrams(grams, corpus.gramDf).persist()
+    val docGrams = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("arr"),
+        count(lit(1)).as("sz"))
+    def candidates(a: DataFrame, b: DataFrame, strict: Boolean) = {
+      val sizeRule =
+        if (strict) col("a.sz") < col("b.sz")
+        else col("a.sz") <= col("b.sz")
+      a.as("a").join(b.as("b"),
+        col("a.g") === col("b.g") && sizeRule &&
+          lit(4) * col("b.sz") >= lit(3) * col("a.sz") &&
+          lit(4) * (lit(1) + least(col("a.sz") - col("a.rn"),
+            col("b.sz") - col("b.rn"))) >= lit(3) * col("a.sz"))
+        .select(col("a.doc_id").as("doc_small"),
+          col("b.doc_id").as("doc_large"))
+    }
+    val cand = candidates(containPrefix(ranked), corpus.ranked,
+        strict = false)
+      .unionByName(candidates(corpus.prefixes, ranked, strict = true))
+      .distinct()
+    cand
+      .join(docGrams.select(col("doc_id").as("doc_small"),
+        col("arr").as("arrs"), col("sz").as("szs")), Seq("doc_small"), "left")
+      .join(corpus.docGrams.select(col("doc_id").as("doc_small"),
+        col("arr").as("arrs2"), col("sz").as("szs2")), Seq("doc_small"), "left")
+      .join(docGrams.select(col("doc_id").as("doc_large"),
+        col("arr").as("arrl")), Seq("doc_large"), "left")
+      .join(corpus.docGrams.select(col("doc_id").as("doc_large"),
+        col("arr").as("arrl2")), Seq("doc_large"), "left")
+      .select(col("doc_small"), col("doc_large"),
+        coalesce(col("arrs"), col("arrs2")).as("arrs"),
+        coalesce(col("szs"), col("szs2")).as("szs"),
+        coalesce(col("arrl"), col("arrl2")).as("arrl"))
+      .withColumn("n_inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("arrs"), col("arrl")))
+      .filter(lit(4) * col("n_inter") >= lit(3) * col("szs"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("szs").cast("double"))
+      .select(col("doc_small"), col("doc_large"), col("n_inter"),
+        col("containment"))
+  }
+
+  /** Name-level corpus artifacts for the FUZZY (edit-distance) entity
+    * tier — [[fuzzyCandidates]]'s tiered blocking with the corpus side
+    * persisted: `grams` (p_name, ln, bg) bigram rows, `prefixes` the
+    * rarest-[[FuzzyPrefixK]] subset, `chars` unigram rows of short
+    * names, `tiny` the ≤-EditCap names, `bigramDf` the frozen rarity
+    * order. */
+  final case class NameIndex(grams: DataFrame, prefixes: DataFrame,
+      chars: DataFrame, tiny: DataFrame, bigramDf: DataFrame)
+
+  private def nameGramRows(names: DataFrame): DataFrame =
+    names.select(col("p_name"), length(col("p_name")).as("ln"))
+      .filter(col("ln") >= 2)
+      .select(col("p_name"), col("ln"), explode(expr(
+        """array_distinct(transform(sequence(1, length(p_name) - 1),
+           i -> substring(p_name, i, 2)))""")).as("bg"))
+
+  private def nameCharRows(names: DataFrame): DataFrame =
+    names.select(col("p_name"), length(col("p_name")).as("ln"))
+      .filter(col("ln").between(1, 2 * EditCap + 1))
+      .select(col("p_name"), col("ln"), explode(expr(
+        """array_distinct(transform(sequence(1, length(p_name)),
+           i -> substring(p_name, i, 1)))""")).as("ch"))
+
+  private def namePrefixes(grams: DataFrame, df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_name")).orderBy(col("df").asc, col("bg").asc)
+    grams.filter(col("ln") >= 2 * EditCap + 2)
+      .join(df, Seq("bg"), "left").na.fill(0L, Seq("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= FuzzyPrefixK)
+      .select(col("p_name"), col("ln"), col("bg"))
+  }
+
+  /** One corpus pass → [[NameIndex]]. */
+  def buildNameIndex(names: DataFrame): NameIndex = {
+    val grams = nameGramRows(names)
+    val df = grams.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    NameIndex(grams, namePrefixes(grams, df), nameCharRows(names),
+      names.select(col("p_name"), length(col("p_name")).as("ln"))
+        .filter(col("ln") <= EditCap),
+      df)
+  }
+
+  def writeNameIndex(idx: NameIndex, prefix: String, path: String,
+      buckets: Int = 32): Unit = {
+    graft.io.Sinks.bucketedTable(idx.grams, s"${prefix}_grams", "bg",
+      buckets, s"$path/grams")
+    graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "bg",
+      buckets, s"$path/prefixes")
+    graft.io.Sinks.bucketedTable(idx.chars, s"${prefix}_chars", "ch",
+      buckets, s"$path/chars")
+    graft.io.Sinks.bucketedTable(idx.tiny, s"${prefix}_tiny", "ln",
+      buckets, s"$path/tiny")
+    graft.io.Sinks.bucketedTable(idx.bigramDf, s"${prefix}_bigramdf", "bg",
+      buckets, s"$path/bigramdf")
+  }
+
+  def readNameIndex(s: SparkSession, prefix: String): NameIndex =
+    NameIndex(s.table(s"${prefix}_grams"), s.table(s"${prefix}_prefixes"),
+      s.table(s"${prefix}_chars"), s.table(s"${prefix}_tiny"),
+      s.table(s"${prefix}_bigramdf"))
+
+  /** Incremental fuzzy (edit-distance ≤ [[EditCap]]) entity match of a
+    * new name batch against an indexed corpus — [[fuzzyCandidates]]'s
+    * tier structure made bipartite over persisted tables:
+    * prefix(new, ranked by the frozen corpus rarity) ⨝ corpus grams
+    * covers every pair whose NEW side is ≥ 6 chars; corpus prefixes ⨝
+    * new grams covers new-short-vs-corpus-long; the unigram and
+    * length-keyed tiny tiers cover both-short (the [[fuzzyCandidates]]
+    * completeness proof carries over per orientation — the prefix
+    * theorem never needed the partner's prefix, only its full gram
+    * set). Exact string repeats surface as dist 0 — for an entity
+    * ingest the strongest match, not an exclusion. Output:
+    * (name_new, name_old, dist). */
+  def incrementalFuzzyMatch(newNames: DataFrame, corpus: NameIndex)
+      : DataFrame = {
+    val lenOk = abs(col("a.ln") - col("b.ln")) <= EditCap
+    def pairs(a: DataFrame, b: DataFrame, key: String,
+        aIsNew: Boolean) = {
+      val joined = a.as("a").join(b.as("b"),
+        col(s"a.$key") === col(s"b.$key") && lenOk)
+      if (aIsNew)
+        joined.select(col("a.p_name").as("name_new"),
+          col("b.p_name").as("name_old"))
+      else
+        joined.select(col("b.p_name").as("name_new"),
+          col("a.p_name").as("name_old"))
+    }
+    val grams = nameGramRows(newNames).persist()
+    val prefixes = namePrefixes(grams, corpus.bigramDf)
+    val chars = nameCharRows(newNames)
+    val tiny = newNames.select(col("p_name"), length(col("p_name")).as("ln"))
+      .filter(col("ln") <= EditCap)
+      .withColumn("lnk",
+        explode(expr(s"sequence(greatest(ln - $EditCap, 0), ln + $EditCap)")))
+    val corpusTinyKeyed = corpus.tiny // bucketed on ln — the probe key
+    pairs(prefixes, corpus.grams, "bg", aIsNew = true)
+      .unionByName(pairs(corpus.prefixes, grams, "bg", aIsNew = false))
+      .unionByName(pairs(chars, corpus.chars, "ch", aIsNew = true))
+      .unionByName(tiny.as("a").join(corpusTinyKeyed.as("b"),
+          col("a.lnk") === col("b.ln"))
+        .select(col("a.p_name").as("name_new"),
+          col("b.p_name").as("name_old")))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_new"), col("name_old"), EditCap)
+          .cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= EditCap)
+  }
 
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,

@@ -460,6 +460,95 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_idx_$t"))
   }
 
+  test("incremental containment joins the persisted gram index, no corpus rescan") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    // corpus: one long doc and one unrelated doc; batch: an excerpt of
+    // the long doc (small ⊂ large, new side smaller), a long doc that
+    // CONTAINS a corpus doc (corpus side smaller), and a novel doc
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val excerpt = "beta gamma delta epsilon zeta eta"   // ⊂ long1
+    val superDoc = other + " eleven twelve thirteen fourteen"  // ⊃ other
+    val novel = "nothing shared here with anything else at all whatsoever"
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val corpusDir = java.nio.file.Files.createTempDirectory("gixcorpus").toString
+    val newDir = java.nio.file.Files.createTempDirectory("gixbatch").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("gixtables").toString
+    write(Seq(1L -> long1, 2L -> other), corpusDir)
+    write(Seq(10L -> excerpt, 20L -> superDoc, 30L -> novel), newDir)
+    try {
+      DedupOps.writeGramIndex(
+        DedupOps.buildGramIndex(
+          spark.read.parquet(s"$corpusDir/documents.parquet")),
+        "ut_gix", idxDir, buckets = 4)
+      val out = DedupOps.incrementalContainment(
+        spark.read.parquet(s"$newDir/documents.parquet"),
+        DedupOps.readGramIndex(spark, "ut_gix"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains(corpusDir),
+        s"containment ingest re-scans corpus text:\n$plan")
+      assert(plan.contains(idxDir), s"ingest plan misses the index:\n$plan")
+      val got = out.select("doc_small", "doc_large")
+        .as[(Long, Long)].collect().toSet
+      spark.catalog.clearCache()
+      // excerpt(10) inside corpus long1(1); corpus other(2) inside
+      // superDoc(20); the novel doc matches nothing
+      assert(got == Set((10L, 1L), (2L, 20L)), got.toString)
+    } finally Seq("ranked", "prefixes", "docgrams", "gramdf")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_gix_$t"))
+  }
+
+  test("incremental fuzzy match joins the persisted name index, complete vs brute force") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val corpusNames = Seq("kitten", "mitten", "hello", "help", "ab", "xy",
+      "abc", "world", "abcdefg")
+    val newNames = Seq("sitting", "kitten", "hallo", "cd", "abd", "helps",
+      "abcde", "unrelatedzz")
+    def write(names: Seq[String], dir: String): Unit =
+      names.toDF("p_name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/names.parquet")
+    val corpusDir = java.nio.file.Files.createTempDirectory("nixcorpus").toString
+    val newDir = java.nio.file.Files.createTempDirectory("nixbatch").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("nixtables").toString
+    write(corpusNames, corpusDir)
+    write(newNames, newDir)
+    try {
+      DedupOps.writeNameIndex(
+        DedupOps.buildNameIndex(
+          spark.read.parquet(s"$corpusDir/names.parquet")),
+        "ut_nix", idxDir, buckets = 4)
+      val out = DedupOps.incrementalFuzzyMatch(
+        spark.read.parquet(s"$newDir/names.parquet"),
+        DedupOps.readNameIndex(spark, "ut_nix"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains(corpusDir),
+        s"fuzzy ingest re-scans corpus names:\n$plan")
+      val got = out.as[(String, String, Long)].collect().toSet
+      spark.catalog.clearCache()
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        n <- newNames; o <- corpusNames
+        d = lev(n, o) if d <= 2
+      } yield (n, o, d.toLong)).toSet
+      assert(got == want, s"got $got\nwant $want")
+      assert(want.contains(("kitten", "kitten", 0L))) // exact repeat kept
+      assert(want.contains(("cd", "ab", 2L)))         // tiny tier
+      assert(want.contains(("abcde", "abcdefg", 2L))) // cross-tier (5,7)
+    } finally Seq("grams", "prefixes", "chars", "tiny", "bigramdf")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_nix_$t"))
+  }
+
   test("q31 label cap drops hot labels, keeps normal near-dup pairs") {
     import spark.implicits._
     // 1100 same-label vectors (identical direction => every pair would
@@ -764,7 +853,8 @@ class OperatorSpec extends AnyFunSuite {
       "q54_ivf_nprobe2", "q73_int8_quant", "q76_tfidf_topterms",
       "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion",
       "q98_kmeans_train", "q100_pipeline_v2", "q105_rolling_distinct",
-      "q106_collocations") // 1-row token-total scalar, the q76 shape
+      "q106_collocations", // 1-row token-total scalar, the q76 shape
+      "q107_containment_join") // 1-row min-prefix-size scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -787,6 +877,53 @@ class OperatorSpec extends AnyFunSuite {
         // separator); a partitioned one prints three bracket groups
         // (negative control above pins the format)
         "partition-less Window" -> globalWindow(p)
+      ).collect { case (f, true) => f }
+      if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("plan-regression guards: the flagship five keep their designed shapes") {
+    // The five most expensive queries carry deliberate physical designs
+    // (prefix-filtered equi-joins, checkpoint-truncated CC rounds,
+    // broadcast scalar prunes). The bench only surfaces a regression as
+    // noise; this guard pins the SHAPE: zero cartesians, at most the one
+    // documented 1-row-scalar nested loop (q107's min-prefix-size
+    // broadcast), a bounded exchange count (measured at sf0.001 + ~25%
+    // headroom), and at least one real equi-join operator.
+    final case class Shape(exchanges: Int, smj: Int, bhj: Int,
+        cart: Int, bnlj: Int)
+    def shape(p: String) = Shape(
+      "Exchange ".r.findAllIn(p).size,
+      "SortMergeJoin".r.findAllIn(p).size,
+      "BroadcastHashJoin".r.findAllIn(p).size,
+      "CartesianProduct".r.findAllIn(p).size,
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size)
+    // negative control: the detector must flag a genuinely bad plan, so
+    // a Spark plan-format change can't silently blind this guard
+    locally {
+      val a = Tables.table(spark, sf, "nation")
+      val bad = shape(a.crossJoin(a.select(col("n_name").as("x")))
+        .queryExecution.executedPlan.toString)
+      assert(bad.cart + bad.bnlj > 0, s"cartesian detector is blind: $bad")
+    }
+    val budgets = Map(
+      // q51's count is low only because localCheckpoint truncates the
+      // visible lineage to the last CC round — the guard still catches
+      // a lost checkpoint (lineage blow-up => exchange count explodes)
+      "q50_ngram_jaccard" -> (32, 0),
+      "q51_dedup_clusters" -> (8, 0),
+      "q55_incremental_dedup" -> (48, 0),
+      "q94_triangle_count" -> (8, 0),
+      "q107_containment_join" -> (56, 1))
+    val bad = budgets.toSeq.sortBy(_._1).flatMap { case (name, (maxEx, maxBnlj)) =>
+      val s = shape(plan(name))
+      spark.catalog.clearCache()
+      val flags = Seq(
+        s"cartesian(${s.cart})" -> (s.cart > 0),
+        s"bnlj(${s.bnlj}>$maxBnlj)" -> (s.bnlj > maxBnlj),
+        s"exchanges(${s.exchanges}>$maxEx)" -> (s.exchanges > maxEx),
+        "no-equi-join" -> (s.smj + s.bhj == 0)
       ).collect { case (f, true) => f }
       if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
     }
