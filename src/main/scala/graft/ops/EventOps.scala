@@ -797,10 +797,51 @@ object EventOps {
       FROM sess WHERE new_sess = 1
       GROUP BY event_type"""))
 
+  /** SCD2 (slowly-changing-dimension, type 2) history build — the
+    * warehouse op that turns an event stream into validity intervals:
+    * per user, each CHANGE of state (event_type here standing in for
+    * the tracked attribute) opens a row valid from its timestamp until
+    * the next change; the last row per user is open-ended
+    * (`valid_to` NULL, `is_current` true). Two window passes over ONE
+    * (user_id, ts) sort — change detection via lag, interval close via
+    * lead over the filtered changes — so the whole history build is a
+    * single shuffle; consecutive repeats of the same state collapse
+    * into one interval (the SCD2 contract). */
+  val q119Scd2History = OpSpec(
+    "q119_scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"),
+          fmtTs(col("ts")).as("valid_from"),
+          fmtTs(col("to_ts")).as("valid_to"),
+          col("event_type").as("state"),
+          col("to_ts").isNull.as("is_current"))
+    },
+    Some("""
+      SELECT user_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        strftime(to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        event_type AS state,
+        to_ts IS NULL AS is_current
+      FROM (
+        SELECT user_id, ts, event_type,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS to_ts
+        FROM (
+          SELECT user_id, ts, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+              AS prev
+          FROM events)
+        WHERE prev IS NULL OR prev <> event_type)"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
-    q109AbReadout, q112BounceRate)
+    q109AbReadout, q112BounceRate, q119Scd2History)
 }

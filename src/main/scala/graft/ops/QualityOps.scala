@@ -195,7 +195,106 @@ object QualityOps {
       FROM documents
       GROUP BY lang"""))
 
+  /** Batch-over-batch schema/distribution drift detector — q67's
+    * profile computed for two ingest batches (event_id parity stands in
+    * for yesterday/today) and joined per column, so a pipeline can gate
+    * a new shard on "did null rates or cardinalities move". Profiles
+    * are tiny (one row per column) regardless of batch size; the drift
+    * compare touches only profile rows. Null rates are each ONE
+    * division of exact integers; the cardinality ratio likewise. */
+  val q120ProfileDrift = OpSpec(
+    "q120_profile_drift",
+    (s, dir) => {
+      def profile(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr("""stack(3,
+          'user_id', CAST(user_id AS STRING),
+          'event_type', CAST(event_type AS STRING),
+          'value', CAST(value AS STRING)) AS (col_name, v)"""))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+      val ev = table(s, dir, "events")
+      val a = profile(ev.filter(col("event_id") % 2 === 0))
+      val b = profile(ev.filter(col("event_id") % 2 =!= 0))
+      a.select(col("col_name"), col("n").as("n_a"),
+          col("n_null").as("null_a"), col("n_distinct").as("nd_a"))
+        .join(b.select(col("col_name"), col("n").as("n_b"),
+          col("n_null").as("null_b"), col("n_distinct").as("nd_b")),
+          Seq("col_name"))
+        .select(col("col_name"), col("n_a"), col("null_a"), col("nd_a"),
+          col("n_b"), col("null_b"), col("nd_b"),
+          (col("null_a").cast("double") / col("n_a").cast("double"))
+            .as("null_rate_a"),
+          (col("null_b").cast("double") / col("n_b").cast("double"))
+            .as("null_rate_b"),
+          (col("nd_b").cast("double") / col("nd_a").cast("double"))
+            .as("nd_ratio"))
+    },
+    Some("""
+      WITH s AS (
+        -- explicit UNION ALL (not UNPIVOT, which drops NULL values)
+        SELECT event_id % 2 AS side, 'user_id' AS col_name,
+               CAST(user_id AS VARCHAR) AS v FROM events
+        UNION ALL
+        SELECT event_id % 2, 'event_type', CAST(event_type AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT event_id % 2, 'value', CAST(value AS VARCHAR)
+        FROM events),
+      p AS (
+        SELECT side, col_name, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null,
+          CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        FROM s GROUP BY 1, 2)
+      SELECT a.col_name, a.n AS n_a, a.n_null AS null_a,
+        a.n_distinct AS nd_a, b.n AS n_b, b.n_null AS null_b,
+        b.n_distinct AS nd_b,
+        CAST(a.n_null AS DOUBLE) / CAST(a.n AS DOUBLE) AS null_rate_a,
+        CAST(b.n_null AS DOUBLE) / CAST(b.n AS DOUBLE) AS null_rate_b,
+        CAST(b.n_distinct AS DOUBLE) / CAST(a.n_distinct AS DOUBLE)
+          AS nd_ratio
+      FROM (SELECT * FROM p WHERE side = 0) a
+      JOIN (SELECT * FROM p WHERE side = 1) b USING (col_name)"""))
+
+  /** k-anonymity audit with a generalization ladder — the privacy gate
+    * a training-data release runs over quasi-identifiers: each
+    * (nation, segment) group is k-anonymous at level 0 if ≥ k rows
+    * share the full QI tuple; groups below k test the GENERALIZED
+    * tuple (nation only), and groups still below k are marked for
+    * suppression. Two aggregates (full QI, generalized QI) and one
+    * broadcast-sized join — output is bounded by |QI domain|, not row
+    * count. */
+  val q121KAnonymity = OpSpec(
+    "q121_k_anonymity",
+    (s, dir) => {
+      val k = 5
+      val c = table(s, dir, "customer")
+      val full = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("qi_n"))
+      val gen = c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("gen_n"))
+      full.join(gen, "c_nationkey")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"), col("qi_n"), col("gen_n"),
+          when(col("qi_n") >= k, 0L)
+            .when(col("gen_n") >= k, 1L)
+            .otherwise(2L).as("anon_level"))
+    },
+    Some("""
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment, qi_n, gen_n,
+        CAST(CASE WHEN qi_n >= 5 THEN 0
+                  WHEN gen_n >= 5 THEN 1
+                  ELSE 2 END AS BIGINT) AS anon_level
+      FROM (SELECT c_nationkey, c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS qi_n,
+              CAST(SUM(COUNT(*)) OVER (PARTITION BY c_nationkey)
+                AS BIGINT) AS gen_n
+            FROM customer GROUP BY 1, 2)"""))
+
   val all: Seq[OpSpec] = Seq(
     q42ImagingQuality, q43CheckCounts, q44Intersect, q45MinhashAgg,
-    q46OfScore, q67ColumnProfile)
+    q46OfScore, q67ColumnProfile, q120ProfileDrift, q121KAnonymity)
 }

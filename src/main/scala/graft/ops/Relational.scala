@@ -569,10 +569,78 @@ object Relational {
               FROM customer GROUP BY 1, 2))
       WHERE rn = 1"""))
 
+  /** Partition-level Merkle diff — q104's whole-table fingerprint
+    * refined to BUCKET granularity so two 100 TB replicas can LOCALIZE
+    * a divergence without moving rows: each site aggregates (count,
+    * Mersenne-mod hash sum, hash xor) per `o_orderkey % 64` bucket
+    * (the same injective [[chkSer]] row serialization), the 64-row
+    * summaries are exchanged, and only buckets whose triples differ
+    * need row-level repair. Replica B is simulated by mutating
+    * `o_orderstatus` on keys ≡ 0 (mod 997); a NULL-safe full-outer
+    * compare keeps buckets that exist on one side only. */
+  val q118MerkleDiff = OpSpec(
+    "q118_merkle_diff",
+    (s, dir) => {
+      def sums(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("hx", md5(expr(chkSer).cast("binary")))
+        .withColumn("hv", expr(
+          s"CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT)"))
+        .withColumn("bucket", col("o_orderkey") % 64)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("""CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                  % 2305843009213693951 AS BIGINT)""").as("sum_h"),
+          expr("CAST(bit_xor(hv) AS BIGINT)").as("xor_h"))
+      val a = sums(table(s, dir, "orders"))
+      val b = sums(table(s, dir, "orders")
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 997 === 0, lit("X"))
+            .otherwise(col("o_orderstatus"))))
+      a.select(col("bucket"), col("n").as("n_a"),
+          col("sum_h").as("sum_a"), col("xor_h").as("xor_a"))
+        .join(b.select(col("bucket"), col("n").as("n_b"),
+          col("sum_h").as("sum_b"), col("xor_h").as("xor_b")),
+          Seq("bucket"), "full_outer")
+        .filter(!(col("n_a") <=> col("n_b")) ||
+          !(col("sum_a") <=> col("sum_b")) ||
+          !(col("xor_a") <=> col("xor_b")))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n,
+          CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+               % 2305843009213693951 AS BIGINT) AS sum_h,
+          CAST(bit_xor(hv) AS BIGINT) AS xor_h
+        FROM (SELECT o_orderkey,
+                CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT) AS hv
+              FROM (SELECT o_orderkey, md5($chkSer) AS hx FROM orders))
+        GROUP BY 1),
+      b AS (
+        SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n,
+          CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+               % 2305843009213693951 AS BIGINT) AS sum_h,
+          CAST(bit_xor(hv) AS BIGINT) AS xor_h
+        FROM (SELECT o_orderkey,
+                CAST(${DedupOps.hexToLong("hx", 1, 15)} AS BIGINT) AS hv
+              FROM (SELECT o_orderkey, md5($chkSer) AS hx
+                    FROM (SELECT o_orderkey, o_custkey,
+                            CASE WHEN o_orderkey % 997 = 0 THEN 'X'
+                                 ELSE o_orderstatus END AS o_orderstatus,
+                            o_orderpriority
+                          FROM orders)))
+        GROUP BY 1)
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+        a.n AS n_a, a.sum_h AS sum_a, a.xor_h AS xor_a,
+        b.n AS n_b, b.sum_h AS sum_b, b.xor_h AS xor_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+      WHERE a.n IS DISTINCT FROM b.n
+         OR a.sum_h IS DISTINCT FROM b.sum_h
+         OR a.xor_h IS DISTINCT FROM b.xor_h"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
-    q111GroupedMode)
+    q111GroupedMode, q118MerkleDiff)
 }

@@ -68,5 +68,40 @@ object SampleOps {
             FROM (SELECT doc_id, md5('split:' || doc_id) AS hx
                   FROM documents))"""))
 
-  val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit)
+  /** MERGEABLE bottom-k priority sample (the sample-as-sketch dual of
+    * q99's KMV merge): a uniform k-row sample is the k rows with the
+    * smallest salted-md5 priorities — a SET property of the data, so
+    * per-shard bottom-k samples MERGE into the global sample by
+    * re-ranking k·shards candidate rows. The engine takes bottom-k
+    * per shard (doc_id % 4 stands in for stored per-partition
+    * samples) and merges; the oracle computes the global bottom-k
+    * directly — the gate proves merge(shard samples) == sample(corpus)
+    * row-for-row, the invariant that lets 100 TB keep one k-row sample
+    * per partition and refresh the global sample without a rescan.
+    * The merge is TakeOrderedAndProject (per-partition top-k, driver
+    * merges k·P rows) — no global sort, no global window. */
+  val q115PrioritySample = OpSpec(
+    "q115_priority_sample",
+    (s, dir) => {
+      val k = 50
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rk",
+          md5(concat(lit("psample:"), col("doc_id")).cast("binary")))
+        .withColumn("shard", col("doc_id") % 4)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)                  // shard-level sample
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("rk"), col("doc_id")).limit(k) // merge = re-rank
+    },
+    Some("""
+      SELECT doc_id, lang, rk
+      FROM (SELECT doc_id, lang,
+              md5('psample:' || doc_id) AS rk
+            FROM documents)
+      ORDER BY rk, doc_id LIMIT 50"""))
+
+  val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
+    q115PrioritySample)
 }

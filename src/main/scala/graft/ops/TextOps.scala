@@ -944,10 +944,95 @@ object TextOps {
       ORDER BY lift DESC, w1 ASC, w2 ASC
       LIMIT 50"""))
 
+  /** Term-df cap for q117's blocking: pairs sharing ONLY terms hotter
+    * than this never become candidates (the q27 hot-bucket trade —
+    * near-universal terms carry no similarity signal and would emit
+    * |bucket|²/2 candidate pairs). Mirrored in the oracle. */
+  private val TermDfCap = 1000L
+
+  /** EXACT cosine-similarity self-join over term-frequency vectors —
+    * the sparse-vector dual of q30's dense embedding top-k, computed
+    * entirely in integers until the final emit: tf counts are ints,
+    * squared norms are Σtf² ints, the dot product is an inverted-index
+    * equi-join + SUM of tf products, and the τ = 3/4 threshold is the
+    * cross-multiplied integer test 16·dot² ≥ 9·n2a·n2b (exact — no
+    * float compare decides membership; DECIMAL(38) products so a
+    * 100 TB-scale tf vector cannot overflow the test). Blocking:
+    * candidates must share a term with df ≤ [[TermDfCap]] (mirrored
+    * in the oracle); the verify then dots the FULL vectors, so emitted
+    * cosines are exact. One shuffle keys the inverted index (term),
+    * one the candidate pairs — never all pairs. The only doubles are
+    * the final cosine (one IEEE sqrt + divide, identical in both
+    * engines). */
+  val q117CosineTfJoin = OpSpec(
+    "q117_cosine_tf_join",
+    (s, dir) => {
+      val tf = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val okw = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= TermDfCap).select(col("w"))
+      val blocked = tf.join(okw, "w")
+      val cand = blocked.as("a")
+        .join(blocked.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(tf.select(col("doc_id").as("doc_a"), col("w"),
+          col("tf").as("tfa")), "doc_a")
+        .join(tf.select(col("doc_id").as("doc_b"), col("w"),
+          col("tf").as("tfb")), Seq("doc_b", "w"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("tfa") * col("tfb")).as("dot"))
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
+          "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
+          "doc_b")
+        .filter(expr("""16 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+                        >= 9 * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))"""))
+        .select(col("doc_a"), col("doc_b"), col("dot"), col("n2a"), col("n2b"),
+          (col("dot").cast("double") /
+            sqrt((col("n2a") * col("n2b")).cast("double"))).as("cosine"))
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest($wordsDuck) AS w FROM documents)
+        GROUP BY 1, 2),
+      norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM tf GROUP BY doc_id),
+      okw AS (SELECT w FROM tf GROUP BY w HAVING COUNT(*) <= $TermDfCap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT tf.* FROM tf SEMI JOIN okw USING (w)) a
+        JOIN (SELECT tf.* FROM tf SEMI JOIN okw USING (w)) b
+          ON a.w = b.w AND a.doc_id < b.doc_id),
+      dots AS (
+        SELECT c.doc_a, c.doc_b, CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+        FROM cand c
+        JOIN tf x ON x.doc_id = c.doc_a
+        JOIN tf y ON y.doc_id = c.doc_b AND y.w = x.w
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, dot, na.n2 AS n2a, nb.n2 AS n2b,
+        CAST(dot AS DOUBLE) /
+          sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b
+      WHERE 16 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+            >= 9 * CAST(na.n2 AS DECIMAL(38,0)) * CAST(nb.n2 AS DECIMAL(38,0))"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
-    q106Collocations)
+    q106Collocations, q117CosineTfJoin)
 }

@@ -854,7 +854,8 @@ class OperatorSpec extends AnyFunSuite {
       "q78_domain_mix", "q81_cluster_reps", "q89_rrf_fusion",
       "q98_kmeans_train", "q100_pipeline_v2", "q105_rolling_distinct",
       "q106_collocations", // 1-row token-total scalar, the q76 shape
-      "q107_containment_join") // 1-row min-prefix-size scalar broadcast
+      "q107_containment_join", // 1-row min-prefix-size scalar broadcast
+      "q116_pagerank") // 1-row node-count scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -928,6 +929,48 @@ class OperatorSpec extends AnyFunSuite {
       if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
     }
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("q116 pagerank: mass conserved, every node positive, order sane") {
+    import spark.implicits._
+    val pr = SparkEntry.queries("q116_pagerank")(spark, sf)
+      .as[(String, Double)].collect()
+    spark.catalog.clearCache()
+    assert(pr.nonEmpty)
+    // no dangling nodes in this graph (every event type that appears as
+    // a source has outgoing weight 1), so total rank mass is conserved
+    // across iterations up to IEEE rounding
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9, pr.map(_._2).sum)
+    assert(pr.forall(_._2 > 0.0)) // damping floor keeps every node > 0
+  }
+
+  test("q118 merkle diff flags exactly the buckets holding mutated rows") {
+    import spark.implicits._
+    val flagged = SparkEntry.queries("q118_merkle_diff")(spark, sf)
+      .select("bucket").as[Long].collect().toSet
+    val want = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select((col("o_orderkey") % 64).as("b")).distinct()
+      .as[Long].collect().toSet
+    assert(flagged == want && flagged.nonEmpty)
+  }
+
+  test("q119 SCD2 intervals tile each user's history exactly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q119_scd2_history")(spark, sf)
+      .as[(Long, String, Option[String], String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { h =>
+      val sorted = h.sortBy(_._2)
+      // exactly one open-ended current row per user, and it is the last
+      assert(h.count(_._5) == 1 && sorted.last._5)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3.contains(b._2)) // valid_to == next valid_from
+          assert(a._4 != b._4)        // consecutive repeats collapsed
+        case _ =>
+      }
+    }
   }
 
   test("q71 z-value de-interleaves back to its inputs (bijective layout key)") {
