@@ -838,10 +838,112 @@ object EventOps {
           FROM events)
         WHERE prev IS NULL OR prev <> event_type)"""))
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands reduction: distinct active days, island id =
+    * day − row_number (constant within a consecutive run), then the
+    * longest island with an (length desc, start asc) pinned tie rule.
+    * Pure integer date arithmetic throughout; two windows and the
+    * final pick share ONE (user_id, day) sort. */
+  val q125Streaks = OpSpec(
+    "q125_streaks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wPick = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("start_day").asc)
+      table(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .withColumn("pick", row_number().over(wPick))
+        .filter(col("pick") === 1)
+        .select(col("user_id"), col("len").as("best_streak"),
+          col("start_day").as("streak_start"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS day
+        FROM events),
+      isl AS (
+        SELECT user_id, day,
+          day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+            AS isl
+        FROM days),
+      runs AS (
+        SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+          min(day) AS start_day
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, len AS best_streak, start_day AS streak_start
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY len DESC, start_day ASC) AS pick
+            FROM runs)
+      WHERE pick = 1"""))
+
+  /** Temporal (point-in-time) lookup against an SCD2 dimension — the
+    * q119 history build consumed the way a warehouse consumes it: each
+    * purchase event is matched to the user's journey state (the SCD2
+    * intervals built from NON-purchase events) valid AT the purchase
+    * timestamp. The join is user_id equality + half-open interval
+    * residual (valid_from ≤ ts < valid_to, NULL-open tail) — the q20
+    * hash-join shape, scaling with per-user interval density, never
+    * |facts|×|dim|. Purchases before the user's first state row pass
+    * through with a NULL state (LEFT join — a fact must never be
+    * silently dropped by slowly-arriving dimension history). */
+  val q126TemporalLookup = OpSpec(
+    "q126_temporal_lookup",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val dim = table(s, dir, "events")
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id").as("d_user"), col("ts").as("from_ts"),
+          col("to_ts"), col("event_type").as("state"))
+      val facts = table(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      facts.join(dim,
+          col("user_id") === col("d_user") &&
+            col("from_ts") <= col("ts") &&
+            (col("to_ts").isNull || col("to_ts") > col("ts")),
+          "left")
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("ts"), col("state"),
+          fmtTs(col("from_ts")).as("state_since"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT user_id AS d_user, ts AS from_ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS to_ts,
+          event_type AS state
+        FROM (
+          SELECT user_id, ts, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+              AS prev
+          FROM events WHERE event_type <> 'purchase')
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT f.event_id, f.user_id,
+        strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        d.state,
+        strftime(d.from_ts, '%Y-%m-%d %H:%M:%S.%f') AS state_since
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') f
+      LEFT JOIN dim d
+        ON d.d_user = f.user_id AND d.from_ts <= f.ts
+       AND (d.to_ts IS NULL OR d.to_ts > f.ts)"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
-    q109AbReadout, q112BounceRate, q119Scd2History)
+    q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
+    q126TemporalLookup)
 }

@@ -1029,10 +1029,98 @@ object TextOps {
       WHERE 16 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
             >= 9 * CAST(na.n2 AS DECIMAL(38,0)) * CAST(nb.n2 AS DECIMAL(38,0))"""))
 
+  /** Per-(term, doc) BM25 contribution — ONE shared formula text so
+    * both engines stage the identical IEEE ops: k1 = 1.2, b = 0.75 as
+    * exponent literals (the q23 discipline), the idf in its RATIONAL
+    * monotone form (N − df + ½)/(df + ½) — no ln(), whose last-ulp
+    * rounding the JVM and DuckDB's libm do not promise to agree on.
+    * `dl` is the doc's word count, avgdl arrives as total/count of
+    * exact integers. */
+  private val bm25Contrib = """
+    ((CAST(n_docs AS DOUBLE) - df + 5e-1) / (CAST(df AS DOUBLE) + 5e-1))
+    * (CAST(tf AS DOUBLE) * 22e-1)
+    / (CAST(tf AS DOUBLE)
+       + 12e-1 * (1e0 - 75e-2
+                  + 75e-2 * (CAST(dl AS DOUBLE)
+                             / (CAST(total_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))))"""
+
+  /** BM25 top-k retrieval off the inverted-index artifacts (tf/df —
+    * the q76/q77 tables): the query is the corpus's df-rank-10..14
+    * terms (deterministically derived mid-frequency terms, so the
+    * query set is data-defined and identical in both engines), each
+    * candidate doc's score is the SORTED left fold of its per-term
+    * BM25 contributions (bit-exact cross-engine, the q116 discipline),
+    * and the top 20 come from sort+limit (TakeOrderedAndProject:
+    * per-partition top-k then a k·P driver merge — no global sort, no
+    * global window). Scale shape: scoring joins only the query terms'
+    * posting lists, never the corpus. */
+  val q124Bm25 = OpSpec(
+    "q124_bm25_topk",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+      val dl = docs.select(col("doc_id"),
+        expr("CAST(size(words) AS BIGINT)").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // the df-rank 10..14 band as top14 \ top9 — two sort+limit heads
+      // (TakeOrderedAndProject), no global window anywhere in the plan
+      def head(k: Int) = dfTab
+        .orderBy(col("df").desc, col("term").asc).limit(k)
+      val qterms = head(14).exceptAll(head(9))
+      val contribs = tf.join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(bm25Contrib))
+      contribs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"),
+          expr("""aggregate(
+              transform(sort_array(collect_list(struct(term, c))),
+                s -> s.c),
+              0D, (acc, x) -> acc + x)""").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("n_hit"), col("score"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, words FROM
+          (SELECT doc_id, $wordsDuck AS words FROM documents)),
+      dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM w)
+        GROUP BY 1, 2),
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      qterms AS (
+        SELECT term, df FROM (
+          SELECT term, df, row_number() OVER
+            (ORDER BY df DESC, term ASC) AS r
+          FROM dfs)
+        WHERE r BETWEEN 10 AND 14),
+      contribs AS (
+        SELECT tf.doc_id, tf.term, $bm25Contrib AS c
+        FROM tf JOIN qterms USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+      FROM contribs
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 20"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
-    q106Collocations, q117CosineTfJoin)
+    q106Collocations, q117CosineTfJoin, q124Bm25)
 }

@@ -68,14 +68,22 @@ object StreamingStages {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("win_start"), col("event_type"), col("n"), col("total"))
 
-  /** Streaming twin of q18: watermarked session windows per user. */
+  /** Streaming twin of q18: watermarked session windows per user, with
+    * the batch twin's full output shape (start, exact-decimal total,
+    * span) so the streaming run sits under q18's oracle. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        graft.Tables.dsum(col("value")).as("total"))
-      .select(col("user_id"), col("n_events"), col("total"))
+        graft.Tables.dsum(col("value")).as("total"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        graft.Tables.fmtTs(col("first_ts")).as("session_start"),
+        col("n_events"), col("total"),
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+          .as("span_us"))
 
   /** Any map-shaped stage (scoring, enrichment) applies to a stream
     * as-is — this just documents/types the contract. */
@@ -333,8 +341,45 @@ object StreamingStages {
     },
     graft.ops.EventOps.q20RangeJoin.oracle)
 
+  private val sessSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q122: [[sessionAgg]] as a REAL streaming query under the gate —
+    * stateful SESSION windows (merging state, not fixed buckets) driven
+    * through the q56 recipe and hash-checked against the batch q18
+    * oracle. Complete mode emits pre-watermark sessions too; the
+    * exact-decimal total keeps the sum order-independent, so streaming
+    * merge order cannot move the hash. */
+  val q122StreamingSession: graft.OpSpec = graft.OpSpec(
+    "q122_streaming_session",
+    (s, dir) => {
+      val id = sessSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q122_mem_${id - 1}")
+      val name = s"q122_mem_$id"
+      runToMemory(sessionAgg(eventsStream(s, s"$dir/events.parquet")),
+        name, "complete").stop()
+      s.table(name)
+    },
+    graft.ops.EventOps.q18SessionWindow.oracle)
+
+  private val hopSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q123: [[hoppingAgg]] as a REAL streaming query under the gate —
+    * the 3× overlapping-bucket expansion against the batch q86 oracle. */
+  val q123StreamingHopping: graft.OpSpec = graft.OpSpec(
+    "q123_streaming_hopping",
+    (s, dir) => {
+      val id = hopSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q123_mem_${id - 1}")
+      val name = s"q123_mem_$id"
+      runToMemory(hoppingAgg(eventsStream(s, s"$dir/events.parquet")),
+        name, "complete").stop()
+      s.table(name)
+    },
+    graft.ops.EventOps.q86HoppingWindow.oracle)
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
-      q113StreamingFunnel, q114StreamingRangeJoin)
+      q113StreamingFunnel, q114StreamingRangeJoin,
+      q122StreamingSession, q123StreamingHopping)
 }
