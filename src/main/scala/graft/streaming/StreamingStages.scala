@@ -118,17 +118,23 @@ object StreamingStages {
   def runningUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.select(col("user_id").as[Long], col("value").as[Double])
+    events.select(col("user_id").as[Long],
+        expr("CAST(round(value * 1e2) AS BIGINT)").as[Long])
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
-          var (n, total) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { case (_, v) => n += 1; total += v }
-          state.update((n, total))
-          (user, n, total / n)
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          // state is (count, exact integer cents): a double running sum
+          // would make the emitted total depend on arrival order across
+          // micro-batches — integer cents keep the state (and q127's
+          // hash) order-independent, the q61 exact-sum discipline
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; cents += c }
+          state.update((n, cents))
+          val total = cents.toDouble / 1e2
+          (user, n, total, total / n)
       }
-      .toDF("user_id", "n_events", "mean_value")
+      .toDF("user_id", "n_events", "total", "mean_value")
   }
 
   /** Streaming twin of the q84 funnel: per-user (first_view,
@@ -377,9 +383,67 @@ object StreamingStages {
     },
     graft.ops.EventOps.q86HoppingWindow.oracle)
 
+  private val statsSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q127: [[runningUserStats]] as a REAL streaming query under the
+    * gate — custom mapGroupsWithState state (count + exact integer
+    * cents per user) whose end-of-input emission must equal the batch
+    * groupBy exactly; the single input file arrives as one micro-batch
+    * and update mode emits each user once. */
+  val q127StreamingUserStats: graft.OpSpec = graft.OpSpec(
+    "q127_streaming_user_stats",
+    (s, dir) => {
+      val id = statsSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q127_mem_${id - 1}")
+      val name = s"q127_mem_$id"
+      runToMemory(
+        runningUserStats(s, eventsStream(s, s"$dir/events.parquet")),
+        name, "update").stop()
+      s.table(name)
+    },
+    Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+          AS total,
+        CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+          / COUNT(*) AS mean_value
+      FROM events GROUP BY user_id"""))
+
+  private val enrichSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q128: [[enrichWithStatic]] as a REAL streaming query under the
+    * gate — every micro-batch broadcast-joins the static nation
+    * dimension (the J3 clip↔video denormalization shape on a stream);
+    * LEFT join so unmatched stream rows pass through. Map-shaped, so
+    * arrival order cannot affect the row set. */
+  val q128StreamingEnrich: graft.OpSpec = graft.OpSpec(
+    "q128_streaming_enrich",
+    (s, dir) => {
+      val id = enrichSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q128_mem_${id - 1}")
+      val name = s"q128_mem_$id"
+      val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_name").as("nation_name")))
+      val enriched = enrichWithStatic(
+        eventsStream(s, s"$dir/events.parquet")
+          .withColumn("nk", col("user_id") % 25),
+        dim, Seq("nk"))
+        .select(col("event_id"), col("user_id"), col("nation_name"),
+          col("event_type"))
+      runToMemory(enriched, name, "append").stop()
+      s.table(name)
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, n.n_name AS nation_name,
+             e.event_type
+      FROM events e
+      LEFT JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = e.user_id % 25"""))
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
-      q122StreamingSession, q123StreamingHopping)
+      q122StreamingSession, q123StreamingHopping,
+      q127StreamingUserStats, q128StreamingEnrich)
 }
