@@ -637,10 +637,134 @@ object Relational {
          OR a.sum_h IS DISTINCT FROM b.sum_h
          OR a.xor_h IS DISTINCT FROM b.xor_h"""))
 
+  /** Six-table revenue rollup (the TPC-H Q5 shape): lineitem ⨝ orders
+    * ⨝ customer ⨝ supplier ⨝ nation ⨝ region with the LOCAL-supplier
+    * constraint (customer and supplier in the same nation), one region
+    * + two-year date slice, revenue per nation. The flagship
+    * multi-join: date and region filters push to the scans, nation/
+    * region broadcast explicitly, the fact tables shuffle once on
+    * orderkey and the supplier join reuses AQE's choice. Revenue is
+    * EXACT: price cents × (100 − discount cents) accumulates as
+    * DECIMAL integer 4dp units; the single double division happens at
+    * emit. */
+  val q129RevenueRollup = OpSpec(
+    "q129_revenue_rollup",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                  AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .select(col("n_name"), col("n_items"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+             AS BIGINT) AS DOUBLE) / 1e4 AS revenue
+      FROM (SELECT l_orderkey, l_suppkey,
+              CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+              CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+            FROM lineitem) l
+      JOIN (SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') o
+        ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY n_name"""))
+
+  /** Order-priority count with a correlated-EXISTS semi join (the
+    * TPC-H Q4 shape, late-shipment predicate adapted to this schema's
+    * columns): orders in a one-year slice having at least one lineitem
+    * shipped more than 60 days after the order date. The EXISTS
+    * compiles to a LeftSemi hash join on orderkey with the lateness
+    * comparison as a residual touching BOTH sides — the shape Catalyst
+    * decorrelates subqueries into. */
+  val q130LateOrders = OpSpec(
+    "q130_late_orders",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority"""))
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): LEFT
+    * join so zero-order customers stay, count per customer, then the
+    * distribution of counts — the double aggregation whose first
+    * shuffle keys the customer and whose second is bounded by the
+    * count domain, not the row count. */
+  val q131CustDist = OpSpec(
+    "q131_custdist",
+    (s, dir) => {
+      table(s, dir, "customer").select(col("c_custkey"))
+        .join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey,
+              CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+      GROUP BY c_count"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
-    q111GroupedMode, q118MerkleDiff)
+    q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
+    q131CustDist)
 }

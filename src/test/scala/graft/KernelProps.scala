@@ -91,6 +91,36 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("GrfCodec round-trips arbitrary frame planes through disk") =
+    forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 8), Gen.chooseNum(0, 12),
+      Gen.chooseNum(1L, Long.MaxValue)) { (w, h, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val frames = Seq.fill(n)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val p = java.nio.file.Files
+        .createTempFile("grfprop", ".grf").toString
+      try {
+        graft.media.GrfCodec.write(p, w, h, 24.0, frames)
+        val info = graft.media.GrfCodec.probe(p)
+        info.width == w && info.height == h && info.nFrames == n &&
+          frames.indices.forall(i =>
+            graft.media.GrfCodec.decodeFrame(p, i.toLong).toSeq ==
+              frames(i).toSeq) &&
+          (n == 0 || {
+            // clip re-encode preserves the exact plane bytes
+            val clip = graft.media.GrfCodec.encodeClip(p, 0L, n.toLong)
+            val cp = java.nio.file.Files
+              .createTempFile("grfclip", ".grf").toString
+            try {
+              java.nio.file.Files.write(java.nio.file.Paths.get(cp), clip)
+              graft.media.GrfCodec.decodeFrame(cp, (n - 1).toLong).toSeq ==
+                frames(n - 1).toSeq
+            } finally java.nio.file.Files
+              .deleteIfExists(java.nio.file.Paths.get(cp))
+          })
+      } finally java.nio.file.Files
+        .deleteIfExists(java.nio.file.Paths.get(p))
+    }
+
   property("sortedIntersectCount equals set-intersection size") = {
     val xs = Gen.listOf(Gen.chooseNum(-100L, 100L))
     forAll(xs, xs) { (a, b) =>

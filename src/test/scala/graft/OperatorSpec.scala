@@ -1493,6 +1493,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(truth.contains(("abcde", "abcdefg"))) // cross-tier (5,7)
   }
 
+  test("fuzzyCandidates: complete on a seeded random small-alphabet corpus") {
+    import spark.implicits._
+    // adversarial regime for blocking: 120 random strings over a
+    // 3-letter alphabet, lengths 0..9 — dense with true near-matches
+    // at every tier boundary. Seeded, so failures reproduce.
+    val rnd = new scala.util.Random(20260814L)
+    val names = Seq.fill(120)(
+      Seq.fill(rnd.nextInt(10))("abc"(rnd.nextInt(3))).mkString).distinct
+    val cand = graft.ops.DedupOps.fuzzyCandidates(names.toDF("p_name"))
+      .as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      a <- names; b <- names if a < b
+      if lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(truth.size > 50, s"fixture too sparse: ${truth.size}")
+    assert((truth -- cand).isEmpty,
+      s"blocking lost ${(truth -- cand).size} true pairs: " +
+        (truth -- cand).take(5))
+  }
+
   test("fuzzyCandidates: corpus-wide hot bigram stays out of blocking") {
     import spark.implicits._
     // every name shares the hot bigram "zz"; suffix chars are
