@@ -1117,10 +1117,96 @@ object TextOps {
       GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT 20"""))
 
+  /** Number of BPE merge rounds trained by q132. */
+  private val BpeRounds = 10
+
+  /** BPE tokenizer TRAINING under the bit-exact gate — the first stage
+    * of every LLM data pipeline, run as [[BpeRounds]] unrolled merge
+    * rounds inside ONE declarative plan: the vocabulary collapses to
+    * (distinct word, count) first (classic BPE trains on the word
+    * table, so round cost scales with |vocab|, not corpus tokens);
+    * each round counts adjacent symbol pairs weighted by word count,
+    * picks the max with a pinned (count desc, pair asc) tie rule via
+    * sort+limit (no global window), broadcasts the 1-row winner, and
+    * applies it with a literal string replace over the space-joined
+    * symbol string. Merge application is a SINGLE left-to-right
+    * non-overlapping scan (Java and DuckDB `replace` share these
+    * semantics exactly — immediately-adjacent overlapping occurrences
+    * merge in a later round), so both engines walk the identical
+    * deterministic merge trajectory. Output: the learned merge table
+    * (round, s1, s2, weighted pair count). */
+  val q132BpeTrain = OpSpec(
+    "q132_bpe_train",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(explode(col("words")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
+          col("cnt"))
+        .persist()
+      def pairCounts(tab: org.apache.spark.sql.DataFrame) = tab
+        .withColumn("l", split(col("sym"), " "))
+        .filter(size(col("l")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+             k -> struct(element_at(l, k) AS s1,
+                         element_at(l, k + 1) AS s2))""")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("n"))
+      val (_, merges) =
+        (1 to BpeRounds).foldLeft((words, List.empty[
+            org.apache.spark.sql.DataFrame])) { case ((tab, acc), round) =>
+          val top = pairCounts(tab)
+            .orderBy(col("n").desc, col("s1").asc, col("s2").asc).limit(1)
+          val applied = tab.crossJoin(broadcast(
+              top.select(col("s1").as("m1"), col("s2").as("m2"))))
+            .select(expr(
+              """trim(replace(' ' || sym || ' ',
+                 ' ' || m1 || ' ' || m2 || ' ',
+                 ' ' || m1 || m2 || ' '))""").as("sym"), col("cnt"))
+            .persist()
+          (applied,
+            top.select(lit(round.toLong).as("round"),
+              col("s1"), col("s2"), col("n")) :: acc)
+        }
+      merges.reverse.reduce(_ unionByName _)
+    },
+    Some {
+      def stage(i: Int): String = s"""
+      p$i AS (
+        SELECT l[k] AS s1, l[k + 1] AS s2,
+          CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT string_split(sym, ' ') AS l, cnt FROM w${i - 1}
+              WHERE len(string_split(sym, ' ')) >= 2),
+          LATERAL (SELECT unnest(generate_series(1,
+            len(l) - 1)) AS k)
+        GROUP BY 1, 2),
+      t$i AS (SELECT * FROM p$i
+              ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1),
+      w$i AS (
+        SELECT trim(replace(' ' || sym || ' ',
+                 ' ' || t.s1 || ' ' || t.s2 || ' ',
+                 ' ' || t.s1 || t.s2 || ' ')) AS sym, cnt
+        FROM w${i - 1} CROSS JOIN t$i t)"""
+      s"""
+      WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest($wordsDuck) AS word FROM documents)
+        GROUP BY word),
+      w0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, cnt
+        FROM wc),
+      ${(1 to BpeRounds).map(stage).mkString(",")}
+      ${(1 to BpeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, s1, s2, n FROM t$i")
+        .mkString("\n      UNION ALL\n      ")}"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
-    q106Collocations, q117CosineTfJoin, q124Bm25)
+    q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain)
 }
