@@ -1121,30 +1121,28 @@ object TextOps {
   private val BpeRounds = 10
 
   /** BPE tokenizer TRAINING under the bit-exact gate — the first stage
-    * of every LLM data pipeline, run as [[BpeRounds]] unrolled merge
-    * rounds inside ONE declarative plan: the vocabulary collapses to
+    * of every LLM data pipeline, as [[BpeRounds]] merge rounds with
+    * the q98 k-means control shape: the vocabulary collapses to
     * (distinct word, count) first (classic BPE trains on the word
     * table, so round cost scales with |vocab|, not corpus tokens);
-    * each round counts adjacent symbol pairs weighted by word count,
-    * picks the max with a pinned (count desc, pair asc) tie rule via
-    * sort+limit (no global window), broadcasts the 1-row winner, and
-    * applies it with a literal string replace over the space-joined
-    * symbol string. Merge application is a SINGLE left-to-right
-    * non-overlapping scan (Java and DuckDB `replace` share these
-    * semantics exactly — immediately-adjacent overlapping occurrences
-    * merge in a later round), so both engines walk the identical
-    * deterministic merge trajectory. Output: the learned merge table
-    * (round, s1, s2, weighted pair count). */
+    * each round DISTRIBUTEDLY counts adjacent symbol pairs weighted by
+    * word count, brings exactly ONE row to the driver (the max pair
+    * under a pinned (count desc, pair asc) tie rule — bounded driver
+    * state, independent of corpus size), and applies it as a LITERAL
+    * string replace over the cached vocabulary (each round's plan
+    * stays flat: scan cache → project → cache). Merge application is
+    * a single left-to-right non-overlapping scan (Java and DuckDB
+    * `replace` share these semantics exactly — immediately-adjacent
+    * overlapping occurrences merge in a later round), so both engines
+    * walk the identical deterministic merge trajectory. Output: the
+    * learned merge table (round, s1, s2, weighted pair count).
+    * (A fully-declarative 10-round unrolling was measured pathological
+    * — nested cache/broadcast chains planned minutes of overhead on a
+    * 31-word vocabulary; the 1-row-per-round driver loop is the same
+    * bounded-state trade q98 makes.) */
   val q132BpeTrain = OpSpec(
     "q132_bpe_train",
     (s, dir) => {
-      val words = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .select(explode(col("words")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
-          col("cnt"))
-        .persist()
       def pairCounts(tab: org.apache.spark.sql.DataFrame) = tab
         .withColumn("l", split(col("sym"), " "))
         .filter(size(col("l")) >= 2)
@@ -1154,23 +1152,34 @@ object TextOps {
                          element_at(l, k + 1) AS s2))""")).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(sum(col("cnt")).as("n"))
-      val (_, merges) =
-        (1 to BpeRounds).foldLeft((words, List.empty[
-            org.apache.spark.sql.DataFrame])) { case ((tab, acc), round) =>
-          val top = pairCounts(tab)
-            .orderBy(col("n").desc, col("s1").asc, col("s2").asc).limit(1)
-          val applied = tab.crossJoin(broadcast(
-              top.select(col("s1").as("m1"), col("s2").as("m2"))))
-            .select(expr(
-              """trim(replace(' ' || sym || ' ',
-                 ' ' || m1 || ' ' || m2 || ' ',
-                 ' ' || m1 || m2 || ' '))""").as("sym"), col("cnt"))
-            .persist()
-          (applied,
-            top.select(lit(round.toLong).as("round"),
-              col("s1"), col("s2"), col("n")) :: acc)
-        }
-      merges.reverse.reduce(_ unionByName _)
+      var tab = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(explode(col("words")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
+          col("cnt"))
+        .persist()
+      val rules = (1 to BpeRounds).map { round =>
+        val top = pairCounts(tab)
+          .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
+          .limit(1).collect().head // ONE row per round to the driver
+        val (s1, s2, n) =
+          (top.getString(0), top.getString(1), top.getLong(2))
+        // literal merge symbols as Column args (no SQL-text splicing,
+        // no escaping concerns), Spark's replace = literal match
+        val merged = tab.select(
+          trim(call_function("replace",
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $s1 $s2 "), lit(s" $s1$s2 "))).as("sym"),
+          col("cnt")).persist()
+        merged.count() // materialize before dropping the parent cache
+        tab.unpersist()
+        tab = merged
+        (round.toLong, s1, s2, n)
+      }
+      tab.unpersist()
+      import s.implicits._
+      rules.toDF("round", "s1", "s2", "n")
     },
     Some {
       def stage(i: Int): String = s"""

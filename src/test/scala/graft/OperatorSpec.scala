@@ -856,8 +856,7 @@ class OperatorSpec extends AnyFunSuite {
       "q106_collocations", // 1-row token-total scalar, the q76 shape
       "q107_containment_join", // 1-row min-prefix-size scalar broadcast
       "q116_pagerank", // 1-row node-count scalar broadcast
-      "q124_bm25_topk", // 1-row corpus-stats scalar broadcast
-      "q132_bpe_train") // ten 1-row merge-rule scalar broadcasts
+      "q124_bm25_topk") // 1-row corpus-stats scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
