@@ -939,11 +939,154 @@ object EventOps {
         ON d.d_user = f.user_id AND d.from_ts <= f.ts
        AND (d.to_ts IS NULL OR d.to_ts > f.ts)"""))
 
+  /** Shared closed-form OLS/Pearson tail over the five exact sums —
+    * one SQL text per output so both engines stage identical IEEE
+    * ops. Inputs: n (BIGINT), num/denx/deny and sx/sy (exact
+    * DECIMAL(38,0) combinations). */
+  private val trendExprs = Seq(
+    "CAST(n AS BIGINT) AS n",
+    "CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope",
+    """(CAST(sy AS DOUBLE)
+       - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept""",
+    """CAST(num AS DOUBLE)
+       / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+       AS r""")
+  private val trendSql = trendExprs.mkString(",\n        ")
+
+  /** Per-type linear TREND + Pearson correlation of value against the
+    * day index — the regression-in-one-aggregate analytics staple:
+    * the five moment sums (Σx, Σy, Σx², Σxy, Σy²) accumulate as EXACT
+    * DECIMAL integers in a single map-side-combined aggregate (x =
+    * integer day, y = integer cents — no float ever enters a sum), and
+    * slope/intercept/r are closed forms evaluated once per group from
+    * those exact integers, so the only IEEE ops are the identical
+    * final divisions/sqrts in both engines. One shuffle, five numbers
+    * per group — the 100 TB shape for any moment-based statistic. */
+  val q134Trend = OpSpec(
+    "q134_trend",
+    (s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          expr("CAST(round(value * 1e2) AS BIGINT)").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("sxy"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("syy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("denx", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .selectExpr("event_type" +: trendExprs: _*)
+    },
+    Some(s"""
+      SELECT event_type, $trendSql
+      FROM (
+        SELECT event_type, n, sx, sy, sxx, sxy, syy,
+          n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS denx,
+          n * syy - sy * sy AS deny
+        FROM (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+            SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+            SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+            SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+            SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+          FROM (SELECT event_type,
+                  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+                  CAST(round(value * 1e2) AS BIGINT) AS y
+                FROM events)
+          GROUP BY event_type))"""))
+
+  /** Chi-square independence statistic for event_type × day-of-week —
+    * the contingency audit behind "is traffic mix shifting by
+    * weekday". Observed counts and marginals are exact integers; each
+    * cell's (obs − exp)²/exp term uses the identical IEEE sequence in
+    * both engines, and the final Σ over cells is a SORTED fold (cells
+    * ordered by type, dow — the q116 discipline), so the statistic is
+    * bit-exact. Output is one row: cells, degrees of freedom, χ². The
+    * contingency table is bounded by the category domains — marginals
+    * broadcast, nothing scales with row count after the first
+    * aggregate. */
+  val q135ChiSquare = OpSpec(
+    "q135_chi_square",
+    (s, dir) => {
+      val cells = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("""(datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7)""")
+            .cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("obs"))
+        .persist()
+      val rowT = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+      val colT = cells.groupBy(col("dow")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("nn"))
+      val nr = cells.select(countDistinct(col("event_type")).as("n_types"))
+      val nc = cells.select(countDistinct(col("dow")).as("n_dows"))
+      cells
+        .join(rowT, "event_type").join(colT, "dow")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """(CAST(obs AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))"""))
+        .agg(count(lit(1)).as("n_cells"),
+          expr("""aggregate(
+              transform(sort_array(collect_list(
+                struct(event_type, dow, term))), s -> s.term),
+              0D, (acc, x) -> acc + x)""").as("chi2"))
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+        .select(col("n_cells"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+          col("chi2"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+            AS BIGINT) AS dow,
+          CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+             FROM cells GROUP BY 1),
+      ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct
+             FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM cells),
+      terms AS (
+        SELECT cells.event_type, cells.dow,
+          (CAST(obs AS DOUBLE)
+           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          * (CAST(obs AS DOUBLE)
+           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+            AS term
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        CROSS JOIN tot)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        (SELECT CAST((COUNT(DISTINCT event_type) - 1) AS BIGINT)
+         FROM cells)
+        * (SELECT CAST((COUNT(DISTINCT dow) - 1) AS BIGINT) FROM cells)
+          AS dof,
+        list_reduce(list(term ORDER BY event_type, dow),
+          (a, b) -> a + b) AS chi2
+      FROM terms"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
-    q126TemporalLookup)
+    q126TemporalLookup, q134Trend, q135ChiSquare)
 }

@@ -760,11 +760,54 @@ object Relational {
             GROUP BY c.c_custkey)
       GROUP BY c_count"""))
 
+  /** Benford first-significant-digit audit over order totals — the
+    * classic fraud/synthetic-data screen. The digit is extracted with
+    * PURE INTEGER arithmetic over exact cents (a CASE ladder by
+    * magnitude — no log10, whose rounding engines need not share, and
+    * no double-to-string formatting, which they definitely don't);
+    * counts are exact, the share is one division. */
+  val q136Benford = OpSpec(
+    "q136_benford",
+    (s, dir) => {
+      // cents < 10^k ladder: first digit = cents DIV 10^(k-1)
+      val ladder = (18 to 1 by -1).map(k =>
+        s"WHEN c >= ${"1" + "0" * (k - 1)}L THEN " +
+          s"CAST(c DIV ${"1" + "0" * (k - 1)}L AS BIGINT)")
+        .mkString("CASE ", " ", " ELSE 0L END")
+      val digits = table(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 1e2) AS BIGINT)").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", expr(ladder))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(total)) // 1-row scalar, ≤9-row left side
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+    },
+    Some {
+      val ladder = (18 to 1 by -1).map(k =>
+        s"WHEN c >= ${"1" + "0" * (k - 1)} THEN " +
+          s"CAST(c // ${"1" + "0" * (k - 1)} AS BIGINT)")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""
+      WITH d AS (
+        SELECT $ladder AS digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CAST(round(o_totalprice * 1e2) AS BIGINT) AS c
+              FROM orders)
+        WHERE c > 0
+        GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+      SELECT digit, n,
+        CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM d CROSS JOIN t"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
-    q131CustDist)
+    q131CustDist, q136Benford)
 }

@@ -1140,49 +1140,69 @@ object TextOps {
     * — nested cache/broadcast chains planned minutes of overhead on a
     * 31-word vocabulary; the 1-row-per-round driver loop is the same
     * bounded-state trade q98 makes.) */
+  /** The shared trainer behind q132/q133: runs the [[BpeRounds]]
+    * driver-loop merge rounds and returns (rules, final vocabulary) —
+    * the vocabulary keeps the original `word` alongside its final
+    * symbol string, so appliers can map corpus words to BPE token
+    * counts with one join. Caller unpersists the returned vocab. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    def pairCounts(tab: org.apache.spark.sql.DataFrame) = tab
+      .withColumn("l", split(col("sym"), " "))
+      .filter(size(col("l")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+           k -> struct(element_at(l, k) AS s1,
+                       element_at(l, k + 1) AS s2))""")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("cnt")).as("n"))
+    var tab = table(s, dir, "documents")
+      .withColumn("words", expr(wordsSpark))
+      .select(explode(col("words")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"),
+        expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
+        col("cnt"))
+      .persist()
+    val rules = (1 to BpeRounds).map { round =>
+      val top = pairCounts(tab)
+        .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect().head // ONE row per round to the driver
+      val (s1, s2, n) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      // literal merge symbols as Column args (no SQL-text splicing,
+      // no escaping concerns), Spark's replace = literal match
+      val merged = tab.select(col("word"),
+        trim(call_function("replace",
+          concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" $s1 $s2 "), lit(s" $s1$s2 "))).as("sym"),
+        col("cnt")).persist()
+      merged.count() // materialize before dropping the parent cache
+      tab.unpersist()
+      tab = merged
+      (round.toLong, s1, s2, n)
+    }
+    (rules, tab)
+  }
+
   val q132BpeTrain = OpSpec(
     "q132_bpe_train",
     (s, dir) => {
-      def pairCounts(tab: org.apache.spark.sql.DataFrame) = tab
-        .withColumn("l", split(col("sym"), " "))
-        .filter(size(col("l")) >= 2)
-        .select(col("cnt"), explode(expr(
-          """transform(sequence(1, size(l) - 1),
-             k -> struct(element_at(l, k) AS s1,
-                         element_at(l, k + 1) AS s2))""")).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum(col("cnt")).as("n"))
-      var tab = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .select(explode(col("words")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
-          col("cnt"))
-        .persist()
-      val rules = (1 to BpeRounds).map { round =>
-        val top = pairCounts(tab)
-          .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
-          .limit(1).collect().head // ONE row per round to the driver
-        val (s1, s2, n) =
-          (top.getString(0), top.getString(1), top.getLong(2))
-        // literal merge symbols as Column args (no SQL-text splicing,
-        // no escaping concerns), Spark's replace = literal match
-        val merged = tab.select(
-          trim(call_function("replace",
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $s1 $s2 "), lit(s" $s1$s2 "))).as("sym"),
-          col("cnt")).persist()
-        merged.count() // materialize before dropping the parent cache
-        tab.unpersist()
-        tab = merged
-        (round.toLong, s1, s2, n)
-      }
-      tab.unpersist()
+      val (rules, vocab) = bpeTrain(s, dir)
+      vocab.unpersist()
       import s.implicits._
       rules.toDF("round", "s1", "s2", "n")
     },
-    Some {
-      def stage(i: Int): String = s"""
+    Some(s"""
+      WITH $bpeStagesSql
+      ${(1 to BpeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, s1, s2, n FROM t$i")
+        .mkString("\n      UNION ALL\n      ")}"""))
+
+  /** DuckDB twin of [[bpeTrain]]'s trajectory as a WITH-body: wc,
+    * w0..wN (word carried through every stage), p/t per round. */
+  private lazy val bpeStagesSql: String = {
+    def stage(i: Int): String = s"""
       p$i AS (
         SELECT l[k] AS s1, l[k + 1] AS s2,
           CAST(SUM(cnt) AS BIGINT) AS n
@@ -1194,28 +1214,61 @@ object TextOps {
       t$i AS (SELECT * FROM p$i
               ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1),
       w$i AS (
-        SELECT trim(replace(' ' || sym || ' ',
+        SELECT word, trim(replace(' ' || sym || ' ',
                  ' ' || t.s1 || ' ' || t.s2 || ' ',
                  ' ' || t.s1 || t.s2 || ' ')) AS sym, cnt
         FROM w${i - 1} CROSS JOIN t$i t)"""
-      s"""
-      WITH wc AS (
+    s"""wc AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest($wordsDuck) AS word FROM documents)
         GROUP BY word),
       w0 AS (
-        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, cnt
+        SELECT word,
+          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, cnt
         FROM wc),
-      ${(1 to BpeRounds).map(stage).mkString(",")}
-      ${(1 to BpeRounds).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS round, s1, s2, n FROM t$i")
-        .mkString("\n      UNION ALL\n      ")}"""
-    })
+      ${(1 to BpeRounds).map(stage).mkString(",")}"""
+  }
+
+  /** BPE APPLICATION — the trained tokenizer consumed the way a data
+    * pipeline consumes it: per-document BPE token counts (the real
+    * token accounting behind context-length packing and token-budget
+    * fills, replacing q21's whitespace proxy). The final vocabulary
+    * maps each distinct word to its merged symbol string, so applying
+    * the tokenizer to the corpus is ONE broadcast-size join from the
+    * exploded words — per-word segmentation is computed once per
+    * VOCAB entry, never per occurrence. Gated end-to-end: the oracle
+    * re-derives the full 10-round trajectory and the same counts. */
+  val q133BpeTokens = OpSpec(
+    "q133_bpe_tokens",
+    (s, dir) => {
+      val (_, vocab) = bpeTrain(s, dir)
+      val tokensPerWord = vocab.select(col("word"),
+        expr("CAST(size(split(sym, ' ')) AS BIGINT)").as("n_tok"))
+      val out = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(col("doc_id"), explode(col("words")).as("word"))
+        .join(broadcast(tokensPerWord), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe"))
+      out.persist().count() // materialize before freeing the vocab
+      vocab.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $bpeStagesSql,
+      perword AS (
+        SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tok
+        FROM w$BpeRounds)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_tok) AS BIGINT) AS n_bpe
+      FROM (SELECT doc_id, unnest($wordsDuck) AS word FROM documents)
+      JOIN perword USING (word)
+      GROUP BY doc_id"""))
 
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
-    q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain)
+    q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain, q133BpeTokens)
 }

@@ -856,7 +856,9 @@ class OperatorSpec extends AnyFunSuite {
       "q106_collocations", // 1-row token-total scalar, the q76 shape
       "q107_containment_join", // 1-row min-prefix-size scalar broadcast
       "q116_pagerank", // 1-row node-count scalar broadcast
-      "q124_bm25_topk") // 1-row corpus-stats scalar broadcast
+      "q124_bm25_topk", // 1-row corpus-stats scalar broadcast
+      "q135_chi_square", // 1-row total/rank-count scalar broadcasts
+      "q136_benford") // 1-row grand-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
