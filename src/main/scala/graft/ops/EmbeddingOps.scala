@@ -987,8 +987,9 @@ object EmbeddingOps {
       .select(col("cid"), col("n"), col("cv"), col("cnrm"))
   }
 
-  /** DuckDB twin of one [[kmIter]] over centroid CTE `prev`. */
-  private def kmIterDuck(prev: String): String = s"""
+  /** DuckDB twin of one [[kmIter]] over centroid CTE `prev` and
+    * vector CTE `eTab`. */
+  private def kmIterDuck(prev: String, eTab: String = "e"): String = s"""
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
       list_reduce(
         list(list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -1001,7 +1002,7 @@ object EmbeddingOps {
           list_reduce(list_transform(generate_series(1, len(e.embedding)),
             i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
             (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-      FROM e, $prev c)
+      FROM $eTab e, $prev c)
     WHERE rn = 1 GROUP BY cid"""
 
   /** TRAINED k-means centroids under the bit-exact gate — the judge-
@@ -1071,8 +1072,116 @@ object EmbeddingOps {
       SELECT cid, n, CAST(i - 1 AS BIGINT) AS pos, cv[i] AS c
       FROM c2, LATERAL (SELECT unnest(generate_series(1, len(cv))) AS i)"""))
 
+  /** PQ geometry: 64 dims → [[PqM]] subspaces × 16, [[PqK]] codes
+    * each (tiny so the whole trajectory stays oracle-able; production
+    * uses m=8..16, k=256 through the identical plan shape). */
+  private val PqM = 4
+  private val PqK = 4
+
+  /** Product-quantization codebook training + corpus quantization
+    * under the bit-exact gate — the memory-side half of large-scale
+    * ANN (a 64-dim float vector collapses to [[PqM]] small codes; ADC
+    * search then scans codes, not floats). Each subspace slice gets
+    * its own q98-recipe spherical codebook: seeded hash-rank init
+    * (md5('pq<j>:'||vec_id)), ONE Lloyd iteration of cosine-argmax +
+    * exact ordered-fold means, then every vector is assigned its
+    * nearest trained sub-centroid. All [[PqM]] trainings are
+    * independent slices of one scan — they parallelize as separate
+    * stage groups, and per-subspace state is k centroid rows. Output:
+    * (vec_id, sub, code) — the full quantized corpus. */
+  val q137PqCodes = OpSpec(
+    "q137_pq_codes",
+    (s, dir) => {
+      val subLen = 64 / PqM
+      val subs = (0 until PqM).map { j =>
+        val off = j * subLen + 1
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr(s"slice(embedding, $off, $subLen)").as("embedding"))
+          .withColumn("ss", graft.functions.VectorFunctions
+            .dot(col("embedding"), col("embedding")))
+          .withColumn("nrm",
+            when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+          .drop("ss")
+        val seeds = e
+          .withColumn("rk",
+            md5(concat_ws(":", lit(s"pq$j"), col("vec_id")).cast("binary")))
+          .orderBy(col("rk"), col("vec_id")).limit(PqK)
+        val c0 = seeds
+          .agg(sort_array(collect_list(struct(col("rk"), col("vec_id"),
+            col("embedding")))).as("ss"))
+          .select(posexplode(col("ss")).as(Seq("cid", "s")))
+          .select(col("cid").cast("long").as("cid"),
+            expr("transform(s.embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+          .withColumn("cnrm", expr(dnrm("cv")))
+        val c1 = kmIter(e, c0).select(col("cid"), col("cv"), col("cnrm"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("cid").asc)
+        e.crossJoin(broadcast(c1))
+          .withColumn("cosine", expr(
+            """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
+               0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), lit(j.toLong).as("sub"),
+            col("cid").as("code"))
+      }
+      subs.reduce(_ unionByName _)
+    },
+    Some {
+      val subLen = 64 / PqM
+      def sub(j: Int): String = {
+        val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
+        s"""
+      e$j AS (
+        SELECT vec_id, embedding,
+          CASE WHEN ss = 0 THEN 1e0 ELSE sqrt(ss) END AS nrm
+        FROM (SELECT vec_id, embedding,
+                list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b) AS ss
+              FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
+                    FROM embeddings))),
+      seeds$j AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT e.vec_id, e.embedding,
+                md5('pq$j:' || e.vec_id) AS rk
+              FROM e$j e)
+        QUALIFY cid < $PqK),
+      c0$j AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds$j)),
+      s1$j AS (${kmIterDuck(s"c0$j", s"e$j")}),
+      c1$j AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1$j)),
+      a$j AS (
+        SELECT vec_id, CAST($j AS BIGINT) AS sub, cid AS code
+        FROM (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC)
+              AS rn
+          FROM e$j e, c1$j c)
+        WHERE rn = 1)"""
+      }
+      s"""
+      WITH ${(0 until PqM).map(sub).mkString(",")}
+      ${(0 until PqM).map(j => s"SELECT * FROM a$j")
+        .mkString("\n      UNION ALL\n      ")}"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
-    q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain)
+    q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
+    q137PqCodes)
 }
