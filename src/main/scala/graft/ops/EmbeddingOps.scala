@@ -1089,49 +1089,66 @@ object EmbeddingOps {
     * independent slices of one scan — they parallelize as separate
     * stage groups, and per-subspace state is k centroid rows. Output:
     * (vec_id, sub, code) — the full quantized corpus. */
+  /** Sliced sub-embedding frame (vec_id, embedding, nrm) for
+    * subspace j. */
+  private def pqSlice(s: SparkSession, dir: String, j: Int): DataFrame = {
+    val subLen = 64 / PqM
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(s"slice(embedding, ${j * subLen + 1}, $subLen)")
+          .as("embedding"))
+      .withColumn("ss", graft.functions.VectorFunctions
+        .dot(col("embedding"), col("embedding")))
+      .withColumn("nrm",
+        when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+      .drop("ss")
+  }
+
+  /** Train subspace j's codebook and quantize the corpus against it:
+    * returns (codebook (cid, cv, cnrm), codes (vec_id, sub, code)). */
+  private def pqSub(s: SparkSession, dir: String, j: Int)
+      : (DataFrame, DataFrame) = {
+    val e = pqSlice(s, dir, j)
+    val seeds = e
+      .withColumn("rk",
+        md5(concat_ws(":", lit(s"pq$j"), col("vec_id")).cast("binary")))
+      .orderBy(col("rk"), col("vec_id")).limit(PqK)
+    val c0 = seeds
+      .agg(sort_array(collect_list(struct(col("rk"), col("vec_id"),
+        col("embedding")))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("cid", "s")))
+      .select(col("cid").cast("long").as("cid"),
+        expr("transform(s.embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+      .withColumn("cnrm", expr(dnrm("cv")))
+    val c1 = kmIter(e, c0).select(col("cid"), col("cv"), col("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val codes = e.crossJoin(broadcast(c1))
+      .withColumn("cosine", expr(
+        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
+           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), lit(j.toLong).as("sub"),
+        col("cid").as("code"))
+    (c1, codes)
+  }
+
   val q137PqCodes = OpSpec(
     "q137_pq_codes",
-    (s, dir) => {
+    (s, dir) =>
+      (0 until PqM).map(j => pqSub(s, dir, j)._2)
+        .reduce(_ unionByName _),
+    Some(s"""
+      WITH ${(0 until PqM).map(pqSubSql).mkString(",")}
+      ${(0 until PqM).map(j => s"SELECT * FROM a$j")
+        .mkString("\n      UNION ALL\n      ")}"""))
+
+  /** DuckDB twin of [[pqSub]] for subspace j as WITH-body CTEs:
+    * e$j (sliced+normed), seeds/c0/s1/c1 (training), a$j (codes). */
+  private def pqSubSql(j: Int): String = {
       val subLen = 64 / PqM
-      val subs = (0 until PqM).map { j =>
-        val off = j * subLen + 1
-        val e = table(s, dir, "embeddings")
-          .select(col("vec_id"),
-            expr(s"slice(embedding, $off, $subLen)").as("embedding"))
-          .withColumn("ss", graft.functions.VectorFunctions
-            .dot(col("embedding"), col("embedding")))
-          .withColumn("nrm",
-            when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
-          .drop("ss")
-        val seeds = e
-          .withColumn("rk",
-            md5(concat_ws(":", lit(s"pq$j"), col("vec_id")).cast("binary")))
-          .orderBy(col("rk"), col("vec_id")).limit(PqK)
-        val c0 = seeds
-          .agg(sort_array(collect_list(struct(col("rk"), col("vec_id"),
-            col("embedding")))).as("ss"))
-          .select(posexplode(col("ss")).as(Seq("cid", "s")))
-          .select(col("cid").cast("long").as("cid"),
-            expr("transform(s.embedding, x -> CAST(x AS DOUBLE))").as("cv"))
-          .withColumn("cnrm", expr(dnrm("cv")))
-        val c1 = kmIter(e, c0).select(col("cid"), col("cv"), col("cnrm"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("cid").asc)
-        e.crossJoin(broadcast(c1))
-          .withColumn("cosine", expr(
-            """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-               0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), lit(j.toLong).as("sub"),
-            col("cid").as("code"))
-      }
-      subs.reduce(_ unionByName _)
-    },
-    Some {
-      val subLen = 64 / PqM
-      def sub(j: Int): String = {
-        val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
+      val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
         s"""
       e$j AS (
         SELECT vec_id, embedding,
@@ -1172,16 +1189,75 @@ object EmbeddingOps {
               AS rn
           FROM e$j e, c1$j c)
         WHERE rn = 1)"""
-      }
-      s"""
-      WITH ${(0 until PqM).map(sub).mkString(",")}
-      ${(0 until PqM).map(j => s"SELECT * FROM a$j")
-        .mkString("\n      UNION ALL\n      ")}"""
-    })
+  }
+
+  /** ADC (asymmetric-distance) PQ search — the serving half of q137:
+    * each query keeps its FULL float slices while corpus vectors are
+    * only their [[PqM]] codes, so scoring a vector is [[PqM]] lookups
+    * into a per-query table of dot(q_slice, sub-centroid) values (the
+    * classic ADC LUT, here |queries|·M·K = 320 rows, broadcast) plus
+    * one small ordered fold — the scan never touches corpus floats.
+    * Scores are approximate inner products Σ_j dot(q_j, cv_{j,code});
+    * ranking uses a total tie-break and the gate re-derives the whole
+    * train→quantize→LUT→rank trajectory bit-for-bit. Top-10 per
+    * query via one window over the candidate scores. */
+  val q138PqAdcSearch = OpSpec(
+    "q138_pq_adc_search",
+    (s, dir) => {
+      val trained = (0 until PqM).map(j => (j, pqSub(s, dir, j)))
+      val codes = trained.map(_._2._2).reduce(_ unionByName _)
+      val lut = trained.map { case (j, (cb, _)) =>
+        pqSlice(s, dir, j).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+          .crossJoin(broadcast(cb))
+          .select(col("query_id"), lit(j.toLong).as("sub"),
+            col("cid").as("code"),
+            expr("""aggregate(zip_with(qv, cv,
+                (x, c) -> CAST(x AS DOUBLE) * c),
+                0e0, (a, y) -> a + y)""").as("term"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      codes.join(broadcast(lut), Seq("sub", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(expr("""aggregate(
+            transform(sort_array(collect_list(struct(sub, term))),
+              s -> s.term),
+            0D, (acc, x) -> acc + x)""").as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+    },
+    Some(s"""
+      WITH ${(0 until PqM).map(pqSubSql).mkString(",")},
+      codes AS (${(0 until PqM).map(j => s"SELECT * FROM a$j")
+        .mkString("\n        UNION ALL\n        ")}),
+      lut AS (${(0 until PqM).map(j => s"""
+        SELECT e.vec_id AS query_id, CAST($j AS BIGINT) AS sub,
+          c.cid AS code,
+          list_reduce(list_transform(
+            generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+            (x, y) -> x + y) AS term
+        FROM e$j e, c1$j c WHERE e.vec_id < 20""")
+        .mkString("\n        UNION ALL\n        ")}),
+      scored AS (
+        SELECT l.query_id, codes.vec_id,
+          list_reduce(list(l.term ORDER BY l.sub), (a, b) -> a + b)
+            AS score
+        FROM codes JOIN lut l
+          ON l.sub = codes.sub AND l.code = codes.code
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
+        vec_id, score
+      FROM scored
+      QUALIFY rank <= 10"""))
 
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
     q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
-    q137PqCodes)
+    q137PqCodes, q138PqAdcSearch)
 }

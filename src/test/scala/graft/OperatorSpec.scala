@@ -859,7 +859,8 @@ class OperatorSpec extends AnyFunSuite {
       "q124_bm25_topk", // 1-row corpus-stats scalar broadcast
       "q135_chi_square", // 1-row total/rank-count scalar broadcasts
       "q136_benford", // 1-row grand-total scalar broadcast
-      "q137_pq_codes") // constant-k sub-codebook broadcasts (q98 family)
+      "q137_pq_codes", // constant-k sub-codebook broadcasts (q98 family)
+      "q138_pq_adc_search") // bounded codebook + 320-row LUT broadcasts
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
