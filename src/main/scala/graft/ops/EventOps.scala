@@ -1082,11 +1082,57 @@ object EventOps {
           (a, b) -> a + b) AS chi2
       FROM terms"""))
 
+  /** Gini concentration of per-user spend within each event type —
+    * the inequality audit ("is revenue concentrated in whales").
+    * Exact rank formulation over integer cents:
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), with ranks pinned by
+    * (value, user) so ties are deterministic; numerator/denominator
+    * accumulate as exact DECIMAL integers and the single division is
+    * the only float op. One shuffle keys the user aggregate, one
+    * window ranks within the type. */
+  val q139Gini = OpSpec(
+    "q139_gini",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x").asc, col("user_id").asc)
+      table(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(expr("CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS BIGINT)")
+          .as("x"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(rk AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("srx"))
+        .select(col("event_type"), col("n"),
+          col("sx").cast("long").as("total_cents"),
+          expr("""CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE)""").as("gini"))
+    },
+    Some("""
+      SELECT event_type, n, CAST(sx AS BIGINT) AS total_cents,
+        CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+        / CAST(n * sx AS DOUBLE) AS gini
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(rk AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS srx
+        FROM (
+          SELECT event_type, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY x ASC, user_id ASC) AS BIGINT) AS rk
+          FROM (
+            SELECT event_type, user_id,
+              CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2))
+        GROUP BY event_type)"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
-    q126TemporalLookup, q134Trend, q135ChiSquare)
+    q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini)
 }
