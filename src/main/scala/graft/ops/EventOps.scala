@@ -1128,11 +1128,117 @@ object EventOps {
             FROM events GROUP BY 1, 2))
         GROUP BY event_type)"""))
 
+  /** Median/MAD robust outlier gate per event type — the
+    * heavy-tail-safe alternative to q90's z-score (one whale moves a
+    * mean+stddev gate; the median absolute deviation shrugs): lower
+    * median of integer cents at rank ⌊(n+1)/2⌋ (pinned ties via
+    * event_id), MAD = same-rank median of |x − med|, outliers =
+    * |x − med| > 3·MAD — every compare pure integers. Two rank
+    * windows and the final count share ONE event_type partitioning. */
+  val q140MadOutliers = OpSpec(
+    "q140_mad_outliers",
+    (s, dir) => {
+      val base = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 1e2) AS BIGINT)").as("x"))
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("x").asc, col("event_id").asc)
+      val counts = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = base
+        .withColumn("rk", row_number().over(w1).cast("long"))
+        .join(broadcast(counts), "event_type")
+        .filter(col("rk") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col("x").as("med"), col("n"))
+      val dev = base.join(med, "event_type")
+        .withColumn("d", abs(col("x") - col("med")))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("d").asc, col("event_id").asc)
+      val mad = dev
+        .withColumn("rk", row_number().over(w2).cast("long"))
+        .filter(col("rk") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col("d").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("d") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type, event_id,
+          CAST(round(value * 1e2) AS BIGINT) AS x
+        FROM events),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY x ASC, event_id ASC) AS BIGINT) AS rk,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM base),
+      med AS (SELECT event_type, x AS med, n FROM ranked
+              WHERE rk = (n + 1) // 2),
+      dev AS (
+        SELECT b.event_type, b.event_id, b.x, m.med, m.n,
+          abs(b.x - m.med) AS d
+        FROM base b JOIN med m USING (event_type)),
+      dranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY d ASC, event_id ASC) AS BIGINT) AS rk
+        FROM dev),
+      mad AS (SELECT event_type, d AS mad FROM dranked
+              WHERE rk = (n + 1) // 2)
+      SELECT d.event_type, max(d.n) AS n, max(d.med) AS med_cents,
+        max(m.mad) AS mad_cents,
+        CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type"""))
+
+  /** Per-type ECDF rank normalization — quantile-normalize a metric
+    * before cross-domain mixing (the feature-engineering twin of
+    * q37's banding): norm = (rank − 1)/(n − 1) over integer cents
+    * with pinned ties, so the normalized score is distribution-free
+    * and identical across engines (one division of exact integers per
+    * row). One window + one broadcast count join, both on the same
+    * event_type partitioning. */
+  val q142RankNormalize = OpSpec(
+    "q142_rank_normalize",
+    (s, dir) => {
+      val base = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 1e2) AS BIGINT)").as("x"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x").asc, col("event_id").asc)
+      val counts = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      base
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(counts), "event_type")
+        .select(col("event_id"), col("event_type"), col("x"), col("rk"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double")
+              / (col("n") - 1).cast("double")).as("norm"))
+    },
+    Some("""
+      SELECT event_id, event_type, x, rk,
+        CASE WHEN n = 1 THEN 0e0
+             ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+          AS norm
+      FROM (
+        SELECT event_id, event_type, x,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY x ASC, event_id ASC) AS BIGINT) AS rk,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM (SELECT event_id, event_type,
+                CAST(round(value * 1e2) AS BIGINT) AS x
+              FROM events))"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
     q90Anomaly, q92CdcMerge, q93Attribution, q97PathMining,
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
-    q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini)
+    q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
+    q140MadOutliers, q142RankNormalize)
 }

@@ -803,11 +803,63 @@ object Relational {
       FROM d CROSS JOIN t"""
     })
 
+  /** Top-N-with-OTHERS report: the three highest-revenue nations keep
+    * their names, everything else folds into one OTHER row — the
+    * long-tail rollup every dashboard leads with. The top-3 cut is a
+    * sort+limit over the ~25-row nation aggregate (TakeOrdered, no
+    * global window), rebadged via a broadcast LEFT join; revenue is
+    * exact integer cents end to end. */
+  val q141TopNOthers = OpSpec(
+    "q141_topn_others",
+    (s, dir) => {
+      val perNation = table(s, dir, "orders")
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("""CAST(SUM(CAST(round(o_totalprice * 1e2) AS BIGINT))
+                  AS BIGINT)""").as("rev_c"))
+      val top = perNation
+        .orderBy(col("rev_c").desc, col("n_name").asc).limit(3)
+        .select(col("n_name"), lit(true).as("is_top"))
+      perNation.join(broadcast(top), Seq("n_name"), "left")
+        .select(
+          when(col("is_top"), col("n_name")).otherwise("OTHER")
+            .as("bucket"),
+          col("n_orders"), col("rev_c"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_c")).as("rev_c"))
+        .select(col("bucket"), col("n_orders"),
+          (col("rev_c").cast("double") / 1e2).as("revenue"))
+    },
+    Some("""
+      WITH per_nation AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+            AS rev_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name),
+      top AS (SELECT n_name FROM per_nation
+              ORDER BY rev_c DESC, n_name ASC LIMIT 3)
+      SELECT bucket, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 1e2 AS revenue
+      FROM (SELECT CASE WHEN t.n_name IS NOT NULL THEN p.n_name
+                        ELSE 'OTHER' END AS bucket,
+                   p.n_orders, p.rev_c
+            FROM per_nation p LEFT JOIN top t ON t.n_name = p.n_name)
+      GROUP BY bucket"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
-    q131CustDist, q136Benford)
+    q131CustDist, q136Benford, q141TopNOthers)
 }
