@@ -1200,7 +1200,11 @@ object EventOps {
     * with pinned ties, so the normalized score is distribution-free
     * and identical across engines (one division of exact integers per
     * row). One window + one broadcast count join, both on the same
-    * event_type partitioning. */
+    * event_type partitioning. Scale note: event_type is
+    * low-cardinality, so the exact per-type rank sort concentrates on
+    * few partitions — at 100 TB the q37 recipe applies (bounded
+    * histogram for approximate band edges, exact ranks only within
+    * bands); this query is the exact form the banded one must match. */
   val q142RankNormalize = OpSpec(
     "q142_rank_normalize",
     (s, dir) => {
