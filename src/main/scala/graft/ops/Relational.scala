@@ -855,11 +855,88 @@ object Relational {
             FROM per_nation p LEFT JOIN top t ON t.n_name = p.n_name)
       GROUP BY bucket"""))
 
+  /** Join-key skew diagnostics — the report an operator consults
+    * BEFORE choosing salting (ops.Skew) or AQE hints: per-key counts
+    * for the supplier key, the global key/row totals, the skew factor
+    * max/avg (exact integer cross-product), and the five heaviest
+    * keys. One aggregate + one sort-limit head + one 1-row scalar
+    * broadcast; output bounded at 5 rows regardless of fact size. */
+  val q144SkewReport = OpSpec(
+    "q144_skew_report",
+    (s, dir) => {
+      val counts = table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+      counts.orderBy(col("cnt").desc, col("l_suppkey").asc).limit(5)
+        .crossJoin(broadcast(stats))
+        .select(col("l_suppkey").cast("long").as("hot_key"), col("cnt"),
+          col("n_keys"), col("n_rows"),
+          expr("""CAST(max_cnt * n_keys AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE)""").as("skew_factor"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM counts)
+      SELECT CAST(l_suppkey AS BIGINT) AS hot_key, cnt, n_keys, n_rows,
+        CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          AS skew_factor
+      FROM (SELECT * FROM counts ORDER BY cnt DESC, l_suppkey ASC
+            LIMIT 5) h
+      CROSS JOIN stats"""))
+
+  /** Join-cardinality forecast — predict |A ⨝ B| from per-key counts
+    * BEFORE running the join (the 100 TB guard against key-explosion:
+    * Σ_k cnt_A(k)·cnt_B(k), computed from two key aggregates whose
+    * size is |keys|, not |rows|). The forecast is EXACT for an
+    * equi-join, so the query also runs the real join count and the
+    * gate proves predicted == actual — the property that makes the
+    * forecast trustworthy as a pre-flight check. */
+  val q145JoinForecast = OpSpec(
+    "q145_join_forecast",
+    (s, dir) => {
+      val ca = table(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val cb = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      val predicted = ca.join(cb, "k")
+        .agg(count(lit(1)).as("n_shared_keys"),
+          expr("""CAST(SUM(CAST(ca AS DECIMAL(38,0))
+                  * CAST(cb AS DECIMAL(38,0))) AS BIGINT)""")
+            .as("predicted_rows"))
+      val actual = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      predicted.crossJoin(broadcast(actual))
+    },
+    Some("""
+      WITH ca AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+                  FROM orders GROUP BY 1),
+      cb AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM lineitem GROUP BY 1),
+      p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+          CAST(SUM(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))
+            AS BIGINT) AS predicted_rows
+        FROM ca JOIN cb USING (k)),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      SELECT * FROM p CROSS JOIN a"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
     q09SetOps, q10WindowRunning, q11Rollup, q91Pivot, q96GroupingSets,
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
-    q131CustDist, q136Benford, q141TopNOthers)
+    q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
+    q145JoinForecast)
 }

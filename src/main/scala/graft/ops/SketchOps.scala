@@ -127,5 +127,85 @@ object SketchOps {
       ORDER BY h
       LIMIT $K"""))
 
-  val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge)
+  /** Sliding 7-day distinct users (WAU) from MERGED per-day sketches —
+    * the rollup that makes q105's exact WAU affordable at 100 TB: each
+    * day keeps one K-row KMV sketch (stored once, immutable), and any
+    * window's estimate comes from merging the member days' sketches —
+    * k-min(∪ per-day k-mins) EQUALS k-min of the window's true
+    * distinct set (the q99 mergeability invariant, here applied across
+    * a sliding window), so history is never rescanned. The exact WAU
+    * runs alongside as the gate anchor (visible estimation error);
+    * production drops it. Day sketches fan out to their ≤7 report
+    * days via the q105 sequence-explode and re-aggregate through the
+    * same KMV Aggregator — a second pass IS the merge. */
+  val q143KmvWau = OpSpec(
+    "q143_kmv_wau",
+    (s, dir) => {
+      val kmv = udaf(new graft.functions.KmvAgg(K))
+      val days = table(s, dir, "events")
+        .select(
+          expr("""CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')
+                  AS BIGINT)""").as("day"),
+          col("user_id"))
+        .distinct()
+        .persist()
+      val maxDay = days.agg(max(col("day")).as("max_day"))
+      val daySketch = days
+        .select(col("day"),
+          md5(concat(lit("kmv:"), col("user_id")).cast("binary")).as("h"))
+        .groupBy(col("day")).agg(kmv(col("h")).as("sketch"))
+      val merged = daySketch
+        .withColumn("report_day", explode(expr("sequence(day, day + 6)")))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("report_day") <= col("max_day"))
+        .select(col("report_day"), explode(col("sketch")).as("h"))
+        .groupBy(col("report_day")).agg(kmv(col("h")).as("sketch"))
+        .withColumn("n_seen", size(col("sketch")).cast("long"))
+        .withColumn("kh",
+          when(size(col("sketch")) >= K, element_at(col("sketch"), lit(K))))
+        .withColumn("kth_v", expr(kthV))
+      val exact = days
+        .withColumn("report_day", explode(expr("sequence(day, day + 6)")))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("report_day") <= col("max_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau_exact"))
+      merged.join(exact, "report_day")
+        .select(col("report_day"), col("wau_exact"), col("n_seen"),
+          col("kth_v"), expr(estSql).as("est"))
+    },
+    Some(s"""
+      WITH days AS (
+        SELECT DISTINCT
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS day,
+          user_id
+        FROM events),
+      m AS (SELECT max(day) AS max_day FROM days),
+      win AS (
+        SELECT day + k AS report_day, user_id
+        FROM days, (SELECT unnest(generate_series(0, 6)) AS k), m
+        WHERE day + k <= m.max_day),
+      h AS (
+        SELECT DISTINCT report_day, md5('kmv:' || user_id) AS h
+        FROM win),
+      r AS (
+        SELECT report_day, h,
+          ROW_NUMBER() OVER (PARTITION BY report_day ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY report_day) AS nd
+        FROM h),
+      g AS (
+        SELECT report_day,
+          CAST(LEAST(max(nd), $K) AS BIGINT) AS n_seen,
+          max(CASE WHEN rn = $K THEN h END) AS kh
+        FROM r GROUP BY report_day),
+      ex AS (
+        SELECT report_day,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact
+        FROM win GROUP BY report_day)
+      SELECT report_day, ex.wau_exact, n_seen, kth_v, $estSql AS est
+      FROM (SELECT *, $kthV AS kth_v FROM g) gg
+      JOIN ex USING (report_day)"""))
+
+  val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau)
 }

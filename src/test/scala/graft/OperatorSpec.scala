@@ -860,7 +860,10 @@ class OperatorSpec extends AnyFunSuite {
       "q135_chi_square", // 1-row total/rank-count scalar broadcasts
       "q136_benford", // 1-row grand-total scalar broadcast
       "q137_pq_codes", // constant-k sub-codebook broadcasts (q98 family)
-      "q138_pq_adc_search") // bounded codebook + 320-row LUT broadcasts
+      "q138_pq_adc_search", // bounded codebook + 320-row LUT broadcasts
+      "q143_kmv_wau", // 1-row max-day scalar broadcast (q105 shape)
+      "q144_skew_report", // 1-row key-stats scalar broadcast
+      "q145_join_forecast") // two 1-row summaries cross-joined
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
