@@ -1237,6 +1237,53 @@ object EventOps {
                 CAST(round(value * 1e2) AS BIGINT) AS x
               FROM events))"""))
 
+  /** TIME-weighted average value per user — the right mean for
+    * irregular samples (a value that held for an hour must outweigh
+    * one that held a second; the plain mean q61 reports can't say
+    * that): each value is weighted by how long it was current (micros
+    * until the next event; the last, open-ended observation carries
+    * no weight). Weights and values are exact integers, the weighted
+    * sum accumulates as DECIMAL, and the single division happens at
+    * emit. One (user, ts) sort serves the lead and the aggregate.
+    * Users with a single event (no closed interval) report NULL. */
+  val q147TimeWeightedAvg = OpSpec(
+    "q147_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          expr("CAST(round(value * 1e2) AS BIGINT)").as("cents"))
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(expr("CAST(dt_us AS DECIMAL(38,0))")).as("span_us"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0))"))
+            .as("wsum"))
+        .select(col("user_id"), col("n_intervals"),
+          col("span_us").cast("long").as("span_us"),
+          expr("CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 1e2")
+            .as("twa"))
+    },
+    Some("""
+      SELECT user_id, n_intervals, CAST(span_us AS BIGINT) AS span_us,
+        CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 1e2 AS twa
+      FROM (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+          SUM(CAST(dt_us AS DECIMAL(38,0))) AS span_us,
+          SUM(CAST(cents AS DECIMAL(38,0)) * CAST(dt_us AS DECIMAL(38,0)))
+            AS wsum
+        FROM (
+          SELECT user_id,
+            CAST(round(value * 1e2) AS BIGINT) AS cents,
+            epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              - epoch_us(ts) AS dt_us
+          FROM events)
+        WHERE dt_us IS NOT NULL
+        GROUP BY user_id)"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
@@ -1244,5 +1291,5 @@ object EventOps {
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
     q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
-    q140MadOutliers, q142RankNormalize)
+    q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg)
 }

@@ -102,6 +102,51 @@ object SampleOps {
             FROM documents)
       ORDER BY rk, doc_id LIMIT 50"""))
 
+  /** Deterministic negative sampling for contrastive training — each
+    * document gets 2 pseudo-random negatives: documents are placed on
+    * a salted-hash ring (16 buckets × hash order within bucket) and a
+    * doc's negatives are simply its 2 successors on the ring. The
+    * pairing is a pure function of the corpus (retries, reruns, and
+    * both engines agree), uncorrelated with any content signal
+    * (that's the point of a NEGATIVE), and costs one partitioned
+    * window — no join, no shuffle beyond the bucket sort. Ring tails
+    * yield fewer negatives (lead = NULL dropped) — at corpus scale a
+    * ≤2-row-per-bucket edge. */
+  val q146NegativePairs = OpSpec(
+    "q146_negative_pairs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("neg:"), col("doc_id")).cast("binary")).as("rk"))
+        .withColumn("bucket",
+          expr(s"${TextOps.hexToLong("rk", 1)}")) // first hex digit: 0-15
+        .withColumn("n1", lead(col("doc_id"), 1).over(w))
+        .withColumn("n2", lead(col("doc_id"), 2).over(w))
+        .select(col("doc_id"), col("bucket"),
+          explode(expr("""filter(array(
+            struct(1L AS rank, n1 AS neg_id),
+            struct(2L AS rank, n2 AS neg_id)),
+            x -> x.neg_id IS NOT NULL)""")).as("p"))
+        .select(col("doc_id"), col("bucket"), col("p.rank").as("rank"),
+          col("p.neg_id").as("neg_id"))
+    },
+    Some(s"""
+      SELECT doc_id, bucket, r AS rank,
+        CASE WHEN r = 1 THEN n1 ELSE n2 END AS neg_id
+      FROM (
+        SELECT doc_id, bucket,
+          lead(doc_id, 1) OVER (PARTITION BY bucket
+            ORDER BY rk, doc_id) AS n1,
+          lead(doc_id, 2) OVER (PARTITION BY bucket
+            ORDER BY rk, doc_id) AS n2
+        FROM (SELECT doc_id, rk, ${TextOps.hexToLong("rk", 1)} AS bucket
+              FROM (SELECT doc_id, md5('neg:' || doc_id) AS rk
+                    FROM documents))),
+        (SELECT unnest(generate_series(1, 2)) AS r)
+      WHERE (r = 1 AND n1 IS NOT NULL) OR (r = 2 AND n2 IS NOT NULL)"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
-    q115PrioritySample)
+    q115PrioritySample, q146NegativePairs)
 }
