@@ -892,8 +892,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
-  test("plan-regression guards: the flagship five keep their designed shapes") {
-    // The five most expensive queries carry deliberate physical designs
+  test("plan-regression guards: the flagship queries keep their designed shapes") {
+    // The most expensive queries carry deliberate physical designs
     // (prefix-filtered equi-joins, checkpoint-truncated CC rounds,
     // broadcast scalar prunes). The bench only surfaces a regression as
     // noise; this guard pins the SHAPE: zero cartesians, at most the one
@@ -924,7 +924,11 @@ class OperatorSpec extends AnyFunSuite {
       "q51_dedup_clusters" -> (8, 0),
       "q55_incremental_dedup" -> (48, 0),
       "q94_triangle_count" -> (8, 0),
-      "q107_containment_join" -> (56, 1))
+      "q107_containment_join" -> (56, 1),
+      // round-5 heavies: the inverted-index cosine join and the
+      // six-table rollup must keep their equi-join shapes too
+      "q117_cosine_tf_join" -> (26, 0),
+      "q129_revenue_rollup" -> (9, 0))
     val bad = budgets.toSeq.sortBy(_._1).flatMap { case (name, (maxEx, maxBnlj)) =>
       val s = shape(plan(name))
       spark.catalog.clearCache()
