@@ -1621,9 +1621,70 @@ object DedupOps {
       .filter(col("dist") >= 0 && col("dist") <= EditCap)
   }
 
+  /** Per-source exact-duplicate rate — the data-source quality lens a
+    * curation pipeline triages acquisitions with (a source that is 40%
+    * internal duplicates gets its crawler fixed, not more budget).
+    * One aggregate over (source, content-hash): distinct-vs-total
+    * counts, dup rate as one division of exact integers. */
+  val q148SourceDupRate = OpSpec(
+    "q148_source_dup_rate",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .select(col("source"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          ((col("n_docs") - col("n_distinct")).cast("double")
+            / col("n_docs").cast("double")).as("dup_rate"))
+    },
+    Some("""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+        CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+      FROM (SELECT source, md5(text) AS h FROM documents)
+      GROUP BY source"""))
+
+  /** Cross-source content-overlap matrix — which sources feed the
+    * pipeline the SAME documents (the dedup budget question: dropping
+    * a redundant source beats deduping it forever). Content identity
+    * is the q26 word-SET fingerprint (order/repetition-insensitive —
+    * cross-source copies rarely survive byte-identical). Distinct
+    * (fingerprint, source) rows self-join on the fingerprint — bucket
+    * size per fingerprint is bounded by the SOURCE DOMAIN, not the
+    * corpus, so the pair explosion is |fps|·|sources|² at absolute
+    * worst — then pairs count the distinct shared contents. */
+  val q149SourceOverlap = OpSpec(
+    "q149_source_overlap",
+    (s, dir) => {
+      val hs = table(s, dir, "documents")
+        .select(expr(
+          s"md5(CAST(array_join(array_sort(array_distinct($wordsSpark)), ' ') AS BINARY))")
+          .as("h"), col("source"))
+        .distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""
+      WITH hs AS (
+        SELECT DISTINCT
+          md5(list_aggregate(list_sort(list_distinct($wordsDuck)),
+            'string_agg', ' ')) AS h,
+          source
+        FROM documents)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
-    q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin)
+    q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
+    q148SourceDupRate, q149SourceOverlap)
 }
