@@ -38,9 +38,15 @@ trait MediaCodec extends Serializable {
     * PySceneDetect ContentDetector kernel, utils/scenecut.py:88-93):
     * mean absolute plane difference — codec-independent, so it lives
     * on the trait. */
-  def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double =
+  def contentDelta(prev: Array[Byte], cur: Array[Byte]): Double = {
+    // Mismatched or empty planes would silently truncate via zip (or
+    // divide by zero) and bias the score; fail loudly instead so the
+    // caller's S8 error path surfaces it (ADVICE r5).
+    require(prev.length == cur.length && prev.nonEmpty,
+      s"contentDelta: plane length mismatch or empty (prev=${prev.length}, cur=${cur.length})")
     prev.zip(cur).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
       .sum.toDouble / prev.length
+  }
 
   /** S8 polymorphic loader: dispatch on file extension — still images
     * decode whole, video containers decode frame `frameIdx`, anything

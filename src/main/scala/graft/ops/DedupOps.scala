@@ -1227,10 +1227,16 @@ object DedupOps {
     * names are resolved first, so all blocking keys the ENTITY table
     * (|distinct| ≪ |rows|).
     *
-    * The oracle is deliberately the NAIVE complete candidate rule
-    * (full bigram equi-join + length filter): the hash gate therefore
-    * PROVES the prefix blocking drops no true pair on the gated
-    * corpus, rather than mirroring the optimization on both sides. */
+    * The oracle is deliberately the NAIVE complete candidate rule PER
+    * LENGTH REGIME — a full bigram equi-join, UNIONed with a full
+    * unigram join over ≤5-char names and an all-pairs tier over
+    * ≤2-char names (the same three regimes [[fuzzyCandidates]] tiers,
+    * each in its naive-complete form). The hash gate therefore PROVES
+    * the prefix blocking drops no true pair on the gated corpus at
+    * EVERY length — including short names the bigram rule alone
+    * structurally misses ("ab"/"cd" share no bigram; 1-char names
+    * have none) — rather than mirroring the optimization on both
+    * sides. */
   val q95FuzzyJoin = OpSpec(
     "q95_fuzzy_join",
     (s, dir) => {
@@ -1248,11 +1254,26 @@ object DedupOps {
           list_transform(generate_series(1, length(p_name) - 1),
             i -> substring(p_name, i, 2)))) AS bg
         FROM names),
+      chars AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name)),
+            i -> substring(p_name, i, 1)))) AS ch
+        FROM names WHERE length(p_name) <= ${2 * EditCap + 1}),
       cand AS (
         SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
         FROM grams a JOIN grams b
           ON a.bg = b.bg AND a.p_name < b.p_name
-         AND abs(length(a.p_name) - length(b.p_name)) <= $EditCap)
+         AND abs(length(a.p_name) - length(b.p_name)) <= $EditCap
+        UNION
+        SELECT DISTINCT a.p_name, b.p_name
+        FROM chars a JOIN chars b
+          ON a.ch = b.ch AND a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= $EditCap
+        UNION
+        SELECT a.p_name, b.p_name
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE length(a.p_name) <= $EditCap
+          AND length(b.p_name) <= $EditCap)
       SELECT name_a, name_b,
         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
       FROM cand
@@ -1477,8 +1498,12 @@ object DedupOps {
       val sizeRule =
         if (strict) col("a.sz") < col("b.sz")
         else col("a.sz") <= col("b.sz")
+      // doc_id inequality: re-ingesting a document already in the index
+      // (same id) must not emit a self-pair of containment 1.0 noise
+      // through the a.sz <= b.sz orientation (ADVICE r5)
       a.as("a").join(b.as("b"),
-        col("a.g") === col("b.g") && sizeRule &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.g") === col("b.g") && sizeRule &&
           lit(4) * col("b.sz") >= lit(3) * col("a.sz") &&
           lit(4) * (lit(1) + least(col("a.sz") - col("a.rn"),
             col("b.sz") - col("b.rn"))) >= lit(3) * col("a.sz"))

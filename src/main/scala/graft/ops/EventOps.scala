@@ -1245,7 +1245,9 @@ object EventOps {
     * no weight). Weights and values are exact integers, the weighted
     * sum accumulates as DECIMAL, and the single division happens at
     * emit. One (user, ts) sort serves the lead and the aggregate.
-    * Users with a single event (no closed interval) report NULL. */
+    * Users with a single event (no closed interval) are omitted from
+    * the output entirely — their only row is dropped by the dt_us
+    * filter before the groupBy. */
   val q147TimeWeightedAvg = OpSpec(
     "q147_time_weighted_avg",
     (s, dir) => {

@@ -79,7 +79,23 @@ object ScoreStage {
     df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val proc = new ProcessBuilder(command: _*).start()
+        // stderr MUST be sunk: an ML scorer that logs to stderr would
+        // otherwise fill the OS pipe buffer and write-block, deadlocking
+        // the task with no timeout (ADVICE r5). DISCARD keeps the child's
+        // diagnostics out of our protocol channel without a drain thread.
+        val proc = new ProcessBuilder(command: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        // Cleanup must NOT depend on the iterator being fully consumed —
+        // a downstream limit/take abandons the iterator and would leak
+        // the subprocess. The task-completion listener fires on every
+        // exit path (success, abandonment, failure).
+        Option(org.apache.spark.TaskContext.get()).foreach {
+          _.addTaskCompletionListener[Unit] { _ =>
+            try proc.getOutputStream.close() catch { case _: Exception => }
+            proc.destroy()
+          }
+        }
         val toChild = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
         val fromChild = new java.io.BufferedReader(

@@ -129,6 +129,51 @@ class OperatorSpec extends AnyFunSuite {
       failed.forall(_.getString(1).contains("scorer")))
   }
 
+  test("pipeScoreStage: a stderr-flooding scorer cannot deadlock the task") {
+    import spark.implicits._
+    // an ML scorer that logs heavily to stderr: each row spawns ~200 KB
+    // of stderr, several times the OS pipe buffer. Without the DISCARD
+    // redirect the child blocks on its stderr write before answering and
+    // the task deadlocks with no timeout (ADVICE r5).
+    val script = writeScript(
+      """while IFS= read -r x; do
+        |  head -c 200000 /dev/zero | tr '\0' 'e' >&2
+        |  printf '%s\n' $((x * 2))
+        |done
+        |""".stripMargin)
+    val df = (1 to 4).map(_.toString).toDF("v").coalesce(1)
+    val out = ScoreStage.pipeScoreStage(df, Seq(script),
+      row => row.getString(0), batchSize = 1)
+      .select(col("score")).collect()
+    assert(out.length == 4 && out.forall(_.get(0) != null))
+  }
+
+  test("pipeScoreStage: abandoned iterator (limit) still reaps the child") {
+    import spark.implicits._
+    // a downstream limit abandons the partition iterator before the
+    // by-name close suffix runs; the TaskCompletionListener must still
+    // destroy the subprocess or every take() leaks a scorer process.
+    val script = writeScript(
+      """echo $$ >> "$PIDLOG"
+        |while IFS= read -r x; do printf '%s\n' $((x * 2)); done
+        |""".stripMargin)
+    val pidLog = java.nio.file.Files.createTempFile("pids", ".log")
+    val df = (1 to 100).map(_.toString).toDF("v").coalesce(1)
+    val cmd = Seq("/bin/sh", "-c", s"""PIDLOG='$pidLog' exec '$script'""")
+    val one = ScoreStage.pipeScoreStage(df, cmd,
+      row => row.getString(0), batchSize = 4)
+      .select(col("score")).limit(1).collect()
+    assert(one.length == 1)
+    val pids = java.nio.file.Files.readAllLines(pidLog)
+    assert(pids.size() >= 1)
+    val pid = pids.get(pids.size() - 1).trim
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def alive(): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"/proc/$pid"))
+    while (alive() && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!alive(), s"scorer pid $pid leaked past task completion")
+  }
+
   test("custom DotProduct expression matches the HOF fold bit-for-bit") {
     val e = Tables.table(spark, sf, "embeddings").limit(64)
     val hof =
@@ -478,7 +523,10 @@ class OperatorSpec extends AnyFunSuite {
     val newDir = java.nio.file.Files.createTempDirectory("gixbatch").toString
     val idxDir = java.nio.file.Files.createTempDirectory("gixtables").toString
     write(Seq(1L -> long1, 2L -> other), corpusDir)
-    write(Seq(10L -> excerpt, 20L -> superDoc, 30L -> novel), newDir)
+    // batch re-ingests corpus doc 1 verbatim (same id): the doc_id
+    // disjointness guard must suppress the containment-1.0 self-pair
+    write(Seq(10L -> excerpt, 20L -> superDoc, 30L -> novel,
+      1L -> long1), newDir)
     try {
       DedupOps.writeGramIndex(
         DedupOps.buildGramIndex(
@@ -495,7 +543,8 @@ class OperatorSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet
       spark.catalog.clearCache()
       // excerpt(10) inside corpus long1(1); corpus other(2) inside
-      // superDoc(20); the novel doc matches nothing
+      // superDoc(20); the novel doc matches nothing; the re-ingested
+      // doc 1 emits NO self-pair (doc_id guard)
       assert(got == Set((10L, 1L), (2L, 20L)), got.toString)
     } finally Seq("ranked", "prefixes", "docgrams", "gramdf")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_gix_$t"))
