@@ -1234,10 +1234,15 @@ object TextOps {
     * token accounting behind context-length packing and token-budget
     * fills, replacing q21's whitespace proxy). The final vocabulary
     * maps each distinct word to its merged symbol string, so applying
-    * the tokenizer to the corpus is ONE broadcast-size join from the
-    * exploded words — per-word segmentation is computed once per
-    * VOCAB entry, never per occurrence. Gated end-to-end: the oracle
-    * re-derives the full 10-round trajectory and the same counts. */
+    * the tokenizer to the corpus is ONE equi-join from the exploded
+    * words — per-word segmentation is computed once per VOCAB entry,
+    * never per occurrence. The join carries NO broadcast hint on
+    * purpose: the distinct-word vocabulary is corpus-derived and
+    * unbounded (a 100 TB web corpus has 10⁸–10⁹ noise tokens), so a
+    * forced broadcast would OOM at scale — AQE promotes the build side
+    * to broadcast exactly when it measures small. Gated end-to-end:
+    * the oracle re-derives the full 10-round trajectory and the same
+    * counts. */
   val q133BpeTokens = OpSpec(
     "q133_bpe_tokens",
     (s, dir) => {
@@ -1247,7 +1252,7 @@ object TextOps {
       val out = table(s, dir, "documents")
         .withColumn("words", expr(wordsSpark))
         .select(col("doc_id"), explode(col("words")).as("word"))
-        .join(broadcast(tokensPerWord), "word")
+        .join(tokensPerWord, "word")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe"))
       out.persist().count() // materialize before freeing the vocab

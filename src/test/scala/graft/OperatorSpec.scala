@@ -992,6 +992,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("q133 applies the tokenizer without a forced vocabulary broadcast") {
+    // The distinct-word vocabulary is corpus-derived and unbounded (a
+    // 100 TB web corpus has 1e8+ noise tokens): a broadcast() HINT on
+    // the apply join is a forced driver/executor OOM at scale. The
+    // right shape is a plain equi-join AQE promotes to broadcast only
+    // when the measured build side is small — i.e. the analyzed plan
+    // must carry NO ResolvedHint.
+    val analyzed = SparkEntry.queries("q133_bpe_tokens")(spark, sf)
+      .queryExecution.analyzed.toString
+    spark.catalog.clearCache()
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q133 still forces a vocabulary broadcast:\n$analyzed")
+    // negative control: the detector must see a hint when one exists
+    val n = Tables.table(spark, sf, "nation")
+    val ctrl = n.join(broadcast(n.select(col("n_nationkey").as("k"))),
+      col("n_nationkey") === col("k")).queryExecution.analyzed.toString
+    assert(ctrl.contains("ResolvedHint"), s"hint detector is blind:\n$ctrl")
+  }
+
+  test("plan-regression guards: cached-loop (q133) and PQ search (q138) shapes") {
+    // These plans print nested InMemoryRelation lineage, so TEXTUAL
+    // operator counts explode combinatorially (4000+ "Exchange" tokens
+    // for 6 real operators at 10 BPE rounds). plan_ids are stable per
+    // operator across reprints, so counting DISTINCT plan_ids of
+    // Exchange/BroadcastExchange lines measures the true number of
+    // shuffle/broadcast operators in the whole lineage:
+    //  - q133: per-round BPE plans run over the PREVIOUS round's cache,
+    //    so the distinct-exchange count stays flat in rounds (~6). A
+    //    lost persist() inlines all 10 rounds into one QueryExecution
+    //    and the count jumps past 20 — this budget is the cache-loss
+    //    detector for the train loop (q132 shares bpeTrain, so the
+    //    same guard covers its trajectory; its own result is a
+    //    driver-side LocalRelation with no plan to audit).
+    //  - q138: codebook + LUT broadcasts are constant-size by design;
+    //    the budget catches a corpus-sized table slipping into the
+    //    broadcast set or the scan multiplying.
+    // Budgets are measured values + headroom; cartesians stay zero.
+    def distinctExchanges(p: String): Int =
+      p.linesIterator.filter(l => l.contains("Exchange"))
+        .flatMap("plan_id=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSet.size
+    val budgets = Map(
+      "q133_bpe_tokens" -> 12,
+      "q138_pq_adc_search" -> 48)
+    val bad = budgets.toSeq.sortBy(_._1).flatMap { case (name, maxEx) =>
+      val p = plan(name)
+      spark.catalog.clearCache()
+      val ex = distinctExchanges(p)
+      val flags = Seq(
+        s"exchanges($ex>$maxEx)" -> (ex > maxEx),
+        "cartesian" -> p.contains("CartesianProduct"))
+        .collect { case (f, true) => f }
+      if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("q138 ADC search: well-formed rankings, recall above chance") {
     import spark.implicits._
     val rows = SparkEntry.queries("q138_pq_adc_search")(spark, sf)
