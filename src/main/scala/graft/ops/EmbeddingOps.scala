@@ -1021,31 +1021,39 @@ object EmbeddingOps {
     * one k-group fold. The library path ([[kmeansCentroids]], decimal
     * partial sums, no per-cluster collect) is the production trainer;
     * THIS query is its gated twin at oracle-able size. */
+  /** The q98 training trajectory as a reusable stage: (e, km) where
+    * `e` is the full normed corpus and `km` the second-Lloyd-round
+    * output (cid, n, cv, cnrm) — q98's gated result, and q150's coarse
+    * quantizer. */
+  private def coarseKm(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = normedDf(s, dir).select(col("vec_id"), col("embedding"),
+      col("nrm"))
+    val seeds = e
+      .withColumn("rk",
+        md5(concat_ws(":", lit("ivf"), col("vec_id")).cast("binary")))
+      .orderBy(col("rk"), col("vec_id")).limit(KmK)
+    // bounded post-limit fold assigns cid 0..k-1 in rank order with
+    // no window operator (TakeOrderedAndProject feeds an 8-row agg)
+    val c0 = seeds
+      .agg(sort_array(collect_list(struct(col("rk"), col("vec_id"),
+        col("embedding")))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("cid", "s")))
+      .select(col("cid").cast("long").as("cid"),
+        expr("transform(s.embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+      .withColumn("cnrm", expr(dnrm("cv")))
+    val c1 = kmIter(e, c0).select(col("cid"), col("cv"), col("cnrm"))
+    (e, kmIter(e, c1))
+  }
+
   val q98KmeansTrain = OpSpec(
     "q98_kmeans_train",
-    (s, dir) => {
-      val e = normedDf(s, dir).select(col("vec_id"), col("embedding"),
-        col("nrm"))
-      val seeds = e
-        .withColumn("rk",
-          md5(concat_ws(":", lit("ivf"), col("vec_id")).cast("binary")))
-        .orderBy(col("rk"), col("vec_id")).limit(KmK)
-      // bounded post-limit fold assigns cid 0..k-1 in rank order with
-      // no window operator (TakeOrderedAndProject feeds an 8-row agg)
-      val c0 = seeds
-        .agg(sort_array(collect_list(struct(col("rk"), col("vec_id"),
-          col("embedding")))).as("ss"))
-        .select(posexplode(col("ss")).as(Seq("cid", "s")))
-        .select(col("cid").cast("long").as("cid"),
-          expr("transform(s.embedding, x -> CAST(x AS DOUBLE))").as("cv"))
-        .withColumn("cnrm", expr(dnrm("cv")))
-      val c1 = kmIter(e, c0).select(col("cid"), col("cv"), col("cnrm"))
-      kmIter(e, c1)
+    (s, dir) =>
+      coarseKm(s, dir)._2
         .select(col("cid"), col("n"),
           posexplode(col("cv")).as(Seq("pos", "c")))
         .select(col("cid"), col("n"), col("pos").cast("long").as("pos"),
-          col("c"))
-    },
+          col("c")),
     Some(s"""
       WITH e AS ($normedDuck),
       seeds AS (
@@ -1255,9 +1263,148 @@ object EmbeddingOps {
       FROM scored
       QUALIFY rank <= 10"""))
 
+  /** Probed coarse cells per query in the IVF-PQ search. */
+  private val IvfPqNprobe = 2
+
+  /** IVF-PQ search — the production ANN serving shape, composing the
+    * two gated halves: q98's TRAINED coarse quantizer partitions
+    * q137's PQ code table into inverted lists, and q138's ADC scoring
+    * runs ONLY over the [[IvfPqNprobe]] cells each query probes. This
+    * removes flat PQ's scale-killer (a full code-table scan per query
+    * batch): the scan cost per query is |probed cells| · |list|, not
+    * |corpus|, while memory stays [[PqM]] codes per vector. The cell
+    * restriction is an EQUI-JOIN on the assigned cell id — at 1000
+    * executors the code table is partitioned by cell and a probe
+    * touches only matching partitions; nothing rescans corpus floats.
+    * Every stage (coarse train, assignment, probe ranking, sub-
+    * codebooks, LUT, ordered ADC fold) is the bit-exact recipe of its
+    * parent query, so the oracle re-derives the ENTIRE trajectory.
+    * Reference tie: serving the aesthetic-embedding index at 20M-clip
+    * scale (aesthetic_score.py:100-105). */
+  /** Library form of the q150 IVF-PQ search with a tunable probe
+    * width. `nprobe` = [[KmK]] probes every cell and must reproduce
+    * the flat-ADC ranking (q138) row-for-row — the spec's exactness
+    * anchor; smaller probes trade recall for the per-query scan
+    * bound. */
+  private[graft] def ivfPqSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+      val (e, km) = coarseKm(s, dir)
+      val coarse = km.select(col("cid"), col("cv"), col("cnrm"))
+      // one scored (vector, cell) frame serves assignment AND probing
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("cid").asc)
+      val cellScore = e.crossJoin(broadcast(coarse))
+        .withColumn("cosine", expr(
+          """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
+             0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
+        .withColumn("rn", row_number().over(w))
+        .persist()
+      val assign = cellScore.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val probe = cellScore
+        .filter(col("vec_id") < 20 && col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+      val trained = (0 until PqM).map(j => (j, pqSub(s, dir, j)))
+      // inverted lists: PQ codes keyed by their vector's coarse cell
+      val codes = trained.map(_._2._2).reduce(_ unionByName _)
+        .join(assign, "vec_id")
+      val lut = trained.map { case (j, (cb, _)) =>
+        pqSlice(s, dir, j).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+          .crossJoin(broadcast(cb))
+          .select(col("query_id"), lit(j.toLong).as("sub"),
+            col("cid").as("code"),
+            expr("""aggregate(zip_with(qv, cv,
+                (x, c) -> CAST(x AS DOUBLE) * c),
+                0e0, (a, y) -> a + y)""").as("term"))
+      }.reduce(_ unionByName _)
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      probe.join(codes, "cell") // probed cells ONLY — the IVF prune
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(expr("""aggregate(
+            transform(sort_array(collect_list(struct(sub, term))),
+              s -> s.term),
+            0D, (acc, x) -> acc + x)""").as("score"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  val q150IvfPqSearch = OpSpec(
+    "q150_ivfpq_search",
+    (s, dir) => ivfPqSearch(s, dir, IvfPqNprobe),
+    Some(s"""
+      WITH ${(0 until PqM).map(pqSubSql).mkString(",")},
+      e AS ($normedDuck),
+      kseeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM embeddings)
+        QUALIFY cid < $KmK),
+      kc0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM kseeds)),
+      ks1 AS (${kmIterDuck("kc0")}),
+      kc1 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM ks1)),
+      ks2 AS (${kmIterDuck("kc1")}),
+      kc2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM ks2)),
+      cellscore AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_reduce(list_transform(
+              generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+        FROM e, kc2 c),
+      assign AS (SELECT vec_id, cid AS cell FROM cellscore WHERE rn = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM cellscore WHERE vec_id < 20 AND rn <= $IvfPqNprobe),
+      codes AS (${(0 until PqM).map(j => s"SELECT * FROM a$j")
+        .mkString("\n        UNION ALL\n        ")}),
+      ccodes AS (
+        SELECT codes.vec_id, codes.sub, codes.code, a.cell
+        FROM codes JOIN assign a USING (vec_id)),
+      lut AS (${(0 until PqM).map(j => s"""
+        SELECT e.vec_id AS query_id, CAST($j AS BIGINT) AS sub,
+          c.cid AS code,
+          list_reduce(list_transform(
+            generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+            (x, y) -> x + y) AS term
+        FROM e$j e, c1$j c WHERE e.vec_id < 20""")
+        .mkString("\n        UNION ALL\n        ")}),
+      scored AS (
+        SELECT p.query_id, c.vec_id,
+          list_reduce(list(l.term ORDER BY l.sub), (a, b) -> a + b)
+            AS score
+        FROM probe p
+        JOIN ccodes c ON c.cell = p.cell
+        JOIN lut l ON l.query_id = p.query_id
+          AND l.sub = c.sub AND l.code = c.code
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
+        vec_id, score
+      FROM scored
+      QUALIFY rank <= 10"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
     q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
-    q137PqCodes, q138PqAdcSearch)
+    q137PqCodes, q138PqAdcSearch, q150IvfPqSearch)
 }

@@ -912,7 +912,10 @@ class OperatorSpec extends AnyFunSuite {
       "q138_pq_adc_search", // bounded codebook + 320-row LUT broadcasts
       "q143_kmv_wau", // 1-row max-day scalar broadcast (q105 shape)
       "q144_skew_report", // 1-row key-stats scalar broadcast
-      "q145_join_forecast") // two 1-row summaries cross-joined
+      "q145_join_forecast", // two 1-row summaries cross-joined
+      "q150_ivfpq_search") // 8-row coarse-centroid + 4-row codebook
+                           // broadcasts (q98/q137 family); the cell
+                           // prune itself is an equi-join (spec'd)
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -1047,6 +1050,41 @@ class OperatorSpec extends AnyFunSuite {
       if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
     }
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("q150 IVF-PQ: cell-pruned equi-join, recall monotone in nprobe, " +
+    "flat-ADC-exact at full probe") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    // (1) plan: the probed-cell restriction must be an equi-join (the
+    // whole point — only matching inverted lists are scanned), with no
+    // cartesian anywhere
+    val q150 = SparkEntry.queries("q150_ivfpq_search")(spark, sf)
+    val p = q150.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("cell#[0-9]+L".r.findFirstIn(p).isDefined,
+      s"no cell-keyed operator in the plan:\n$p")
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val flat = ranked(SparkEntry.queries("q138_pq_adc_search")(spark, sf))
+    // (2) recall vs the flat-ADC top-10 grows with nprobe (nested
+    // probe sets), and probing every cell IS flat ADC — identical rows
+    def pairs(s: Set[(Long, Long, Long)]) = s.map(t => (t._1, t._3))
+    def recall(np: Int): (Double, Set[(Long, Long, Long)]) = {
+      val r = ranked(EmbeddingOps.ivfPqSearch(spark, sf, np))
+      (pairs(r).intersect(pairs(flat)).size.toDouble / flat.size, r)
+    }
+    val (r1, _) = recall(1)
+    val (r2, _) = recall(2)
+    val (r8, full) = recall(8)
+    spark.catalog.clearCache()
+    assert(r1 > 0.0, "recall@nprobe=1 is zero")
+    assert(r1 <= r2 + 1e-12 && r2 <= r8 + 1e-12,
+      s"recall not monotone: $r1, $r2, $r8")
+    assert(full == flat,
+      s"full-probe IVF-PQ diverged from flat ADC (recall $r8)")
   }
 
   test("q138 ADC search: well-formed rankings, recall above chance") {
