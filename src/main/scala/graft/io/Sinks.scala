@@ -116,6 +116,25 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Append a batch to an existing [[bucketedTable]]: each append
+    * writes its own bucketed+sorted file set (Spark requires the spec
+    * to match the table's and rejects a drifted one), so buckets
+    * accumulate one file per append and the co-bucketed join property
+    * is preserved — readers merge the per-append files of a bucket.
+    * This is the index-maintenance primitive: folding a day's accepted
+    * batch into a 100 TB corpus index costs the BATCH's shuffle, never
+    * a corpus rewrite. Compaction (a periodic [[bucketedTable]]
+    * rewrite) is an optional throughput optimization, not a
+    * correctness requirement. */
+  def appendBucketedTable(df: DataFrame, tableName: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;
     * `Archived` means the zip is durably written — a non-empty
     * `cleanupWarning` flags raw files/dir that could not be removed

@@ -701,11 +701,57 @@ object DedupOps {
       "band_val", buckets, s"$path/bandcounts")
   }
 
-  /** Re-open a persisted [[CorpusIndex]] by table-name prefix. */
+  /** Re-open a persisted [[CorpusIndex]] by table-name prefix.
+    * `bandCounts` is normalized through a keyed sum because
+    * [[appendToCorpusIndex]] adds PARTIAL count rows per ingest batch
+    * (pure inserts — never a corpus-sized rewrite); for a never-
+    * appended index the sum is the identity. */
   def readCorpusIndex(s: SparkSession, prefix: String): CorpusIndex =
     CorpusIndex(s.table(s"${prefix}_hashes"), s.table(s"${prefix}_shingles"),
       s.table(s"${prefix}_bands"), s.table(s"${prefix}_sizes"),
-      s.table(s"${prefix}_bandcounts"))
+      s.table(s"${prefix}_bandcounts")
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(sum(col("ccnt")).as("ccnt")))
+
+  /** Fold an ACCEPTED ingest batch into a persisted [[CorpusIndex]]
+    * without rebuilding it — the maintenance half of the q55 story
+    * (after a batch passes [[incrementalDedup]] and its `keep` rows
+    * are admitted, the index must reflect them or the next batch
+    * dedups against a stale corpus; the reference's done-set
+    * discipline, aesthetic_score.py:98, is this same "the index must
+    * reflect what's already processed" rule). Every artifact of a
+    * CorpusIndex is per-doc (hashes/shingles/bands/sizes) or
+    * additively mergeable (bandCounts), so an append is INSERT-only:
+    * the batch's artifacts — derived from batch text alone — are
+    * appended to the bucketed tables ([[graft.io.Sinks
+    * .appendBucketedTable]]); bandCounts gains partial rows that
+    * [[readCorpusIndex]] sums at open. Cost scales with the batch,
+    * never the corpus, and prior corpus text is never re-scanned
+    * (plan-audited in the spec). The invariant spec proves
+    * build(all) == build(part) + append(rest) table-for-table. */
+  def appendToCorpusIndex(newDocs: DataFrame, prefix: String,
+      path: String, buckets: Int = 32): Unit = {
+    val shingles = hashedShingles(newDocs).persist()
+    val bands = bandRows(shingles).persist()
+    val fresh = CorpusIndex(
+      newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
+      shingles, bands,
+      shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
+      bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("ccnt")))
+    try {
+    graft.io.Sinks.appendBucketedTable(fresh.hashes, s"${prefix}_hashes",
+      "h", buckets, s"$path/hashes")
+    graft.io.Sinks.appendBucketedTable(fresh.shingles,
+      s"${prefix}_shingles", "doc_id", buckets, s"$path/shingles")
+    graft.io.Sinks.appendBucketedTable(fresh.bands, s"${prefix}_bands",
+      "band_val", buckets, s"$path/bands")
+    graft.io.Sinks.appendBucketedTable(fresh.sizes, s"${prefix}_sizes",
+      "doc_id", buckets, s"$path/sizes")
+    graft.io.Sinks.appendBucketedTable(fresh.bandCounts,
+      s"${prefix}_bandcounts", "band_val", buckets, s"$path/bandcounts")
+    } finally { bands.unpersist(); shingles.unpersist() }
+  }
 
   /** Incremental ingest dedup of a NEW batch against an existing corpus
     * index: every join is BIPARTITE (new×corpus), so the corpus is
@@ -1477,6 +1523,40 @@ object DedupOps {
     GramIndex(s.table(s"${prefix}_ranked"), s.table(s"${prefix}_prefixes"),
       s.table(s"${prefix}_docgrams"), s.table(s"${prefix}_gramdf"))
 
+  /** Fold an accepted batch into a persisted [[GramIndex]] without
+    * rebuilding. The batch's grams are ranked by the index's FROZEN
+    * `gramDf` rarity order and appended (ranked / prefixes /
+    * docGrams); `gramDf` itself is deliberately NOT updated. The
+    * positional-bound proof only needs ONE consistent total order on
+    * grams shared by every indexed doc — actual document frequency is
+    * an efficiency heuristic (rare-first shrinks candidate volume),
+    * not a correctness input — so freezing the order at initial build
+    * keeps every append exactly as lossless as a scratch build (the
+    * spec proves containment results are identical either way), while
+    * updating df per batch would silently re-rank PRIOR docs and
+    * require a corpus rewrite. The trade is documented drift: grams
+    * that become common after the build stay "rare" in the order, so
+    * candidate volume degrades toward (never past) the unordered
+    * bound; a periodic full rebuild restores the optimum without
+    * affecting results. Appends read only batch text + the frozen df
+    * table (plan-audited). */
+  def appendToGramIndex(s: SparkSession, newDocs: DataFrame,
+      prefix: String, path: String, buckets: Int = 32): Unit = {
+    val grams = hashedGramRows(newDocs).persist()
+    val ranked = rankGrams(grams, s.table(s"${prefix}_gramdf")).persist()
+    try {
+      val docGrams = grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("g"))).as("arr"),
+          count(lit(1)).as("sz"))
+      graft.io.Sinks.appendBucketedTable(ranked, s"${prefix}_ranked",
+        "g", buckets, s"$path/ranked")
+      graft.io.Sinks.appendBucketedTable(containPrefix(ranked),
+        s"${prefix}_prefixes", "g", buckets, s"$path/prefixes")
+      graft.io.Sinks.appendBucketedTable(docGrams, s"${prefix}_docgrams",
+        "doc_id", buckets, s"$path/docgrams")
+    } finally { ranked.unpersist(); grams.unpersist() }
+  }
+
   /** Incremental containment join: flag (small ⊂≈ large) pairs BETWEEN
     * a new batch and an indexed corpus — q107's semantics with every
     * join bipartite and every corpus-side input a persisted table
@@ -1597,6 +1677,35 @@ object DedupOps {
     NameIndex(s.table(s"${prefix}_grams"), s.table(s"${prefix}_prefixes"),
       s.table(s"${prefix}_chars"), s.table(s"${prefix}_tiny"),
       s.table(s"${prefix}_bigramdf"))
+
+  /** Fold an accepted name batch into a persisted [[NameIndex]]
+    * without rebuilding. Same maintenance discipline as
+    * [[appendToGramIndex]], with an even weaker requirement: the
+    * fuzzy prefix theorem is a SET argument (≤ EditCap edits destroy
+    * ≤ 2·EditCap distinct bigram values, so ANY 2·EditCap+1 kept
+    * distinct bigrams leave a survivor) — it never needs a shared
+    * order at all, because each prefix joins the partner's FULL gram
+    * set. The frozen `bigramDf` order is pure efficiency (rare-first
+    * prefixes hit fewer partners); appends rank new names by it and
+    * insert into grams / prefixes / chars / tiny; `bigramDf` stays
+    * frozen. Appends read only the batch + the frozen df table. */
+  def appendToNameIndex(s: SparkSession, newNames: DataFrame,
+      prefix: String, path: String, buckets: Int = 32): Unit = {
+    val grams = nameGramRows(newNames).persist()
+    try {
+      graft.io.Sinks.appendBucketedTable(grams, s"${prefix}_grams",
+        "bg", buckets, s"$path/grams")
+      graft.io.Sinks.appendBucketedTable(
+        namePrefixes(grams, s.table(s"${prefix}_bigramdf")),
+        s"${prefix}_prefixes", "bg", buckets, s"$path/prefixes")
+      graft.io.Sinks.appendBucketedTable(nameCharRows(newNames),
+        s"${prefix}_chars", "ch", buckets, s"$path/chars")
+      graft.io.Sinks.appendBucketedTable(
+        newNames.select(col("p_name"), length(col("p_name")).as("ln"))
+          .filter(col("ln") <= EditCap),
+        s"${prefix}_tiny", "ln", buckets, s"$path/tiny")
+    } finally grams.unpersist()
+  }
 
   /** Incremental fuzzy (edit-distance ≤ [[EditCap]]) entity match of a
     * new name batch against an indexed corpus — [[fuzzyCandidates]]'s

@@ -505,6 +505,210 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ut_idx_$t"))
   }
 
+  /** Capture the executed plans of every query/write action `body`
+    * triggers (QueryExecutionListener delivery is async — poll until
+    * at least `atLeast` arrive, then settle). */
+  private def capturePlans(atLeast: Int)(body: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (plans.size < atLeast && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // settle stragglers
+    } finally spark.listenerManager.unregister(listener)
+    assert(plans.size >= atLeast,
+      s"captured ${plans.size} plans, expected >= $atLeast")
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("appendToCorpusIndex: appends == scratch build, no prior-corpus rescan") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "pack my box with five dozen liquor jugs right now ok",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota nu",
+      6L -> "completely different content nothing shared here at all")
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (gen1, gen2, gen3) = (tmp("cia1"), tmp("cia2"), tmp("cia3"))
+    val (allDir, probeDir) = (tmp("ciall"), tmp("ciprobe"))
+    val (idxA, idxI) = (tmp("ciidxa"), tmp("ciidxi"))
+    write(texts.take(3), gen1); write(texts.slice(3, 5), gen2)
+    write(texts.drop(5), gen3); write(texts, allDir)
+    // probe: exact copy of a gen-1 doc, near-dup of a gen-2 doc, novel
+    write(Seq(10L -> texts(0)._2,
+      20L -> (texts(4)._2.split(" ").dropRight(1).mkString(" ") + " mu"),
+      30L -> "zebra yak xylophone walrus vulture toad snake rat"), probeDir)
+    try {
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(
+        spark.read.parquet(s"$allDir/documents.parquet")),
+        "ut_cia", idxA, buckets = 4)
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(
+        spark.read.parquet(s"$gen1/documents.parquet")),
+        "ut_cii", idxI, buckets = 4)
+      // two appends; their write plans must never touch gen-1 text
+      val appendPlans = capturePlans(atLeast = 10) {
+        DedupOps.appendToCorpusIndex(
+          spark.read.parquet(s"$gen2/documents.parquet"), "ut_cii", idxI,
+          buckets = 4)
+        DedupOps.appendToCorpusIndex(
+          spark.read.parquet(s"$gen3/documents.parquet"), "ut_cii", idxI,
+          buckets = 4)
+      }
+      appendPlans.foreach(p => assert(!p.contains(gen1),
+        s"append re-scanned prior corpus text:\n$p"))
+      // table-for-table: the read view of build(all) == build+appends
+      val a = DedupOps.readCorpusIndex(spark, "ut_cia")
+      val i = DedupOps.readCorpusIndex(spark, "ut_cii")
+      Seq("hashes" -> (a.hashes, i.hashes),
+        "shingles" -> (a.shingles, i.shingles),
+        "bands" -> (a.bands, i.bands),
+        "sizes" -> (a.sizes, i.sizes),
+        "bandcounts" -> (a.bandCounts, i.bandCounts)
+      ).foreach { case (name, (fa, fi)) =>
+        val (ra, ri) = (fa.collect().toSet, fi.collect().toSet)
+        assert(ra == ri, s"$name diverged: missing=${(ra -- ri).take(3)} " +
+          s"extra=${(ri -- ra).take(3)}")
+      }
+      // and the index answers ingest queries identically
+      val probe = spark.read.parquet(s"$probeDir/documents.parquet")
+      val va = DedupOps.incrementalDedup(probe, a)
+        .as[(Long, String)].collect().toMap
+      val vi = DedupOps.incrementalDedup(probe, i)
+        .as[(Long, String)].collect().toMap
+      spark.catalog.clearCache()
+      assert(va == vi, s"scratch=$va appended=$vi")
+      assert(va(10L) == "exact_dup" && va(20L) == "near_dup" &&
+        va(30L) == "keep", va.toString)
+    } finally Seq("hashes", "shingles", "bands", "sizes", "bandcounts")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ut_cia_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ut_cii_$t")
+      }
+  }
+
+  test("appendToGramIndex: frozen-order appends answer containment like a scratch build") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val gen2doc = "red orange yellow green blue indigo violet umbra xray zulu"
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (gen1, gen2, allDir, probeDir) =
+      (tmp("gxg1"), tmp("gxg2"), tmp("gxall"), tmp("gxprobe"))
+    val (idxA, idxI) = (tmp("gxidxa"), tmp("gxidxi"))
+    write(Seq(1L -> long1, 2L -> other), gen1)
+    write(Seq(3L -> gen2doc), gen2)
+    write(Seq(1L -> long1, 2L -> other, 3L -> gen2doc), allDir)
+    // probe: excerpt of a gen-1 doc, excerpt of the APPENDED doc (the
+    // pair only exists if appended rows participate), superset of a
+    // gen-1 doc, novel
+    write(Seq(
+      10L -> "beta gamma delta epsilon zeta eta",
+      11L -> "orange yellow green blue indigo violet umbra",
+      20L -> (other + " eleven twelve thirteen fourteen"),
+      30L -> "nothing shared here with anything else at all whatsoever"),
+      probeDir)
+    try {
+      DedupOps.writeGramIndex(DedupOps.buildGramIndex(
+        spark.read.parquet(s"$allDir/documents.parquet")),
+        "ut_gxa", idxA, buckets = 4)
+      DedupOps.writeGramIndex(DedupOps.buildGramIndex(
+        spark.read.parquet(s"$gen1/documents.parquet")),
+        "ut_gxi", idxI, buckets = 4)
+      val appendPlans = capturePlans(atLeast = 3) {
+        DedupOps.appendToGramIndex(spark,
+          spark.read.parquet(s"$gen2/documents.parquet"), "ut_gxi", idxI,
+          buckets = 4)
+      }
+      appendPlans.foreach(p => assert(!p.contains(gen1),
+        s"gram append re-scanned prior corpus text:\n$p"))
+      // the verify payload is order-independent: row-identical
+      val dga = spark.table("ut_gxa_docgrams").collect().toSet
+      val dgi = spark.table("ut_gxi_docgrams").collect().toSet
+      assert(dga == dgi, s"docgrams diverged")
+      val probe = spark.read.parquet(s"$probeDir/documents.parquet")
+      def run(prefix: String) = DedupOps.incrementalContainment(
+        probe, DedupOps.readGramIndex(spark, prefix))
+        .select("doc_small", "doc_large").as[(Long, Long)].collect().toSet
+      val (ra, ri) = (run("ut_gxa"), run("ut_gxi"))
+      spark.catalog.clearCache()
+      assert(ra == ri, s"scratch=$ra appended=$ri")
+      assert(ra == Set((10L, 1L), (11L, 3L), (2L, 20L)), ra.toString)
+    } finally Seq("ranked", "prefixes", "docgrams", "gramdf").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ut_gxa_$t")
+      spark.sql(s"DROP TABLE IF EXISTS ut_gxi_$t")
+    }
+  }
+
+  test("appendToNameIndex: appends answer fuzzy matches like a scratch build") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val gen1Names = Seq("kitten", "mitten", "hello", "help", "ab", "xy",
+      "abc", "world", "abcdefg")
+    val gen2Names = Seq("sitting", "mellow", "cd", "worlds")
+    val probeNames = Seq("sitten", "setting", "hallo", "ce", "abd",
+      "wprld", "unrelatedzz")
+    def write(names: Seq[String], dir: String): Unit =
+      names.toDF("p_name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/names.parquet")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (gen1, gen2, allDir, probeDir) =
+      (tmp("nxg1"), tmp("nxg2"), tmp("nxall"), tmp("nxprobe"))
+    val (idxA, idxI) = (tmp("nxidxa"), tmp("nxidxi"))
+    write(gen1Names, gen1); write(gen2Names, gen2)
+    write(gen1Names ++ gen2Names, allDir); write(probeNames, probeDir)
+    try {
+      DedupOps.writeNameIndex(DedupOps.buildNameIndex(
+        spark.read.parquet(s"$allDir/names.parquet")),
+        "ut_nxa", idxA, buckets = 4)
+      DedupOps.writeNameIndex(DedupOps.buildNameIndex(
+        spark.read.parquet(s"$gen1/names.parquet")),
+        "ut_nxi", idxI, buckets = 4)
+      val appendPlans = capturePlans(atLeast = 4) {
+        DedupOps.appendToNameIndex(spark,
+          spark.read.parquet(s"$gen2/names.parquet"), "ut_nxi", idxI,
+          buckets = 4)
+      }
+      appendPlans.foreach(p => assert(!p.contains(gen1),
+        s"name append re-scanned prior corpus names:\n$p"))
+      val probe = spark.read.parquet(s"$probeDir/names.parquet")
+      def run(prefix: String) = DedupOps.incrementalFuzzyMatch(
+        probe, DedupOps.readNameIndex(spark, prefix))
+        .as[(String, String, Long)].collect().toSet
+      val (ra, ri) = (run("ut_nxa"), run("ut_nxi"))
+      spark.catalog.clearCache()
+      assert(ra == ri, s"missing=${(ra -- ri).take(5)} extra=${(ri -- ra).take(5)}")
+      // appended names must participate: probe hits on gen-2 entries
+      assert(ra.exists(_._2 == "sitting") && ra.exists(_._2 == "worlds"),
+        ra.toString)
+    } finally Seq("grams", "prefixes", "chars", "tiny", "bigramdf")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ut_nxa_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ut_nxi_$t")
+      }
+  }
+
   test("incremental containment joins the persisted gram index, no corpus rescan") {
     import spark.implicits._
     import graft.ops.DedupOps
