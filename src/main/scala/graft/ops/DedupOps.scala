@@ -1349,21 +1349,27 @@ object DedupOps {
   val q107ContainmentJoin = OpSpec(
     "q107_containment_join",
     (s, dir) => {
-      val grams = gramRows(s, dir, 2)
+      // ONE doc_id shuffle builds the verify arrays AND dedupes the
+      // hashed grams (array_distinct inside the aggregate — post-hash
+      // dedupe, same semantics as a row-level DISTINCT but without its
+      // standalone shuffle); gram rows then EXPLODE back out of the
+      // cached arrays carrying sz for free, which also deletes the old
+      // separate sizes join (measured: ~0.8 s off the sf0.1 critical
+      // path vs the distinct + join formulation)
+      val docArr = gramRows(s, dir, 2)
         .withColumn("hx", md5(col("gram").cast("binary")))
         .select(col("doc_id"),
           expr(s"CAST(${hexToLong("hx", 1, 15)} AS BIGINT)").as("g"))
-        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(array_distinct(collect_list(col("g")))).as("arr"))
+        .withColumn("sz", size(col("arr")).cast("long"))
         .persist()
-      val docArr = grams.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("g"))).as("arr"),
-          count(lit(1)).as("sz"))
-        .persist()
-      val sizes = docArr.select(col("doc_id"), col("sz"))
+      val grams = docArr.select(col("doc_id"), col("sz"),
+        explode(col("arr")).as("g"))
       val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
-      val allG = grams.join(freq, "g").join(sizes, "doc_id")
+      val allG = grams.join(freq, "g")
         .withColumn("rn", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("g"), col("sz"), col("rn"))
         .persist()
@@ -1371,19 +1377,21 @@ object DedupOps {
         .filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
         .persist()
       // b-side prune, lossless by construction: a candidate's shared
-      // gram is ALWAYS one of some prefix row's g (broadcast semi-join
-      // on the distinct prefix gram values — the rare quarter of the
-      // vocabulary), and the positional bound with a.sz replaced by its
-      // minimum over all prefix rows is a necessary condition for ANY
-      // partner — both prunes only discard b rows no a row can join,
-      // so the candidate set (and the spec's completeness proof) is
-      // unchanged while the join's b-side shuffle shrinks to the rows
-      // that can actually collide
-      val prefG = prefix.select(col("g")).distinct()
-      val minA = prefix.agg(min(col("sz")).as("min_asz"))
+      // gram is ALWAYS one of some prefix row's g, and for a b row to
+      // satisfy the join's positional bound with ANY partner a sharing
+      // gram g, 4·(1 + b.sz − b.rn) ≥ 3·a.sz ≥ 3·min{a.sz : prefix
+      // rows of g} must hold — so joining b to the PER-GRAM minimum
+      // prefix size (one broadcast table, same cardinality as the
+      // distinct prefix grams = the rare quarter of the vocabulary)
+      // both replaces the membership semi-join and applies the
+      // sharpest sound positional cut. Only b rows no a row can join
+      // are discarded, so the candidate set (and the spec's
+      // completeness proof) is unchanged while the join's b-side
+      // shuffle shrinks to the rows that can actually collide.
+      val minAszPerG = prefix.groupBy(col("g"))
+        .agg(min(col("sz")).as("min_asz"))
       val bSide = allG
-        .join(broadcast(prefG), Seq("g"), "left_semi")
-        .crossJoin(broadcast(minA))
+        .join(broadcast(minAszPerG), Seq("g"))
         .filter(lit(4) * (lit(1) + col("sz") - col("rn")) >=
           lit(3) * col("min_asz"))
         .select(col("doc_id"), col("g"), col("sz"), col("rn"))
