@@ -1763,6 +1763,101 @@ object DedupOps {
       .filter(col("dist") >= 0 && col("dist") <= EditCap)
   }
 
+  /** Positional-gram length / minimum reported span for the shared-
+    * span extractor (spans must exceed the gram by enough that the
+    * run filter is real). */
+  private val SpanK = 5
+  private val SpanMinTokens = 8
+
+  /** Maximal cross-doc repeated SPANS — the substring-level dedup the
+    * set-similarity family can't see (q50/q107 compare gram SETS; a
+    * 40-token boilerplate passage shared by two otherwise-different
+    * docs moves Jaccard a few percent and is invisible, yet it is
+    * exactly what a training corpus must strip — the "dedup repeated
+    * substrings" result of the train-data-dedup literature, and the
+    * reference's caption boilerplate repeated across clips of one
+    * video, coca_caption.py:89-105). Method: POSITIONAL [[SpanK]]-gram
+    * rows (doc, pos, hash) self-join on the hash; a shared token span
+    * of length L appears as L−K+1 matches on ONE diagonal (pa − pb
+    * const), so grouping matches by (pair, diagonal) and islanding
+    * consecutive pa (the gap-and-islands pa − row_number trick, exact
+    * in both engines) yields each MAXIMAL shared span once:
+    * span_tokens = run_length + K − 1. Output: (doc_a, doc_b,
+    * a_start, b_start, span_tokens ≥ [[SpanMinTokens]]).
+    *
+    * Scale shape: one equi-join keyed on gram hashes (shuffle both
+    * sides by h, never all-pairs) + one window partitioned by
+    * (pair, diagonal). Per-gram match volume is df_a·df_b — content-
+    * defined keys, so corpus-wide boilerplate grams are the hot-key
+    * risk; the production mitigations are a larger K (hot-key df
+    * falls geometrically in K), running span extraction on near-dup
+    * CANDIDATE pairs (q27/q51 output) rather than the whole cross
+    * product of a corpus against itself, and AQE skew splitting for
+    * the residue. The gated form mirrors the exact join so the oracle
+    * proves the island arithmetic, not a sampling policy. */
+  def sharedSpans(docs: DataFrame, k: Int = SpanK,
+      minSpanTokens: Int = SpanMinTokens): DataFrame = {
+    val g = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("words", expr(wordsSpark))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) - $k),
+            i -> array_join(slice(words, i + 1, $k), ' '))"""))
+        .as(Seq("pos", "gram")))
+      .withColumn("hx", md5(col("gram").cast("binary")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"CAST(${hexToLong("hx", 1, 12)} AS BIGINT)").as("h"))
+      .persist()
+    val m = g.as("a").join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa").asc)
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + lit(k.toLong - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        col("b_start"), col("span_tokens"))
+  }
+
+  val q151SharedSpans = OpSpec(
+    "q151_shared_spans",
+    (s, dir) => sharedSpans(table(s, dir, "documents")),
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          CAST(${hexToLong("hx", 1, 12)} AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, i,
+            md5(list_aggregate(words[i:i+${SpanK - 1}], 'string_agg', ' '))
+              AS hx
+          FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+               LATERAL (SELECT unnest(generate_series(1,
+                 len(words) - ${SpanK - 1})) AS i)
+          WHERE len(words) >= $SpanK)),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+        FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+      runs AS (
+        SELECT doc_a, doc_b, diag, pa, pb,
+          pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+            ORDER BY pa ASC) AS grp
+        FROM m),
+      spans AS (
+        SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          CAST(COUNT(*) + ${SpanK} - 1 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, a_start, b_start, span_tokens
+      FROM spans WHERE span_tokens >= $SpanMinTokens"""))
+
   /** Per-source exact-duplicate rate — the data-source quality lens a
     * curation pipeline triages acquisitions with (a source that is 40%
     * internal duplicates gets its crawler fixed, not more budget).
@@ -1828,5 +1923,5 @@ object DedupOps {
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
-    q148SourceDupRate, q149SourceOverlap)
+    q148SourceDupRate, q149SourceOverlap, q151SharedSpans)
 }

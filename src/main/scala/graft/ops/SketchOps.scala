@@ -207,5 +207,99 @@ object SketchOps {
       FROM (SELECT *, $kthV AS kth_v FROM g) gg
       JOIN ex USING (report_day)"""))
 
-  val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau)
+  // ---- Mergeable quantile sketch (bottom-k priority sample) ----------
+
+  /** Sample size of the quantile sketch. */
+  private val QK = 128
+  /** Reported quantiles. */
+  private val QPs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  /** Deterministic bottom-[[QK]] priority sample of (id, value) rows —
+    * the k rows with the smallest salted-md5 priorities. A SET
+    * property of the data (the q115 principle), so per-shard samples
+    * merge into the global sample by re-ranking k·shards rows:
+    * that makes it a mergeable QUANTILE sketch — the sketch family's
+    * missing member next to KMV cardinality (q88/q99). The plan is
+    * TakeOrderedAndProject: per-partition bottom-k, driver merges k·P
+    * rows; no global sort, no global window. */
+  def quantileSketch(df: DataFrame, idCol: String, valCol: String,
+      salt: String, k: Int = QK): DataFrame =
+    df.select(col(idCol).as("sid"), col(valCol).as("v"))
+      .withColumn("rk",
+        md5(concat(lit(s"$salt:"), col("sid")).cast("binary")))
+      .orderBy(col("rk"), col("sid")).limit(k)
+
+  /** Merge per-shard sketches: union the candidate rows, keep the
+    * global bottom-k — associative and exact (spec: merging two
+    * half-corpus sketches reproduces the whole-corpus sketch
+    * row-for-row). */
+  def mergeQuantileSketches(sketches: Seq[DataFrame], k: Int = QK)
+      : DataFrame =
+    sketches.reduce(_ unionByName _).orderBy(col("rk"), col("sid")).limit(k)
+
+  /** Empirical quantiles of a sketch: order statistics of the sampled
+    * values at ranks ceil(p·n). The k-row rank assignment is a
+    * bounded post-limit fold (sorted collect + posexplode — the q98
+    * recipe), NOT a partition-less window; the only nested-loop is
+    * the 1-row sample-count scalar. Estimates are sampled VALUES —
+    * no interpolation arithmetic, so both engines agree bit-for-bit
+    * and the estimate is always an actually-occurring value. */
+  def sketchQuantiles(sketch: DataFrame, ps: Seq[Double] = QPs)
+      : DataFrame = {
+    val cnt = sketch.agg(count(lit(1)).as("n"))
+    sketch
+      .agg(sort_array(collect_list(struct(col("v"), col("sid")))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("idx", "s")))
+      .select((col("idx") + 1).cast("long").as("rn"), col("s.v").as("v"))
+      .crossJoin(broadcast(cnt))
+      .select(col("rn"), col("v"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .filter(col("rn") === expr("CAST(ceil(p * n) AS BIGINT)"))
+      .select(col("p"), col("v").as("est"), col("n").as("n_sample"))
+  }
+
+  /** Distributed quantile estimation over event values via the
+    * mergeable bottom-k sketch, gated end-to-end: the engine builds
+    * per-shard bottom-k samples and MERGES them (the storable-
+    * per-partition shape — a 100 TB table keeps one k-row sample per
+    * partition and refreshes global quantiles without a rescan); the
+    * oracle computes the global bottom-k directly, so the hash gate
+    * proves merge(shard sketches) == sketch(corpus) AND the order-
+    * statistic arithmetic, in one compare. The error-band spec pins
+    * the estimator's accuracy against exact percentiles. */
+  val q152QuantileSketch = OpSpec(
+    "q152_quantile_sketch",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("rk"), col("sid"))
+      val sample = table(s, dir, "events")
+        .select(col("event_id").as("sid"), col("value").as("v"))
+        .withColumn("rk",
+          md5(concat(lit("qsk:"), col("sid")).cast("binary")))
+        .withColumn("shard", col("sid") % 8)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= QK)                    // shard sketches
+        .select(col("sid"), col("v"), col("rk"))
+        .orderBy(col("rk"), col("sid")).limit(QK)   // merge = re-rank
+      sketchQuantiles(sample)
+    },
+    Some(s"""
+      WITH sample AS (
+        SELECT sid, v, rk
+        FROM (SELECT event_id AS sid, value AS v,
+                md5('qsk:' || event_id) AS rk
+              FROM events)
+        ORDER BY rk, sid LIMIT $QK),
+      ranked AS (
+        SELECT v,
+          CAST(ROW_NUMBER() OVER (ORDER BY v, sid) AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM sample)
+      SELECT p, v AS est, n AS n_sample
+      FROM ranked,
+        (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
+      WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
+
+  val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau,
+    q152QuantileSketch)
 }

@@ -1117,9 +1117,10 @@ class OperatorSpec extends AnyFunSuite {
       "q143_kmv_wau", // 1-row max-day scalar broadcast (q105 shape)
       "q144_skew_report", // 1-row key-stats scalar broadcast
       "q145_join_forecast", // two 1-row summaries cross-joined
-      "q150_ivfpq_search") // 8-row coarse-centroid + 4-row codebook
+      "q150_ivfpq_search", // 8-row coarse-centroid + 4-row codebook
                            // broadcasts (q98/q137 family); the cell
                            // prune itself is an equi-join (spec'd)
+      "q152_quantile_sketch") // 1-row sample-count scalar (q76 shape)
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -2108,6 +2109,74 @@ class OperatorSpec extends AnyFunSuite {
         .map(_._2).distinct.length.toLong
     }.filter(_._2 > 0).toMap
     assert(got == want)
+  }
+
+  test("q151 shared spans: planted passages surface exactly, short runs filtered") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    // doc 1 & 2 share a 20-token passage at different offsets; 3 & 4
+    // share exactly 7 tokens (one below the 8-token floor — must NOT
+    // report); 5 & 6 share TWO disjoint passages (10 and 12 tokens) in
+    // swapped order. All filler tokens are unique, so the expected
+    // span set is exact.
+    val p20 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val p7 = (1 to 7).map(i => s"q$i").mkString(" ")
+    val u10 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val v12 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $p20 a4 a5",
+      2L -> s"b1 $p20 b2 b3 b4",
+      3L -> s"c1 c2 $p7 c3 c4",
+      4L -> s"$p7 d1 d2 d3",
+      5L -> s"e1 $u10 e2 e3 $v12 e4",
+      6L -> s"$v12 f1 f2 $u10").toDF("doc_id", "text")
+    val got = DedupOps.sharedSpans(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(got == Set(
+      (1L, 2L, 3L, 1L, 20L),   // the 20-token passage, offsets 3 vs 1
+      (5L, 6L, 1L, 14L, 10L),  // u-block: doc5 pos 1, doc6 pos 14
+      (5L, 6L, 13L, 0L, 12L)), // v-block: doc5 pos 13, doc6 pos 0
+      got.toString)
+    // the 7-token run IS found when the floor allows it — proves the
+    // filter (not the blocking) removed it above
+    val loose = DedupOps.sharedSpans(docs, minSpanTokens = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(loose.contains((3L, 4L, 2L, 0L, 7L)), loose.toString)
+  }
+
+  test("q152 quantile sketch: merge-invariant, estimates inside the error band") {
+    import spark.implicits._
+    import graft.ops.SketchOps
+    val events = Tables.table(spark, sf, "events")
+    // (1) merge invariance (the q99 pattern): sketches of two disjoint
+    // halves merged == the sketch of the whole table, row-for-row
+    def half(pred: org.apache.spark.sql.Column) =
+      SketchOps.quantileSketch(events.filter(pred), "event_id", "value",
+        salt = "qtest")
+    val whole = SketchOps.quantileSketch(events, "event_id", "value",
+      salt = "qtest").collect().toSet
+    val merged = SketchOps.mergeQuantileSketches(Seq(
+      half(col("event_id") % 2 === 0), half(col("event_id") % 2 === 1)))
+      .collect().toSet
+    assert(merged == whole, s"merge diverged: ${(merged -- whole).take(3)}")
+    // (2) error band vs the exact distribution: each estimate's true
+    // CDF position must sit within ~4 sigma of its target quantile
+    // (sigma = sqrt(p(1-p)/k) for a k-row uniform sample; k = 128 ->
+    // sigma ~ 0.044 at the median). Chance-level placement would blow
+    // this immediately; a correct sampler passes deterministically.
+    val ests = SketchOps.sketchQuantiles(
+      SketchOps.quantileSketch(events, "event_id", "value", salt = "qtest"))
+      .select("p", "est").as[(Double, Double)].collect()
+    assert(ests.length == 4, ests.mkString(","))
+    val n = events.count().toDouble
+    ests.foreach { case (p, est) =>
+      val cdf = events.filter(col("value") <= est).count() / n
+      val sigma = math.sqrt(p * (1 - p) / 128.0)
+      assert(math.abs(cdf - p) <= 4 * sigma,
+        f"quantile $p: est $est sits at cdf $cdf%.3f (band ±${4 * sigma}%.3f)")
+    }
   }
 
   test("q107 containment join finds EVERY pair brute force finds") {
