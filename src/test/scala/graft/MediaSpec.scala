@@ -131,6 +131,68 @@ class MediaSpec extends AnyFunSuite {
     assert(scenes.toSeq == Seq((0L, 6L), (6L, 12L)))
   }
 
+  test("end-to-end on real bytes: scan -> probe -> detect -> split -> recount") {
+    import spark.implicits._
+    // The whole reference pipeline over GRF fixtures in ONE flow: S1
+    // directory scan, S9 probe, M1 scene detection, K6 clip sink, then
+    // a RE-SCAN of the sink output closed by the A6 count check — the
+    // round-trip a production run performs between crawl and archive.
+    val dir = tmpDir()
+    def flat(v: Int) = Array.fill[Byte](12)(v.toByte)
+    // movieA: three 6-frame scenes (hard jumps at 6 and 12)
+    GrfCodec.write(dir.resolve("movieA.grf").toString, 4, 3, 24.0,
+      (0 until 6).map(_ => flat(10)) ++ (0 until 6).map(_ => flat(80)) ++
+        (0 until 6).map(_ => flat(160)))
+    // movieB: one 8-frame scene
+    GrfCodec.write(dir.resolve("movieB.grf").toString, 4, 3, 24.0,
+      (0 until 8).map(_ => flat(42)))
+    // S1 + S9: scan the dir, probe real headers
+    val scanned = Media.scanVideoDir(spark, dir.toString)
+    val probed = Media.withMediaInfo(scanned, "path", GrfCodec)
+    val frames = probed.select(col("path"), col("media_info.n_frames"))
+      .as[(String, Long)].collect().toMap
+    assert(frames.size == 2 && frames.values.toSet == Set(18L, 8L))
+    // M1: scene detection over decoded frame bytes
+    val scenes = Media.detectScenes(probed, "path", threshold = 30.0,
+      codec = GrfCodec)
+    val perSource = scenes.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_expected"))
+    // K6: materialize each scene as a standalone clip file
+    val clipDir = dir.resolve("clips").toString
+    val written = graft.io.Sinks.clipFiles(
+      scenes.select(col("path"), col("scene_start_idx"),
+        col("scene_end_idx")),
+      "path", "scene_start_idx", "scene_end_idx", clipDir, GrfCodec)
+    assert(written.filter(col("clip_path_error").isNotNull).count() == 0)
+    // re-scan the SINK OUTPUT as its own corpus; every clip must probe
+    // with exactly its scene's frame span, and the split frame bytes
+    // must equal the source frames they came from
+    val rescanned = Media.scanVideoDir(spark, clipDir)
+    val clipInfo = Media.withMediaInfo(rescanned, "path", GrfCodec)
+      .select(col("path"), col("media_info.n_frames").as("nf"))
+      .as[(String, Long)].collect()
+    assert(clipInfo.map(_._2).sorted.toSeq == Seq(6L, 6L, 6L, 8L))
+    val firstA = clipInfo.map(_._1).filter(_.contains("movieA"))
+      .map(p => GrfCodec.decodeFrame(p, 0).head.toInt & 0xff).sorted
+    assert(firstA.toSeq == Seq(10, 80, 160)) // one clip per scene, bytes intact
+    // A6: expected scene count per source vs clips actually on disk
+    // (clip filenames carry the source stem — parse it back out)
+    val actual = rescanned
+      .withColumn("stem",
+        regexp_extract(col("path"), "([^/]+)_[0-9a-f]{8}_", 1))
+      .groupBy(col("stem")).agg(count(lit(1)).as("n_actual"))
+    val expected = perSource
+      .withColumn("stem",
+        regexp_extract(col("path"), "([^/]+)\\.grf$", 1))
+      .select(col("stem"), col("n_expected"))
+    val check = graft.ops.QualityOps.checkCounts(
+      expected, actual, "stem", "n_expected", "n_actual", tol = 0L)
+      .select(col("stem"), col("n_expected"), col("n_actual"), col("ok"))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(check == Set(("movieA", 3L, 3L, true), ("movieB", 1L, 1L, true)),
+      check.toString)
+  }
+
   test("FakeCodec and GrfCodec share the trait's contentDelta kernel") {
     val a = Array.fill[Byte](12)(10)
     val b = Array.fill[Byte](12)(40)
