@@ -1827,11 +1827,10 @@ object DedupOps {
         col("b_start"), col("span_tokens"))
   }
 
-  val q151SharedSpans = OpSpec(
-    "q151_shared_spans",
-    (s, dir) => sharedSpans(table(s, dir, "documents")),
-    Some(s"""
-      WITH g AS (
+  /** The q151 span trajectory as a DuckDB WITH-body (CTEs g, m, runs,
+    * spans0, spans) — shared with the q153 scrub oracle. */
+  private lazy val sharedSpansSql: String = s"""
+      g AS (
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
           CAST(${hexToLong("hx", 1, 12)} AS BIGINT) AS h
         FROM (
@@ -1851,12 +1850,92 @@ object DedupOps {
           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
             ORDER BY pa ASC) AS grp
         FROM m),
-      spans AS (
+      spans0 AS (
         SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
           CAST(COUNT(*) + ${SpanK} - 1 AS BIGINT) AS span_tokens
-        FROM runs GROUP BY doc_a, doc_b, diag, grp)
-      SELECT doc_a, doc_b, a_start, b_start, span_tokens
-      FROM spans WHERE span_tokens >= $SpanMinTokens"""))
+        FROM runs GROUP BY doc_a, doc_b, diag, grp),
+      spans AS (
+        SELECT * FROM spans0 WHERE span_tokens >= $SpanMinTokens)"""
+
+  val q151SharedSpans = OpSpec(
+    "q151_shared_spans",
+    (s, dir) => sharedSpans(table(s, dir, "documents")),
+    Some(s"""
+      WITH $sharedSpansSql
+      SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans"""))
+
+  /** Shared-span SCRUB — the q151 detector APPLIED as the C4/train-
+    * data-dedup rewrite: every document drops the token positions
+    * covered by a span it shares with a LOWER-id document (keep-first
+    * — the earliest copy survives verbatim; later copies lose the
+    * repeated passage, exactly the "remove duplicated substrings"
+    * treatment web corpora get before training). Mechanics: spans'
+    * doc_b position ranges explode to a distinct (doc, pos) kill set;
+    * the positional word rows anti-join it; surviving words re-
+    * assemble in position order. Docs losing nothing pass through
+    * with their whitespace normalized (single spaces — the word
+    * tokenization is the unit of rewriting, matching every other
+    * token-level operator here). Output: (doc_id, n_tokens,
+    * n_removed, text_clean).
+    *
+    * Scale shape: the kill set is span-bounded (Σ span lengths), the
+    * anti-join and the rebuild both key on doc_id, and the rebuild
+    * window is the same doc_id-partitioned sort every per-doc
+    * aggregate pays. The span detection itself carries q151's
+    * documented hot-gram bound. */
+  def scrubSharedSpans(docs: DataFrame): DataFrame = {
+    val spans = sharedSpans(docs)
+    val covered = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(expr("sequence(b_start, b_start + span_tokens - 1)"))
+          .as("pos"))
+      .distinct()
+    val words = docs
+      .withColumn("words", expr(wordsSpark))
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
+      .withColumn("pos", col("pos").cast("long"))
+    val keptAgg = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(
+            array_sort(collect_list(struct(pos, word))), s -> s.word),
+            ' ')""").as("text_clean"))
+    docs.select(col("doc_id"),
+        expr(s"CAST(size($wordsSpark) AS BIGINT)").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  val q153SpanScrub = OpSpec(
+    "q153_span_scrub",
+    (s, dir) => scrubSharedSpans(table(s, dir, "documents")),
+    Some(s"""
+      WITH $sharedSpansSql,
+      covered AS (
+        SELECT DISTINCT doc_b AS doc_id, b_start + i AS pos
+        FROM spans,
+          LATERAL (SELECT unnest(generate_series(0, span_tokens - 1)) AS i)),
+      w AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS word
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)),
+      keptagg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(word, ' ' ORDER BY pos ASC) AS text_clean
+        FROM w
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+          WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+        GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, CAST(len($wordsDuck) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT t.doc_id, t.n_tokens,
+        t.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+        COALESCE(k.text_clean, '') AS text_clean
+      FROM tot t LEFT JOIN keptagg k USING (doc_id)"""))
 
   /** Per-source exact-duplicate rate — the data-source quality lens a
     * curation pipeline triages acquisitions with (a source that is 40%
@@ -1923,5 +2002,5 @@ object DedupOps {
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
-    q148SourceDupRate, q149SourceOverlap, q151SharedSpans)
+    q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub)
 }

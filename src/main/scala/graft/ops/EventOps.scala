@@ -1286,6 +1286,80 @@ object EventOps {
         WHERE dt_us IS NOT NULL
         GROUP BY user_id)"""))
 
+  /** Cross-user session-OVERLAP join — the interval⨝interval shape
+    * (q19/q20 are point-probe joins; "which users were active at the
+    * same time" needs interval×interval): 30-minute-gap sessions per
+    * user, then every pair of overlapping sessions between DIFFERENT
+    * users with the overlap duration. The Spark side blocks the
+    * quadratic predicate into an EQUI-join: each session explodes to
+    * the hour buckets it covers (fan-out = duration/bucket, bounded),
+    * buckets equi-join, the true overlap predicate filters, and
+    * distinct collapses multi-bucket hits — never an inequality-only
+    * nested loop. The oracle is deliberately the NAIVE inequality
+    * join, so the hash gate PROVES the bucket blocking loses no pair.
+    * Output: (user_a, user_b, n_overlaps, overlap_us). */
+  val q156SessionOverlap = OpSpec(
+    "q156_session_overlap",
+    (s, dir) => {
+      val bucketUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sess = table(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) >=
+              30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val bucketed = sess.select(col("user_id"), col("sid"),
+          col("s_us"), col("e_us"),
+          explode(expr(s"sequence(s_us div $bucketUs, e_us div $bucketUs)"))
+            .as("bk"))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bk") === col("b.bk") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.s_us") <= col("b.e_us") &&
+            col("b.s_us") <= col("a.e_us"))
+        .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+          col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+          greatest(col("a.s_us"), col("b.s_us")).as("os"),
+          least(col("a.e_us"), col("b.e_us")).as("oe"))
+        .distinct()
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("oe") - col("os")).as("overlap_us"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, sid,
+          epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        FROM (
+          SELECT user_id, ts,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        GROUP BY user_id, sid),
+      pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          greatest(a.s_us, b.s_us) AS os, least(a.e_us, b.e_us) AS oe
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us)
+      SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        CAST(SUM(oe - os) AS BIGINT) AS overlap_us
+      FROM pairs GROUP BY 1, 2"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
@@ -1293,5 +1367,6 @@ object EventOps {
     q103MarkovTransitions, q105RollingDistinct, q108WeekOverWeek,
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
     q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
-    q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg)
+    q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg,
+    q156SessionOverlap)
 }

@@ -931,6 +931,72 @@ object Relational {
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
       SELECT * FROM p CROSS JOIN a"""))
 
+  /** Cross-nation shipping volume by year — the TPC-H Q7 shape: the
+    * six-table join (lineitem→orders→customer + lineitem→supplier,
+    * nation on BOTH legs) restricted to cross-shipments within a
+    * four-nation trading bloc, revenue per (supp_nation, cust_nation,
+    * year). The two nation dimensions broadcast; the bloc predicate
+    * rides the broadcast joins as a residual filter, so the big
+    * tables still join on their natural keys only. Revenue
+    * accumulates in exact cents·(100−disc) DECIMAL (the q129
+    * recipe); the year comes from the SHIP date (the event's time,
+    * not the order's). */
+  val q155NationVolume = OpSpec(
+    "q155_nation_volume",
+    (s, dir) => {
+      val bloc = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation").isin(bloc: _*) &&
+          col("cust_nation").isin(bloc: _*) &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                  AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("n_items"), (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(CAST(
+              CAST(round(l.l_extendedprice * 1e2) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 1e2) AS BIGINT))
+            AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) / 1e4 AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -938,5 +1004,5 @@ object Relational {
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
-    q145JoinForecast)
+    q145JoinForecast, q155NationVolume)
 }

@@ -147,6 +147,85 @@ object SampleOps {
         (SELECT unnest(generate_series(1, 2)) AS r)
       WHERE (r = 1 AND n1 IS NOT NULL) OR (r = 2 AND n2 IS NOT NULL)"""))
 
+
+  /** Mixture budget of the q157 allocation. */
+  private val MixN = 100
+
+  /** Deterministic MIXTURE allocation — the training-data mixing step
+    * (assemble a fixed-budget corpus matching target domain weights,
+    * the DoReMi/"data mixture" knob): target per-language weights
+    * turn into integer row counts by LARGEST-REMAINDER apportionment
+    * (floor every exact share, hand the leftover units to the largest
+    * fractional remainders, ties by language — the apportionment rule
+    * that keeps Σalloc == budget exactly), then each language
+    * contributes its first n_alloc docs in salted-hash order (stable
+    * under reruns and ingest growth, the q53 principle). A language
+    * with fewer rows than its allocation underfills its slice (no
+    * redistribution — silent substitution would skew the mixture; the
+    * emitted n_alloc column is the audit trail). Spark shape: the
+    * apportionment is a bounded post-limit fold over the LANGUAGE
+    * DOMAIN (|langs| rows — no global window), selection is one
+    * lang-partitioned rank + a domain-bounded broadcast join.
+    * Output: one row per selected doc (doc_id, lang, sel_rank,
+    * n_alloc). */
+  val q157MixtureAlloc = OpSpec(
+    "q157_mixture_alloc",
+    (s, dir) => {
+      val wExpr = """CASE lang WHEN 'en' THEN 0.4e0 WHEN 'zh' THEN 0.2e0
+        WHEN 'de' THEN 0.15e0 WHEN 'es' THEN 0.15e0 ELSE 0.1e0 END"""
+      val calc = table(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+        .withColumn("exact", expr(wExpr) * MixN)
+        .withColumn("base", floor(col("exact")).cast("long"))
+        .withColumn("rem", col("exact") - col("base"))
+      val alloc = calc
+        .agg(sum(col("base")).as("base_sum"),
+          sort_array(collect_list(struct((-col("rem")).as("nr"),
+            col("lang"), col("base"), col("avail")))).as("ss"))
+        .select(col("base_sum"), posexplode(col("ss")).as(Seq("idx", "s")))
+        .select(col("s.lang").as("lang"),
+          (col("s.base") + when(col("idx").cast("long") <
+            lit(MixN.toLong) - col("base_sum"), 1L).otherwise(0L))
+            .as("n_alloc"),
+          col("s.avail").as("avail"))
+      val wSel = Window.partitionBy(col("lang"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk",
+          md5(concat(lit("mix:"), col("doc_id")).cast("binary")))
+        .withColumn("sel_rank", row_number().over(wSel).cast("long"))
+        .join(broadcast(alloc), "lang")
+        .filter(col("sel_rank") <= least(col("n_alloc"), col("avail")))
+        .select(col("doc_id"), col("lang"), col("sel_rank"), col("n_alloc"))
+    },
+    Some(s"""
+      WITH calc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS avail,
+          w * $MixN AS exact,
+          CAST(floor(w * $MixN) AS BIGINT) AS base,
+          w * $MixN - floor(w * $MixN) AS rem
+        FROM (SELECT lang,
+                CASE lang WHEN 'en' THEN 0.4e0 WHEN 'zh' THEN 0.2e0
+                  WHEN 'de' THEN 0.15e0 WHEN 'es' THEN 0.15e0
+                  ELSE 0.1e0 END AS w
+              FROM documents)
+        GROUP BY lang, w),
+      alloc AS (
+        SELECT lang, avail,
+          base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+            <= $MixN - (SELECT SUM(base) FROM calc) THEN 1 ELSE 0 END
+            AS n_alloc
+        FROM calc),
+      sel AS (
+        SELECT doc_id, lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5('mix:' || doc_id), doc_id) AS BIGINT) AS sel_rank
+        FROM documents)
+      SELECT s.doc_id, s.lang, s.sel_rank, a.n_alloc
+      FROM sel s JOIN alloc a USING (lang)
+      WHERE s.sel_rank <= least(a.n_alloc, a.avail)"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
-    q115PrioritySample, q146NegativePairs)
+    q115PrioritySample, q146NegativePairs, q157MixtureAlloc)
 }

@@ -300,6 +300,65 @@ object SketchOps {
         (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
       WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
 
+  /** Per-GROUP quantile sketches — q152's bottom-k sampler rolled up
+    * per key, the grouped form a metrics pipeline stores (per-type
+    * latency quantiles, per-source doc-length quantiles): one sketch
+    * row set per group, each mergeable independently (the per-key
+    * twin of q143's per-window KMV). All ranking is window-partitioned
+    * BY THE GROUP — there is no global sort or global window at any
+    * size, and per-group state is k rows regardless of group skew.
+    * Output: (event_type, p, est, n_sample). */
+  val q154GroupQuantiles = OpSpec(
+    "q154_group_quantiles",
+    (s, dir) => {
+      val k = 64
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("rk"), col("sid"))
+      val sample = table(s, dir, "events")
+        .select(col("event_type"), col("event_id").as("sid"),
+          col("value").as("v"))
+        .withColumn("rk",
+          md5(concat(lit("gq:"), col("sid")).cast("binary")))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= k)
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"), col("sid"))
+      // group sizes via an aggregate + broadcast join, not a count-
+      // over-partition window (an orderless window prints with the
+      // same bracket shape as a GLOBAL window, which the plan sweep
+      // rightly refuses to allowlist) — the aggregate is one row per
+      // group key, domain-bounded
+      val sizes = sample.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      sample
+        .withColumn("rn", row_number().over(wV).cast("long"))
+        .join(broadcast(sizes), "event_type")
+        .select(col("event_type"), col("rn"), col("v"), col("n"),
+          explode(array(QPs.map(lit(_)): _*)).as("p"))
+        .filter(col("rn") === expr("CAST(ceil(p * n) AS BIGINT)"))
+        .select(col("event_type"), col("p"), col("v").as("est"),
+          col("n").as("n_sample"))
+    },
+    Some(s"""
+      WITH sample AS (
+        SELECT event_type, sid, v
+        FROM (SELECT event_type, event_id AS sid, value AS v,
+                md5('gq:' || event_id) AS rk,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY md5('gq:' || event_id), event_id) AS srn
+              FROM events)
+        WHERE srn <= 64),
+      ranked AS (
+        SELECT event_type, v,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY v, sid) AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM sample)
+      SELECT event_type, p, v AS est, n AS n_sample
+      FROM ranked,
+        (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
+      WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
+
   val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau,
-    q152QuantileSketch)
+    q152QuantileSketch, q154GroupQuantiles)
 }

@@ -2144,6 +2144,20 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     spark.catalog.clearCache()
     assert(loose.contains((3L, 4L, 2L, 0L, 7L)), loose.toString)
+    // the scrub applies keep-first: lower-id docs keep their passage
+    // verbatim, higher-id docs lose exactly the covered tokens (doc 6
+    // loses BOTH planted blocks), and the below-floor 7-token share
+    // survives in doc 4
+    val scrub = DedupOps.scrubSharedSpans(docs)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(scrub(1L)._3 == 0L && scrub(3L)._3 == 0L && scrub(5L)._3 == 0L)
+    assert(scrub(4L)._3 == 0L, scrub(4L).toString) // below the floor
+    assert(scrub(2L) == (2L, 24L, 20L, "b1 b2 b3 b4"), scrub(2L).toString)
+    assert(scrub(6L)._3 == 22L && scrub(6L)._4 == "f1 f2",
+      scrub(6L).toString)
   }
 
   test("q152 quantile sketch: merge-invariant, estimates inside the error band") {
