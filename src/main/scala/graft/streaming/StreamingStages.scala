@@ -440,10 +440,117 @@ object StreamingStages {
       FROM events e
       LEFT JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = e.user_id % 25"""))
 
+  /** Composed streaming PIPELINE: per-micro-batch stream-static
+    * enrichment (q128's stage) feeding a watermarked tumbling
+    * aggregate (q56's stage) in ONE query — the enrich-then-rollup
+    * shape continuous metrics pipelines actually deploy (raw events
+    * are keyed by ids; the dashboard groups by the dimension's name).
+    * The stateless join adds no state; the aggregate's state stays
+    * O(windows × dims). */
+  def enrichedRollup(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("nk"), "left")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("nation_name"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value")).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("nation_name"), col("n"), col("total"))
+
+  private val rollupSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q158: [[enrichedRollup]] as a REAL streaming query under the gate
+    * — a MULTI-STAGE streaming plan (broadcast join + stateful window
+    * agg) hash-checked against the equivalent batch join+group. The
+    * exact-decimal sum keeps totals arrival-order-independent, so the
+    * composition cannot move the hash. */
+  val q158StreamingEnrichedRollup: graft.OpSpec = graft.OpSpec(
+    "q158_streaming_enriched_rollup",
+    (s, dir) => {
+      val id = rollupSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q158_mem_${id - 1}")
+      val name = s"q158_mem_$id"
+      val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("nk"),
+          col("n_name").as("nation_name")))
+      val ev = eventsStream(s, s"$dir/events.parquet")
+        .withColumn("nk", col("user_id") % 25)
+      runToMemory(enrichedRollup(ev, dim), name, "complete").stop()
+      s.table(name)
+    },
+    Some("""
+      SELECT substr(strftime(e.ts, '%Y-%m-%d %H:%M'), 1, 15) || '0:00'
+          AS win_start,
+        n.n_name AS nation_name, COUNT(*) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events e
+      LEFT JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = e.user_id % 25
+      GROUP BY 1, 2"""))
+
+  /** Per-user event SEQUENCING via flatMapGroupsWithState — the
+    * MULTI-EMIT custom-state hook (q127's mapGroupsWithState emits one
+    * row per key per batch; sessionized feature extraction needs one
+    * row PER EVENT with state carried across batches): each event gets
+    * its per-user sequence number and the gap to the user's previous
+    * event. State is (count, last_ts) — two longs per key. Rows are
+    * sorted by (ts, event_id) within each batch (group iterators are
+    * unordered); gap = -1 marks a user's first event and becomes NULL
+    * at the sink edge. */
+  def eventSequence(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (n, last) = state.getOption.getOrElse((0L, -1L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, eid, ts) =>
+              n += 1
+              val gap = if (last < 0) -1L else ts - last
+              last = ts
+              (user, eid, n, gap)
+          }
+          state.update((n, last))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "seq", "gap_us")
+  }
+
+  private val seqSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q159: [[eventSequence]] as a REAL streaming query under the gate
+    * — flatMapGroupsWithState multi-emission hash-checked against the
+    * batch ROW_NUMBER/lag windows. The single input file arrives as
+    * one micro-batch and rows sort by (ts, event_id) inside the
+    * stage, so emission equals the batch ordering exactly. */
+  val q159StreamingEventSeq: graft.OpSpec = graft.OpSpec(
+    "q159_streaming_event_seq",
+    (s, dir) => {
+      val id = seqSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q159_mem_${id - 1}")
+      val name = s"q159_mem_$id"
+      runToMemory(
+        eventSequence(s, eventsStream(s, s"$dir/events.parquet")),
+        name, "append").stop()
+      s.table(name)
+        .select(col("user_id"), col("event_id"), col("seq"),
+          when(col("gap_us") >= 0, col("gap_us")).as("gap_us"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
       q122StreamingSession, q123StreamingHopping,
-      q127StreamingUserStats, q128StreamingEnrich)
+      q127StreamingUserStats, q128StreamingEnrich,
+      q158StreamingEnrichedRollup, q159StreamingEventSeq)
 }

@@ -176,6 +176,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sequencing carries state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // The q159 gate runs single-batch; the property it can't exercise
+    // is state CARRY — split events at the median instant into two
+    // files, force one file per trigger (batch boundaries respect
+    // event time), and the per-user sequence/gap emission must still
+    // equal the batch windows.
+    val ev = Tables.table(spark, sf, "events")
+    val Array(minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val cutUs = minUs + (maxUs - minUs) / 2
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_seq2")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_seq2w")
+      ev.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(unix_micros(col("ts")) <= cutUs, "00_early.parquet", 100000L)
+    stage(unix_micros(col("ts")) > cutUs, "01_late.parquet", 200000L)
+    val schema = spark.read.parquet(streamDir.toString + "/*.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.eventSequence(spark, stream), "seq2_out", "append")
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val streamed = spark.table("seq2_out")
+        .select(col("user_id"), col("event_id"), col("seq"),
+          when(col("gap_us") >= 0, col("gap_us")).as("gap_us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = ev.select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("seq"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats == batch groupBy at end of input") {
     import org.apache.spark.sql.functions._
     val stream = StreamingStages.eventsStream(spark, eventsDir)
