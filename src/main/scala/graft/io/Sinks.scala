@@ -135,6 +135,31 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Compact an append-accumulated [[bucketedTable]] back to one file
+    * set per bucket — the optional maintenance pass after many
+    * [[appendBucketedTable]] batches (each append adds a file per
+    * bucket; reads stay correct but open more files and re-merge more
+    * sorted runs). Rows are read BY PATH (reading the table by name
+    * while overwriting it is circular and rejected), rewritten
+    * bucketed+sorted to `newPath`, and the table re-registered there;
+    * the old path is left for the caller to retire once the swap is
+    * durable (the K7 archive discipline: never destroy the input in
+    * the same step that writes the output). Content is proven
+    * unchanged by the spec (same rows, single file set, bucket spec
+    * intact). */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, key: String, buckets: Int,
+      oldPath: String, newPath: String): Unit =
+    // repartition(buckets, key) and bucketBy share the same
+    // murmur3-pmod placement, so each write task holds exactly ONE
+    // bucket and emits exactly one file — without it every task
+    // re-fragments into a file per bucket it touches and the
+    // "compaction" multiplies files instead
+    bucketedTable(
+      spark.read.parquet(oldPath)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      tableName, key, buckets, newPath)
+
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;
     * `Archived` means the zip is durably written — a non-empty
     * `cleanupWarning` flags raw files/dir that could not be removed

@@ -1402,9 +1402,70 @@ object EmbeddingOps {
       FROM scored
       QUALIFY rank <= 10"""))
 
+  /** BINARY sign quantization + Hamming top-k — the most compact code
+    * family (64 dims → 64 BITS, a 256× cut vs float32; the memory
+    * regime below even int8 q73 and PQ q137): each embedding collapses
+    * to its per-dimension sign mask, packed as TWO 32-bit halves in
+    * BIGINTs (a single 64-bit pack would need bit 63 — engines
+    * disagree on signed-overflow shifts, two halves keep every value
+    * exact), and search ranks by Hamming distance = popcount of the
+    * XOR — integer arithmetic end-to-end, so the gate is trivially
+    * bit-exact. Plan: corpus packs row-locally in one scan; the 20
+    * packed queries broadcast (q30's bounded scoring shape); ranking
+    * reuses the per-query window. Sign quantization preserves cosine
+    * neighborhoods in expectation (the SimHash bound) — the standard
+    * first-stage filter before an exact or PQ rerank (q73/q89's
+    * fusion pattern applies unchanged). */
+  val q160HammingSearch = OpSpec(
+    "q160_hamming_search",
+    (s, dir) => {
+      def packed(idOut: String) = table(s, dir, "embeddings")
+        .select(col("vec_id").as(idOut),
+          expr("""aggregate(sequence(0, 31), 0L,
+              (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
+                THEN shiftleft(1L, i) ELSE 0L END)""").as(s"${idOut}_h1"),
+          expr("""aggregate(sequence(32, 63), 0L,
+              (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
+                THEN shiftleft(1L, i - 32) ELSE 0L END)""").as(s"${idOut}_h2"))
+      val corpus = packed("vec_id")
+      val queries = packed("query_id").filter(col("query_id") < 20)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("hamming",
+          expr("""CAST(bit_count(vec_id_h1 ^ query_id_h1)
+                  + bit_count(vec_id_h2 ^ query_id_h2) AS BIGINT)"""))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"))
+    },
+    Some("""
+      WITH packed AS (
+        SELECT vec_id,
+          list_reduce(list_transform(generate_series(1, 32),
+            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h1,
+          list_reduce(list_transform(generate_series(33, 64),
+            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h2
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+          CAST(bit_count(xor(c.h1, q.h1))
+               + bit_count(xor(c.h2, q.h2)) AS BIGINT) AS hamming
+        FROM packed c, packed q
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      SELECT query_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY hamming ASC, vec_id ASC) AS BIGINT) AS rank,
+        vec_id, hamming
+      FROM scored
+      QUALIFY rank <= 10"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
     q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
-    q137PqCodes, q138PqAdcSearch, q150IvfPqSearch)
+    q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch)
 }

@@ -997,6 +997,38 @@ object Relational {
         AND n1.n_name <> n2.n_name
       GROUP BY 1, 2, 3"""))
 
+  /** Frequently-bought-together pairs — market-basket co-occurrence
+    * over order lines: distinct (order, part) rows self-join on the
+    * ORDER key (bucket size = parts per order, single digits — never
+    * a corpus-scale bucket), each ordered part pair counts its
+    * supporting orders, top 20 by support. The final top-k is
+    * orderBy+limit = TakeOrderedAndProject (per-partition heads,
+    * driver merge) — no global sort of the pair table. The q106
+    * collocation shape on transactional data. */
+  val q161Copurchase = OpSpec(
+    "q161_copurchase",
+    (s, dir) => {
+      val lines = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      lines.as("a").join(lines.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        CAST(COUNT(*) AS BIGINT) AS support
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY support DESC, part_a ASC, part_b ASC
+      LIMIT 20"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1004,5 +1036,5 @@ object Relational {
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
-    q145JoinForecast, q155NationVolume)
+    q145JoinForecast, q155NationVolume, q161Copurchase)
 }

@@ -709,6 +709,44 @@ class OperatorSpec extends AnyFunSuite {
       }
   }
 
+  test("compactBucketedTable collapses appended file sets, content intact") {
+    import spark.implicits._
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).length
+    val pathA = java.nio.file.Files.createTempDirectory("cbtA").toString
+    val pathB = java.nio.file.Files.createTempDirectory("cbtB").toString + "/t"
+    try {
+      graft.io.Sinks.bucketedTable(
+        (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        "ut_cbt", "k", 4, pathA)
+      graft.io.Sinks.appendBucketedTable(
+        (41 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        "ut_cbt", "k", 4, pathA)
+      graft.io.Sinks.appendBucketedTable(
+        (61 to 80).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        "ut_cbt", "k", 4, pathA)
+      val before = spark.table("ut_cbt").as[(Long, String)].collect().toSet
+      assert(before.size == 80 && files(pathA) > 4,
+        s"${before.size} rows, ${files(pathA)} files")
+      graft.io.Sinks.compactBucketedTable(spark, "ut_cbt", "k", 4,
+        pathA, pathB)
+      val after = spark.table("ut_cbt").as[(Long, String)].collect().toSet
+      assert(after == before, "compaction changed content")
+      assert(files(pathB) <= 4, s"${files(pathB)} files after compaction")
+      val plan = spark.table("ut_cbt")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(pathB) && !plan.contains(pathA),
+        s"table still reads the old path:\n$plan")
+      // the bucket layout survives: a self-join on the bucket key
+      // plans with NO shuffle exchange
+      val j = spark.table("ut_cbt").as("x")
+        .join(spark.table("ut_cbt").as("y"), "k")
+      val jp = j.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange hashpartitioning"),
+        s"bucketed self-join re-shuffled:\n$jp")
+    } finally spark.sql("DROP TABLE IF EXISTS ut_cbt")
+  }
+
   test("incremental containment joins the persisted gram index, no corpus rescan") {
     import spark.implicits._
     import graft.ops.DedupOps
@@ -1120,7 +1158,8 @@ class OperatorSpec extends AnyFunSuite {
       "q150_ivfpq_search", // 8-row coarse-centroid + 4-row codebook
                            // broadcasts (q98/q137 family); the cell
                            // prune itself is an equi-join (spec'd)
-      "q152_quantile_sketch") // 1-row sample-count scalar (q76 shape)
+      "q152_quantile_sketch", // 1-row sample-count scalar (q76 shape)
+      "q160_hamming_search") // 20-query packed-code broadcast (q30 shape)
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -1243,7 +1282,13 @@ class OperatorSpec extends AnyFunSuite {
         .toSet.size
     val budgets = Map(
       "q133_bpe_tokens" -> 12,
-      "q138_pq_adc_search" -> 48)
+      "q138_pq_adc_search" -> 48,
+      // round-6 heavies: the IVF-PQ composition (coarse train + 4 PQ
+      // trainings + probe/ADC joins), the span scrub, and the
+      // bucket-blocked interval join — measured at sf0.001 + headroom
+      "q150_ivfpq_search" -> 70,
+      "q153_span_scrub" -> 12,
+      "q156_session_overlap" -> 6)
     val bad = budgets.toSeq.sortBy(_._1).flatMap { case (name, maxEx) =>
       val p = plan(name)
       spark.catalog.clearCache()
