@@ -1763,6 +1763,63 @@ object DedupOps {
       .filter(col("dist") >= 0 && col("dist") <= EditCap)
   }
 
+  /** GOLDEN-RECORD construction — the survivorship step that closes
+    * the entity-resolution loop (q27 finds pairs, q51 clusters them;
+    * a master-data pipeline must then emit ONE record per cluster):
+    * for every near-dup cluster, field-level survivorship rules pick
+    * the canonical values — id = the cluster's min doc_id (the q25/
+    * q51 keep-first rule), text = the LONGEST member's (richest copy
+    * wins; ties to the smaller id via one cluster-partitioned rank),
+    * sources = the sorted union of member sources (provenance is
+    * additive, never picked). All rules are deterministic folds, so
+    * the gate covers rule semantics, not just plumbing. Output: one
+    * row per cluster. */
+  val q163GoldenRecord = OpSpec(
+    "q163_golden_record",
+    (s, dir) => {
+      val labels = q51DedupClusters.query(s, dir)
+        .select(col("doc_id"), col("cluster"))
+      val members = labels.join(table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val best = members
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("text_from"),
+          col("n_chars").as("text_chars"))
+      members.groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          array_join(array_sort(collect_set(col("source"))), ",")
+            .as("sources"))
+        .join(best, "cluster")
+        .select(col("cluster"), col("canonical_id"), col("n_members"),
+          col("text_from"), col("text_chars"), col("sources"))
+    },
+    Some(s"""
+      WITH labs AS (
+        SELECT doc_id, cluster FROM (${q51DedupClusters.oracle.get})),
+      members AS (
+        SELECT l.cluster, d.doc_id, d.n_chars, d.source
+        FROM labs l JOIN documents d USING (doc_id)),
+      best AS (
+        SELECT cluster, doc_id AS text_from, n_chars AS text_chars
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM members)
+        WHERE rn = 1),
+      agg AS (
+        SELECT cluster, MIN(doc_id) AS canonical_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members,
+          list_aggregate(list_sort(list(DISTINCT source)),
+            'string_agg', ',') AS sources
+        FROM members GROUP BY cluster)
+      SELECT a.cluster, a.canonical_id, a.n_members,
+        b.text_from, b.text_chars, a.sources
+      FROM agg a JOIN best b USING (cluster)"""))
+
   /** Positional-gram length / minimum reported span for the shared-
     * span extractor (spans must exceed the gram by enough that the
     * run filter is real). */
@@ -2002,5 +2059,6 @@ object DedupOps {
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
-    q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub)
+    q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
+    q163GoldenRecord)
 }

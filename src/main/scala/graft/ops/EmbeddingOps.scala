@@ -1416,19 +1416,35 @@ object EmbeddingOps {
     * neighborhoods in expectation (the SimHash bound) — the standard
     * first-stage filter before an exact or PQ rerank (q73/q89's
     * fusion pattern applies unchanged). */
+  /** Sign-mask packing shared by q160/q162: two 32-bit halves as
+    * BIGINTs. */
+  private def signPacked(s: SparkSession, dir: String, idOut: String)
+      : DataFrame = table(s, dir, "embeddings")
+    .select(col("vec_id").as(idOut),
+      expr("""aggregate(sequence(0, 31), 0L,
+          (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
+            THEN shiftleft(1L, i) ELSE 0L END)""").as(s"${idOut}_h1"),
+      expr("""aggregate(sequence(32, 63), 0L,
+          (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
+            THEN shiftleft(1L, i - 32) ELSE 0L END)""").as(s"${idOut}_h2"))
+
+  /** The packed/scored DuckDB CTE text shared by q160/q162. */
+  private val packedDuck = """
+        SELECT vec_id,
+          list_reduce(list_transform(generate_series(1, 32),
+            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h1,
+          list_reduce(list_transform(generate_series(33, 64),
+            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h2
+        FROM embeddings"""
+
   val q160HammingSearch = OpSpec(
     "q160_hamming_search",
     (s, dir) => {
-      def packed(idOut: String) = table(s, dir, "embeddings")
-        .select(col("vec_id").as(idOut),
-          expr("""aggregate(sequence(0, 31), 0L,
-              (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
-                THEN shiftleft(1L, i) ELSE 0L END)""").as(s"${idOut}_h1"),
-          expr("""aggregate(sequence(32, 63), 0L,
-              (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0F
-                THEN shiftleft(1L, i - 32) ELSE 0L END)""").as(s"${idOut}_h2"))
-      val corpus = packed("vec_id")
-      val queries = packed("query_id").filter(col("query_id") < 20)
+      val corpus = signPacked(s, dir, "vec_id")
+      val queries = signPacked(s, dir, "query_id")
+        .filter(col("query_id") < 20)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("hamming").asc, col("vec_id").asc)
       corpus.crossJoin(broadcast(queries))
@@ -1440,16 +1456,8 @@ object EmbeddingOps {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"))
     },
-    Some("""
-      WITH packed AS (
-        SELECT vec_id,
-          list_reduce(list_transform(generate_series(1, 32),
-            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
-                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h1,
-          list_reduce(list_transform(generate_series(33, 64),
-            i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
-                 ELSE 0::BIGINT END), (a, b) -> a + b) AS h2
-        FROM embeddings),
+    Some(s"""
+      WITH packed AS ($packedDuck),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id,
           CAST(bit_count(xor(c.h1, q.h1))
@@ -1463,9 +1471,84 @@ object EmbeddingOps {
       FROM scored
       QUALIFY rank <= 10"""))
 
+  /** STAGED retrieval — the production two-tier serving pattern
+    * composed from gated pieces: the binary Hamming tier (q160's
+    * 64-bit codes) prefilters each query to its 100 nearest codes,
+    * and only those candidates pay the exact float cosine (q30's
+    * arithmetic) for the final top-10. The expensive scorer touches
+    * 100 rows per query instead of the corpus — the cost inversion
+    * every large-scale retrieval stack relies on (binary/PQ first,
+    * exact float last). Both stage rankings use total tie-breaks, so
+    * the oracle re-derives the full trajectory. Output keeps both
+    * stage scores. */
+  val q162StagedRetrieval = OpSpec(
+    "q162_staged_retrieval",
+    (s, dir) => {
+      val hamK = 100
+      val corpus = signPacked(s, dir, "vec_id")
+      val queries = signPacked(s, dir, "query_id")
+        .filter(col("query_id") < 20)
+      val wH = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val cand = corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("hamming",
+          expr("""CAST(bit_count(vec_id_h1 ^ query_id_h1)
+                  + bit_count(vec_id_h2 ^ query_id_h2) AS BIGINT)"""))
+        .withColumn("hrank", row_number().over(wH))
+        .filter(col("hrank") <= hamK)
+        .select(col("query_id"), col("vec_id"), col("hamming"))
+      val e = normedDf(s, dir)
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      cand
+        .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+          "vec_id")
+        .join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("nrm").as("qnrm"))
+          .filter(col("query_id") < 20)), "query_id")
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+            / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(wC).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("cosine"), col("hamming"))
+    },
+    Some(s"""
+      WITH packed AS ($packedDuck),
+      e AS ($normedDuck),
+      hscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+          CAST(bit_count(xor(c.h1, q.h1))
+               + bit_count(xor(c.h2, q.h2)) AS BIGINT) AS hamming
+        FROM packed c, packed q
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      cand AS (
+        SELECT query_id, vec_id, hamming
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, vec_id ASC) AS hrank
+              FROM hscored)
+        WHERE hrank <= 100),
+      rescored AS (
+        SELECT c.query_id, c.vec_id,
+          ${dotDuck("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
+            AS cosine,
+          c.hamming
+        FROM cand c
+        JOIN e v ON v.vec_id = c.vec_id
+        JOIN e q ON q.vec_id = c.query_id)
+      SELECT query_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+        vec_id, cosine, hamming
+      FROM rescored
+      QUALIFY rank <= 10"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
     q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
-    q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch)
+    q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
+    q162StagedRetrieval)
 }

@@ -1360,6 +1360,63 @@ object EventOps {
         CAST(SUM(oe - os) AS BIGINT) AS overlap_us
       FROM pairs GROUP BY 1, 2"""))
 
+  /** Daily RESAMPLING with forward-fill — the gap-filling transform
+    * time-series features need (a user's "current value" must exist
+    * for every day, not just days with events): per user, a dense
+    * day grid spans first→last event day (row-local sequence
+    * explode, fan-out = the user's own span); each day takes the
+    * user's LAST event value that day (max ts, event_id tie), and
+    * empty days forward-fill via last(..., ignoreNulls) over one
+    * user-partitioned day order. Carried values are untouched
+    * doubles — no arithmetic, so the gate is exact. Output:
+    * (user_id, day, value, is_observed). */
+  val q164GapFill = OpSpec(
+    "q164_gap_fill",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id"), to_date(col("ts")).as("day"))
+      val wD = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wF = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("is_observed", col("value").isNotNull)
+        .withColumn("value", last(col("value"), ignoreNulls = true).over(wF))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("value"), col("is_observed"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, value, event_id, CAST(ts AS DATE) AS day
+        FROM events),
+      daily AS (
+        SELECT user_id, day, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev)
+        WHERE rn = 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1,
+          INTERVAL 1 DAY))::DATE AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM ev GROUP BY user_id))
+      SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        last_value(d.value IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        d.value IS NOT NULL AS is_observed
+      FROM grid g
+      LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
@@ -1368,5 +1425,5 @@ object EventOps {
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
     q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
     q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg,
-    q156SessionOverlap)
+    q156SessionOverlap, q164GapFill)
 }

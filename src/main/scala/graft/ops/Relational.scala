@@ -1029,6 +1029,65 @@ object Relational {
       ORDER BY support DESC, part_a ASC, part_b ASC
       LIMIT 20"""))
 
+  /** The FULL TPC-H Q1 pricing summary (q01 carries only the sum-qty
+    * shape): per (returnflag, linestatus) over shipped-by-cutoff
+    * lines — quantities, base price, discounted price, charge
+    * (price·(1−disc)·(1+tax)), three means, and the row count. Every
+    * monetary sum accumulates as exact integer cents products in
+    * DECIMAL(38,0) (disc/tax are 2-dp, so price·(100−d) and
+    * price·(100−d)·(100+t) are exact at 10⁴/10⁶ scale); means divide
+    * the exact sums by the exact count once at emit, so both engines
+    * round identically. One scan, one partial-aggregated shuffle on a
+    * 6-value group key — the canonical columnar-scan aggregate. */
+  val q165PricingSummary = OpSpec(
+    "q165_pricing_summary",
+    (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <=
+          lit("2000-09-02 00:00:00").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_quantity * 1e2) AS BIGINT)").as("qty_c"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"),
+          expr("CAST(round(l_tax * 1e2) AS BIGINT)").as("tax_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(SUM(qty_c) AS DOUBLE) / 1e2").as("sum_qty"),
+          expr("CAST(SUM(price_c) AS DOUBLE) / 1e2").as("sum_base_price"),
+          expr("""CAST(CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) / 1e4""")
+            .as("sum_disc_price"),
+          expr("""CAST(CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0)) * (100 + tax_c)) AS BIGINT) AS DOUBLE)
+                / 1e6""").as("sum_charge"),
+          expr("CAST(SUM(qty_c) AS DOUBLE) / 1e2 / COUNT(*)").as("avg_qty"),
+          expr("CAST(SUM(price_c) AS DOUBLE) / 1e2 / COUNT(*)")
+            .as("avg_price"),
+          expr("CAST(SUM(disc_c) AS DOUBLE) / 1e2 / COUNT(*)").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(qty_c) AS DOUBLE) / 1e2 AS sum_qty,
+        CAST(SUM(price_c) AS DOUBLE) / 1e2 AS sum_base_price,
+        CAST(CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+          AS BIGINT) AS DOUBLE) / 1e4 AS sum_disc_price,
+        CAST(CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+          * (100 + tax_c)) AS BIGINT) AS DOUBLE) / 1e6 AS sum_charge,
+        CAST(SUM(qty_c) AS DOUBLE) / 1e2 / COUNT(*) AS avg_qty,
+        CAST(SUM(price_c) AS DOUBLE) / 1e2 / COUNT(*) AS avg_price,
+        CAST(SUM(disc_c) AS DOUBLE) / 1e2 / COUNT(*) AS avg_disc,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+          CAST(round(l_quantity * 1e2) AS BIGINT) AS qty_c,
+          CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+          CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c,
+          CAST(round(l_tax * 1e2) AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+      GROUP BY l_returnflag, l_linestatus"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1036,5 +1095,6 @@ object Relational {
     q101ExactMedian, q102IntegrityAudit, q104TableChecksum,
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
-    q145JoinForecast, q155NationVolume, q161Copurchase)
+    q145JoinForecast, q155NationVolume, q161Copurchase,
+    q165PricingSummary)
 }

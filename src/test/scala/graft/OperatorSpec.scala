@@ -1159,7 +1159,9 @@ class OperatorSpec extends AnyFunSuite {
                            // broadcasts (q98/q137 family); the cell
                            // prune itself is an equi-join (spec'd)
       "q152_quantile_sketch", // 1-row sample-count scalar (q76 shape)
-      "q160_hamming_search") // 20-query packed-code broadcast (q30 shape)
+      "q160_hamming_search", // 20-query packed-code broadcast (q30 shape)
+      "q162_staged_retrieval") // same bounded broadcast in its
+                               // Hamming prefilter stage
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
