@@ -228,7 +228,150 @@ object CurationOps {
       FROM scored
       WHERE ${TextOps.qualityFormula("n_chars")} >= 5e-1"""))
 
+  /** q173: curriculum pacing schedule — documents binned into 10
+    * difficulty deciles (difficulty proxy: n_chars, tie-broken by
+    * doc_id so the ntile boundary is unique in both engines), with the
+    * per-decile doc/token mass and the RUNNING token budget a
+    * curriculum trainer consumes stage by stage ("after decile d the
+    * model has seen cum_tokens tokens"). The schedule is the artifact
+    * length/quality-ordered training (curriculum learning) feeds from.
+    * Scale: the global ntile is a single-partition window over doc-level
+    * rows — at 100 TB the same schedule comes from a two-pass
+    * percentile bucketing (q37's machinery); the decile rollup and
+    * running sum then touch 10 rows. */
+  val q173CurriculumSchedule = OpSpec(
+    "q173_curriculum_schedule",
+    (s, dir) => {
+      // NO global window (the sweep-audited discipline): global rank =
+      // per-n_chars-bucket row_number + broadcast histogram offsets
+      // (the q37 two-pass trick, fully distributed — the driver touches
+      // only the bounded n_chars histogram), and the ntile(10) tile is
+      // recovered from the rank in closed form (first n%10 tiles carry
+      // one extra row). cum_tokens comes from a 10-row triangle join on
+      // the decile aggregate, not an ordered window.
+      val sq = s; import sq.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"CAST(size(${TextOps.wordsSpark}) AS BIGINT)")
+            .as("n_tokens"))
+      val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .orderBy(col("n_chars")).collect()
+      val n = hist.map(_.getLong(1)).sum
+      var cum = 0L
+      val offsets = hist.map { r =>
+        val o = (r.getLong(0), cum); cum += r.getLong(1); o
+      }.toSeq
+      val offDf = broadcast(offsets.toDF("n_chars", "off"))
+      val q10 = n / 10; val r10 = n % 10
+      val decileExpr =
+        if (q10 == 0) "rank" // n < 10: ntile gives tiles 1..n, 1 row each
+        else s"""CAST(CASE WHEN rank <= ${r10 * (q10 + 1)}
+          THEN floor(CAST(rank - 1 AS DOUBLE) / ${q10 + 1}) + 1
+          ELSE $r10 + floor(CAST(rank - ${r10 * (q10 + 1)} - 1 AS DOUBLE)
+                            / $q10) + 1 END AS BIGINT)"""
+      val agg = docs.join(offDf, "n_chars")
+        .withColumn("rnw", row_number().over(
+          Window.partitionBy(col("n_chars")).orderBy(col("doc_id")))
+          .cast("long"))
+        .withColumn("rank", col("off") + col("rnw"))
+        .withColumn("decile", expr(decileExpr))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      agg.join(
+          broadcast(agg.select(col("decile").as("d2"),
+            col("tokens").as("t2"))),
+          col("d2") <= col("decile"))
+        .groupBy(col("decile"), col("n_docs"), col("tokens"),
+          col("min_chars"), col("max_chars"))
+        .agg(sum(col("t2")).as("cum_tokens"))
+        .select(col("decile"), col("n_docs"), col("tokens"),
+          col("min_chars"), col("max_chars"), col("cum_tokens"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, n_chars,
+          CAST(len(${TextOps.wordsDuck}) AS BIGINT) AS n_tokens,
+          CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+            AS decile
+        FROM documents),
+      agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM toks GROUP BY 1)
+      SELECT decile, n_docs, tokens, min_chars, max_chars,
+        CAST(SUM(tokens) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+      FROM agg"""))
+
+  /** q190: the dataset card — the one-row corpus summary a published
+    * dataset ships with (volume, source/language spread, token mass,
+    * duplication, dominant language and its share), assembled from
+    * single-pass aggregates: every rate is an exact integer ratio
+    * divided once at emit, the dup rate derives from the q25 hash
+    * distinct, and the dominant language is a 1-row sort head
+    * broadcast back (the q76-family scalar shape). The report a 100 TB
+    * curation run prints at the end — metadata-sized output, corpus
+    * touched twice (stats pass + lang mode pass). */
+  val q190DatasetCard = OpSpec(
+    "q190_dataset_card",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr(s"CAST(SUM(size(${TextOps.wordsSpark})) AS BIGINT)")
+          .as("total_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+      val topLang = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("lang_n"))
+        .orderBy(col("lang_n").desc, col("lang").asc).limit(1)
+        .select(col("lang").as("top_lang"), col("lang_n"))
+      stats.crossJoin(broadcast(topLang))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          col("total_tokens"),
+          (col("total_tokens").cast("double") /
+            col("n_docs").cast("double")).as("mean_tokens"),
+          ((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+          col("top_lang"),
+          (col("lang_n").cast("double") / col("n_docs").cast("double"))
+            .as("top_lang_share"))
+    },
+    Some(s"""
+      WITH stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(len(${TextOps.wordsDuck})) AS BIGINT) AS total_tokens,
+          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents),
+      top_lang AS (
+        SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS lang_n
+        FROM documents GROUP BY 1
+        ORDER BY lang_n DESC, top_lang ASC LIMIT 1)
+      SELECT n_docs, n_sources, n_langs, total_chars,
+        CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+        total_tokens,
+        CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS mean_tokens,
+        CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS dup_rate,
+        top_lang,
+        CAST(lang_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
+      FROM stats, top_lang"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
-    q41JsonExtract, q49CurationPipeline)
+    q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
+    q190DatasetCard)
 }

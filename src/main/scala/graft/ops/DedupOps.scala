@@ -3,6 +3,7 @@ package graft.ops
 import graft.{OpSpec, Tables}
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY §2.12 north-star:
@@ -409,6 +410,46 @@ object DedupOps {
       FROM sims a JOIN sims b
         ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
       WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6"""))
+
+  /** q178: SimHash threshold sweep — the tuning readout for q29: how
+    * many near-dup pairs each Hamming cutoff t ∈ [0,6] admits
+    * (cumulative counts). A pipeline owner reads this curve to pick the
+    * cutoff BEFORE committing a corpus-wide dedup pass (too low keeps
+    * dups, too high scrubs distinct docs); the sweep stays within the
+    * banded join's exact-recall region (≤ 6) so every count is a true
+    * count, not an estimate. Reuses q29's pair generation verbatim and
+    * sweeps on the aggregated per-Hamming counts — 7×7 rows of work on
+    * top of the existing join, no new corpus pass. */
+  val q178SimhashSweep = OpSpec(
+    "q178_simhash_sweep",
+    (s, dir) => {
+      val hcounts = q29SimhashPairs.query(s, dir)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n"))
+      s.range(7).select(col("id").as("t"))
+        .crossJoin(hcounts)
+        .groupBy(col("t"))
+        .agg(coalesce(sum(when(col("hamming") <= col("t"), col("n"))),
+          lit(0L)).as("n_pairs"))
+    },
+    Some(s"""
+      WITH docs AS ($shingleDuck),
+      hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs),
+      sims AS (SELECT doc_id, CAST($simhashDuck AS BIGINT) AS simhash
+               FROM hashed),
+      ph AS (
+        SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+          AS hamming
+        FROM sims a JOIN sims b
+          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6),
+      hc AS (SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ph GROUP BY 1)
+      SELECT t,
+        CAST(COALESCE(SUM(CASE WHEN hamming <= t THEN n END), 0)
+             AS BIGINT) AS n_pairs
+      FROM (SELECT CAST(UNNEST(range(0, 7)) AS BIGINT) AS t) g
+      LEFT JOIN hc ON true
+      GROUP BY t"""))
 
   // ---- Exact n-gram Jaccard join (prefix + positional filtering) -----
 
@@ -2054,11 +2095,233 @@ object DedupOps {
       FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       GROUP BY 1, 2"""))
 
+  /** q170: canonical-form dedup keys — q25 hashes raw bytes; this
+    * hashes the canonicalization web corpora apply first (casefold,
+    * punctuation strip, whitespace collapse: one `[^a-z0-9]+`→space
+    * pass + trim — the C4/CCNet-style normalization; DuckDB needs the
+    * explicit 'g' flag Spark's regexp_replace implies). Emits one row
+    * per doc: the canonical key, raw/canonical lengths (the gate runs
+    * the transform itself through md5 AND through the length delta),
+    * the group's copy count and keeper id, and is_keeper. The corpus
+    * has no normalized dups (verified — so q25 misses nothing here),
+    * but the operator's contract is the (nk, n_copies, keep_id)
+    * machinery, exercised per row. Scale: per-row map + one
+    * partial-aggregated group-by on nk, same shuffle shape as q25
+    * with strictly more recall. */
+  val q170NormalizedDedup = OpSpec(
+    "q170_normalized_dedup",
+    (s, dir) => {
+      val keyed = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(length(text) AS BIGINT)").as("n_raw"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .as("norm"))
+        .select(col("doc_id"), md5(col("norm").cast("binary")).as("nk"),
+          col("n_raw"), expr("CAST(length(norm) AS BIGINT)").as("n_canon"))
+      // group stats via partial-aggregated group-by + equi-join back
+      // (not an unordered window — same shuffle key, codegen-friendly)
+      val grp = keyed.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      keyed.join(grp, "nk")
+        .select(col("doc_id"), col("nk"), col("n_raw"), col("n_canon"),
+          col("n_copies"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_keeper"))
+    },
+    Some("""
+      SELECT doc_id, nk, n_raw, n_canon,
+        CAST(COUNT(*) OVER (PARTITION BY nk) AS BIGINT) AS n_copies,
+        MIN(doc_id) OVER (PARTITION BY nk) AS keep_id,
+        doc_id = MIN(doc_id) OVER (PARTITION BY nk) AS is_keeper
+      FROM (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                      'g'))) AS nk,
+              CAST(length(text) AS BIGINT) AS n_raw,
+              CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                              ' ', 'g'))) AS BIGINT)
+                AS n_canon
+            FROM documents)"""))
+
+  /** q172: MinHash estimator-quality audit — for every LSH candidate
+    * pair, the signature-estimated Jaccard (matching coordinates / K)
+    * side-by-side with the exact shingle-set Jaccard and the absolute
+    * error. This is the calibration readout a pipeline owner checks
+    * before trusting q27's threshold at 100 TB (is K=12 tight enough
+    * for THIS corpus?) — and it is pure reuse: same hashed shingles,
+    * same capped bands, same equi-join candidate generation; the only
+    * additions are a 12-term coordinate-match sum on the joined
+    * signature rows and the unthresholded exact verify. All arithmetic
+    * is integer until the two final divisions of identically-rounded
+    * doubles. */
+  val q172MinhashError = OpSpec(
+    "q172_minhash_error",
+    (s, dir) => {
+      val hashed = hashedShingles(table(s, dir, "documents")).persist()
+      val sigs = hashed.groupBy(col("doc_id")).agg(
+        min(expr(sigExpr(0))).as("s0"),
+        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
+      val bands = bandRows(hashed)
+      val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= BucketCap)
+        .select(col("band_idx"), col("band_val"))
+      val capped = bands.join(okBuckets, Seq("band_idx", "band_val"))
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val matchSum = (0 until K).map(i =>
+        s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val est = cand
+        .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          expr(s"CAST($matchSum AS BIGINT)").as("n_match"))
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(hashed.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
+          "doc_a")
+        .join(hashed.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
+          Seq("doc_b", "h1", "h2"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          "doc_b")
+        .withColumn("j_est", col("n_match").cast("double") / lit(K))
+        .withColumn("j_exact", col("n_inter").cast("double") /
+          (col("sza") + col("szb") - col("n_inter")))
+        .select(col("doc_a"), col("doc_b"), col("n_match"), col("j_est"),
+          col("n_inter"), col("j_exact"),
+          abs(col("j_est") - col("j_exact")).as("abs_err"))
+    },
+    Some {
+      val sigSelect = (0 until K).map(i =>
+        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+      val bandUnion = (0 until B).map { j =>
+        val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+      }.mkString("\n      UNION ALL\n      ")
+      val matchSum = (0 until K).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion),
+      ok AS (SELECT band_idx, band_val FROM bands
+             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
+      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN h12 x ON x.doc_id = c.doc_a
+        JOIN h12 y ON y.doc_id = c.doc_b AND y.h1 = x.h1 AND y.h2 = x.h2
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT e.doc_a, e.doc_b, e.n_match,
+        CAST(e.n_match AS DOUBLE) / $K AS j_est,
+        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+        CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS j_exact,
+        abs(CAST(e.n_match AS DOUBLE) / $K
+          - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - COALESCE(i.n_inter, 0))) AS abs_err
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b"""
+    })
+
+  /** q177: entity-resolution blocking audit — BEFORE running a fuzzy
+    * join at 100 TB you choose a blocking key by its measured
+    * pair-budget, not by vibes. For three candidate strategies over
+    * part names (3-char prefix, length bucket, first word) this emits
+    * the block count, the largest block (the hot-bucket risk q95's cap
+    * exists for), the total candidate-pair budget Σ b(b−1)/2, and the
+    * reduction ratio vs the n(n−1)/2 all-pairs baseline — the numbers
+    * that decide which key keeps the q95/q107 joins linear. Integer
+    * arithmetic throughout (the even product sum halves exactly); one
+    * final double ratio. Scale: three aggregations over (strategy,
+    * key) counts — metadata-sized, never materializes a pair. */
+  val q177BlockingAudit = OpSpec(
+    "q177_blocking_audit",
+    (s, dir) => {
+      val parts = table(s, dir, "part")
+      val n = parts.agg(count(lit(1)).as("n_rows"))
+      parts
+        .select(explode(expr("""array(
+            named_struct('strategy', 'prefix3',
+              'bkey', lower(substring(p_name, 1, 3))),
+            named_struct('strategy', 'lenbucket',
+              'bkey', CAST(CAST(floor(CAST(length(p_name) AS DOUBLE) / 4)
+                AS BIGINT) AS STRING)),
+            named_struct('strategy', 'first_word',
+              'bkey', element_at(split(p_name, ' '), 1)))""")).as("x"))
+        .select(col("x.strategy").as("strategy"), col("x.bkey").as("bkey"))
+        .groupBy(col("strategy"), col("bkey"))
+        .agg(count(lit(1)).as("b"))
+        .groupBy(col("strategy"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("b")).as("max_block"),
+          expr("CAST(SUM(b * (b - 1)) / 2 AS BIGINT)").as("pair_budget"))
+        .crossJoin(broadcast(n))
+        .select(col("strategy"), col("n_blocks"), col("max_block"),
+          col("pair_budget"),
+          expr("""CAST(pair_budget AS DOUBLE)
+                  / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)
+                     / 2)""").as("reduction"))
+    },
+    Some("""
+      WITH keys AS (
+        SELECT 'prefix3' AS strategy, lower(substr(p_name, 1, 3)) AS bkey
+        FROM part
+        UNION ALL
+        SELECT 'lenbucket',
+          CAST(CAST(floor(CAST(length(p_name) AS DOUBLE) / 4) AS BIGINT)
+               AS VARCHAR)
+        FROM part
+        UNION ALL
+        SELECT 'first_word', string_split(p_name, ' ')[1] FROM part),
+      blocks AS (
+        SELECT strategy, bkey, CAST(COUNT(*) AS BIGINT) AS b
+        FROM keys GROUP BY 1, 2),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM part)
+      SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        MAX(b) AS max_block,
+        CAST(SUM(b * (b - 1)) / 2 AS BIGINT) AS pair_budget,
+        CAST(CAST(SUM(b * (b - 1)) / 2 AS BIGINT) AS DOUBLE)
+          / (CAST(MAX(n.n_rows) AS DOUBLE)
+             * CAST(MAX(n.n_rows) - 1 AS DOUBLE) / 2) AS reduction
+      FROM blocks, n
+      GROUP BY strategy"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
     q55IncrementalDedup, q58Decontamination, q68DupCoverage,
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
-    q163GoldenRecord)
+    q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
+    q177BlockingAudit, q178SimhashSweep)
 }

@@ -1545,10 +1545,549 @@ object EmbeddingOps {
       FROM rescored
       QUALIFY rank <= 10"""))
 
+  /** q168: exact covariance + correlation matrix over the first 8
+    * embedding dimensions — the feature-QA pass a training pipeline
+    * runs before whitening/PCA (are dimensions collinear? dead? on
+    * wildly different scales?). Numerics dodge both forbidden paths:
+    * floats are fixed-pointed ONCE (round(x·1e7) → BIGINT — float→
+    * double is exact, one deterministic half-away round; never
+    * double→decimal, see the module doc), and from there everything is
+    * integer: per-dim moments (n, Σx, Σx²) and per-pair Σxy accumulate
+    * as DECIMAL(38,0) sums of exact BIGINT products, the covariance
+    * numerator n·Σxy − Σx·Σy stays in bounded DECIMAL arithmetic
+    * (explicitly down-cast so both engines' precision-inference rules
+    * are never exercised past 38), and only the final divisions/sqrt
+    * run in doubles (sqrt is IEEE correctly-rounded — the one libm-free
+    * transcendental). Scale shape: one narrow (vec_id, dim, xs) spill
+    * of d=8 rows per vector, one partial-aggregated shuffle keyed by
+    * the 36 (i,j) pairs for Σxy and one by the 8 dims for moments —
+    * cost O(n·d²) map-side with O(d²) reduce rows, no n×n anything. */
+  val q168EmbeddingCovariance = OpSpec(
+    "q168_embedding_covariance",
+    (s, dir) => {
+      val vals = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(1, 8)")).as("i"))
+        .select(col("vec_id"), (col("i") - 1).cast("long").as("i"),
+          expr("""CAST(round(CAST(element_at(embedding, i) AS DOUBLE)
+                  * 1e7) AS BIGINT)""").as("xs"))
+      val mom = vals.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(xs AS DECIMAL(38,0))) AS DECIMAL(16,0))")
+            .as("sx"),
+          expr("""CAST(SUM(CAST(xs * xs AS DECIMAL(38,0)))
+                  AS DECIMAL(24,0))""").as("sxx"))
+      val sxy = vals.as("a")
+        .join(vals.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(expr("""CAST(SUM(CAST(a.xs * b.xs AS DECIMAL(38,0)))
+                     AS DECIMAL(24,0))""").as("sxy"))
+      sxy
+        .join(mom.select(col("i"), col("n"), col("sx").as("sxi"),
+          col("sxx").as("di_xx")), "i")
+        .join(mom.select(col("i").as("j"), col("sx").as("sxj"),
+          col("sxx").as("dj_xx")), "j")
+        .withColumn("num", expr("""
+          CAST(n AS DECIMAL(9,0)) * sxy - CAST(sxi * sxj AS DECIMAL(33,0))"""))
+        .withColumn("d_i", expr("""
+          CAST(n AS DECIMAL(9,0)) * di_xx
+          - CAST(sxi * sxi AS DECIMAL(33,0))"""))
+        .withColumn("d_j", expr("""
+          CAST(n AS DECIMAL(9,0)) * dj_xx
+          - CAST(sxj * sxj AS DECIMAL(33,0))"""))
+        // decimal → STRING → double: Java's BigDecimal.doubleValue is
+        // not correctly rounded (off-by-one-ulp on some negatives vs
+        // DuckDB's conversion); both engines' string→double parses ARE.
+        .select(col("i"), col("j"),
+          expr("""CAST(CAST(num AS STRING) AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e14""").as("cov"),
+          expr("""CAST(CAST(num AS STRING) AS DOUBLE)
+            / sqrt(CAST(CAST(d_i AS STRING) AS DOUBLE)
+                   * CAST(CAST(d_j AS STRING) AS DOUBLE))""")
+            .as("corr"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT vec_id, CAST(g.i AS BIGINT) - 1 AS i,
+          CAST(round(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1e7)
+               AS BIGINT) AS xs
+        FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i) g),
+      mom AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(xs AS DECIMAL(38,0))) AS DECIMAL(16,0)) AS sx,
+          CAST(SUM(CAST(xs * xs AS DECIMAL(38,0))) AS DECIMAL(24,0))
+            AS sxx
+        FROM vals GROUP BY 1),
+      sxy AS (
+        SELECT a.i AS i, b.i AS j,
+          CAST(SUM(CAST(a.xs * b.xs AS DECIMAL(38,0))) AS DECIMAL(24,0))
+            AS sxy
+        FROM vals a JOIN vals b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2)
+      SELECT s.i, s.j,
+        CAST(CAST(CAST(mi.n AS DECIMAL(9,0)) * s.sxy
+             - CAST(mi.sx * mj.sx AS DECIMAL(33,0)) AS VARCHAR) AS DOUBLE)
+          / (CAST(mi.n AS DOUBLE) * CAST(mi.n AS DOUBLE)) / 1e14 AS cov,
+        CAST(CAST(CAST(mi.n AS DECIMAL(9,0)) * s.sxy
+             - CAST(mi.sx * mj.sx AS DECIMAL(33,0)) AS VARCHAR) AS DOUBLE)
+          / sqrt(CAST(CAST(CAST(mi.n AS DECIMAL(9,0)) * mi.sxx
+                      - CAST(mi.sx * mi.sx AS DECIMAL(33,0)) AS VARCHAR)
+                      AS DOUBLE)
+               * CAST(CAST(CAST(mi.n AS DECIMAL(9,0)) * mj.sxx
+                      - CAST(mj.sx * mj.sx AS DECIMAL(33,0)) AS VARCHAR)
+                      AS DOUBLE))
+          AS corr
+      FROM sxy s
+      JOIN mom mi ON mi.i = s.i
+      JOIN mom mj ON mj.i = s.j"""))
+
+  /** q174: clustering-vs-labels agreement scorecard — purity, Rand
+    * index, and ADJUSTED Rand index of the q32 centroid assignment
+    * against the embeddings' ground-truth labels, from one contingency
+    * table. The unsupervised-quality readout a pipeline checks before
+    * trusting cluster ids for balancing/dedup decisions. Numerics: the
+    * contingency cells are exact counts; every pair-counting term uses
+    * the DOUBLED form x(x−1) so no halving ever leaves the integers,
+    * RI = (T₂ + 2A₂ − B₁₂ − B₂₂)/T₂ directly, and ARI's cross products
+    * run in DECIMAL(18)×DECIMAL(18)→DECIMAL(37) (safe past 2^63 pair
+    * counts; the `−2·B₁₂B₂₂` term is written as two subtractions so
+    * neither engine's decimal-precision inference exceeds 38). Three
+    * aggregate scans of a table with ≤ clusters×labels rows — the
+    * corpus is touched once, by the q32 assignment itself. */
+  val q174ClusterAgreement = OpSpec(
+    "q174_cluster_agreement",
+    (s, dir) => {
+      val cont = q32IvfAssign.query(s, dir)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(table(s, dir, "embeddings").select(col("vec_id"),
+          col("label")), "vec_id")
+        .groupBy(col("centroid_id"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+        .persist()
+      val tot = cont.agg(sum(col("nij")).as("n"),
+        expr("CAST(SUM(nij * (nij - 1)) AS BIGINT)").as("a2"),
+        countDistinct(col("centroid_id")).as("n_clusters"),
+        countDistinct(col("label")).as("n_labels"))
+      val byC = cont.groupBy(col("centroid_id"))
+        .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+        .agg(expr("CAST(SUM(ai * (ai - 1)) AS BIGINT)").as("b1_2"),
+          sum(col("mx")).as("pure"))
+      val byL = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(expr("CAST(SUM(bj * (bj - 1)) AS BIGINT)").as("b2_2"))
+      tot.crossJoin(byC).crossJoin(byL)
+        .withColumn("t2", expr("n * (n - 1)"))
+        .withColumn("ari_num", expr("""
+          CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+        .withColumn("ari_den", expr("""
+          CAST(t2 AS DECIMAL(18,0))
+            * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+        .select(col("n"), col("n_clusters"), col("n_labels"),
+          (col("pure").cast("double") / col("n").cast("double"))
+            .as("purity"),
+          expr("""CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE)
+                  / CAST(t2 AS DOUBLE)""").as("rand_index"),
+          // decimal → STRING → double (correctly-rounded parse in both
+          // engines; BigDecimal.doubleValue is not — see q168)
+          expr("""CAST(CAST(ari_num AS STRING) AS DOUBLE) * 2
+                  / CAST(CAST(ari_den AS STRING) AS DOUBLE)""").as("ari"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv, nrm AS cnrm
+            FROM e WHERE $centroidPred),
+      scored AS (
+        SELECT e.vec_id, e.label, c.centroid_id,
+               ${dotDuck("c.cv", "e.embedding")} / (c.cnrm * e.nrm)
+                 AS cosine
+        FROM e, c),
+      assign AS (
+        SELECT vec_id, label, centroid_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, centroid_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      cont AS (
+        SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM assign GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(SUM(nij) AS BIGINT) AS n,
+          CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a2,
+          CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS n_clusters,
+          CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        FROM cont),
+      byc AS (
+        SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS b1_2,
+          CAST(SUM(mx) AS BIGINT) AS pure
+        FROM (SELECT centroid_id, SUM(nij) AS ai, MAX(nij) AS mx
+              FROM cont GROUP BY 1)),
+      byl AS (
+        SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS b2_2
+        FROM (SELECT label, SUM(nij) AS bj FROM cont GROUP BY 1)),
+      f AS (
+        SELECT n, a2, n_clusters, n_labels, b1_2, pure, b2_2,
+          n * (n - 1) AS t2
+        FROM tot, byc, byl)
+      SELECT n, n_clusters, n_labels,
+        CAST(pure AS DOUBLE) / CAST(n AS DOUBLE) AS purity,
+        CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+          AS rand_index,
+        CAST(CAST(CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
+             - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+             AS VARCHAR) AS DOUBLE) * 2
+          / CAST(CAST(CAST(t2 AS DECIMAL(18,0))
+                   * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
+                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+                 AS VARCHAR) AS DOUBLE) AS ari
+      FROM f"""))
+
+  /** q181: PCA top component by POWER ITERATION over the q168
+    * covariance matrix — the distributed-linear-algebra capstone: the
+    * corpus is touched exactly once (by q168's moment pass); the 8×8
+    * matrix then runs 3 fixed Jacobi-free iterations v ← Mv / ‖Mv‖∞
+    * entirely in tiny DataFrames (mirrored triangle → per-row ordered
+    * fold for the matvec → global max-abs normalize), finishing with a
+    * Rayleigh quotient λ = v·Mv / v·v. Bit-exactness: every matvec
+    * component and both Rayleigh sums are LEFT-TO-RIGHT folds in index
+    * order (the module-doc dot-product discipline); ∞-norm avoids
+    * sqrt-of-sum entirely and max/abs/divide are order-independent
+    * IEEE ops. Fixed iteration count (not convergence-tested) keeps
+    * the plan static — the production form at d=768 is the same
+    * matvec with the fold over a partitioned dimension. */
+  val q181PowerIteration = OpSpec(
+    "q181_power_iteration",
+    (s, dir) => {
+      // ONE distributed pass (q168's moment scan) collects the d²=64
+      // matrix entries — metadata-sized, the q37-histogram/q132-round
+      // concession — and the 3 iterations run as driver arithmetic with
+      // EXACTLY the oracle's fold orders (ascending-j matvec folds,
+      // ∞-norm, ascending-i Rayleigh folds). The earlier all-DataFrame
+      // form was semantically identical but paid ~15 tiny shuffle
+      // stages of pure scheduling overhead (measured 7.8 s → the cost
+      // of the corpus pass alone); at d=768 the matrix is 590k doubles
+      // — still driver-bounded, same as the reference's in-process
+      // eigensolve would be.
+      val sq = s; import sq.implicits._
+      val tri = q168EmbeddingCovariance.query(s, dir)
+        .select(col("i"), col("j"), col("cov")).collect()
+        .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+          r.getDouble(2))).toMap
+      val d = 8
+      def m(i: Int, j: Int): Double = tri((i min j, i max j))
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(d) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += m(i, j) * v(j); j += 1 }
+          acc
+        }
+      var v = Array.fill(d)(1.0)
+      for (_ <- 1 to 3) {
+        val w = matvec(v)
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val w4 = matvec(v)
+      var num = 0.0; var den = 0.0
+      var i = 0
+      while (i < d) { num += v(i) * w4(i); den += v(i) * v(i); i += 1 }
+      val lambda = num / den
+      v.zipWithIndex.map { case (x, idx) => (idx.toLong, x, lambda) }
+        .toSeq.toDF("i", "loading", "lambda")
+    },
+    Some(s"""
+      WITH m0 AS (${q168EmbeddingCovariance.oracle.get}),
+      m AS (SELECT i, j, cov FROM m0
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM m0 WHERE i <> j),
+      v0 AS (SELECT DISTINCT j, 1e0 AS v FROM m),
+      w1 AS (SELECT m.i, list_reduce(list(m.cov * v0.v ORDER BY m.j),
+               (a, x) -> a + x) AS w
+             FROM m JOIN v0 ON v0.j = m.j GROUP BY m.i),
+      x1 AS (SELECT MAX(abs(w)) AS mx FROM w1),
+      v1 AS (SELECT i AS j, w / mx AS v FROM w1, x1),
+      w2 AS (SELECT m.i, list_reduce(list(m.cov * v1.v ORDER BY m.j),
+               (a, x) -> a + x) AS w
+             FROM m JOIN v1 ON v1.j = m.j GROUP BY m.i),
+      x2 AS (SELECT MAX(abs(w)) AS mx FROM w2),
+      v2 AS (SELECT i AS j, w / mx AS v FROM w2, x2),
+      w3 AS (SELECT m.i, list_reduce(list(m.cov * v2.v ORDER BY m.j),
+               (a, x) -> a + x) AS w
+             FROM m JOIN v2 ON v2.j = m.j GROUP BY m.i),
+      x3 AS (SELECT MAX(abs(w)) AS mx FROM w3),
+      v3 AS (SELECT i AS j, w / mx AS v FROM w3, x3),
+      w4 AS (SELECT m.i, list_reduce(list(m.cov * v3.v ORDER BY m.j),
+               (a, x) -> a + x) AS w
+             FROM m JOIN v3 ON v3.j = m.j GROUP BY m.i),
+      ray AS (
+        SELECT list_reduce(list(v3.v * w4.w ORDER BY v3.j),
+                 (a, x) -> a + x)
+             / list_reduce(list(v3.v * v3.v ORDER BY v3.j),
+                 (a, x) -> a + x) AS lambda
+        FROM v3 JOIN w4 ON w4.i = v3.j)
+      SELECT v3.j AS i, v3.v AS loading, ray.lambda
+      FROM v3, ray"""))
+
+  /** q186: Matryoshka truncation audit — recall@10 of the 16-dim
+    * PREFIX embedding against the full 64-dim ranking, per query. The
+    * go/no-go measurement before serving truncated (MRL-style)
+    * vectors: if prefix recall is high, the ANN tier can store 1/4 of
+    * the bytes and rerank with full vectors (the q162 staged shape).
+    * One broadcast scan computes BOTH cosines per (corpus row, query)
+    * — full and prefix — then two rankings and an equi-join overlap
+    * count; every cosine is the same native left-to-right fold as q30
+    * so both rankings are bit-stable. Queries with zero overlap still
+    * emit (dense left join). */
+  val q186MatryoshkaRecall = OpSpec(
+    "q186_matryoshka_recall",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings")
+        .withColumn("p16", expr("slice(embedding, 1, 16)"))
+        .withColumn("ssf", graft.functions.VectorFunctions
+          .dot(col("embedding"), col("embedding")))
+        .withColumn("ssp", graft.functions.VectorFunctions
+          .dot(col("p16"), col("p16")))
+        .withColumn("nrmf",
+          when(col("ssf") === 0.0, lit(1.0)).otherwise(sqrt(col("ssf"))))
+        .withColumn("nrmp",
+          when(col("ssp") === 0.0, lit(1.0)).otherwise(sqrt(col("ssp"))))
+        .drop("ssf", "ssp")
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qf"),
+          col("p16").as("qp"), col("nrmf").as("qnf"), col("nrmp").as("qnp"))
+      val scored = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cf", graft.functions.VectorFunctions
+          .dot(col("qf"), col("embedding")) / (col("qnf") * col("nrmf")))
+        .withColumn("cp", graft.functions.VectorFunctions
+          .dot(col("qp"), col("p16")) / (col("qnp") * col("nrmp")))
+        .persist()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      def top(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select(col("query_id"), col("vec_id"))
+      val topF = top(scored.select(col("query_id"), col("vec_id"),
+        col("cf").as("cosine")))
+      val topP = top(scored.select(col("query_id"), col("vec_id"),
+        col("cp").as("cosine")))
+      val overlap = topF.join(topP, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      q.select(col("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .select(col("query_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 10.0).as("recall"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, embedding[1:16] AS p16,
+          CASE WHEN ${dotDuck("embedding", "embedding")} = 0 THEN 1e0
+               ELSE sqrt(${dotDuck("embedding", "embedding")}) END AS nrmf,
+          CASE WHEN ${dotDuck("embedding[1:16]", "embedding[1:16]")} = 0
+               THEN 1e0
+               ELSE sqrt(${dotDuck("embedding[1:16]", "embedding[1:16]")})
+          END AS nrmp
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qf, p16 AS qp,
+              nrmf AS qnf, nrmp AS qnp
+            FROM base WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, b.vec_id,
+          ${dotDuck("q.qf", "b.embedding")} / (q.qnf * b.nrmf) AS cf,
+          ${dotDuck("q.qp", "b.p16")} / (q.qnp * b.nrmp) AS cp
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      topf AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cf DESC, vec_id ASC) AS rn
+          FROM scored) WHERE rn <= 10),
+      topp AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cp DESC, vec_id ASC) AS rn
+          FROM scored) WHERE rn <= 10),
+      ov AS (
+        SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM topf f JOIN topp p
+          ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+        GROUP BY 1)
+      SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+      FROM q LEFT JOIN ov ON ov.query_id = q.query_id"""))
+
+  /** q187: late-interaction (ColBERT-style MaxSim) retrieval — each
+    * vector is read as FOUR 16-dim token slices; a query's score
+    * against a doc is Σ over query slices of the MAX cosine over the
+    * doc's slices. The multi-vector scoring shape that beats single-
+    * vector retrieval on phrase-level matches, expressed relationally:
+    * explode both sides' slices (4×), cosine per slice pair (16 rows
+    * per query-doc), MAX per query slice (order-independent), then a
+    * SORTED fold over the 4 query-slice maxima so the sum is
+    * bit-stable; top-5 docs per query with a total tie-break. Scale:
+    * the slice explode multiplies the q30 broadcast scan by a constant
+    * 16 — still one corpus pass, no shuffle of the big side; the
+    * per-(query,doc) reduction is partial-aggregated. */
+  val q187MaxsimRetrieval = OpSpec(
+    "q187_maxsim_retrieval",
+    (s, dir) => {
+      def sliced(df: DataFrame) = df
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0, 3)")).as("sl"))
+        .select(col("vec_id"), col("sl"),
+          expr("slice(embedding, CAST(sl * 16 + 1 AS INT), 16)").as("sv"))
+        .withColumn("ss", graft.functions.VectorFunctions
+          .dot(col("sv"), col("sv")))
+        .withColumn("snrm",
+          when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
+        .drop("ss")
+      val e = table(s, dir, "embeddings")
+      val docs = sliced(e)
+        .select(col("vec_id").as("doc_id"), col("sl").as("dsl"),
+          col("sv").as("dv"), col("snrm").as("dnrm"))
+      val qs = sliced(e.filter(col("vec_id") < 20))
+        .select(col("vec_id").as("query_id"), col("sl").as("qsl"),
+          col("sv").as("qv"), col("snrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      docs.crossJoin(broadcast(qs))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .dot(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")))
+        .groupBy(col("query_id"), col("doc_id"), col("qsl"))
+        .agg(max(col("cos")).as("mx"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(expr("""aggregate(
+            transform(sort_array(collect_list(struct(qsl, mx))),
+              x -> x.mx),
+            CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+    },
+    Some(s"""
+      WITH sl AS (
+        SELECT vec_id, g.i AS sl,
+          array_slice(embedding, CAST(g.i * 16 + 1 AS INT),
+                      CAST(g.i * 16 + 16 AS INT)) AS sv
+        FROM embeddings,
+          (SELECT CAST(UNNEST(range(0, 4)) AS BIGINT) AS i) g),
+      nsl AS (
+        SELECT vec_id, sl, sv,
+          CASE WHEN ${dotDuck("sv", "sv")} = 0 THEN 1e0
+               ELSE sqrt(${dotDuck("sv", "sv")}) END AS snrm
+        FROM sl),
+      q AS (SELECT vec_id AS query_id, sl AS qsl, sv AS qv, snrm AS qnrm
+            FROM nsl WHERE vec_id < 20),
+      cos AS (
+        SELECT q.query_id, d.vec_id AS doc_id, q.qsl,
+          MAX(${dotDuck("q.qv", "d.sv")} / (q.qnrm * d.snrm)) AS mx
+        FROM nsl d, q WHERE d.vec_id <> q.query_id
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT query_id, doc_id,
+          list_reduce(list(mx ORDER BY qsl), (a, x) -> a + x) AS score
+        FROM cos GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, rn, doc_id, score FROM ranked WHERE rn <= 5"""))
+
+  /** q191: MRR@10 of the truncated-embedding ranking — q186 measures
+    * SET overlap; this measures ORDER: treating each query's full-64d
+    * top-1 as the relevant item, where does the 16-dim prefix ranking
+    * place it? Reciprocal rank is an exact small-integer ratio (1/r —
+    * no log, unlike nDCG, which the oracle bans), NULL-rank → 0. The
+    * per-query readout that decides whether a truncated first-stage
+    * ranker preserves the head of the list, not just its members.
+    * Same one-pass dual-cosine broadcast scan as q186. */
+  val q191MrrEval = OpSpec(
+    "q191_mrr_eval",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings")
+        .withColumn("p16", expr("slice(embedding, 1, 16)"))
+        .withColumn("ssf", graft.functions.VectorFunctions
+          .dot(col("embedding"), col("embedding")))
+        .withColumn("ssp", graft.functions.VectorFunctions
+          .dot(col("p16"), col("p16")))
+        .withColumn("nrmf",
+          when(col("ssf") === 0.0, lit(1.0)).otherwise(sqrt(col("ssf"))))
+        .withColumn("nrmp",
+          when(col("ssp") === 0.0, lit(1.0)).otherwise(sqrt(col("ssp"))))
+        .drop("ssf", "ssp")
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qf"),
+          col("p16").as("qp"), col("nrmf").as("qnf"), col("nrmp").as("qnp"))
+      val scored = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cf", graft.functions.VectorFunctions
+          .dot(col("qf"), col("embedding")) / (col("qnf") * col("nrmf")))
+        .withColumn("cp", graft.functions.VectorFunctions
+          .dot(col("qp"), col("p16")) / (col("qnp") * col("nrmp")))
+        .persist()
+      val rel = scored
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cf").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("rel_id"))
+      val prefixRank = scored
+        .withColumn("prn", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cp").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("prn") <= 10)
+        .select(col("query_id"), col("vec_id").as("rel_id"), col("prn"))
+      rel.join(prefixRank, Seq("query_id", "rel_id"), "left")
+        .select(col("query_id"), col("rel_id"), col("prn").as("rank10"),
+          coalesce(lit(1.0) / col("prn").cast("double"), lit(0.0))
+            .as("rr"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, embedding[1:16] AS p16,
+          CASE WHEN ${dotDuck("embedding", "embedding")} = 0 THEN 1e0
+               ELSE sqrt(${dotDuck("embedding", "embedding")}) END AS nrmf,
+          CASE WHEN ${dotDuck("embedding[1:16]", "embedding[1:16]")} = 0
+               THEN 1e0
+               ELSE sqrt(${dotDuck("embedding[1:16]", "embedding[1:16]")})
+          END AS nrmp
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qf, p16 AS qp,
+              nrmf AS qnf, nrmp AS qnp
+            FROM base WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, b.vec_id,
+          ${dotDuck("q.qf", "b.embedding")} / (q.qnf * b.nrmf) AS cf,
+          ${dotDuck("q.qp", "b.p16")} / (q.qnp * b.nrmp) AS cp
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      rel AS (
+        SELECT query_id, vec_id AS rel_id FROM (
+          SELECT query_id, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cf DESC, vec_id ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      pr AS (
+        SELECT query_id, vec_id AS rel_id, prn FROM (
+          SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cp DESC, vec_id ASC)
+            AS BIGINT) AS prn
+          FROM scored) WHERE prn <= 10)
+      SELECT rel.query_id, rel.rel_id, pr.prn AS rank10,
+        COALESCE(1e0 / CAST(pr.prn AS DOUBLE), 0e0) AS rr
+      FROM rel LEFT JOIN pr
+        ON pr.query_id = rel.query_id AND pr.rel_id = rel.rel_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
     q82LabelCentroid, q83CentroidOutliers, q89RrfFusion, q98KmeansTrain,
     q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
-    q162StagedRetrieval)
+    q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
+    q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
+    q191MrrEval)
 }

@@ -1417,6 +1417,194 @@ object EventOps {
       FROM grid g
       LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day"""))
 
+  /** q188: winsorized mean — the robust location estimate that keeps
+    * every row (unlike a MAD gate, q140, which drops them): per event
+    * type, values are CLIPPED to the exact empirical [p10, p90] before
+    * averaging. Percentile boundaries are picked by RANK (value at
+    * rank ceil(q·n), computed as pure integer arithmetic `(9n+9) DIV
+    * 10` — a 0.9·n double multiply would land on 54.000…01 and ceil
+    * off-by-one), ties broken by event_id so the boundary VALUE is
+    * unique; the clipped sum runs through the exact-decimal
+    * [[Tables.dsum]] so accumulation order cannot move the hash.
+    * Scale: one partitioned rank window + a broadcast 5-row boundary
+    * join. */
+  val q188WinsorizedMean = OpSpec(
+    "q188_winsorized_mean",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .persist()
+      val ns = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ranked.join(ns, "event_type")
+        .filter(col("rn") ===
+            expr("CAST(floor((n + 9) / 10.0) AS BIGINT)") ||
+          col("rn") === expr("CAST(floor((9 * n + 9) / 10.0) AS BIGINT)"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ranked.join(broadcast(bounds), "event_type")
+        .withColumn("cv", least(greatest(col("value"), col("lo")),
+          col("hi")))
+        .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+        .agg((Tables.dsum(col("cv")) / col("n")).as("winsorized_mean"),
+          (Tables.dsum(col("value")) / col("n")).as("raw_mean"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("winsorized_mean"), col("raw_mean"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, event_id, value,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events),
+      bounds AS (
+        SELECT event_type, n, MIN(value) AS lo, MAX(value) AS hi
+        FROM ranked
+        WHERE rn = CAST(floor((n + 9) / 10.0) AS BIGINT)
+           OR rn = CAST(floor((9 * n + 9) / 10.0) AS BIGINT)
+        GROUP BY 1, 2)
+      SELECT r.event_type, b.n, b.lo, b.hi,
+        CAST(SUM(CAST(least(greatest(r.value, b.lo), b.hi)
+                 AS DECIMAL(12,2))) AS DOUBLE) / b.n AS winsorized_mean,
+        CAST(SUM(CAST(r.value AS DECIMAL(12,2))) AS DOUBLE) / b.n
+          AS raw_mean
+      FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+      GROUP BY 1, 2, 3, 4"""))
+
+  /** q189: Theil–Sen robust trend — the median of all pairwise daily
+    * slopes per event type, the outlier-immune complement to q134's
+    * OLS fit (one anomalous day drags a least-squares slope; it moves
+    * a pairwise median not at all). Slopes are single divisions of
+    * exact integers (deterministic doubles); the median picks fixed
+    * SORTED positions — lower/upper middle via row_number, averaged
+    * when the pair count is even (one commutative two-term add) — so
+    * ties among equal slope values cannot move the selected values.
+    * Scale: pair generation is per-group O(days²) on the DAILY
+    * aggregate (bounded: days per window, never event rows); the rank
+    * window is partitioned by event type. */
+  val q189TheilSen = OpSpec(
+    "q189_theil_sen",
+    (s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')
+                  AS BIGINT)""").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+        .persist()
+      val nDays = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.day") - col("a.day")).cast("double")).as("slope"))
+      val np = slopes.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+      slopes.withColumn("rn", row_number().over(w).cast("long"))
+        .join(np, "event_type")
+        .filter(col("rn") === expr("CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)") ||
+          col("rn") === expr("CAST(floor(n_pairs / 2.0) AS BIGINT) + 1"))
+        .groupBy(col("event_type"), col("n_pairs"))
+        .agg(avg(col("slope")).as("theil_sen"))
+        .join(nDays, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("theil_sen"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day,
+          CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1),
+      slopes AS (
+        SELECT a.event_type,
+          CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+            AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM slopes GROUP BY 1),
+      ranked AS (
+        SELECT event_type, slope, CAST(ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY slope) AS BIGINT) AS rn
+        FROM slopes)
+      SELECT r.event_type, nd.n_days, np.n_pairs,
+        AVG(r.slope) AS theil_sen
+      FROM ranked r
+      JOIN np ON np.event_type = r.event_type
+      JOIN nd ON nd.event_type = r.event_type
+      WHERE r.rn = CAST(floor((np.n_pairs + 1) / 2.0) AS BIGINT)
+         OR r.rn = CAST(floor(np.n_pairs / 2.0) AS BIGINT) + 1
+      GROUP BY 1, 2, 3"""))
+
+  /** q184: out-of-order / lateness audit — the measurement that SIZES
+    * a watermark before anyone writes `withWatermark("ts", delay)`:
+    * taking event_id as arrival order (the ingest sequence proxy), a
+    * row is LATE if its event time precedes the running max of
+    * everything that arrived before it, and its skew is that deficit.
+    * Per event type: volume, late count/rate, and the max/mean skew in
+    * µs — max skew IS the minimum watermark delay that would have lost
+    * zero rows (q56/q175's 1-hour choice is validated against exactly
+    * this number). One partitioned running-max window, integer µs
+    * arithmetic, two exact-ratio doubles at emit. */
+  val q184LatenessAudit = OpSpec(
+    "q184_lateness_audit",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_max", max(col("us")).over(w))
+        .withColumn("skew",
+          when(col("prev_max") > col("us"), col("prev_max") - col("us"))
+            .otherwise(lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("skew") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("skew")).as("max_skew_us"),
+          sum(col("skew")).as("sum_skew_us"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          (col("n_late").cast("double") / col("n_events").cast("double"))
+            .as("late_rate"),
+          col("max_skew_us"),
+          when(col("n_late") > 0,
+            col("sum_skew_us").cast("double") /
+              col("n_late").cast("double")).as("mean_skew_us"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN skew > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_late,
+        CAST(SUM(CASE WHEN skew > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS late_rate,
+        MAX(skew) AS max_skew_us,
+        CASE WHEN SUM(CASE WHEN skew > 0 THEN 1 ELSE 0 END) > 0 THEN
+          CAST(SUM(skew) AS DOUBLE)
+            / CAST(SUM(CASE WHEN skew > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        END AS mean_skew_us
+      FROM (
+        SELECT event_type,
+          CASE WHEN prev_max > us THEN prev_max - us ELSE 0 END AS skew
+        FROM (
+          SELECT event_type, epoch_us(ts) AS us,
+            MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_max
+          FROM events))
+      GROUP BY event_type"""))
+
   val all: Seq[OpSpec] = Seq(
     q17TumblingWindow, q18SessionWindow, q19AsofJoin, q20RangeJoin,
     q61IncrementalStats, q84Funnel, q85Retention, q86HoppingWindow,
@@ -1425,5 +1613,6 @@ object EventOps {
     q109AbReadout, q112BounceRate, q119Scd2History, q125Streaks,
     q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
     q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg,
-    q156SessionOverlap, q164GapFill)
+    q156SessionOverlap, q164GapFill, q184LatenessAudit,
+    q188WinsorizedMean, q189TheilSen)
 }

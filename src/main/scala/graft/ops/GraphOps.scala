@@ -119,5 +119,78 @@ object GraphOps {
       SELECT v, pr FROM pr$Iterations"""
     })
 
-  val all: Seq[OpSpec] = Seq(q116PageRank)
+  /** q183: k-core peeling (k=2, 3 bounded rounds) over the co-purchase
+    * graph — parts as nodes, ≥2-shared-orders pairs as undirected edges
+    * (the q161 edge rule with a support floor so the graph has real
+    * structure to peel). Each round recomputes degrees with one
+    * symmetric group-by and drops sub-k nodes plus their incident
+    * edges via two semi-joins; the survivors' degrees after round 3
+    * are the emitted core membership. The density/cohesion pruning a
+    * recommendation-graph pipeline runs before embedding training.
+    * Bounded rounds keep the plan static (the q116 discipline; a full
+    * fixpoint uses q51's checkpointed loop) — all arithmetic integer,
+    * fully deterministic. Scale: per round, one partial-aggregated
+    * degree count + two hash semi-joins on node ids; never an
+    * all-pairs structure. */
+  val q183KCore = OpSpec(
+    "q183_kcore",
+    (s, dir) => {
+      val k = 2
+      val lines = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      var edges = lines.as("a").join(lines.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+        // eager localCheckpoint, NOT persist: each round reads the edge
+        // set three times (two degree scans + the semi-join input) and a
+        // cached plan re-embeds the base pair join in every round's
+        // lineage — the q51 iteration discipline
+        .select(col("u"), col("v")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val deg = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select(col("n"))
+        edges = edges
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint()
+      }
+      edges.select(col("u").as("part"))
+        .union(edges.select(col("v").as("part")))
+        .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+    },
+    Some("""
+      WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      d0 AS (SELECT n, COUNT(*) AS deg FROM
+               (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+             GROUP BY 1),
+      k0 AS (SELECT n FROM d0 WHERE deg >= 2),
+      e1 AS (SELECT e.u, e.v FROM e0 e
+             JOIN k0 a ON a.n = e.u JOIN k0 b ON b.n = e.v),
+      d1 AS (SELECT n, COUNT(*) AS deg FROM
+               (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+             GROUP BY 1),
+      k1 AS (SELECT n FROM d1 WHERE deg >= 2),
+      e2 AS (SELECT e.u, e.v FROM e1 e
+             JOIN k1 a ON a.n = e.u JOIN k1 b ON b.n = e.v),
+      d2 AS (SELECT n, COUNT(*) AS deg FROM
+               (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+             GROUP BY 1),
+      k2 AS (SELECT n FROM d2 WHERE deg >= 2),
+      e3 AS (SELECT e.u, e.v FROM e2 e
+             JOIN k2 a ON a.n = e.u JOIN k2 b ON b.n = e.v)
+      SELECT n AS part, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+      GROUP BY 1"""))
+
+  val all: Seq[OpSpec] = Seq(q116PageRank, q183KCore)
 }

@@ -163,6 +163,84 @@ object LayoutOps {
         FROM documents WHERE n_chars > 0
         GROUP BY 1, 2)"""))
 
+  /** q176: small-file compaction plan — the write-side maintenance
+    * every 100 TB table needs: given per-file sizes (documents stand in
+    * as "files": source = directory, n_chars = bytes), roll files in
+    * id order into target-size output bins (greedy first-fit: bin =
+    * cumulative-bytes-before DIV target, the roll-to-next-file-after-
+    * exceeding rule real compactors use), and emit the per-bin manifest
+    * (file count, bytes, id range) that the rewrite job consumes. All
+    * integer arithmetic; the only float op is an exact floor-divide of
+    * sub-2^53 longs. Scale: one window cumsum per source partition —
+    * the same per-directory pass a metadata-driven compactor runs; no
+    * data rows move here, only the plan. */
+  val q176CompactionPlan = OpSpec(
+    "q176_compaction_plan",
+    (s, dir) => {
+      val target = 4096L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr(
+          s"""CAST(floor(CAST(cum - n_chars AS DOUBLE) / $target)
+              AS BIGINT)"""))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some("""
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM (
+        SELECT doc_id, source, n_chars,
+          CAST(floor(CAST(SUM(n_chars) OVER (PARTITION BY source
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_chars AS DOUBLE) / 4096) AS BIGINT)
+            AS bin
+        FROM documents)
+      GROUP BY source, bin"""))
+
+  /** q179: deterministic multi-epoch shuffle — training wants a
+    * DIFFERENT but REPRODUCIBLE global order each epoch; salting the
+    * order key with the epoch number (md5('ep<e>:' || doc_id)) gives
+    * exactly that: any worker can recompute its slice, reruns agree,
+    * and epochs decorrelate. Emits the first 5 positions of each of 3
+    * epochs as the gate anchor (the full order is the same expression
+    * un-limited). Scale: per-epoch order is rank-by-hash — a sort-
+    * shuffle a training-data loader pays once per epoch; the top-5
+    * anchor itself is a per-partition-heads TakeOrdered, no global
+    * sort. */
+  val q179EpochShuffle = OpSpec(
+    "q179_epoch_shuffle",
+    (s, dir) => {
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(2 AS BIGINT))"))
+            .as("epoch"))
+        .withColumn("rk", md5(concat(lit("ep"), col("epoch"), lit(":"),
+          col("doc_id")).cast("binary")))
+        .withColumn("position", row_number().over(w).cast("long"))
+        .filter(col("position") <= 5)
+        .select(col("epoch"), col("position"), col("doc_id"), col("rk"))
+    },
+    Some("""
+      SELECT epoch, position, doc_id, rk
+      FROM (
+        SELECT e.epoch, d.doc_id,
+          md5('ep' || e.epoch || ':' || d.doc_id) AS rk,
+          CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+            ORDER BY md5('ep' || e.epoch || ':' || d.doc_id), d.doc_id)
+            AS BIGINT) AS position
+        FROM documents d,
+          (SELECT CAST(UNNEST(range(0, 3)) AS BIGINT) AS epoch) e)
+      WHERE position <= 5"""))
+
   val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
-    q110Log2Histogram)
+    q110Log2Histogram, q176CompactionPlan, q179EpochShuffle)
 }

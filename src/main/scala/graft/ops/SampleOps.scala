@@ -226,6 +226,48 @@ object SampleOps {
       FROM sel s JOIN alloc a USING (lang)
       WHERE s.sel_rank <= least(a.n_alloc, a.avail)"""))
 
+  /** q169: WEIGHTED priority sampling without replacement — q115's
+    * uniform bottom-k generalized to integer weights with no libm
+    * (Efraimidis–Espirakis keys u^(1/w) would need pow(), which the
+    * oracle bans). Equivalence trick: give each item w i.i.d. hash
+    * draws (explode ≤ w_max rows) and key it by its MINIMUM draw;
+    * ranking items by that min and taking the bottom k IS successive
+    * weighted sampling without replacement — the smallest remaining
+    * draw lands on item i with probability w_i/Σw_remaining by
+    * symmetry, exactly the A-ES selection law, but every comparison is
+    * on md5 strings (a set property both engines share bit-for-bit).
+    * Weight = clamped length tier (1..8), the quality-proportional
+    * inclusion a curation pass wants. Scale shape: the ≤8× explode
+    * partial-aggregates to one (item, min-draw) row map-side, and the
+    * global k is TakeOrdered (per-partition heads, driver merge) — no
+    * full sort, no shuffle of the corpus. */
+  val q169WeightedSample = OpSpec(
+    "q169_weighted_sample",
+    (s, dir) => {
+      val k = 30
+      table(s, dir, "documents")
+        .withColumn("w", expr("""CAST(least(8, greatest(1,
+          floor(CAST(n_chars AS DOUBLE) / 256))) AS BIGINT)"""))
+        .withColumn("j", explode(expr("sequence(CAST(1 AS BIGINT), w)")))
+        .withColumn("draw", md5(concat(lit("wsample:"), col("doc_id"),
+          lit(":"), col("j")).cast("binary")))
+        .groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(min(col("draw")).as("key"))
+        .orderBy(col("key"), col("doc_id")).limit(k)
+    },
+    Some("""
+      SELECT doc_id, lang, w, MIN(md5('wsample:' || doc_id || ':' || j))
+        AS key
+      FROM (SELECT doc_id, lang,
+              CAST(least(8, greatest(1,
+                floor(CAST(n_chars AS DOUBLE) / 256))) AS BIGINT) AS w
+            FROM documents),
+           (SELECT UNNEST(range(1, 9)) AS j) g
+      WHERE j <= w
+      GROUP BY doc_id, lang, w
+      ORDER BY key, doc_id LIMIT 30"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
-    q115PrioritySample, q146NegativePairs, q157MixtureAlloc)
+    q115PrioritySample, q146NegativePairs, q157MixtureAlloc,
+    q169WeightedSample)
 }

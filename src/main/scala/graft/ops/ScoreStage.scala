@@ -143,6 +143,46 @@ object ScoreStage {
     }(enc)
   }
 
+  /** q166: the external-process scoring stage itself under the oracle
+    * gate — [[pipeScoreStage]] drives a real child (`mawk`) over the
+    * orders table with the production line protocol (one subprocess per
+    * partition, flushed batches, ERR arm exercised on every fifth key),
+    * and DuckDB re-derives both arms from the same integer formula. The
+    * child's math is integer-exact (< 2^53) so the scores hash-match
+    * bit-for-bit; `-W interactive` + `fflush()` are load-bearing — a
+    * child that block-buffers either side of the pipe stalls the batch
+    * drain (the deadlock the batched protocol is designed to avoid),
+    * so the child contract is: line-wise reads, flushed line-wise
+    * replies. Stands in for the reference's
+    * shell-out scorers (run_extract_mvs.sh:10-16) with the once-per-task
+    * spawn discipline that 100 TB requires. */
+  val q166PipeScore = graft.OpSpec(
+    "q166_pipe_score",
+    (s, dir) => {
+      val orders = graft.Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val prog = "{ if ($1 % 5 == 0) printf \"ERR mod5\\n\"; " +
+        "else printf \"%d\\n\", ($1 * 7 + $2 * 3) % 1000; fflush(); }"
+      // -W interactive is load-bearing: stock mawk BLOCK-buffers stdin
+      // and sits on a partial input block without answering, which
+      // stalls the batch drain exactly like an unflushed child (verified
+      // by a standalone repro). Interactive mode reads line-wise and
+      // line-buffers stdout — the contract every pipe scorer must obey.
+      pipeScoreStage(orders, Seq("/usr/bin/awk", "-W", "interactive", prog),
+          row => s"${row.getLong(0)} ${row.getLong(1)}")
+        .select(col("o_orderkey"), col("score"), col("score_error"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             ELSE CAST((o_orderkey * 7 + o_custkey * 3) % 1000 AS DOUBLE)
+        END AS score,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'mod5' ELSE NULL
+        END AS score_error
+      FROM orders"""))
+
+  val all: Seq[graft.OpSpec] = Seq(q166PipeScore)
+
   /** P6 null-drop: remove rows whose kernel failed (collate_fn drop,
     * aesthetic_score.py:76-80). */
   def dropFailed(df: DataFrame, outCol: String): DataFrame =

@@ -359,6 +359,101 @@ object SketchOps {
         (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
       WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
 
+  /** q167: HyperLogLog register sketch under the bit-exact gate — the
+    * other half of the sketch family (KMV keeps the k smallest hashes;
+    * HLL keeps m=64 max leading-zero registers, constant 64 bytes per
+    * group no matter the cardinality). Every piece is engine-exact:
+    * bucket = 8 md5 hex bits mod 64, rho = 61 − bitlength of the next
+    * 60 bits (integer, no log), register = MAX(rho) — a set property,
+    * order-independent and trivially mergeable (max of maxes), which is
+    * what lets 100 TB keep one 64-register row per partition and OR
+    * them up later. The raw estimate αm²/Z is gated too: each 2^−M_j
+    * is an exact dyadic double and Z folds the 64 registers in bucket
+    * order left-to-right, so both engines round identically (no libm —
+    * the small-range ln correction is deliberately omitted; registers
+    * are the stored truth, the estimator is derived). Emits one row per
+    * (group, bucket) with the group's exact count and raw estimate
+    * alongside — the registers ARE the gate, not just the estimate. */
+  val q167HllRegisters = OpSpec(
+    "q167_hll_registers",
+    (s, dir) => {
+      val h = table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          md5(concat(lit("hll:"), col("l_partkey")).cast("binary")).as("h"))
+      // Spark side reads the hex fields with one codegen'd conv() each;
+      // the oracle keeps the digit-arithmetic hexToLong (DuckDB has no
+      // conv) — equivalent on lowercase md5 hex, and the gate proves it
+      val bits = h.select(col("l_returnflag"),
+        (expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)") % 64)
+          .as("b"),
+        expr("CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)").as("w"))
+      val regs = bits
+        .withColumn("rho", when(col("w") === 0, lit(61L))
+          .otherwise(expr("CAST(61 - length(bin(w)) AS BIGINT)")))
+        .groupBy(col("l_returnflag"), col("b"))
+        .agg(max(col("rho")).as("register"))
+      val exact = h.select(col("l_returnflag"), col("h")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
+      val dense = exact.select(col("l_returnflag"))
+        .select(col("l_returnflag"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(63 AS BIGINT))"))
+            .as("b"))
+        .join(regs, Seq("l_returnflag", "b"), "left")
+        .withColumn("register", coalesce(col("register"), lit(0L)))
+      val est = dense.groupBy(col("l_returnflag"))
+        .agg(expr("""
+          aggregate(
+            transform(sort_array(collect_list(struct(b, register))),
+              x -> 1.0D / CAST(shiftleft(CAST(1 AS BIGINT),
+                               CAST(x.register AS INT)) AS DOUBLE)),
+            CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("z"))
+        // e0 suffixes force DOUBLE literals — a bare 0.7213 parses as
+        // DECIMAL in both engines and their decimal division rounding
+        // rules differ (α would come out 2.5e-8 off).
+        .withColumn("est",
+          expr("7213e-4 / (1e0 + 1079e-3 / 64e0) * 64e0 * 64e0 / z"))
+        .select(col("l_returnflag"), col("est"))
+      dense.join(broadcast(est), "l_returnflag")
+        .join(broadcast(exact), "l_returnflag")
+        .select(col("l_returnflag"), col("b"), col("register"),
+          col("n_exact"), col("est"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT l_returnflag, md5('hll:' || l_partkey) AS h FROM lineitem),
+      bits AS (
+        SELECT l_returnflag,
+          CAST(${DedupOps.hexToLong("h", 1, 2)} % 64 AS BIGINT) AS b,
+          CAST(${DedupOps.hexToLong("h", 3, 15)} AS BIGINT) AS w
+        FROM h),
+      r AS (
+        SELECT l_returnflag, b,
+          CAST(MAX(CASE WHEN w = 0 THEN 61
+                        ELSE 61 - length(format('{:b}', w)) END)
+               AS BIGINT) AS register
+        FROM bits GROUP BY 1, 2),
+      exact AS (
+        SELECT l_returnflag, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+        FROM h GROUP BY 1),
+      dense AS (
+        SELECT e.l_returnflag, g.b, COALESCE(r.register, 0) AS register
+        FROM exact e
+        CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS BIGINT) AS b) g
+        LEFT JOIN r ON r.l_returnflag = e.l_returnflag AND r.b = g.b),
+      z AS (
+        SELECT l_returnflag,
+          list_reduce(
+            list_transform(list(register ORDER BY b),
+              x -> 1.0 / CAST(CAST(1 AS BIGINT) << CAST(x AS INT)
+                              AS DOUBLE)),
+            (a, x) -> a + x) AS z
+        FROM dense GROUP BY 1)
+      SELECT d.l_returnflag, d.b, d.register, e.n_exact,
+        7213e-4 / (1e0 + 1079e-3 / 64e0) * 64e0 * 64e0 / z.z AS est
+      FROM dense d
+      JOIN exact e ON e.l_returnflag = d.l_returnflag
+      JOIN z ON z.l_returnflag = d.l_returnflag"""))
+
   val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau,
-    q152QuantileSketch, q154GroupQuantiles)
+    q152QuantileSketch, q154GroupQuantiles, q167HllRegisters)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{OpSpec, Tables}
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the text half of
@@ -1117,6 +1118,67 @@ object TextOps {
       GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT 20"""))
 
+  /** q182: pseudo-relevance-feedback query expansion — the classic IR
+    * second pass over q124: run the BM25 retrieval, take the top-3
+    * feedback documents, and mine their dominant terms (summed TF
+    * across the feedback set, ties term asc) as expansion candidates,
+    * excluding the original query terms (anti-join) and the global
+    * top-5-df stop band (PRF without a df guard expands into "the" —
+    * the integer-rank stand-in for idf weighting, which the oracle's
+    * no-log rule forbids; the band is 5 here because the synthetic
+    * corpus has a ~31-term vocabulary — production sizes it to its
+    * stopword mass). Emits the 5 expansion terms with their
+    * feedback mass. Scale: stage 1 is q124's plan; stage 2 touches
+    * only the 3 feedback docs' TF rows via a broadcast semi-join. */
+  val q182PrfExpansion = OpSpec(
+    "q182_prf_expansion",
+    (s, dir) => {
+      val top3 = q124Bm25.query(s, dir)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      val docs = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+      val tf = docs
+        .select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      def head(k: Int) = dfTab
+        .orderBy(col("df").desc, col("term").asc).limit(k)
+      val qterms = head(14).exceptAll(head(9)).select(col("term"))
+      val stopBand = head(5).select(col("term"))
+      tf.join(broadcast(top3), "doc_id")
+        .join(broadcast(qterms), Seq("term"), "left_anti")
+        .join(broadcast(stopBand), Seq("term"), "left_anti")
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("total_tf"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("total_tf").desc, col("term").asc).limit(5)
+    },
+    Some(s"""
+      WITH top3 AS (
+        SELECT doc_id FROM (${q124Bm25.oracle.get})
+        ORDER BY score DESC, doc_id ASC LIMIT 3),
+      w AS (SELECT doc_id, $wordsDuck AS words FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM w)
+        GROUP BY 1, 2),
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      ranked AS (SELECT term, row_number() OVER
+                   (ORDER BY df DESC, term ASC) AS r FROM dfs),
+      qterms AS (SELECT term FROM ranked WHERE r BETWEEN 10 AND 14),
+      stopband AS (SELECT term FROM ranked WHERE r <= 5)
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tf
+      WHERE doc_id IN (SELECT doc_id FROM top3)
+        AND term NOT IN (SELECT term FROM qterms)
+        AND term NOT IN (SELECT term FROM stopband)
+      GROUP BY term
+      ORDER BY total_tf DESC, term ASC LIMIT 5"""))
+
   /** Number of BPE merge rounds trained by q132. */
   private val BpeRounds = 10
 
@@ -1270,10 +1332,197 @@ object TextOps {
       JOIN perword USING (word)
       GROUP BY doc_id"""))
 
+  /** q185: sentence-segmentation QA — the sentence-level half of the
+    * quality ladder (q21 counts words, q75 gates documents; this
+    * audits SENTENCES): split on terminal punctuation runs `[.!?]+`
+    * (identical regex semantics in Java regex and RE2 for this
+    * character-class pattern), drop whitespace-only fragments, and
+    * roll up per source: sentence volume, exact mean length (one
+    * int-ratio division), the longest sentence, and how many docs
+    * contain a run-on (> 200 chars — the Gopher-style "no terminal
+    * punctuation for paragraphs" smell). Scale: one explode bounded by
+    * corpus characters, two partial-aggregated group-bys. */
+  val q185SentenceStats = OpSpec(
+    "q185_sentence_stats",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(expr("""filter(transform(split(text, '[.!?]+'),
+            x -> trim(x)), x -> length(x) > 0)""")).as("sent"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(length(sent) AS BIGINT)").as("slen"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sent"), sum(col("slen")).as("chars"),
+          max(col("slen")).as("max_slen"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sent")).as("n_sentences"),
+          sum(col("chars")).as("sum_chars"),
+          max(col("max_slen")).as("longest"),
+          sum(when(col("max_slen") > 200, 1L).otherwise(0L))
+            .as("n_runon_docs"))
+        .select(col("source"), col("n_docs"), col("n_sentences"),
+          (col("sum_chars").cast("double") /
+            col("n_sentences").cast("double")).as("mean_sentence_len"),
+          col("longest"), col("n_runon_docs"))
+    },
+    Some("""
+      WITH sent AS (
+        SELECT doc_id, source, CAST(length(x) AS BIGINT) AS slen
+        FROM (
+          SELECT doc_id, source, trim(raw) AS x
+          FROM (SELECT doc_id, source,
+                  UNNEST(string_split_regex(text, '[.!?]+')) AS raw
+                FROM documents))
+        WHERE length(x) > 0),
+      perdoc AS (
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_sent,
+          CAST(SUM(slen) AS BIGINT) AS chars, MAX(slen) AS max_slen
+        FROM sent GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+        CAST(SUM(chars) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE)
+          AS mean_sentence_len,
+        MAX(max_slen) AS longest,
+        CAST(SUM(CASE WHEN max_slen > 200 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_runon_docs
+      FROM perdoc
+      GROUP BY source"""))
+
+  /** q180: compressibility proxy gate — Gopher-style repetitiveness
+    * filtering without a compressor: a doc whose character 4-grams are
+    * mostly repeats of a few shapes (n_distinct/n_total low) is
+    * boilerplate/spam; one whose grams are near-all-distinct is
+    * natural text. Flags docs with 4·distinct < 3·total (pure integer
+    * threshold, the q50 discipline) and rolls up per source: doc
+    * count, flagged count, and the corpus-level distinct/total ratio
+    * (one exact-int division). The substring-level complement to
+    * q57's word-level repetition and q75's rule gates. Scale: the
+    * gram explode is ~len rows per doc feeding a partial-aggregated
+    * (doc, gram) distinct — same shuffle family as q50's gram build,
+    * bounded by corpus character count. */
+  val q180CompressProxy = OpSpec(
+    "q180_compress_proxy",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(expr("sequence(1, length(text) - 3)")).as("i"))
+        .select(col("doc_id"), col("source"),
+          expr("substring(text, i, 4)").as("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(countDistinct(col("g")).as("n_distinct"),
+          count(lit(1)).as("n_total"))
+        .withColumn("repetitive",
+          lit(4) * col("n_distinct") < lit(3) * col("n_total"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("repetitive"), 1L).otherwise(0L))
+            .as("n_repetitive"),
+          sum(col("n_distinct")).as("sum_distinct"),
+          sum(col("n_total")).as("sum_total"))
+        .withColumn("corpus_ratio",
+          col("sum_distinct").cast("double") /
+            col("sum_total").cast("double"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, source, substr(text, CAST(i AS INT), 4) AS g
+        FROM (SELECT doc_id, source, text,
+                UNNEST(range(1, length(text) - 2)) AS i
+              FROM documents WHERE length(text) >= 4)),
+      perdoc AS (
+        SELECT doc_id, source,
+          CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+          CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM g GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN 4 * n_distinct < 3 * n_total THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_repetitive,
+        CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+        CAST(SUM(n_total) AS BIGINT) AS sum_total,
+        CAST(SUM(n_distinct) AS DOUBLE) / CAST(SUM(n_total) AS DOUBLE)
+          AS corpus_ratio
+      FROM perdoc
+      GROUP BY source"""))
+
+  /** q171: vocabulary coverage curve — for budget k ∈ {10,100,1000},
+    * what fraction of all token OCCURRENCES the top-k most frequent
+    * words cover (ties broken by word asc, so the "top-k" is uniquely
+    * defined in both engines). The curve that sizes a tokenizer vocab /
+    * decides a UNK budget before a q132-style BPE train. Scale shape:
+    * the corpus collapses to its vocab first (partial-aggregated word
+    * counts — the only corpus-size pass); ranking + running sum then
+    * run on the VOCAB table, which is bounded (millions of types, not
+    * corpus tokens), the same single-partition-window-over-aggregate
+    * concession as q66/q76; the k fan-out is a 3× explode of that. */
+  val q171VocabCoverage = OpSpec(
+    "q171_vocab_coverage",
+    (s, dir) => {
+      // NO global window over the vocab (sweep-audited): global rank in
+      // (n desc, word asc) order = per-frequency row_number + broadcast
+      // offsets from the frequency-of-frequencies histogram (bounded:
+      // one row per DISTINCT count value — Zipf makes this tiny), and
+      // the running occurrence total telescopes to offocc + rnw·n
+      // because every word in a frequency class contributes the same n.
+      val sq = s; import sq.implicits._
+      val vocab = table(s, dir, "documents")
+        .select(explode(expr(wordsSpark)).as("w"))
+        .select(lower(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .persist()
+      val ff = vocab.groupBy(col("n")).agg(count(lit(1)).as("cw"))
+        .collect().sortBy(-_.getLong(0))
+      var cumW = 0L; var cumOcc = 0L
+      val offsets = ff.map { r =>
+        val n0 = r.getLong(0); val cw = r.getLong(1)
+        val o = (n0, cumW, cumOcc)
+        cumW += cw; cumOcc += n0 * cw; o
+      }.toSeq
+      val total = cumOcc
+      val offDf = broadcast(offsets.toDF("n", "offw", "offocc"))
+      vocab.join(offDf, "n")
+        .withColumn("rnw", row_number().over(
+          Window.partitionBy(col("n")).orderBy(col("word"))).cast("long"))
+        .select((col("offw") + col("rnw")).as("rn"),
+          (col("offocc") + col("rnw") * col("n")).as("cum"),
+          explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("k"))
+        .agg(max(col("rn")).as("n_vocab_used"),
+          max(col("cum")).as("covered"))
+        .select(col("k"), col("n_vocab_used"), col("covered"),
+          lit(total).as("total"),
+          (col("covered").cast("double") / lit(total).cast("double"))
+            .as("coverage"))
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT lower(unnest($wordsDuck)) AS word FROM documents)
+        GROUP BY word),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)
+            AS rn,
+          SUM(n) OVER (ORDER BY n DESC, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vocab),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab)
+      SELECT k, MAX(rn) AS n_vocab_used,
+        CAST(MAX(cum) AS BIGINT) AS covered,
+        CAST(MAX(t.total) AS BIGINT) AS total,
+        CAST(MAX(cum) AS DOUBLE) / CAST(MAX(t.total) AS DOUBLE)
+          AS coverage
+      FROM ranked,
+        (SELECT CAST(UNNEST([10, 100, 1000]) AS BIGINT) AS k) ks, tot t
+      WHERE rn <= k
+      GROUP BY k"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
     q70PiiRedact, q74ChunkOverlap, q75GopherRules, q76TfIdf,
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
-    q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain, q133BpeTokens)
+    q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain,
+    q133BpeTokens, q171VocabCoverage, q180CompressProxy,
+    q182PrfExpansion, q185SentenceStats)
 }

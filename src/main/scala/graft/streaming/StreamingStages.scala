@@ -347,6 +347,97 @@ object StreamingStages {
     },
     graft.ops.EventOps.q20RangeJoin.oracle)
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the
+    * [[streamStreamRangeJoin]] shape plus the stateful null-emission
+    * path: an error with no purchase inside its 5-minute window is
+    * held in state until the watermark proves no future match can
+    * arrive, then emitted once with NULL purchase columns. The
+    * "which errors never converted" stream a funnel alert consumes. */
+  def streamStreamLeftJoin(errors: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val a = errors
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = purchases
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("error_id"), col("purchase_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("lag_us"),
+        col("a_ts"))
+  }
+
+  private val ssljSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q175: [[streamStreamLeftJoin]] as a REAL streaming query under the
+    * gate. Matches are arrival-insensitive (the q114 property); the
+    * null-extended rows are NOT — they emit only once the final
+    * watermark (min over both inputs of max-event-time − 1h) passes a
+    * row's match window, and the exact eviction boundary is an engine
+    * implementation detail. The gate therefore compares inside the
+    * PROVABLY-EMITTED region only: both engines drop unmatched rows
+    * with a_ts above safe = min(maxE, maxP) − 1h − 5min − 1s (every
+    * unmatched error below it is watermark-expired under any eviction
+    * rule variant; the 1 s guard absorbs the boundary-strictness
+    * ambiguity). Verified empirically at two SFs: Spark emits every
+    * sub-bound unmatched row and withholds only above-watermark ones. */
+  val q175StreamingLeftJoin: graft.OpSpec = graft.OpSpec(
+    "q175_streaming_left_join",
+    (s, dir) => {
+      val id = ssljSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q175_mem_${id - 1}")
+      val name = s"q175_mem_$id"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val ev = eventsStream(s, s"$dir/events.parquet")
+        runToMemory(streamStreamLeftJoin(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "purchase")),
+          name, "append").stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val bounds = graft.Tables.table(s, dir, "events").agg(
+        max(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("me"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("mp")).collect()(0)
+      val safe = math.min(bounds.getLong(0), bounds.getLong(1)) -
+        3600000000L - 300000000L - 1000000L
+      s.table(name)
+        .filter(col("purchase_id").isNotNull ||
+          unix_micros(col("a_ts")) < safe)
+        .select(col("user_id"), col("error_id"), col("purchase_id"),
+          col("lag_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id AS error_id, ts AS a_ts
+                 FROM events WHERE event_type = 'error'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts AS b_ts
+            FROM events WHERE event_type = 'purchase'),
+      mx AS (SELECT least(
+          (SELECT max(epoch_us(ts)) FROM events
+           WHERE event_type = 'error'),
+          (SELECT max(epoch_us(ts)) FROM events
+           WHERE event_type = 'purchase'))
+          - 3600000000 - 300000000 - 1000000 AS safe)
+      SELECT e.user_id, e.error_id, p.purchase_id,
+        epoch_us(p.b_ts) - epoch_us(e.a_ts) AS lag_us
+      FROM e JOIN p ON p.user_id = e.user_id
+        AND p.b_ts >= e.a_ts AND p.b_ts < e.a_ts + INTERVAL 5 MINUTES
+      UNION ALL
+      SELECT e.user_id, e.error_id, CAST(NULL AS BIGINT) AS purchase_id,
+        CAST(NULL AS BIGINT) AS lag_us
+      FROM e, mx
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = e.user_id
+          AND p.b_ts >= e.a_ts AND p.b_ts < e.a_ts + INTERVAL 5 MINUTES)
+        AND epoch_us(e.a_ts) < mx.safe"""))
+
   private val sessSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q122: [[sessionAgg]] as a REAL streaming query under the gate —
@@ -550,6 +641,7 @@ object StreamingStages {
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
+      q175StreamingLeftJoin,
       q122StreamingSession, q123StreamingHopping,
       q127StreamingUserStats, q128StreamingEnrich,
       q158StreamingEnrichedRollup, q159StreamingEventSeq)

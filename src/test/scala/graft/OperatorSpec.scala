@@ -1160,8 +1160,23 @@ class OperatorSpec extends AnyFunSuite {
                            // prune itself is an equi-join (spec'd)
       "q152_quantile_sketch", // 1-row sample-count scalar (q76 shape)
       "q160_hamming_search", // 20-query packed-code broadcast (q30 shape)
-      "q162_staged_retrieval") // same bounded broadcast in its
+      "q162_staged_retrieval", // same bounded broadcast in its
                                // Hamming prefilter stage
+      "q173_curriculum_schedule", // 10-row decile triangle join for the
+                                  // cumulative budget (aggregate-sized)
+      "q174_cluster_agreement", // two 1-row metric-total scalars
+      "q177_blocking_audit", // 1-row corpus-count scalar broadcast
+      "q178_simhash_sweep", // ≤7-row per-Hamming count table × 7 t's
+      "q181_power_iteration", // 1-row ∞-norm / Rayleigh scalars per
+                              // iteration (8-row vector payloads)
+      "q186_matryoshka_recall", // bounded 20-query broadcast scan
+                                // (q30 shape, both cosines in one pass)
+      "q182_prf_expansion", // inherits q124's 1-row corpus-stats
+                            // scalar broadcast in its retrieval stage
+      "q187_maxsim_retrieval", // bounded 20-query × 4-slice broadcast
+                               // scan (q30 shape, constant 16× factor)
+      "q190_dataset_card", // 1-row stats × 1-row top-lang scalars
+      "q191_mrr_eval") // bounded 20-query broadcast scan (q186 shape)
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -2332,5 +2347,398 @@ class OperatorSpec extends AnyFunSuite {
           s"est $est vs exact $exact")
       }
     }
+  }
+
+  test("q167 HLL: shard-merge == whole-corpus registers, estimate sane") {
+    // the invariant that makes the sketch storable per partition:
+    // max-merge of disjoint shard registers equals the union's registers
+    val base = Tables.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), (col("l_orderkey") % 4).as("shard"),
+        md5(concat(lit("hll:"), col("l_partkey")).cast("binary")).as("h"))
+      .select(col("l_returnflag"), col("shard"),
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) % 64 AS BIGINT)")
+          .as("b"),
+        expr("CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(61L))
+        .otherwise(expr("CAST(61 - length(bin(w)) AS BIGINT)")))
+    val whole = base.groupBy(col("l_returnflag"), col("b"))
+      .agg(max(col("rho")).as("register"))
+    val merged = base.groupBy(col("l_returnflag"), col("shard"), col("b"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(max(col("r")).as("register"))
+    assert(merged.except(whole).count() == 0 &&
+      whole.except(merged).count() == 0)
+    // the gated query's non-empty registers match the direct computation
+    val q = SparkEntry.queries("q167_hll_registers")(spark, sf)
+    assert(q.filter(col("register") > 0)
+      .select(col("l_returnflag"), col("b"), col("register"))
+      .except(whole.filter(col("register") > 0)).count() == 0)
+    // raw HLL estimate within a generous band (m=64 → ~13% rse; no
+    // small-range correction by design, so allow wide)
+    q.select(col("n_exact"), col("est")).distinct().collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getLong(0)) / r.getLong(0) < 0.5)
+    }
+  }
+
+  test("q169 weighted sample: equals brute-force A-ES min-draw ranking") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val w = math.max(1L, math.min(8L, r.getLong(2) / 256))
+        val key = (1L to w).map(j => md5hex(s"wsample:$id:$j")).min
+        (id, r.getString(1), w, key)
+      }.sortBy(t => (t._4, t._1)).take(30).toSeq
+    val got = SparkEntry.queries("q169_weighted_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("q168 covariance: 36 upper-triangle cells, exact unit diagonal") {
+    val rows = SparkEntry.queries("q168_embedding_covariance")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.size == 36 &&
+      rows.keySet == (for (i <- 0L to 7L; j <- i to 7L) yield (i, j)).toSet)
+    (0L to 7L).foreach { i =>
+      val (cov, corr) = rows((i, i))
+      assert(cov > 0 && corr == 1.0) // num/sqrt(num·num) is exactly 1
+    }
+    rows.values.foreach { case (_, corr) =>
+      assert(corr >= -1.0 && corr <= 1.0)
+    }
+  }
+
+  test("q171 vocab coverage: monotone in k, bounded by 1") {
+    val rows = SparkEntry.queries("q171_vocab_coverage")(spark, sf)
+      .orderBy(col("k")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 100L, 1000L))
+    val cov = rows.map(_.getDouble(4))
+    assert(cov.sameElements(cov.sorted) && cov.forall(c => c > 0 && c <= 1))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(1) <= r.getLong(0))
+    }
+  }
+
+  test("q173 curriculum: 10 deciles, cumulative budget strictly increases") {
+    val rows = SparkEntry.queries("q173_curriculum_schedule")(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val cum = rows.map(_.getLong(5))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b > a })
+    assert(cum.last == rows.map(_.getLong(2)).sum)
+    // deciles are ordered by difficulty: min_chars nondecreasing
+    val mins = rows.map(_.getLong(3))
+    assert(mins.zip(mins.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("q172 minhash error audit: estimates and exacts in [0,1], " +
+    "error column consistent") {
+    val rows = SparkEntry.queries("q172_minhash_error")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nm, jEst, jEx, err) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(nm >= 0 && nm <= 12)
+      assert(jEst >= 0 && jEst <= 1 && jEx >= 0 && jEx <= 1)
+      assert(err == math.abs(jEst - jEx))
+    }
+  }
+
+  test("q174 cluster agreement: metric bounds hold on the real assignment") {
+    val r = SparkEntry.queries("q174_cluster_agreement")(spark, sf)
+      .collect().head
+    val (n, purity, rand, ari) =
+      (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n > 0 && purity > 0 && purity <= 1)
+    assert(rand >= 0 && rand <= 1 && ari <= 1.0)
+  }
+
+  test("q176 compaction plan: contiguous bins, mass preserved, " +
+    "non-final bins close at the target boundary") {
+    val target = 4096L
+    val rows = SparkEntry.queries("q176_compaction_plan")(spark, sf)
+      .collect()
+      .groupBy(_.getString(0)).toSeq
+    val totalBytes = Tables.table(spark, sf, "documents")
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(rows.map(_._2.map(_.getLong(3)).sum).sum == totalBytes)
+    rows.foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      // bins numbered contiguously from 0, doc ranges ordered
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (0L until sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ =>
+      }
+      // every non-final bin closed because it crossed its boundary
+      var cum = 0L
+      sorted.dropRight(1).foreach { b =>
+        cum += b.getLong(3)
+        assert(cum >= (b.getLong(1) + 1) * target)
+      }
+    }
+  }
+
+  test("q178 simhash sweep: cumulative, monotone, t=6 equals q29") {
+    val sweep = SparkEntry.queries("q178_simhash_sweep")(spark, sf)
+      .orderBy(col("t")).collect()
+    assert(sweep.map(_.getLong(0)).toSeq == (0L to 6L))
+    val counts = sweep.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b >= a })
+    val q29n = SparkEntry.queries("q29_simhash_pairs")(spark, sf).count()
+    assert(counts.last == q29n)
+  }
+
+  test("q179 epoch shuffle: reproducible, epochs decorrelate") {
+    val a = SparkEntry.queries("q179_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = SparkEntry.queries("q179_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b) // rerun-stable
+    val byEpoch = a.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(byEpoch.keySet == Set(0L, 1L, 2L) &&
+      byEpoch.values.forall(_.length == 5))
+    assert(byEpoch.values.toSeq.distinct.length > 1) // orders differ
+  }
+
+  test("q177 blocking audit: budgets bounded by all-pairs, blocks sane") {
+    val n = Tables.table(spark, sf, "part").count()
+    val rows = SparkEntry.queries("q177_blocking_audit")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (blocks, mx, budget, red) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(blocks >= 1 && mx <= n && budget <= n * (n - 1) / 2)
+      assert(red > 0 && red <= 1)
+    }
+  }
+
+  test("q181 power iteration: unit ∞-norm loading, positive dominant " +
+    "eigenvalue, small residual") {
+    val rows = SparkEntry.queries("q181_power_iteration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 8)
+    val lambda = rows.head._3
+    assert(lambda > 0) // covariance is PSD; dominant eigenvalue > 0
+    assert(math.abs(rows.map(r => math.abs(r._2)).max - 1.0) < 1e-12)
+    // residual check: ‖Mv − λv‖∞ small relative to λ (3 iterations)
+    val v = rows.sortBy(_._1).map(_._2)
+    val cov = SparkEntry.queries("q168_embedding_covariance")(spark, sf)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getDouble(2))).toMap
+    def m(i: Int, j: Int) = cov.getOrElse((i min j, i max j), 0.0)
+    val mv = (0 until 8).map(i => (0 until 8).map(j => m(i, j) * v(j)).sum)
+    val resid = (0 until 8).map(i => math.abs(mv(i) - lambda * v(i))).max
+    assert(resid < 0.2 * lambda, s"residual $resid vs lambda $lambda")
+  }
+
+  test("q180 compress proxy: ratios in (0,1], flags consistent") {
+    val rows = SparkEntry.queries("q180_compress_proxy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, rep, d, t, ratio) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(rep <= docs && d <= t && ratio > 0 && ratio <= 1)
+      assert(ratio == d.toDouble / t.toDouble)
+    }
+  }
+
+  test("q183 k-core: degrees match surviving edge set, peel is at " +
+    "fixpoint on this fixture") {
+    val out = SparkEntry.queries("q183_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // recompute: support>=2 edges, 3 peels at k=2 (brute force)
+    val lines = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = lines.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }
+    // .iterator is load-bearing: Map.collect yielding tuples would
+    // rebuild a Map keyed on edge._1 and silently collapse edges
+    var edges = allPairs.groupBy(identity).iterator
+      .collect { case (e, os) if os.size >= 2 => e }.toSet
+    def peel(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.collect { case (n, d) if d >= 2 => n }.toSet
+      es.filter(e => keep(e._1) && keep(e._2))
+    }
+    val e3 = peel(peel(peel(edges)))
+    val expect = e3.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == expect)
+    assert(peel(e3) == e3) // converged on this fixture — a 4th round
+                           // would change nothing
+  }
+
+  test("q184 lateness audit: counts consistent, skew matches brute force") {
+    val rows = SparkEntry.queries("q184_lateness_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // brute-force one event type
+    val tpe = rows.head.getString(0)
+    val evs = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === tpe)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id")).collect().map(_.getLong(1))
+    var mx = Long.MinValue; var late = 0L; var maxSkew = 0L
+    evs.foreach { us =>
+      if (mx > us) { late += 1; maxSkew = math.max(maxSkew, mx - us) }
+      mx = math.max(mx, us)
+    }
+    val row = rows.find(_.getString(0) == tpe).get
+    assert(row.getLong(2) == late && row.getLong(4) == maxSkew)
+  }
+
+  test("q185 sentence stats: bounds hold, run-on flags within doc counts") {
+    val rows = SparkEntry.queries("q185_sentence_stats")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+      assert(r.getDouble(3) > 0 && r.getLong(4) >= 1)
+      assert(r.getLong(5) <= r.getLong(1))
+    }
+  }
+
+  test("q186 matryoshka recall: 20 queries, recall consistent and bounded") {
+    val rows = SparkEntry.queries("q186_matryoshka_recall")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, rec) = (r.getLong(1), r.getDouble(2))
+      assert(n >= 0 && n <= 10 && rec == n.toDouble / 10.0)
+    }
+    // prefix ranking carries signal: mean recall beats random-overlap
+    val mean = rows.map(_.getLong(1)).sum.toDouble / (10 * rows.length)
+    assert(mean > 0.05, s"mean prefix recall $mean")
+  }
+
+  test("q182 PRF expansion: 5 terms, none from the query band") {
+    val out = SparkEntry.queries("q182_prf_expansion")(spark, sf)
+      .collect()
+    assert(out.length == 5 && out.forall(_.getLong(1) > 0))
+    // recompute the query-term band (df rank 10..14) and assert disjoint
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(expr(
+        "filter(split(text, '\\\\s+'), x -> length(x) > 0)")).as("t"))
+      .groupBy(col("t")).agg(countDistinct(lit(1)))
+    val dfTab = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, '\\\\s+'), x -> length(x) > 0)")).as("t"))
+      .distinct().groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc).collect()
+    val band = dfTab.slice(9, 14).map(_.getString(0)).toSet
+    val stop = dfTab.take(5).map(_.getString(0)).toSet
+    out.foreach { r =>
+      assert(!band(r.getString(0)) && !stop(r.getString(0)))
+    }
+  }
+
+  test("q187 maxsim: 5 ranked hits per query, scores bounded by slice " +
+    "count") {
+    val rows = SparkEntry.queries("q187_maxsim_retrieval")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.size == 20)
+    rows.values.foreach { hits =>
+      val sorted = hits.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 5L))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(v => v <= 4.0 + 1e-9 && v >= -4.0 - 1e-9))
+    }
+  }
+
+  test("q189 Theil-Sen: matches brute-force pairwise-slope median") {
+    val rows = SparkEntry.queries("q189_theil_sen")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tpe = rows.head.getString(0)
+    val daily = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === tpe)
+      .select(expr("""CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')
+        AS BIGINT)""").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slopes = (for {
+      i <- daily.indices; j <- daily.indices
+      if daily(i)._1 < daily(j)._1
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1)).sorted
+    val n = slopes.length
+    val med = (slopes((n - 1) / 2) + slopes(n / 2)) / 2
+    val row = rows.find(_.getString(0) == tpe).get
+    assert(row.getLong(1) == daily.length && row.getLong(2) == n)
+    assert(math.abs(row.getDouble(3) - med) < 1e-12,
+      s"${row.getDouble(3)} vs $med")
+  }
+
+  test("q188 winsorized mean: bounded between clips, pulls toward " +
+    "center vs raw mean extremes") {
+    val rows = SparkEntry.queries("q188_winsorized_mean")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, wm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi && wm >= lo && wm <= hi)
+    }
+  }
+
+  test("q190 dataset card: one row, internally consistent ratios") {
+    val r = SparkEntry.queries("q190_dataset_card")(spark, sf)
+      .collect().head
+    val (nDocs, chars, meanChars) =
+      (r.getLong(0), r.getLong(3), r.getDouble(4))
+    assert(nDocs > 0 && meanChars == chars.toDouble / nDocs)
+    assert(r.getDouble(7) >= 0 && r.getDouble(7) < 1) // dup_rate
+    val share = r.getDouble(9)
+    assert(share > 0 && share <= 1 &&
+      share >= 1.0 / math.max(1L, r.getLong(2))) // top lang ≥ uniform
+  }
+
+  test("q191 MRR: rr consistent with rank, agrees with q186 overlap " +
+    "direction") {
+    val rows = SparkEntry.queries("q191_mrr_eval")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val rank = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val rr = r.getDouble(3)
+      rank match {
+        case Some(k) => assert(k >= 1 && k <= 10 && rr == 1.0 / k)
+        case None => assert(rr == 0.0)
+      }
+    }
+  }
+
+  test("q170 normalized dedup: keeper per group, canon never longer") {
+    val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
+    val nGroups = df.select(col("nk")).distinct().count()
+    assert(df.filter(col("is_keeper")).count() == nGroups)
+    assert(df.filter(col("n_canon") > col("n_raw")).count() == 0)
+    // keeper is the group min and copy counts agree with group sizes
+    val bad = df.groupBy(col("nk"))
+      .agg(min(col("doc_id")).as("lo"), count(lit(1)).as("c"),
+        first(col("keep_id")).as("k"), first(col("n_copies")).as("nc"))
+      .filter(col("lo") =!= col("k") || col("c") =!= col("nc")).count()
+    assert(bad == 0)
   }
 }
