@@ -307,6 +307,77 @@ object CurationOps {
           AS cum_tokens
       FROM agg"""))
 
+  /** q200: curation pipeline v3 — the end-to-end shape a modern
+    * training-data run composes from this round's parts, as ONE query:
+    * canonical-form dedup (q170's C4-style normalization keys, keep
+    * min-id) → quality gate (q49's exact-rational score ≥ 0.5) →
+    * WEIGHTED priority selection (q169's min-of-w-draws A-ES sampling,
+    * weight = length tier) of the final 40-doc training slice, emitted
+    * with lineage (quality, weight, selection key). Three stages,
+    * three shuffle families: one hash group-by for the keys, one
+    * per-row gate, one ≤8× explode collapsing map-side to a global
+    * TakeOrdered — the v1 (q49) / v2 (q100) discipline carried to the
+    * round-6 operator set. */
+  val q200PipelineV3 = OpSpec(
+    "q200_pipeline_v3",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")).cast("binary")).as("nk"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("words", expr(TextOps.wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_punct", expr(
+          "CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          s"""CAST(size(filter(words, w -> w IN
+              (${TextOps.stopwordsSql}))) AS BIGINT)"""))
+        .withColumn("quality",
+          expr(TextOps.qualityFormula("length(text)")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("w", expr("""CAST(least(8, greatest(1,
+          floor(CAST(n_chars AS DOUBLE) / 256))) AS BIGINT)"""))
+        .withColumn("j", explode(expr("sequence(CAST(1 AS BIGINT), w)")))
+        .withColumn("draw", md5(concat(lit("wsel:"), col("doc_id"),
+          lit(":"), col("j")).cast("binary")))
+        .groupBy(col("doc_id"), col("source"), col("lang"),
+          col("quality"), col("w"))
+        .agg(min(col("draw")).as("key"))
+        .orderBy(col("key"), col("doc_id")).limit(40)
+    },
+    Some(s"""
+      WITH keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                         'g')))),
+      kept AS (
+        SELECT d.* FROM documents d SEMI JOIN keepers USING (doc_id)),
+      scored AS (
+        SELECT doc_id, source, lang, n_chars,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(len(list_filter(words, w -> w IN
+               (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
+          length(text) AS len_text
+        FROM (SELECT *, ${TextOps.wordsDuck} AS words FROM kept)),
+      gated AS (
+        SELECT doc_id, source, lang,
+          ${TextOps.qualityFormula("len_text")} AS quality,
+          CAST(least(8, greatest(1,
+            floor(CAST(n_chars AS DOUBLE) / 256))) AS BIGINT) AS w
+        FROM scored
+        WHERE ${TextOps.qualityFormula("len_text")} >= 5e-1)
+      SELECT doc_id, source, lang, quality, w,
+        MIN(md5('wsel:' || doc_id || ':' || j)) AS key
+      FROM gated, (SELECT CAST(UNNEST(range(1, 9)) AS BIGINT) AS j) g
+      WHERE j <= w
+      GROUP BY doc_id, source, lang, quality, w
+      ORDER BY key, doc_id LIMIT 40"""))
+
   /** q190: the dataset card — the one-row corpus summary a published
     * dataset ships with (volume, source/language spread, token mass,
     * duplication, dominant language and its share), assembled from
@@ -373,5 +444,5 @@ object CurationOps {
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
-    q190DatasetCard)
+    q190DatasetCard, q200PipelineV3)
 }

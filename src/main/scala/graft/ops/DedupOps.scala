@@ -2316,6 +2316,55 @@ object DedupOps {
       FROM blocks, n
       GROUP BY strategy"""))
 
+  /** q195: LSH recall audit — the probabilistic pipeline measured
+    * against exact ground truth: every pair the lossless q50 ppjoin
+    * proves has Jaccard ≥ 3/4 is checked for presence in q27's
+    * MinHash-LSH output (any such pair clears q27's 1/4 verify
+    * threshold, so absence means the BANDS missed it — the only
+    * failure mode LSH has). Emits each truth pair with its exact
+    * Jaccard, a found flag, and the corpus-level truth/found counts +
+    * recall (the number that justifies K=12/B=4 at 100 TB, or doesn't).
+    * Pure reuse of two gated queries + one equi-join; the totals are a
+    * 1-row scalar broadcast. */
+  val q195LshRecallAudit = OpSpec(
+    "q195_lsh_recall_audit",
+    (s, dir) => {
+      val truth = q50NgramJaccard.query(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val lsh = q27MinhashLsh.query(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+      val flagged = truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .withColumn("found", coalesce(col("found"), lit(false)))
+        .persist()
+      val totals = flagged.agg(count(lit(1)).as("n_truth"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+      flagged.crossJoin(broadcast(totals))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("found"),
+          col("n_truth"), col("n_found"),
+          (col("n_found").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    },
+    Some(s"""
+      WITH truth AS (
+        SELECT doc_a, doc_b, jaccard FROM (${q50NgramJaccard.oracle.get})),
+      lsh AS (
+        SELECT doc_a, doc_b, TRUE AS found
+        FROM (${q27MinhashLsh.oracle.get})),
+      flagged AS (
+        SELECT t.doc_a, t.doc_b, t.jaccard,
+          COALESCE(l.found, FALSE) AS found
+        FROM truth t LEFT JOIN lsh l
+          ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b),
+      totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_found
+        FROM flagged)
+      SELECT f.doc_a, f.doc_b, f.jaccard, f.found,
+        t.n_truth, t.n_found,
+        CAST(t.n_found AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
+      FROM flagged f CROSS JOIN totals t"""))
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
@@ -2323,5 +2372,5 @@ object DedupOps {
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
-    q177BlockingAudit, q178SimhashSweep)
+    q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit)
 }

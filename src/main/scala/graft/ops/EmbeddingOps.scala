@@ -2082,6 +2082,85 @@ object EmbeddingOps {
       FROM rel LEFT JOIN pr
         ON pr.query_id = rel.query_id AND pr.rel_id = rel.rel_id"""))
 
+  /** q192: Spearman rank correlation between the full-64d and 16-dim
+    * prefix cosine rankings, per query — the whole-list order metric
+    * completing the truncation-audit trio (q186 = set overlap, q191 =
+    * head placement, this = global monotonicity). ρ = 1 − 6Σd²/(n³−n)
+    * is pure integer arithmetic until one final double division (no
+    * ties: cosine ties are broken by vec_id in BOTH rankings, so ranks
+    * are permutations and the classic formula is exact). Scale: the
+    * same one-pass dual-cosine broadcast scan; the rank diff is two
+    * partitioned windows + a per-query sum — O(n) per query, not a
+    * pair table. */
+  val q192SpearmanEval = OpSpec(
+    "q192_spearman_eval",
+    (s, dir) => {
+      val base = table(s, dir, "embeddings")
+        .withColumn("p16", expr("slice(embedding, 1, 16)"))
+        .withColumn("ssf", graft.functions.VectorFunctions
+          .dot(col("embedding"), col("embedding")))
+        .withColumn("ssp", graft.functions.VectorFunctions
+          .dot(col("p16"), col("p16")))
+        .withColumn("nrmf",
+          when(col("ssf") === 0.0, lit(1.0)).otherwise(sqrt(col("ssf"))))
+        .withColumn("nrmp",
+          when(col("ssp") === 0.0, lit(1.0)).otherwise(sqrt(col("ssp"))))
+        .drop("ssf", "ssp")
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qf"),
+          col("p16").as("qp"), col("nrmf").as("qnf"), col("nrmp").as("qnp"))
+      base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cf", graft.functions.VectorFunctions
+          .dot(col("qf"), col("embedding")) / (col("qnf") * col("nrmf")))
+        .withColumn("cp", graft.functions.VectorFunctions
+          .dot(col("qp"), col("p16")) / (col("qnp") * col("nrmp")))
+        .withColumn("rf", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cf").desc, col("vec_id").asc)).cast("long"))
+        .withColumn("rp", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cp").desc, col("vec_id").asc)).cast("long"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM((rf - rp) * (rf - rp)) AS BIGINT)").as("d2"))
+        .select(col("query_id"), col("n"), col("d2"),
+          expr("""1e0 - 6e0 * CAST(d2 AS DOUBLE)
+                  / CAST(n * n * n - n AS DOUBLE)""").as("rho"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, embedding[1:16] AS p16,
+          CASE WHEN ${dotDuck("embedding", "embedding")} = 0 THEN 1e0
+               ELSE sqrt(${dotDuck("embedding", "embedding")}) END AS nrmf,
+          CASE WHEN ${dotDuck("embedding[1:16]", "embedding[1:16]")} = 0
+               THEN 1e0
+               ELSE sqrt(${dotDuck("embedding[1:16]", "embedding[1:16]")})
+          END AS nrmp
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qf, p16 AS qp,
+              nrmf AS qnf, nrmp AS qnp
+            FROM base WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, b.vec_id,
+          ${dotDuck("q.qf", "b.embedding")} / (q.qnf * b.nrmf) AS cf,
+          ${dotDuck("q.qp", "b.p16")} / (q.qnp * b.nrmp) AS cp
+        FROM base b, q WHERE b.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cf DESC, vec_id ASC) AS BIGINT) AS rf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cp DESC, vec_id ASC) AS BIGINT) AS rp
+        FROM scored)
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM((rf - rp) * (rf - rp)) AS BIGINT) AS d2,
+        1e0 - 6e0 * CAST(SUM((rf - rp) * (rf - rp)) AS DOUBLE)
+          / CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS DOUBLE)
+          AS rho
+      FROM ranked
+      GROUP BY query_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
@@ -2089,5 +2168,5 @@ object EmbeddingOps {
     q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
-    q191MrrEval)
+    q191MrrEval, q192SpearmanEval)
 }

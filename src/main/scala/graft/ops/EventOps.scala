@@ -1475,6 +1475,204 @@ object EventOps {
       FROM ranked r JOIN bounds b ON b.event_type = r.event_type
       GROUP BY 1, 2, 3, 4"""))
 
+  /** q199: conversion-window sweep — the q20 error→purchase pairing
+    * parameterized over the business question nobody agrees on ("how
+    * long after the error still counts?"): for windows of 1/5/30/120
+    * minutes, the count and share of errors with at least one purchase
+    * inside the window. ONE interval join at the WIDEST window
+    * computes each error's minimum conversion lag (integer µs); the
+    * sweep is then a 4× threshold explode over that per-error row —
+    * the q178 pattern of paying the join once and reading the curve
+    * many times. Exact integer counts, one ratio per row. */
+  val q199ConversionSweep = OpSpec(
+    "q199_conversion_sweep",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("a_ts"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_ts"))
+      val nErr = a.agg(count(lit(1)).as("n_errors"))
+      val minLag = a.join(b, Seq("user_id"))
+        .filter(col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 120 MINUTES"))
+        .groupBy(col("error_id"))
+        .agg(min(unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+          .as("min_lag_us"))
+      minLag
+        .select(col("min_lag_us"),
+          explode(expr("array(1L, 5L, 30L, 120L)")).as("window_minutes"))
+        .filter(col("min_lag_us") < col("window_minutes") * 60000000L)
+        .groupBy(col("window_minutes"))
+        .agg(count(lit(1)).as("n_converted"))
+        .crossJoin(broadcast(nErr))
+        .select(col("window_minutes"), col("n_converted"),
+          col("n_errors"),
+          (col("n_converted").cast("double") /
+            col("n_errors").cast("double")).as("conversion_rate"))
+    },
+    Some("""
+      WITH a AS (SELECT user_id, event_id AS error_id, ts AS a_ts
+                 FROM events WHERE event_type = 'error'),
+      b AS (SELECT user_id, ts AS b_ts
+            FROM events WHERE event_type = 'purchase'),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_errors FROM a),
+      minlag AS (
+        SELECT a.error_id,
+          MIN(epoch_us(b.b_ts) - epoch_us(a.a_ts)) AS min_lag_us
+        FROM a JOIN b ON b.user_id = a.user_id
+          AND b.b_ts >= a.a_ts
+          AND b.b_ts < a.a_ts + INTERVAL 120 MINUTES
+        GROUP BY 1)
+      SELECT w.window_minutes,
+        CAST(COUNT(*) AS BIGINT) AS n_converted,
+        CAST(MAX(n.n_errors) AS BIGINT) AS n_errors,
+        CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n.n_errors) AS DOUBLE)
+          AS conversion_rate
+      FROM minlag m,
+        (SELECT CAST(UNNEST([1, 5, 30, 120]) AS BIGINT)
+           AS window_minutes) w,
+        n
+      WHERE m.min_lag_us < w.window_minutes * 60000000
+      GROUP BY 1"""))
+
+  /** q197: Poisson bootstrap confidence intervals — THE distributed
+    * bootstrap (per-row independent Poisson(1) replicate weights, so
+    * resampling never needs global coordination), made deterministic:
+    * ONE md5 per row supplies all 32 replicates — replicate b's weight
+    * is hex digit b quantized against Poisson(1) in sixteenths
+    * (6/16, 6/16, 3/16, 1/16 on 0..3 ≈ .368/.368/.184/.080 tail-merged
+    * — the digit-granularity pmf; one hash per row instead of 32 cuts
+    * the dominant md5 cost 30×). 32 replicate means per event type —
+    * each an exact-decimal weighted sum over one 32× row-local
+    * explode, partial-aggregated — and the CI is the [2nd, 31st] of
+    * the SORTED replicate means (positional, no interpolation).
+    * Everything the gate compares is either integer, exact decimal, or
+    * one double division. */
+  val q197PoissonBootstrap = OpSpec(
+    "q197_poisson_bootstrap",
+    (s, dir) => {
+      val reps = table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          md5(concat(lit("boot:"), col("event_id")).cast("binary"))
+            .as("h"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(31 AS BIGINT))"))
+            .as("b"))
+        .withColumn("v", expr("""instr('0123456789abcdef',
+          substring(h, CAST(b + 1 AS INT), 1)) - 1"""))
+        .withColumn("w", expr("""CASE WHEN v < 6 THEN 0
+          WHEN v < 12 THEN 1 WHEN v < 15 THEN 2 ELSE 3 END"""))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("value").cast(Tables.dec) * col("w")).cast("double")
+            .as("wsum"))
+        .withColumn("mean_b",
+          when(col("n_eff") > 0, col("wsum") / col("n_eff")))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b").asc, col("b").asc)
+      val ci = reps.withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+          min(when(col("rn") === 31, col("mean_b"))).as("ci_hi"))
+      val point = table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.davg(col("value")).as("mean"))
+      point.join(ci, "event_type")
+        .select(col("event_type"), col("n"), col("mean"), col("ci_lo"),
+          col("ci_hi"))
+    },
+    Some("""
+      WITH reps AS (
+        SELECT event_type, b,
+          CAST(SUM(w) AS BIGINT) AS n_eff,
+          CAST(SUM(CAST(value AS DECIMAL(12,2)) * w) AS DOUBLE) AS wsum
+        FROM (
+          SELECT event_type, value, b,
+            CASE WHEN v < 6 THEN 0 WHEN v < 12 THEN 1
+                 WHEN v < 15 THEN 2 ELSE 3 END AS w
+          FROM (
+            SELECT event_type, value, g.b,
+              instr('0123456789abcdef',
+                    substring(h, CAST(g.b + 1 AS INT), 1)) - 1 AS v
+            FROM (SELECT event_type, event_id, value,
+                    md5('boot:' || event_id) AS h FROM events),
+              (SELECT CAST(UNNEST(range(0, 32)) AS BIGINT) AS b) g))
+        GROUP BY 1, 2),
+      means AS (
+        SELECT event_type, b,
+          CASE WHEN n_eff > 0 THEN wsum / n_eff END AS mean_b
+        FROM reps),
+      ranked AS (
+        SELECT event_type, mean_b, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn
+        FROM means),
+      ci AS (
+        SELECT event_type,
+          MIN(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+          MIN(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+        FROM ranked GROUP BY 1),
+      point AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            AS mean
+        FROM events GROUP BY 1)
+      SELECT p.event_type, p.n, p.mean, c.ci_lo, c.ci_hi
+      FROM point p JOIN ci c ON c.event_type = p.event_type"""))
+
+  /** q196: day-of-week seasonality profile — the periodic decomposition
+    * a forecast/alerting pipeline subtracts before q90's z-scores make
+    * sense: per (event type, weekday) volume and exact-decimal value
+    * mass, each cell's share of its type, and the type's peak weekday
+    * (max share with a weekday tie-break). Weekday is computed as pure
+    * integer date arithmetic from a known Monday (`datediff % 7` —
+    * engine dayofweek() conventions disagree on week start and are
+    * never compared). One partial-aggregated group-by + a 7-row-per-
+    * type totals/peak join. */
+  val q196DowProfile = OpSpec(
+    "q196_dow_profile",
+    (s, dir) => {
+      val cells = table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          expr("""CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7
+                  AS BIGINT)""").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("dow").asc)
+      val peak = cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("dow").as("peak_dow"))
+      cells.join(tot, "event_type").join(broadcast(peak), "event_type")
+        .select(col("event_type"), col("dow"), col("n"), col("total"),
+          (col("n").cast("double") / col("n_type").cast("double"))
+            .as("share"),
+          col("peak_dow"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+               AS BIGINT) AS dow,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+              FROM cells GROUP BY 1),
+      peak AS (
+        SELECT event_type, dow AS peak_dow FROM (
+          SELECT event_type, dow, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY n DESC, dow ASC) AS rk
+          FROM cells) WHERE rk = 1)
+      SELECT c.event_type, c.dow, c.n, c.total,
+        CAST(c.n AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS share,
+        p.peak_dow
+      FROM cells c
+      JOIN tot t ON t.event_type = c.event_type
+      JOIN peak p ON p.event_type = c.event_type"""))
+
   /** q189: Theil–Sen robust trend — the median of all pairwise daily
     * slopes per event type, the outlier-immune complement to q134's
     * OLS fit (one anomalous day drags a least-squares slope; it moves
@@ -1614,5 +1812,6 @@ object EventOps {
     q126TemporalLookup, q134Trend, q135ChiSquare, q139Gini,
     q140MadOutliers, q142RankNormalize, q147TimeWeightedAvg,
     q156SessionOverlap, q164GapFill, q184LatenessAudit,
-    q188WinsorizedMean, q189TheilSen)
+    q188WinsorizedMean, q189TheilSen, q196DowProfile,
+    q197PoissonBootstrap, q199ConversionSweep)
 }

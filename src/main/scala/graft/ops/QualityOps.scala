@@ -294,7 +294,76 @@ object QualityOps {
                 AS BIGINT) AS gen_n
             FROM customer GROUP BY 1, 2)"""))
 
+  /** q198: distributional drift by total-variation distance — q120
+    * compares column PROFILES (nulls, distincts); this compares the
+    * value DISTRIBUTIONS of two event slices (even/odd event ids
+    * standing in for yesterday/today) per event type, as
+    * TV = ½ Σ_buckets |p_i − q_i| over unit-value buckets. The usual
+    * PSI/KL forms need log(); TV is the log-free f-divergence with the
+    * same alerting role — and the cross-multiplied form
+    * Σ|n_aᵢ·N_b − n_bᵢ·N_a| keeps EVERYTHING integer until one final
+    * double division, so the gate is exact (the q50 "no float
+    * threshold" discipline applied to a statistic). One group-by per
+    * slice over (type, bucket), a full-outer cell join, bounded bucket
+    * domain. */
+  val q198TvDrift = OpSpec(
+    "q198_tv_drift",
+    (s, dir) => {
+      def cells(half: Int) = table(s, dir, "events")
+        .filter(col("event_id") % 2 === half)
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val a = cells(0).select(col("event_type"), col("bucket"),
+        col("n").as("n_a"))
+      val b = cells(1).select(col("event_type"), col("bucket"),
+        col("n").as("n_b"))
+      val joined = a.join(b, Seq("event_type", "bucket"), "full_outer")
+        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+        .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      val totals = joined.groupBy(col("event_type"))
+        .agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+          count(lit(1)).as("n_buckets"))
+      joined.join(totals, "event_type")
+        .groupBy(col("event_type"), col("na"), col("nb"),
+          col("n_buckets"))
+        .agg(expr("CAST(SUM(abs(n_a * nb - n_b * na)) AS BIGINT)")
+          .as("cross_abs"))
+        .select(col("event_type"), col("n_buckets"), col("na"), col("nb"),
+          expr("""CAST(cross_abs AS DOUBLE)
+                  / (2e0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))""")
+            .as("tv"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      b AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+      joined AS (
+        SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+          COALESCE(a.bucket, b.bucket) AS bucket,
+          COALESCE(a.n_a, 0) AS n_a, COALESCE(b.n_b, 0) AS n_b
+        FROM a FULL OUTER JOIN b
+          ON b.event_type = a.event_type AND b.bucket = a.bucket),
+      totals AS (
+        SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS na,
+          CAST(SUM(n_b) AS BIGINT) AS nb,
+          CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM joined GROUP BY 1)
+      SELECT j.event_type, t.n_buckets, t.na, t.nb,
+        CAST(CAST(SUM(abs(j.n_a * t.nb - j.n_b * t.na)) AS BIGINT)
+             AS DOUBLE)
+          / (2e0 * CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS tv
+      FROM joined j JOIN totals t ON t.event_type = j.event_type
+      GROUP BY 1, 2, 3, 4"""))
+
   val all: Seq[OpSpec] = Seq(
     q42ImagingQuality, q43CheckCounts, q44Intersect, q45MinhashAgg,
-    q46OfScore, q67ColumnProfile, q120ProfileDrift, q121KAnonymity)
+    q46OfScore, q67ColumnProfile, q120ProfileDrift, q121KAnonymity,
+    q198TvDrift)
 }

@@ -1088,6 +1088,82 @@ object Relational {
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
       GROUP BY l_returnflag, l_linestatus"""))
 
+  /** q193: association rules with confidence and lift — the q161
+    * co-occurrence counts upgraded to the metrics a recommender
+    * actually ranks by: confidence(a→b) = s_ab/s_a and lift =
+    * s_ab·N/(s_a·s_b), every factor an exact integer count (pair
+    * support from the order self-join, item supports from one
+    * distinct-pass, N = basket count), divided once at emit. Both rule
+    * directions are emitted per qualifying pair (confidence is
+    * asymmetric); support floor ≥ 2 keeps noise rules out; top 20 by
+    * lift with a total tie-break. Scale: q161's equi-join shapes plus
+    * two broadcast support joins — never an all-pairs structure. */
+  val q193LiftRules = OpSpec(
+    "q193_lift_rules",
+    (s, dir) => {
+      val lines = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+      val nOrders = lines.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val supp = lines.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("s_item"))
+      val pairs = lines.as("a").join(lines.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("s_ab")).filter(col("s_ab") >= 2)
+      val rules = pairs
+        .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+          col("s_ab"))
+        .union(pairs.select(col("pb"), col("pa"), col("s_ab")))
+      rules
+        .join(supp.select(col("item").as("antecedent"),
+          col("s_item").as("s_a")), "antecedent")
+        .join(supp.select(col("item").as("consequent"),
+          col("s_item").as("s_b")), "consequent")
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("s_ab"),
+          col("s_a"), col("s_b"),
+          (col("s_ab").cast("double") / col("s_a").cast("double"))
+            .as("confidence"),
+          expr("""CAST(s_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                  / (CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE))""")
+            .as("lift"))
+        .orderBy(col("lift").desc, col("antecedent").asc,
+          col("consequent").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lines),
+      supp AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT)
+                 AS s_item
+               FROM lines GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+          CAST(COUNT(*) AS BIGINT) AS s_ab
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      rules AS (
+        SELECT pa AS antecedent, pb AS consequent, s_ab FROM pairs
+        UNION ALL
+        SELECT pb, pa, s_ab FROM pairs)
+      SELECT r.antecedent, r.consequent, r.s_ab,
+        sa.s_item AS s_a, sb.s_item AS s_b,
+        CAST(r.s_ab AS DOUBLE) / CAST(sa.s_item AS DOUBLE) AS confidence,
+        CAST(r.s_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+          / (CAST(sa.s_item AS DOUBLE) * CAST(sb.s_item AS DOUBLE))
+          AS lift
+      FROM rules r
+      JOIN supp sa ON sa.item = r.antecedent
+      JOIN supp sb ON sb.item = r.consequent
+      CROSS JOIN n
+      ORDER BY lift DESC, antecedent ASC, consequent ASC
+      LIMIT 20"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1096,5 +1172,5 @@ object Relational {
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
     q145JoinForecast, q155NationVolume, q161Copurchase,
-    q165PricingSummary)
+    q165PricingSummary, q193LiftRules)
 }

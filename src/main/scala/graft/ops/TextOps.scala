@@ -1332,6 +1332,38 @@ object TextOps {
       JOIN perword USING (word)
       GROUP BY doc_id"""))
 
+  /** q194: language-ID confusion matrix — q22's classifier evaluated
+    * against the labeled `lang` column as a proper eval artifact: one
+    * row per (true, predicted) cell with the count, the true-class
+    * total, and the cell share (= recall on the diagonal). The
+    * closed-loop eval every filtering model in a pipeline needs before
+    * its threshold is trusted; pure reuse of q22's gated output plus
+    * one partial-aggregated group-by and a per-class totals join. */
+  val q194LangidConfusion = OpSpec(
+    "q194_langid_confusion",
+    (s, dir) => {
+      val cells = q22LangId.query(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_true"))
+      cells.join(totals, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+          (col("n").cast("double") / col("n_true").cast("double"))
+            .as("share"))
+    },
+    Some(s"""
+      WITH q22 AS (${q22LangId.oracle.get}),
+      cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q22 GROUP BY 1, 2),
+      totals AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM cells GROUP BY 1)
+      SELECT c.lang, c.pred_lang, c.n, t.n_true,
+        CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
+      FROM cells c JOIN totals t ON t.lang = c.lang"""))
+
   /** q185: sentence-segmentation QA — the sentence-level half of the
     * quality ladder (q21 counts words, q75 gates documents; this
     * audits SENTENCES): split on terminal punctuation runs `[.!?]+`
@@ -1524,5 +1556,5 @@ object TextOps {
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
     q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain,
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
-    q182PrfExpansion, q185SentenceStats)
+    q182PrfExpansion, q185SentenceStats, q194LangidConfusion)
 }

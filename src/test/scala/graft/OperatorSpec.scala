@@ -1176,7 +1176,12 @@ class OperatorSpec extends AnyFunSuite {
       "q187_maxsim_retrieval", // bounded 20-query × 4-slice broadcast
                                // scan (q30 shape, constant 16× factor)
       "q190_dataset_card", // 1-row stats × 1-row top-lang scalars
-      "q191_mrr_eval") // bounded 20-query broadcast scan (q186 shape)
+      "q191_mrr_eval", // bounded 20-query broadcast scan (q186 shape)
+      "q192_spearman_eval", // same bounded broadcast scan (q186 shape)
+      "q193_lift_rules", // 1-row basket-count scalar broadcast
+      "q195_lsh_recall_audit", // 1-row truth/found totals broadcast
+                               // (inherits q107-family scalar shapes)
+      "q199_conversion_sweep") // 1-row error-count scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -1305,7 +1310,16 @@ class OperatorSpec extends AnyFunSuite {
       // bucket-blocked interval join — measured at sf0.001 + headroom
       "q150_ivfpq_search" -> 70,
       "q153_span_scrub" -> 12,
-      "q156_session_overlap" -> 6)
+      "q156_session_overlap" -> 6,
+      // round-6 batch heavies — measured at sf0.001 + ~30% headroom.
+      // q183's visible count is 1 because localCheckpoint truncates
+      // lineage to the last peel round (the q51 note); a lost
+      // checkpoint shows up as an exchange blow-up here.
+      "q167_hll_registers" -> 13,
+      "q172_minhash_error" -> 40, // 31 in-suite (persist-state dependent)
+      "q180_compress_proxy" -> 5,
+      "q183_kcore" -> 4,
+      "q187_maxsim_retrieval" -> 6)
     val bad = budgets.toSeq.sortBy(_._1).flatMap { case (name, maxEx) =>
       val p = plan(name)
       spark.catalog.clearCache()
@@ -2727,6 +2741,133 @@ class OperatorSpec extends AnyFunSuite {
         case None => assert(rr == 0.0)
       }
     }
+  }
+
+  test("q192 Spearman: 20 queries, rho in [-1,1] consistent with d2") {
+    val rows = SparkEntry.queries("q192_spearman_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, d2, rho) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rho >= -1.0 && rho <= 1.0)
+      assert(rho == 1.0 - 6.0 * d2 / (n.toDouble * n * n - n))
+    }
+  }
+
+  test("q193 lift rules: metrics consistent with exact supports") {
+    val n = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val rows = SparkEntry.queries("q193_lift_rules")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (sab, sa, sb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sab >= 2 && sab <= math.min(sa, sb))
+      assert(r.getDouble(5) == sab.toDouble / sa)
+      assert(r.getDouble(6) == sab.toDouble * n / (sa.toDouble * sb))
+    }
+  }
+
+  test("q194 langid confusion: shares sum to 1 per true class, counts " +
+    "match q22") {
+    val rows = SparkEntry.queries("q194_langid_confusion")(spark, sf)
+      .collect()
+    val n22 = SparkEntry.queries("q22_lang_id")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n22)
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      assert(math.abs(cells.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(3))
+    }
+  }
+
+  test("q195 LSH recall audit: truth equals q50, found implies q27 " +
+    "membership") {
+    val rows = SparkEntry.queries("q195_lsh_recall_audit")(spark, sf)
+      .collect()
+    val truth = SparkEntry.queries("q50_ngram_jaccard")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q27_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
+    rows.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(3) == lsh(pair))
+      assert(r.getLong(5) <= r.getLong(4))
+    }
+  }
+
+  test("q196 dow profile: 7-value weekday domain, shares sum to 1, " +
+    "peak is the max cell") {
+    val rows = SparkEntry.queries("q196_dow_profile")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      assert(cells.forall(c => c.getLong(1) >= 0 && c.getLong(1) <= 6))
+      assert(math.abs(cells.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+      val best = cells.maxBy(c => (c.getLong(2), -c.getLong(1)))
+      assert(cells.head.getLong(5) == best.getLong(1))
+    }
+  }
+
+  test("q197 Poisson bootstrap: CI brackets the point mean, rerun-stable") {
+    val a = SparkEntry.queries("q197_poisson_bootstrap")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    val b = SparkEntry.queries("q197_poisson_bootstrap")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      // a 94%-ish CI of the mean should bracket the point estimate on
+      // thousands of rows
+      assert(mean >= lo && mean <= hi, s"$mean not in [$lo, $hi]")
+    }
+  }
+
+  test("q198 TV drift: bounded in [0,1], below the disjoint-support " +
+    "extreme") {
+    val rows = SparkEntry.queries("q198_tv_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getDouble(4)
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+    // even/odd halves of one stream never have fully disjoint support
+    // (TV = 1); at sf0.001 per-type samples are tiny so individual TVs
+    // run high — the homogeneity claim is on the typical value
+    assert(rows.map(_.getDouble(4)).max < 1.0)
+    assert(rows.map(_.getDouble(4)).sum / rows.length < 0.8)
+  }
+
+  test("q199 conversion sweep: monotone nondecreasing in the window") {
+    val rows = SparkEntry.queries("q199_conversion_sweep")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val conv = rows.map(_.getLong(1))
+    assert(conv.zip(conv.tail).forall { case (x, y) => y >= x })
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getDouble(3) == r.getLong(1).toDouble / r.getLong(2))
+    }
+  }
+
+  test("q200 pipeline v3: 40 gated keepers, every stage's invariant " +
+    "holds on the output") {
+    val rows = SparkEntry.queries("q200_pipeline_v3")(spark, sf).collect()
+    assert(rows.length == 40)
+    val keys = rows.map(_.getString(5))
+    assert(keys.distinct.length == 40)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.5) // quality gate held
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 8) // weight tier
+    }
+    // canonical-dedup stage: every selected doc is its group's keeper
+    val ids = rows.map(_.getLong(0)).toSet
+    val keepers = Tables.table(spark, sf, "documents")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")),
+        "[^a-z0-9]+", " ")).cast("binary")).as("nk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepers))
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
