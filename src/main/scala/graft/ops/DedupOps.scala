@@ -2365,6 +2365,126 @@ object DedupOps {
         CAST(t.n_found AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
       FROM flagged f CROSS JOIN totals t"""))
 
+  /** q201: b-bit MinHash — the storage-scale variant of q27's
+    * signatures: keep only the LOW 4 BITS of each of the K=12
+    * minhashes (48 bits per doc instead of 12×64 — the compression
+    * that makes signatures cacheable for a 100 TB corpus), and correct
+    * the estimator for accidental low-bit collisions:
+    * Ĵ = (m/K − 2⁻ᵇ)/(1 − 2⁻ᵇ) = (16m − K)/(15K), an exact integer
+    * ratio. Emitted per LSH candidate pair alongside the full-width
+    * estimate and the exact Jaccard (the q172 audit extended one
+    * compression level down) — the judge of whether 4 bits suffice for
+    * THIS corpus. All reuse: same signatures, same capped candidate
+    * join; the b-bit columns are `% 16` projections. */
+  val q201BbitMinhash = OpSpec(
+    "q201_bbit_minhash",
+    (s, dir) => {
+      val hashed = hashedShingles(table(s, dir, "documents")).persist()
+      val sigs = hashed.groupBy(col("doc_id")).agg(
+        min(expr(sigExpr(0))).as("s0"),
+        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
+      val bands = bandRows(hashed)
+      val okBuckets = bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= BucketCap)
+        .select(col("band_idx"), col("band_val"))
+      val capped = bands.join(okBuckets, Seq("band_idx", "band_val"))
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val fullSum = (0 until K).map(i =>
+        s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val bbitSum = (0 until K).map(i =>
+        s"(CASE WHEN a.s$i % 16 = b.s$i % 16 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val est = cand
+        .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          expr(s"CAST($fullSum AS BIGINT)").as("m_full"),
+          expr(s"CAST($bbitSum AS BIGINT)").as("m_bbit"))
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(hashed.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
+          "doc_a")
+        .join(hashed.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
+          Seq("doc_b", "h1", "h2"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("m_full"), col("m_bbit"),
+          (col("m_full").cast("double") / lit(K)).as("j_full"),
+          expr(s"""CAST(16 * m_bbit - $K AS DOUBLE)
+                   / CAST(15 * $K AS DOUBLE)""").as("j_bbit"),
+          (col("n_inter").cast("double") /
+            (col("sza") + col("szb") - col("n_inter"))).as("j_exact"))
+    },
+    Some {
+      val sigSelect = (0 until K).map(i =>
+        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+      val bandUnion = (0 until B).map { j =>
+        val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+      }.mkString("\n      UNION ALL\n      ")
+      val fullSum = (0 until K).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val bbitSum = (0 until K).map(i =>
+        s"(CASE WHEN sa.s$i % 16 = sb.s$i % 16 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion),
+      ok AS (SELECT band_idx, band_val FROM bands
+             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
+      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST($fullSum AS BIGINT) AS m_full,
+          CAST($bbitSum AS BIGINT) AS m_bbit
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN h12 x ON x.doc_id = c.doc_a
+        JOIN h12 y ON y.doc_id = c.doc_b AND y.h1 = x.h1 AND y.h2 = x.h2
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT e.doc_a, e.doc_b, e.m_full, e.m_bbit,
+        CAST(e.m_full AS DOUBLE) / $K AS j_full,
+        CAST(16 * e.m_bbit - $K AS DOUBLE) / CAST(15 * $K AS DOUBLE)
+          AS j_bbit,
+        CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+          / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS j_exact
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q25DedupExact, q26DedupWordset, q27MinhashLsh, q28Simhash,
     q29SimhashPairs, q50NgramJaccard, q51DedupClusters,
@@ -2372,5 +2492,6 @@ object DedupOps {
     q69BlockDedup, q94TriangleCount, q95FuzzyJoin, q107ContainmentJoin,
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
-    q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit)
+    q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit,
+    q201BbitMinhash)
 }

@@ -267,7 +267,81 @@ object SampleOps {
       GROUP BY doc_id, lang, w
       ORDER BY key, doc_id LIMIT 30"""))
 
+  /** q202: quota-balanced corpus sample — a 100-doc slice whose source
+    * mix matches the corpus proportions EXACTLY under largest-remainder
+    * rounding (the q157 allocation law), filled per source by hash rank
+    * (the q52 selection law): fair, deterministic, rerun-stable. The
+    * quota arithmetic runs on the driver over the bounded source
+    * histogram (the q37 concession; pure integer — 100n/N by long
+    * division, remainders ranked (rem desc, source asc)) and is proven
+    * equal to the oracle's window form because a/b with b ≤ sources'
+    * total can never round across an integer in IEEE division. The
+    * member selection is one partitioned rank window over a broadcast
+    * quota join — no global sort, no skew (each source sorts its own
+    * partition). */
+  val q202BalancedCorpus = OpSpec(
+    "q202_balanced_corpus",
+    (s, dir) => {
+      val sq = s; import sq.implicits._
+      val budget = 100L
+      val counts = table(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = counts.map(_._2).sum
+      val withBase = counts.map { case (src, n) =>
+        val base = budget * n / total
+        (src, base, budget * n - base * total)
+      }
+      val extra = (budget - withBase.map(_._2).sum).toInt
+      val quotas = withBase.sortBy { case (src, _, rem) => (-rem, src) }
+        .zipWithIndex
+        .map { case ((src, base, _), idx) =>
+          (src, base + (if (idx < extra) 1L else 0L))
+        }.toSeq
+      val quotaDf = broadcast(quotas.toDF("source", "quota"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rk"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("bal:"), col("doc_id")).cast("binary")).as("rk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(quotaDf, "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rn"), col("quota"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+      q1 AS (
+        SELECT source, n,
+          CAST(floor(100 * n / CAST(t.total AS DOUBLE)) AS BIGINT)
+            AS base,
+          100 * n - CAST(floor(100 * n / CAST(t.total AS DOUBLE))
+                         AS BIGINT) * t.total AS rem
+        FROM counts, tot t),
+      ex AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS extra FROM q1),
+      ranked AS (
+        SELECT source, base,
+          CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+               AS BIGINT) AS rr
+        FROM q1),
+      quota AS (
+        SELECT source,
+          CAST(base + CASE WHEN rr <= e.extra THEN 1 ELSE 0 END
+               AS BIGINT) AS quota
+        FROM ranked, ex e),
+      rn AS (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5('bal:' || doc_id), doc_id) AS BIGINT) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.source, r.rn, q.quota
+      FROM rn r JOIN quota q USING (source)
+      WHERE r.rn <= q.quota"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
     q115PrioritySample, q146NegativePairs, q157MixtureAlloc,
-    q169WeightedSample)
+    q169WeightedSample, q202BalancedCorpus)
 }

@@ -2870,6 +2870,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(ids.subsetOf(keepers))
   }
 
+  test("q201 b-bit minhash: low-bit matches dominate full matches, " +
+    "estimates bounded") {
+    val rows = SparkEntry.queries("q201_bbit_minhash")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mf, mb) = (r.getLong(2), r.getLong(3))
+      // dropping bits can only CREATE matches, never destroy them
+      assert(mb >= mf && mb <= 12)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1) // j_full
+      assert(r.getDouble(5) <= 1.0 + 1e-12) // j_bbit (can dip below 0)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1) // j_exact
+    }
+  }
+
+  test("q202 balanced corpus: quotas sum to budget, fills match quotas, " +
+    "mix proportional within one slot") {
+    val rows = SparkEntry.queries("q202_balanced_corpus")(spark, sf)
+      .collect()
+    assert(rows.length == 100)
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (_, docs) =>
+      val quota = docs.head.getLong(3)
+      assert(docs.length == quota)
+      assert(docs.map(_.getLong(2)).sorted.toSeq == (1L to quota))
+    }
+    val counts = Tables.table(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    bySrc.foreach { case (src, docs) =>
+      val exact = 100.0 * counts(src) / total
+      assert(math.abs(docs.length - exact) < 1.0,
+        s"$src: ${docs.length} vs $exact")
+    }
+  }
+
   test("q170 normalized dedup: keeper per group, canon never longer") {
     val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
     val nGroups = df.select(col("nk")).distinct().count()
