@@ -1553,20 +1553,30 @@ object EventOps {
   val q197PoissonBootstrap = OpSpec(
     "q197_poisson_bootstrap",
     (s, dir) => {
+      // one pass, 32 conditional aggregate PAIRS instead of a 32×
+      // row explode: the shuffle ships 64 aggregated columns per type,
+      // and the 19M generated rows (+ their hash-agg) never exist —
+      // decimal sums are order-independent so the unpivoted values are
+      // bit-identical to the grouped-explode form the oracle runs
+      def wExpr(b: Int): String = {
+        val v = s"(instr('0123456789abcdef', substring(h, ${b + 1}, 1)) - 1)"
+        s"""(CASE WHEN $v < 6 THEN 0 WHEN $v < 12 THEN 1
+             WHEN $v < 15 THEN 2 ELSE 3 END)"""
+      }
+      val aggs = (0 until 32).flatMap { b =>
+        Seq(expr(s"SUM(${wExpr(b)})").as(s"ne_$b"),
+          sum(col("value").cast(Tables.dec) * expr(wExpr(b)))
+            .cast("double").as(s"ws_$b"))
+      }
+      val stackArgs = (0 until 32)
+        .map(b => s"CAST($b AS BIGINT), ne_$b, ws_$b").mkString(", ")
       val reps = table(s, dir, "events")
-        .select(col("event_type"), col("value"),
-          md5(concat(lit("boot:"), col("event_id")).cast("binary"))
-            .as("h"),
-          explode(expr("sequence(CAST(0 AS BIGINT), CAST(31 AS BIGINT))"))
-            .as("b"))
-        .withColumn("v", expr("""instr('0123456789abcdef',
-          substring(h, CAST(b + 1 AS INT), 1)) - 1"""))
-        .withColumn("w", expr("""CASE WHEN v < 6 THEN 0
-          WHEN v < 12 THEN 1 WHEN v < 15 THEN 2 ELSE 3 END"""))
-        .groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w")).as("n_eff"),
-          sum(col("value").cast(Tables.dec) * col("w")).cast("double")
-            .as("wsum"))
+        .withColumn("h",
+          md5(concat(lit("boot:"), col("event_id")).cast("binary")))
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type"),
+          expr(s"stack(32, $stackArgs) AS (b, n_eff, wsum)"))
         .withColumn("mean_b",
           when(col("n_eff") > 0, col("wsum") / col("n_eff")))
       val w = Window.partitionBy(col("event_type"))
