@@ -378,6 +378,78 @@ object CurationOps {
       GROUP BY doc_id, source, lang, quality, w
       ORDER BY key, doc_id LIMIT 40"""))
 
+  /** q203: source quality league — the per-provider scoreboard a
+    * curation owner reads before renegotiating ingest quotas: each
+    * source's doc count, mean quality, gate pass-rate (the q49 ≥ 0.5
+    * rule), and its delta vs the corpus mean. The q49 quality score is
+    * already rounded to 1e-6, so round(q·1e6) recovers an exact
+    * integer micro-score in both engines and every mean is an integer
+    * ratio divided once — no double accumulation anywhere. One doc
+    * scan, one partial-aggregated group-by, one 1-row corpus scalar
+    * broadcast. */
+  val q203SourceLeague = OpSpec(
+    "q203_source_league",
+    (s, dir) => {
+      val scored = table(s, dir, "documents")
+        .withColumn("words", expr(TextOps.wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_punct", expr(
+          "CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          s"""CAST(size(filter(words, w -> w IN
+              (${TextOps.stopwordsSql}))) AS BIGINT)"""))
+        .withColumn("q", expr(TextOps.qualityFormula("length(text)")))
+        .withColumn("micro", expr("CAST(round(q * 1e6) AS BIGINT)"))
+        .withColumn("passed",
+          expr("CAST(CASE WHEN q >= 5e-1 THEN 1 ELSE 0 END AS BIGINT)"))
+      val corpus = scored.agg(
+        expr("CAST(SUM(micro) AS BIGINT)").as("c_micro"),
+        count(lit(1)).as("c_n"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(micro) AS BIGINT)").as("s_micro"),
+          sum(col("passed")).as("n_passed"))
+        .crossJoin(broadcast(corpus))
+        .select(col("source"), col("n_docs"),
+          expr("""CAST(s_micro AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  / 1e6""").as("mean_quality"),
+          (col("n_passed").cast("double") / col("n_docs").cast("double"))
+            .as("pass_rate"),
+          expr("""CAST(s_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6
+                  - CAST(c_micro AS DOUBLE) / CAST(c_n AS DOUBLE)
+                    / 1e6""").as("delta_vs_corpus"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT source,
+          CAST(round(${TextOps.qualityFormula("len_text")} * 1e6)
+               AS BIGINT) AS micro,
+          CASE WHEN ${TextOps.qualityFormula("len_text")} >= 5e-1
+               THEN 1 ELSE 0 END AS passed
+        FROM (
+          SELECT source,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+            CAST(len(list_filter(words, w -> w IN
+                 (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
+            length(text) AS len_text
+          FROM (SELECT *, ${TextOps.wordsDuck} AS words FROM documents))),
+      corpus AS (
+        SELECT CAST(SUM(micro) AS BIGINT) AS c_micro,
+          CAST(COUNT(*) AS BIGINT) AS c_n
+        FROM scored)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+          AS mean_quality,
+        CAST(SUM(passed) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS pass_rate,
+        CAST(SUM(micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+          - CAST(MAX(c.c_micro) AS DOUBLE) / CAST(MAX(c.c_n) AS DOUBLE)
+            / 1e6 AS delta_vs_corpus
+      FROM scored, corpus c
+      GROUP BY source"""))
+
   /** q190: the dataset card — the one-row corpus summary a published
     * dataset ships with (volume, source/language spread, token mass,
     * duplication, dominant language and its share), assembled from
@@ -444,5 +516,5 @@ object CurationOps {
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
-    q190DatasetCard, q200PipelineV3)
+    q190DatasetCard, q200PipelineV3, q203SourceLeague)
 }

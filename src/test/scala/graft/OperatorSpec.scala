@@ -1181,7 +1181,8 @@ class OperatorSpec extends AnyFunSuite {
       "q193_lift_rules", // 1-row basket-count scalar broadcast
       "q195_lsh_recall_audit", // 1-row truth/found totals broadcast
                                // (inherits q107-family scalar shapes)
-      "q199_conversion_sweep") // 1-row error-count scalar broadcast
+      "q199_conversion_sweep", // 1-row error-count scalar broadcast
+      "q203_source_league") // 1-row corpus-mean scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -2905,6 +2906,19 @@ class OperatorSpec extends AnyFunSuite {
       assert(math.abs(docs.length - exact) < 1.0,
         s"$src: ${docs.length} vs $exact")
     }
+  }
+
+  test("q203 source league: deltas center on zero, rates bounded") {
+    val rows = SparkEntry.queries("q203_source_league")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1) // mean quality
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1) // pass rate
+    }
+    // doc-weighted mean of the deltas is zero by construction
+    val weighted = rows.map(r => r.getDouble(4) * r.getLong(1)).sum
+    assert(math.abs(weighted) < 1e-6)
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
