@@ -68,6 +68,62 @@ object SampleOps {
             FROM (SELECT doc_id, md5('split:' || doc_id) AS hx
                   FROM documents))"""))
 
+  /** q204: split-leakage audit — the eval-contamination check every
+    * train/val/test split needs before a benchmark number is trusted:
+    * near-duplicate pairs (q27's MinHash-LSH verified output) that
+    * STRADDLE the q53 split boundary leak training text into eval.
+    * One scoreboard row per unordered split pair (least/greatest
+    * canonicalization) with the pair count, a cross-split flag, and
+    * the share of all near-dup pairs — ~0.2 of near-dup mass is
+    * expected in train×val ∪ train×test under an 80/10/10 hash split;
+    * materially more means the split key correlates with content.
+    * Pure reuse of two gated queries + two equi-joins; totals are a
+    * 1-row scalar broadcast (crossOk). Reference tie: the resume/split
+    * discipline around `selected_target.json` (macvid.py:113-115) —
+    * a split is only as sound as its dedup. */
+  val q204SplitLeakage = OpSpec(
+    "q204_split_leakage",
+    (s, dir) => {
+      val pairs = DedupOps.q27MinhashLsh.query(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val splits = q53HashSplit.query(s, dir)
+      val cells = pairs
+        .join(splits.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val totals = cells.agg(sum(col("n_pairs")).as("n_total"))
+      cells.crossJoin(broadcast(totals))
+        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+          (col("split_lo") =!= col("split_hi")).as("cross_split"),
+          col("n_total"),
+          (col("n_pairs").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT doc_a, doc_b FROM (${DedupOps.q27MinhashLsh.oracle.get})),
+      splits AS (${q53HashSplit.oracle.get}),
+      cells AS (
+        SELECT least(a.split, b.split) AS split_lo,
+          greatest(a.split, b.split) AS split_hi,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN splits a ON a.doc_id = p.doc_a
+        JOIN splits b ON b.doc_id = p.doc_b
+        GROUP BY 1, 2),
+      totals AS (
+        SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells)
+      SELECT split_lo, split_hi, n_pairs,
+        split_lo <> split_hi AS cross_split,
+        t.n_total,
+        CAST(n_pairs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      FROM cells CROSS JOIN totals t"""))
+
   /** MERGEABLE bottom-k priority sample (the sample-as-sketch dual of
     * q99's KMV merge): a uniform k-row sample is the k rows with the
     * smallest salted-md5 priorities — a SET property of the data, so
@@ -343,5 +399,5 @@ object SampleOps {
 
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
     q115PrioritySample, q146NegativePairs, q157MixtureAlloc,
-    q169WeightedSample, q202BalancedCorpus)
+    q169WeightedSample, q202BalancedCorpus, q204SplitLeakage)
 }

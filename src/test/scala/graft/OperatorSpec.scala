@@ -1182,7 +1182,8 @@ class OperatorSpec extends AnyFunSuite {
       "q195_lsh_recall_audit", // 1-row truth/found totals broadcast
                                // (inherits q107-family scalar shapes)
       "q199_conversion_sweep", // 1-row error-count scalar broadcast
-      "q203_source_league") // 1-row corpus-mean scalar broadcast
+      "q203_source_league", // 1-row corpus-mean scalar broadcast
+      "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
         "\\], \\[".r.findAllIn(l).size == 1)
@@ -2919,6 +2920,19 @@ class OperatorSpec extends AnyFunSuite {
     // doc-weighted mean of the deltas is zero by construction
     val weighted = rows.map(r => r.getDouble(4) * r.getLong(1)).sum
     assert(math.abs(weighted) < 1e-6)
+  }
+
+  test("q204 split leakage: shares sum to one, flags match labels") {
+    val rows = SparkEntry.queries("q204_split_leakage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(4)
+    assert(rows.map(_.getLong(2)).sum == total) // cells partition pairs
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+      assert(r.getString(0) <= r.getString(1)) // canonical order
+    }
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
