@@ -146,10 +146,21 @@ object Sinks {
     * durable (the K7 archive discipline: never destroy the input in
     * the same step that writes the output). Content is proven
     * unchanged by the spec (same rows, single file set, bucket spec
-    * intact). */
+    * intact).
+    *
+    * Swap order matters: the rewrite lands under a TEMPORARY table
+    * name first, and `tableName` is re-pointed only after that write
+    * commits. A plain Overwrite-saveAsTable would drop the catalog
+    * entry BEFORE writing, so a mid-compaction failure would leave no
+    * registered table at all; here every failure point leaves either
+    * the old registration intact or both data sets durable with the
+    * new one recoverable under the staging name (metadata-only
+    * recovery, no data loss window). */
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
       tableName: String, key: String, buckets: Int,
-      oldPath: String, newPath: String): Unit =
+      oldPath: String, newPath: String): Unit = {
+    val staging = tableName + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging") // leftover crashed run
     // repartition(buckets, key) and bucketBy share the same
     // murmur3-pmod placement, so each write task holds exactly ONE
     // bucket and emits exactly one file — without it every task
@@ -158,7 +169,13 @@ object Sinks {
     bucketedTable(
       spark.read.parquet(oldPath)
         .repartition(buckets, org.apache.spark.sql.functions.col(key)),
-      tableName, key, buckets, newPath)
+      staging, key, buckets, newPath)
+    // the compacted file set is durable from here on: re-pointing the
+    // public name is metadata-only (both tables are external — DROP
+    // deletes no data at oldPath)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $tableName")
+  }
 
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;
     * `Archived` means the zip is durably written — a non-empty

@@ -420,17 +420,23 @@ object DedupOps {
     * count, not an estimate. Reuses q29's pair generation verbatim and
     * sweeps on the aggregated per-Hamming counts — 7×7 rows of work on
     * top of the existing join, no new corpus pass. */
+  /** Cumulative-count sweep over a (hamming, n) table for cutoffs
+    * t ∈ [0,6]. LEFT join (not cross): the 7-row t domain must survive
+    * an EMPTY pair set (all-distinct corpus) with n_pairs = 0, matching
+    * the oracle's `LEFT JOIN hc ON true`. */
+  def hammingSweep(s: org.apache.spark.sql.SparkSession,
+      hcounts: DataFrame): DataFrame =
+    s.range(7).select(col("id").as("t"))
+      .join(broadcast(hcounts), lit(true), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(when(col("hamming") <= col("t"), col("n"))),
+        lit(0L)).as("n_pairs"))
+
   val q178SimhashSweep = OpSpec(
     "q178_simhash_sweep",
-    (s, dir) => {
-      val hcounts = q29SimhashPairs.query(s, dir)
-        .groupBy(col("hamming")).agg(count(lit(1)).as("n"))
-      s.range(7).select(col("id").as("t"))
-        .crossJoin(hcounts)
-        .groupBy(col("t"))
-        .agg(coalesce(sum(when(col("hamming") <= col("t"), col("n"))),
-          lit(0L)).as("n_pairs"))
-    },
+    (s, dir) => hammingSweep(s,
+      q29SimhashPairs.query(s, dir)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n"))),
     Some(s"""
       WITH docs AS ($shingleDuck),
       hashed AS (SELECT doc_id, $shhDuck AS shh FROM docs),

@@ -1546,8 +1546,9 @@ object EventOps {
     * — the digit-granularity pmf; one hash per row instead of 32 cuts
     * the dominant md5 cost 30×). 32 replicate means per event type —
     * each an exact-decimal weighted sum over one 32× row-local
-    * explode, partial-aggregated — and the CI is the [2nd, 31st] of
-    * the SORTED replicate means (positional, no interpolation).
+    * explode, partial-aggregated — and the CI is the [2nd, (m−1)th]
+    * of the m SORTED replicate means that drew any mass (n_eff > 0;
+    * positional, no interpolation).
     * Everything the gate compares is either integer, exact decimal, or
     * one double division. */
   val q197PoissonBootstrap = OpSpec(
@@ -1579,12 +1580,22 @@ object EventOps {
           expr(s"stack(32, $stackArgs) AS (b, n_eff, wsum)"))
         .withColumn("mean_b",
           when(col("n_eff") > 0, col("wsum") / col("n_eff")))
-      val w = Window.partitionBy(col("event_type"))
+      // replicates with n_eff = 0 have no mean (NULL): drop them BEFORE
+      // ranking — Spark windows order NULLS FIRST and DuckDB NULLS LAST,
+      // so ranking over the NULLs would pick different rows per engine on
+      // any corpus with a small event-type group. With the survivors m,
+      // the CI is the [2nd, (m-1)th]; the high rank is taken as the 2nd
+      // of the exact REVERSE order so neither engine needs to know m.
+      val live = reps.where(col("n_eff") > 0)
+      val wAsc = Window.partitionBy(col("event_type"))
         .orderBy(col("mean_b").asc, col("b").asc)
-      val ci = reps.withColumn("rn", row_number().over(w))
+      val wDesc = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b").desc, col("b").desc)
+      val ci = live.withColumn("rn", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
         .groupBy(col("event_type"))
         .agg(min(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
-          min(when(col("rn") === 31, col("mean_b"))).as("ci_hi"))
+          min(when(col("rd") === 2, col("mean_b"))).as("ci_hi"))
       val point = table(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Tables.davg(col("value")).as("mean"))
@@ -1610,17 +1621,19 @@ object EventOps {
               (SELECT CAST(UNNEST(range(0, 32)) AS BIGINT) AS b) g))
         GROUP BY 1, 2),
       means AS (
-        SELECT event_type, b,
-          CASE WHEN n_eff > 0 THEN wsum / n_eff END AS mean_b
-        FROM reps),
+        SELECT event_type, b, wsum / n_eff AS mean_b
+        FROM reps WHERE n_eff > 0),
       ranked AS (
-        SELECT event_type, mean_b, ROW_NUMBER() OVER (
-          PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn
+        SELECT event_type, mean_b,
+          ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn,
+          ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY mean_b DESC, b DESC) AS rd
         FROM means),
       ci AS (
         SELECT event_type,
           MIN(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
-          MIN(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+          MIN(CASE WHEN rd = 2 THEN mean_b END) AS ci_hi
         FROM ranked GROUP BY 1),
       point AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

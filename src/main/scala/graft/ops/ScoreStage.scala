@@ -143,6 +143,50 @@ object ScoreStage {
     }(enc)
   }
 
+  /** Behavior-probe a candidate line-protocol child: spawn it, send one
+    * line WITHOUT closing stdin, and require the reply within 2 s. This
+    * is the property the batched pipe protocol actually needs
+    * (line-wise reads + flushed line-wise replies) — probing behavior
+    * instead of parsing a version string keeps the check honest on
+    * hosts where `awk` is mawk, gawk, or busybox (each of which treats
+    * `-W interactive` differently). */
+  private def probeLineChild(cmd: Seq[String]): Boolean =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = new java.lang.ProcessBuilder(cmd.asJava).start()
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(p.getOutputStream))
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      @volatile var got: String = null
+      val t = new Thread(() => {
+        got = try in.readLine() catch { case _: Exception => null }
+      })
+      t.setDaemon(true); t.start()
+      out.write("2 3\n"); out.flush()
+      t.join(2000)
+      p.destroyForcibly()
+      got == "5"
+    } catch { case _: Exception => false }
+
+  /** An awk that obeys the line protocol, resolved by probing — env
+    * `GRAFT_MAWK` first, then the usual install paths. mawk needs
+    * `-W interactive` (stock mawk block-buffers stdin and deadlocks the
+    * batch drain); gawk honors the protocol as long as the program
+    * calls `fflush()`. `None` on hosts with no conforming awk — callers
+    * fall back to the portable `/bin/sh` child. Runtime dependency
+    * documented in README.md next to the bench prerequisites. */
+  lazy val interactiveAwk: Option[Seq[String]] = {
+    val probeProg = "{ printf \"%d\\n\", $1 + $2; fflush(); }"
+    val cands =
+      sys.env.get("GRAFT_MAWK").toSeq.map(p => Seq(p, "-W", "interactive")) ++
+        Seq(Seq("/usr/bin/mawk", "-W", "interactive"),
+          Seq("/bin/mawk", "-W", "interactive"),
+          Seq("/usr/bin/awk", "-W", "interactive"),
+          Seq("/usr/bin/gawk"), Seq("/usr/bin/awk"))
+    cands.find(c => probeLineChild(c :+ probeProg))
+  }
+
   /** q166: the external-process scoring stage itself under the oracle
     * gate — [[pipeScoreStage]] drives a real child (`mawk`) over the
     * orders table with the production line protocol (one subprocess per
@@ -163,12 +207,17 @@ object ScoreStage {
         .select(col("o_orderkey"), col("o_custkey"))
       val prog = "{ if ($1 % 5 == 0) printf \"ERR mod5\\n\"; " +
         "else printf \"%d\\n\", ($1 * 7 + $2 * 3) % 1000; fflush(); }"
-      // -W interactive is load-bearing: stock mawk BLOCK-buffers stdin
-      // and sits on a partial input block without answering, which
-      // stalls the batch drain exactly like an unflushed child (verified
-      // by a standalone repro). Interactive mode reads line-wise and
-      // line-buffers stdout — the contract every pipe scorer must obey.
-      pipeScoreStage(orders, Seq("/usr/bin/awk", "-W", "interactive", prog),
+      // the awk is PROBED, not assumed (see interactiveAwk): stock mawk
+      // needs -W interactive or it BLOCK-buffers stdin and sits on a
+      // partial input block without answering, which stalls the batch
+      // drain exactly like an unflushed child; hosts with no conforming
+      // awk get the bit-identical portable /bin/sh child instead.
+      val cmd = interactiveAwk.map(_ :+ prog).getOrElse(Seq("/bin/sh", "-c",
+        """while read a b; do
+          |  if [ $((a % 5)) -eq 0 ]; then echo "ERR mod5";
+          |  else echo $(( (a * 7 + b * 3) % 1000 )); fi
+          |done""".stripMargin))
+      pipeScoreStage(orders, cmd,
           row => s"${row.getLong(0)} ${row.getLong(1)}")
         .select(col("o_orderkey"), col("score"), col("score_error"))
     },

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.OpSpec
 import graft.Tables._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch operators. The reference never aggregates beyond
@@ -211,8 +211,26 @@ object SketchOps {
 
   /** Sample size of the quantile sketch. */
   private val QK = 128
-  /** Reported quantiles. */
-  private val QPs = Seq(0.25, 0.5, 0.75, 0.9)
+  /** Reported quantiles as (label, numerator, denominator): the rank
+    * ceil(p·n) is computed ONLY in exact integer form
+    * `(num·n + den − 1) div den` — the double multiply `p * n` lands ε
+    * above an integer whenever n divides den (0.9·60 = 54.000…01) and
+    * would shift the selected order statistic by one. */
+  private val QPs = Seq((0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10))
+
+  /** Spark-side exploded (p, num, den) literal structs for [[QPs]]. */
+  private def qpStructs: Column =
+    explode(array(QPs.map { case (p, a, b) =>
+      struct(lit(p).as("p"), lit(a.toLong).as("num"), lit(b.toLong).as("den"))
+    }: _*)).as("q")
+
+  /** DuckDB-side (p, num, den) VALUES domain for [[QPs]]. */
+  private def qpDuck: String =
+    QPs.map { case (p, a, b) => s"(${p}e0, $a, $b)" }
+      .mkString("(SELECT * FROM (VALUES ", ", ", ") q(p, num, den))")
+
+  /** Exact-integer rank expression for ceil(p·n), shared SQL dialect. */
+  private val rankExpr = "CAST((num * n + den - 1) // den AS BIGINT)"
 
   /** Deterministic bottom-[[QK]] priority sample of (id, value) rows —
     * the k rows with the smallest salted-md5 priorities. A SET
@@ -244,18 +262,18 @@ object SketchOps {
     * the 1-row sample-count scalar. Estimates are sampled VALUES —
     * no interpolation arithmetic, so both engines agree bit-for-bit
     * and the estimate is always an actually-occurring value. */
-  def sketchQuantiles(sketch: DataFrame, ps: Seq[Double] = QPs)
-      : DataFrame = {
+  def sketchQuantiles(sketch: DataFrame): DataFrame = {
     val cnt = sketch.agg(count(lit(1)).as("n"))
     sketch
       .agg(sort_array(collect_list(struct(col("v"), col("sid")))).as("ss"))
       .select(posexplode(col("ss")).as(Seq("idx", "s")))
       .select((col("idx") + 1).cast("long").as("rn"), col("s.v").as("v"))
       .crossJoin(broadcast(cnt))
-      .select(col("rn"), col("v"), col("n"),
-        explode(array(ps.map(lit(_)): _*)).as("p"))
-      .filter(col("rn") === expr("CAST(ceil(p * n) AS BIGINT)"))
-      .select(col("p"), col("v").as("est"), col("n").as("n_sample"))
+      .select(col("rn"), col("v"), col("n"), qpStructs)
+      .filter(col("rn") ===
+        expr("CAST((q.num * n + q.den - 1) DIV q.den AS BIGINT)"))
+      .select(col("q.p").as("p"), col("v").as("est"),
+        col("n").as("n_sample"))
   }
 
   /** Distributed quantile estimation over event values via the
@@ -296,9 +314,8 @@ object SketchOps {
           CAST(COUNT(*) OVER () AS BIGINT) AS n
         FROM sample)
       SELECT p, v AS est, n AS n_sample
-      FROM ranked,
-        (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
-      WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
+      FROM ranked, $qpDuck
+      WHERE rn = $rankExpr"""))
 
   /** Per-GROUP quantile sketches — q152's bottom-k sampler rolled up
     * per key, the grouped form a metrics pipeline stores (per-type
@@ -334,10 +351,11 @@ object SketchOps {
         .withColumn("rn", row_number().over(wV).cast("long"))
         .join(broadcast(sizes), "event_type")
         .select(col("event_type"), col("rn"), col("v"), col("n"),
-          explode(array(QPs.map(lit(_)): _*)).as("p"))
-        .filter(col("rn") === expr("CAST(ceil(p * n) AS BIGINT)"))
-        .select(col("event_type"), col("p"), col("v").as("est"),
-          col("n").as("n_sample"))
+          qpStructs)
+        .filter(col("rn") ===
+          expr("CAST((q.num * n + q.den - 1) DIV q.den AS BIGINT)"))
+        .select(col("event_type"), col("q.p").as("p"),
+          col("v").as("est"), col("n").as("n_sample"))
     },
     Some(s"""
       WITH sample AS (
@@ -355,9 +373,8 @@ object SketchOps {
           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM sample)
       SELECT event_type, p, v AS est, n AS n_sample
-      FROM ranked,
-        (SELECT unnest([${QPs.map(p => s"${p}e0").mkString(", ")}]) AS p)
-      WHERE rn = CAST(ceil(p * n) AS BIGINT)"""))
+      FROM ranked, $qpDuck
+      WHERE rn = $rankExpr"""))
 
   /** q167: HyperLogLog register sketch under the bit-exact gate — the
     * other half of the sketch family (KMV keeps the k smallest hashes;

@@ -2513,6 +2513,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => b >= a })
     val q29n = SparkEntry.queries("q29_simhash_pairs")(spark, sf).count()
     assert(counts.last == q29n)
+    // EMPTY pair set (all-distinct corpus): the 7-row t domain must
+    // survive with n_pairs = 0 — the oracle's LEFT JOIN ... ON true
+    // shape, which a crossJoin would collapse to zero rows
+    val empty = spark.range(0).select(col("id").as("hamming"),
+      col("id").as("n"))
+    val zeros = ops.DedupOps.hammingSweep(spark, empty)
+      .orderBy(col("t")).collect()
+    assert(zeros.map(_.getLong(0)).toSeq == (0L to 6L))
+    assert(zeros.forall(_.getLong(1) == 0L))
   }
 
   test("q179 epoch shuffle: reproducible, epochs decorrelate") {
@@ -2823,6 +2832,32 @@ class OperatorSpec extends AnyFunSuite {
       // thousands of rows
       assert(mean >= lo && mean <= hi, s"$mean not in [$lo, $hi]")
     }
+  }
+
+  test("q197 small-group NULL path: singleton type still yields a " +
+    "non-null degenerate CI (n_eff=0 replicates dropped pre-rank)") {
+    import spark.implicits._
+    // a 1-row event type draws Poisson weight 0 on ~12 of its 32 hex
+    // digits, so ~12 replicate means are NULL. Ranking over those NULLs
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST) is the divergence the
+    // fix removes: survivors' means all equal the row's value, so both
+    // CI ends must be exactly that value, never NULL.
+    val dir = java.nio.file.Files.createTempDirectory("q197nulls").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (("solo", 1L, 5.0) +:
+      (0 until 200).map(i => ("big", 100L + i, i.toDouble)))
+    rows.map { case (t, id, v) => (id, ts, id, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q197_poisson_bootstrap")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val solo = out("solo")
+    assert(!solo.isNullAt(3) && !solo.isNullAt(4),
+      s"singleton CI must not be NULL: $solo")
+    assert(solo.getDouble(3) == 5.0 && solo.getDouble(4) == 5.0)
+    val big = out("big")
+    assert(big.getDouble(3) <= big.getDouble(2) &&
+      big.getDouble(2) <= big.getDouble(4))
   }
 
   test("q198 TV drift: bounded in [0,1], below the disjoint-support " +
