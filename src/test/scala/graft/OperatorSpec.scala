@@ -1159,6 +1159,9 @@ class OperatorSpec extends AnyFunSuite {
                            // broadcasts (q98/q137 family); the cell
                            // prune itself is an equi-join (spec'd)
       "q152_quantile_sketch", // 1-row sample-count scalar (q76 shape)
+      "q205_vector_index", // q150's stored twin: 8-row coarse + 16-row
+                           // codebook broadcasts read from the index
+                           // tables; the cell prune is an equi-join
       "q160_hamming_search", // 20-query packed-code broadcast (q30 shape)
       "q162_staged_retrieval", // same bounded broadcast in its
                                // Hamming prefilter stage
@@ -1368,6 +1371,65 @@ class OperatorSpec extends AnyFunSuite {
       s"recall not monotone: $r1, $r2, $r8")
     assert(full == flat,
       s"full-probe IVF-PQ diverged from flat ADC (recall $r8)")
+  }
+
+  test("q205 vector index: append == rebuild, search reads only stored " +
+    "tables, serving equals the inline q150 trajectory") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val first = e.filter(col("vec_id") % 2 === 0)
+    val second = e.filter(col("vec_id") % 2 =!= 0)
+    def tmp() = java.nio.file.Files.createTempDirectory("vidx_spec")
+      .toString
+    def pfx(path: String) =
+      "vs" + path.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    // (1) append == rebuild-from-scratch against the same frozen
+    // codebooks: build(train=first, corpus=first) + append(second)
+    // must equal build(train=first, corpus=all) table-for-table
+    val (pA, pB) = (tmp(), tmp())
+    val (pxA, pxB) = (pfx(pA), pfx(pB))
+    EmbeddingOps.buildVectorIndex(spark, first, first, pxA, pA)
+    EmbeddingOps.appendToVectorIndex(spark, second, pxA, pA)
+    EmbeddingOps.buildVectorIndex(spark, first, e, pxB, pB)
+    def codesOf(px: String) = EmbeddingOps.readVectorIndex(spark, px)
+      .codes.as[(Long, Long, Long, Long)].collect().toSet
+    assert(codesOf(pxA) == codesOf(pxB),
+      "appended codes diverge from a from-scratch rebuild")
+    // appended index serves identically to the rebuilt one
+    val q = e.filter(col("vec_id") < 20)
+    def served(px: String) = EmbeddingOps.searchVectorIndex(
+      q, EmbeddingOps.readVectorIndex(spark, px), 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served(pxA) == served(pxB))
+    // (2) plan audit: the search plan reads the stored index tables
+    // and touches embeddings ONLY through the vec_id<20 query-side
+    // scan — no corpus-float scan, no k-means/codebook training stage
+    val search = EmbeddingOps.searchVectorIndex(
+      q, EmbeddingOps.readVectorIndex(spark, pxB), 2)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains(pB) || plan.contains(s"${pxB}_codes"),
+      s"search plan does not read the stored index:\n$plan")
+    val embScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet")).toSeq
+    assert(embScans.nonEmpty)
+    // every embeddings scan line is part of a FileScan whose pushed
+    // filters restrict vec_id (the query side); training would need an
+    // UNfiltered corpus scan
+    val pushed = "PushedFilters: \\[[^\\]]*vec_id[^\\]]*\\]".r
+    assert(pushed.findAllIn(plan).size ==
+      plan.linesIterator.count(_.contains("PushedFilters")) ||
+      plan.contains("LessThan(vec_id,20)"),
+      s"corpus-float scan leaked into the serving plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // (3) the gated query: persisted-index serving == inline q150
+    val q205 = SparkEntry.queries("q205_vector_index")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val q150 = SparkEntry.queries("q150_ivfpq_search")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    assert(q205 == q150, "stored-index serving diverged from q150")
   }
 
   test("q138 ADC search: well-formed rankings, recall above chance") {
