@@ -1225,7 +1225,7 @@ object TextOps {
       .select(col("word"),
         expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
         col("cnt"))
-      .persist()
+      .localCheckpoint(true)
     val rules = (1 to BpeRounds).map { round =>
       val top = pairCounts(tab)
         .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
@@ -1234,12 +1234,16 @@ object TextOps {
         (top.getString(0), top.getString(1), top.getLong(2))
       // literal merge symbols as Column args (no SQL-text splicing,
       // no escaping concerns), Spark's replace = literal match
+      // eager localCheckpoint, not persist+count: the checkpoint
+      // truncates lineage to the materialized blocks in ONE job, where
+      // persist+count pays an extra scheduling round per merge and
+      // re-embeds the full 10-round plan into every downstream
+      // QueryExecution (the q51/q183 iteration discipline)
       val merged = tab.select(col("word"),
         trim(call_function("replace",
           concat(lit(" "), col("sym"), lit(" ")),
           lit(s" $s1 $s2 "), lit(s" $s1$s2 "))).as("sym"),
-        col("cnt")).persist()
-      merged.count() // materialize before dropping the parent cache
+        col("cnt")).localCheckpoint(true)
       tab.unpersist()
       tab = merged
       (round.toLong, s1, s2, n)
@@ -1311,12 +1315,20 @@ object TextOps {
       val (_, vocab) = bpeTrain(s, dir)
       val tokensPerWord = vocab.select(col("word"),
         expr("CAST(size(split(sym, ' ')) AS BIGINT)").as("n_tok"))
+      // pre-aggregate occurrences to per-doc word multiplicities BEFORE
+      // the vocab join: the join probes |distinct (doc, word)| rows
+      // instead of |occurrences| (and the pre-agg is partial/map-side
+      // combined). Integer identities keep the result exact:
+      // COUNT(*) == SUM(k), SUM(n_tok) == SUM(k·n_tok).
       val out = table(s, dir, "documents")
         .withColumn("words", expr(wordsSpark))
         .select(col("doc_id"), explode(col("words")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("k"))
         .join(tokensPerWord, "word")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe"))
+        .agg(sum(col("k")).as("n_words"),
+          sum(col("k") * col("n_tok")).as("n_bpe"))
       out.persist().count() // materialize before freeing the vocab
       vocab.unpersist()
       out
