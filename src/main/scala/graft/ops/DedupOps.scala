@@ -179,6 +179,74 @@ object DedupOps {
       expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"))
   }
 
+  /** Grouped band rows off a raw (doc_id, text) frame — the batch
+    * composition the row-local twin below is spec-checked against. */
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame =
+    bandRows(hashedShingles(docs))
+
+  /** ROW-LOCAL twin of [[hashedShingles]] ∘ [[bandRows]]: the same
+    * (doc_id, band_idx, band_val) rows, computed entirely inside one
+    * row's expressions (shingle array → per-shingle md5 halves → K
+    * array-min signatures → B band strings) with NO shuffle. This is
+    * the form a STREAMING dedup needs — Structured Streaming forbids an
+    * aggregation upstream of a stateful operator, so the per-doc
+    * signature min must happen row-locally. Equality with the grouped
+    * recipe is spec-proven (group-min over exploded distinct grams ==
+    * array_min over the distinct-gram array, term for term). Batch
+    * paths keep the exploded/codegen'd [[bandRows]]: the HOF chain here
+    * evaluates interpreted, the right trade only where the shuffle is
+    * illegal. Extra columns (e.g. the watermark ts) pass through. */
+  private[graft] def bandRowsRowLocal(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filter(c => c != "text" && c != "doc_id")
+      .map(col).toSeq
+    val sh = "array_distinct(transform(sequence(0, size(words) - 3), " +
+      "i -> array_join(slice(words, i + 1, 3), ' ')))"
+    val hp = s"""transform(transform($sh, g -> md5(CAST(g AS BINARY))),
+        h -> named_struct(
+          'h1', CAST(${hexToLong("h", 1, 8)} AS BIGINT),
+          'h2', CAST(${hexToLong("h", 9, 8)} AS BIGINT)))"""
+    val sigCols = (0 until K).map { i =>
+      expr(s"array_min(transform(hp, p -> (p.h1 + $i * p.h2) % $P))")
+        .as(s"s$i")
+    }
+    val bandPairs = (0 until B).map(j =>
+      s"$j, concat_ws('|', ${(0 until R)
+        .map(r => s"CAST(s${j * R + r} AS STRING)").mkString(", ")})")
+    docs
+      .withColumn("words", expr(wordsSpark))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hp", expr(hp))
+      .select(col("doc_id") +: keep ++: sigCols: _*)
+      .select(col("doc_id") +: keep :+
+        expr(s"stack($B, ${bandPairs.mkString(", ")}) AS (band_idx, band_val)"): _*)
+  }
+
+  /** Batch oracle for first-writer-wins band dedup (the q27
+    * restriction q206 streams): a doc is a near-dup iff it shares a
+    * band with ANY smaller doc_id. */
+  private[graft] lazy val bandDupBatchOracle: String = {
+    val sigSelect = (0 until K).map(i =>
+      s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+    val bandUnion = (0 until B).map { j =>
+      val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion)
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id"""
+  }
+
   /** MinHash near-dup detection with banded LSH (shingle → one md5 →
     * K double-hashed minima → B bands → capped equi-join candidates →
     * relational Jaccard verify). Output: pairs with Jaccard >= 1/4

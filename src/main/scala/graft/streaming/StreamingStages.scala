@@ -637,6 +637,107 @@ object StreamingStages {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** documents.parquet stream with a synthesized deterministic event
+    * time (ts = doc_id seconds): the documents table carries no
+    * timestamp, and band-dedup state needs SOME event-time axis for
+    * watermark eviction. Row-local and arrival-free — the oracle never
+    * sees ts. */
+  def documentsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val f = new java.io.File(path)
+    val staticPath = if (f.isFile) path else path + "/*.parquet"
+    val schema = spark.read.parquet(staticPath).schema
+    val r0 = spark.readStream.schema(schema)
+    val r = maxFilesPerTrigger
+      .fold(r0)(n => r0.option("maxFilesPerTrigger", n))
+    val src =
+      if (f.isFile)
+        r.option("basePath", f.getParent)
+          .parquet(s"${f.getParent}/{${f.getName}}")
+      else r.parquet(path)
+    // +1 s: a row whose event time EQUALS the initial watermark (epoch
+    // 0 — i.e. doc_id 0) would be dropped as late by every stateful
+    // operator before any state exists
+    src.withColumn("ts",
+      timestamp_micros((col("doc_id") + 1) * 1000000L))
+  }
+
+  /** Streaming MinHash-band NEAR-dup dedup — the probabilistic tier
+    * [[streamingDedup]]'s exact-key drop cannot cover (a near-identical
+    * doc has a different content hash but collides in >= 1 LSH band).
+    * Band signatures are computed ROW-LOCALLY
+    * ([[graft.ops.DedupOps.bandRowsRowLocal]] — Structured Streaming
+    * forbids an aggregation upstream of a stateful operator, so the
+    * per-doc signature min cannot be a groupBy), then each (band_idx,
+    * band_val) bucket is a flatMapGroupsWithState group whose state is
+    * ONE long: the smallest doc_id ever seen. First-writer-wins BY KEY
+    * ORDER (not arrival order), so the emitted dup set is
+    * micro-batch-partition-free and batch-checkable: a doc is a dup
+    * iff it shares a band with a smaller-id doc. State is evicted by
+    * event-time timeout once the watermark passes the bucket's last
+    * activity + horizon — bounded state at unbounded ingest, the
+    * reference's resume/done-set discipline (aesthetic_score.py:98)
+    * done as true streaming. A doc colliding in several bands emits
+    * from each group; sinks dedupe by key. */
+  def streamingBandDedup(spark: SparkSession, docs: DataFrame,
+      horizonMs: Long = 3600L * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.ops.DedupOps.bandRowsRowLocal(
+        docs.select(col("doc_id"), col("text"), col("ts")))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(concat_ws("#", col("band_idx"), col("band_val")).as("bkey"),
+        col("doc_id"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.map(r => (r._2, r._3.getTime)).toArray
+            // overall min across persisted state and this batch: every
+            // other id in the bucket has a smaller-id partner => dup
+            val mn = math.min(
+              state.getOption.getOrElse(Long.MaxValue),
+              batch.iterator.map(_._1).min)
+            state.update(mn)
+            state.setTimeoutTimestamp(
+              batch.iterator.map(_._2).max + horizonMs)
+            batch.iterator.map(_._1).filter(_ > mn).toArray
+              .sorted.iterator
+          }
+      }
+      .toDF("doc_id")
+  }
+
+  private val bandDedupSinkId =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q206: [[streamingBandDedup]] as a REAL streaming query under the
+    * gate (file source → row-local band signatures → watermarked
+    * flatMapGroupsWithState → update-mode memory sink). The horizon
+    * exceeds the synthetic ts span so no bucket evicts mid-run and the
+    * batch oracle is exact: the q27-band restriction "shares a band
+    * with any smaller doc_id" (first-writer-wins near-dup ingest).
+    * Production callers set a real horizon and state becomes
+    * O(buckets-per-horizon). */
+  val q206StreamingBandDedup: graft.OpSpec = graft.OpSpec(
+    "q206_streaming_band_dedup",
+    (s, dir) => {
+      val id = bandDedupSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q206_mem_${id - 1}")
+      val name = s"q206_mem_$id"
+      runToMemory(
+        streamingBandDedup(s,
+          documentsStream(s, s"$dir/documents.parquet"),
+          horizonMs = 30L * 86400 * 1000),
+        name, "update").stop()
+      s.table(name).select(col("doc_id")).distinct()
+    },
+    Some(graft.ops.DedupOps.bandDupBatchOracle))
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
@@ -644,5 +745,6 @@ object StreamingStages {
       q175StreamingLeftJoin,
       q122StreamingSession, q123StreamingHopping,
       q127StreamingUserStats, q128StreamingEnrich,
-      q158StreamingEnrichedRollup, q159StreamingEventSeq)
+      q158StreamingEnrichedRollup, q159StreamingEventSeq,
+      q206StreamingBandDedup)
 }

@@ -341,6 +341,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("row-local band signatures equal the grouped bandRows recipe") {
+    import spark.implicits._
+    // the streaming dedup's shuffle-free band computation must be the
+    // SAME function as the batch q27 recipe, term for term — group-min
+    // over exploded distinct grams == array_min over the gram array
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val local = ops.DedupOps.bandRowsRowLocal(docs)
+      .select(col("doc_id"), col("band_idx").cast("long"),
+        col("band_val"))
+      .as[(Long, Long, String)].collect().toSet
+    val batch = ops.DedupOps.bandRowsOf(docs)
+      .select(col("doc_id"), col("band_idx").cast("long"),
+        col("band_val"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(local == batch,
+      s"diverged: ${(local diff batch).take(3)} / ${(batch diff local).take(3)}")
+  }
+
   test("q27 bucket cap drops hot boilerplate buckets, keeps normal pairs") {
     import spark.implicits._
     // 1100 byte-identical boilerplate docs (every band bucket = 1100 >

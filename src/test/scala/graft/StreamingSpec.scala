@@ -241,4 +241,55 @@ class StreamingSpec extends AnyFunSuite {
         == batch.count())
     } finally q.stop()
   }
+
+  test("streaming band dedup carries bucket state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // The q206 gate runs single-batch; the property it can't exercise
+    // is that a band bucket's min-id state SURVIVES into later batches
+    // (a doc arriving after its smaller-id near-twin must still be
+    // flagged). ts = doc_id seconds, so splitting at the median doc_id
+    // respects event time; one file per trigger forces two batches.
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.5)"))
+      .collect()(0).getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bd2")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bd2w")
+      docs.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(col("doc_id") <= cut, "00_early.parquet", 100000L)
+    stage(col("doc_id") > cut, "01_late.parquet", 200000L)
+    val stream = StreamingStages.documentsStream(spark,
+      streamDir.toString, maxFilesPerTrigger = Some(1))
+    val q = StreamingStages.runToMemory(
+      StreamingStages.streamingBandDedup(spark, stream,
+        horizonMs = 30L * 86400 * 1000), "bd2_out", "update")
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val streamed = spark.table("bd2_out").select("doc_id").distinct()
+      val bands = graft.ops.DedupOps.bandRowsRowLocal(docs)
+      val batch = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id")).distinct()
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      // cross-batch specifically: at least one flagged doc is a LATE
+      // arrival whose only smaller partner is EARLY (state carry)
+      val lateDups = streamed.filter(col("doc_id") > cut)
+      assert(lateDups.count() > 0, "no late-batch dups — cross-batch " +
+        "state carry not exercised by this corpus")
+    } finally q.stop()
+  }
 }
