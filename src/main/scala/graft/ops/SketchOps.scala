@@ -471,6 +471,128 @@ object SketchOps {
       JOIN exact e ON e.l_returnflag = d.l_returnflag
       JOIN z ON z.l_returnflag = d.l_returnflag"""))
 
+  // ---- Count-min frequency sketch (heavy hitters) --------------------
+
+  /** Count-min geometry: [[CmD]] hash rows × [[CmW]] columns = 256
+    * cells — constant state no matter the vocabulary (the frequency
+    * member of the sketch family next to KMV/HLL cardinality and the
+    * bottom-k quantiles). Rows are md5-derived ("cm<r>:<word>"), so
+    * the sketch is deterministic and oracle-able cell-for-cell. */
+  private val CmD = 4
+  private val CmW = 64L
+
+  /** Build the count-min cell table (r, col, cnt) from a (word, n)
+    * frequency frame. Cells are SUMS — additively mergeable, so
+    * per-shard sketches fold into the corpus sketch by cell-wise
+    * addition (spec-proven), the property that lets every partition of
+    * a 100 TB corpus keep its own 256-cell sketch and answer global
+    * heavy-hitter queries without a rescan. Empty cells are absent
+    * (the merge treats them as 0). */
+  def countMinCells(wordCounts: DataFrame): DataFrame =
+    wordCounts
+      .select(col("word"), col("n"),
+        explode(array((0 until CmD).map(i => lit(i.toLong)): _*)).as("r"))
+      .withColumn("hx",
+        md5(concat(lit("cm"), col("r").cast("string"), lit(":"),
+          col("word")).cast("binary")))
+      .select(col("r"),
+        expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT)")
+          .as("col"),
+        col("n"))
+      .groupBy(col("r"), col("col"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Point estimate per word from a cell table: min over the D row
+    * hashes — the classic CM readout, never an underestimate. */
+  def countMinEstimate(words: DataFrame, cells: DataFrame): DataFrame =
+    words
+      .select(col("word"),
+        explode(array((0 until CmD).map(i => lit(i.toLong)): _*)).as("r"))
+      .withColumn("hx",
+        md5(concat(lit("cm"), col("r").cast("string"), lit(":"),
+          col("word")).cast("binary")))
+      .select(col("word"), col("r"),
+        expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT)")
+          .as("col"))
+      .join(cells, Seq("r", "col"))
+      .groupBy(col("word"))
+      .agg(min(col("cnt")).as("est"))
+
+  /** Shared DuckDB CTEs: corpus word counts + the CM cell table. */
+  private val cmDuck = s"""
+      wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lower(unnest(${TextOps.wordsDuck})) AS word
+              FROM documents)
+        GROUP BY word),
+      cmcells AS (
+        SELECT r, c AS col, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (
+          SELECT n, r,
+            CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT) AS c
+          FROM (SELECT word, n, g.r,
+                  md5('cm' || CAST(g.r AS VARCHAR) || ':' || word) AS hx
+                FROM wc,
+                  (SELECT CAST(unnest(range(0, $CmD)) AS BIGINT) AS r) g))
+        GROUP BY r, c)"""
+
+  /** q207: the count-min sketch itself under the bit-exact gate — all
+    * ≤ ${4 * 64} populated cells, cell-for-cell. The build
+    * pre-aggregates the corpus to (word, n) first (map-side combined),
+    * so the D-way explode fans out per DISTINCT word, never per token.
+    * Reference tie: the q66 vocabulary-mining pass kept as constant
+    * state instead of an exact |vocab|-row table. */
+  val q207CountminCells = OpSpec(
+    "q207_countmin_cells",
+    (s, dir) => {
+      val wc = table(s, dir, "documents")
+        .select(explode(expr(TextOps.wordsSpark)).as("w"))
+        .select(lower(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      countMinCells(wc)
+    },
+    Some(s"""
+      WITH $cmDuck
+      SELECT r, col, cnt FROM cmcells"""))
+
+  /** q208: the CM readout audited against exact truth — q66's exact
+    * top-100 word counts side by side with their sketch estimates
+    * (min over the D cells). est ≥ n always (CM never undercounts);
+    * the error band vs the exact counts is spec-asserted. One join of
+    * 100·D rows against the 256-cell table — the serving path never
+    * rescans the corpus. */
+  val q208CountminEstimate = OpSpec(
+    "q208_countmin_est",
+    (s, dir) => {
+      val wc = table(s, dir, "documents")
+        .select(explode(expr(TextOps.wordsSpark)).as("w"))
+        .select(lower(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val top = wc.orderBy(col("n").desc, col("word")).limit(100)
+      top.join(
+        countMinEstimate(top.select(col("word")),
+          broadcast(countMinCells(wc))), "word")
+        .select(col("word"), col("n"), col("est"))
+    },
+    Some(s"""
+      WITH $cmDuck,
+      top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 100),
+      est AS (
+        SELECT q.word, CAST(MIN(cmcells.cnt) AS BIGINT) AS est
+        FROM (
+          SELECT word, r,
+            CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT) AS c
+          FROM (SELECT t.word, g.r,
+                  md5('cm' || CAST(g.r AS VARCHAR) || ':' || t.word) AS hx
+                FROM top t,
+                  (SELECT CAST(unnest(range(0, $CmD)) AS BIGINT) AS r) g))
+          q
+        JOIN cmcells ON cmcells.r = q.r AND cmcells.col = q.c
+        GROUP BY q.word)
+      SELECT t.word, t.n, e.est
+      FROM top t JOIN est e ON e.word = t.word"""))
+
   val all: Seq[OpSpec] = Seq(q88KmvDistinct, q99KmvMerge, q143KmvWau,
-    q152QuantileSketch, q154GroupQuantiles, q167HllRegisters)
+    q152QuantileSketch, q154GroupQuantiles, q167HllRegisters,
+    q207CountminCells, q208CountminEstimate)
 }

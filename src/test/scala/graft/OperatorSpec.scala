@@ -2319,6 +2319,44 @@ class OperatorSpec extends AnyFunSuite {
       scrub(6L).toString)
   }
 
+  test("q207/q208 count-min: shard-merge == corpus sketch, estimates " +
+    "never undercount and sit inside the CM error band") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def wc(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(expr(
+        "filter(split(text, '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .select(lower(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    // (1) mergeability: per-shard cell tables summed cell-wise must
+    // equal the whole-corpus sketch — the invariant that lets each
+    // partition keep its own 256 cells
+    val whole = ops.SketchOps.countMinCells(wc(docs))
+      .as[(Long, Long, Long)].collect().toSet
+    val merged = (0 until 4)
+      .map(i => ops.SketchOps.countMinCells(
+        wc(docs.filter(col("doc_id") % 4 === i))))
+      .reduce(_ unionByName _)
+      .groupBy(col("r"), col("col")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == whole,
+      s"merge diverged: ${(merged diff whole).take(3)}")
+    // (2) error band vs exact q66 counts: est >= n always (CM never
+    // undercounts), overshoot bounded by the row-collision mass
+    // (<= total token count — n, and in expectation total/W; assert a
+    // generous deterministic 4*total/W)
+    val rows = SparkEntry.queries("q208_countmin_est")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = wc(docs).agg(sum(col("n"))).collect()(0).getLong(0)
+    rows.foreach { case (word, n, est) =>
+      assert(est >= n, s"$word: CM undercounted ($est < $n)")
+      assert(est - n <= 4 * total / 64,
+        s"$word: overshoot ${est - n} past the 4N/W band")
+    }
+  }
+
   test("q152 quantile sketch: merge-invariant, estimates inside the error band") {
     import spark.implicits._
     import graft.ops.SketchOps
