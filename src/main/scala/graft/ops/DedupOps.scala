@@ -2452,6 +2452,122 @@ object DedupOps {
         CAST(t.n_found AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
       FROM flagged f CROSS JOIN totals t"""))
 
+  /** Swept band widths: every divisor banding of the K=12 signature.
+    * B bands of R=K/B rows each — B=12/R=1 is the highest-recall/
+    * highest-candidate-volume extreme, B=2/R=6 the most selective. */
+  private val SweepBs = Seq(2, 3, 4, 6, 12)
+
+  /** q209: MinHash (K, B) band-parameter sweep — the data-driven
+    * operator-choice readout for the 100 TB dedup pass: the SAME K=12
+    * signatures re-banded at every divisor B, each banding's candidate
+    * volume and its recall against q50's lossless ≥ 3/4 ground truth
+    * (the q195 audit, swept instead of fixed at q27's (12, 4)). A
+    * pipeline owner reads this curve to pick the cheapest banding
+    * whose recall clears the bar BEFORE committing a corpus-wide run.
+    * Bounded: signatures are computed ONCE (one groupBy over shingle
+    * rows); re-banding is a per-row stack, and all five bandings share
+    * one self-equi-join keyed by (b, band_idx, band_val). The sweep is
+    * uncapped on purpose — it must measure the TRUE candidate volume a
+    * banding implies (q27's production cap would hide exactly the
+    * hot-bucket blowup the sweep exists to reveal; at B=12/R=1 single-
+    * hash buckets are the worst case and the count quantifies it). */
+  val q209BandSweep = OpSpec(
+    "q209_band_sweep",
+    (s, dir) => {
+      val hashed = hashedShingles(table(s, dir, "documents"))
+      val sigs = hashed.groupBy(col("doc_id")).agg(
+        min(expr(sigExpr(0))).as("s0"),
+        (1 until K).map(i => min(expr(sigExpr(i))).as(s"s$i")): _*)
+      val bandArms = SweepBs.flatMap { b =>
+        val r = K / b
+        (0 until b).map { j =>
+          val cat = (0 until r).map(i => s"CAST(s${j * r + i} AS STRING)")
+            .mkString(", ")
+          s"CAST($b AS BIGINT), CAST($j AS BIGINT), concat_ws('|', $cat)"
+        }
+      }
+      val bands = sigs.select(col("doc_id"),
+        expr(s"stack(${bandArms.size}, ${bandArms.mkString(", ")})" +
+          " AS (b, band_idx, band_val)")).persist()
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.b") === col("y.b") &&
+            col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.b").as("b"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+        .distinct().persist()
+      val truth = q50NgramJaccard.query(s, dir)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand = cand.groupBy(col("b")).agg(count(lit(1)).as("n_cand"))
+      val nFound = cand.join(truth, Seq("doc_a", "doc_b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_found"))
+      // explicit 5-row B domain + left joins: a banding with zero
+      // candidates (or an empty truth set) must still emit its row
+      // with zeros — the q178 empty-set lesson
+      import s.implicits._
+      SweepBs.map(_.toLong).toDF("b")
+        .join(nCand, Seq("b"), "left")
+        .join(nFound, Seq("b"), "left")
+        .join(broadcast(nTruth), lit(true), "left")
+        .select(col("b"), lit(K.toLong).as("k"),
+          expr(s"CAST($K DIV b AS BIGINT)").as("r"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("n_truth"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_truth").cast("double")).as("recall"))
+    },
+    Some {
+      val sigSelect = (0 until K).map(i =>
+        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+      val bandUnion = SweepBs.flatMap { b =>
+        val r = K / b
+        (0 until b).map { j =>
+          val cat = (0 until r).map(i => s"CAST(s${j * r + i} AS VARCHAR)")
+            .mkString(", ")
+          s"SELECT doc_id, CAST($b AS BIGINT) AS b, CAST($j AS BIGINT)" +
+            s" AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+        }
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT x.b, x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.band_idx = y.band_idx
+         AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+      truth AS (
+        SELECT doc_a, doc_b FROM (${q50NgramJaccard.oracle.get})),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      cc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_cand
+             FROM cand GROUP BY b),
+      ff AS (SELECT c.b, CAST(COUNT(*) AS BIGINT) AS n_found
+             FROM cand c JOIN truth t
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+             GROUP BY c.b),
+      doms AS (SELECT CAST(unnest([${SweepBs.mkString(", ")}]) AS BIGINT)
+                 AS b)
+      SELECT d.b, CAST($K AS BIGINT) AS k, CAST($K // d.b AS BIGINT) AS r,
+        COALESCE(cc.n_cand, 0) AS n_cand, nt.n_truth,
+        COALESCE(ff.n_found, 0) AS n_found,
+        CAST(COALESCE(ff.n_found, 0) AS DOUBLE) /
+          CAST(nt.n_truth AS DOUBLE) AS recall
+      FROM doms d
+      LEFT JOIN cc ON cc.b = d.b
+      LEFT JOIN ff ON ff.b = d.b
+      CROSS JOIN nt"""
+    })
+
   /** q201: b-bit MinHash — the storage-scale variant of q27's
     * signatures: keep only the LOW 4 BITS of each of the K=12
     * minhashes (48 bits per doc instead of 12×64 — the compression
@@ -2580,5 +2696,5 @@ object DedupOps {
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
     q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit,
-    q201BbitMinhash)
+    q201BbitMinhash, q209BandSweep)
 }

@@ -1202,6 +1202,8 @@ class OperatorSpec extends AnyFunSuite {
       "q192_spearman_eval", // same bounded broadcast scan (q186 shape)
       "q193_lift_rules", // 1-row basket-count scalar broadcast
       "q195_lsh_recall_audit", // 1-row truth/found totals broadcast
+      "q209_band_sweep", // 1-row truth-total broadcast onto the 5-row
+                         // B domain; the candidate join is an equi-join
                                // (inherits q107-family scalar shapes)
       "q199_conversion_sweep", // 1-row error-count scalar broadcast
       "q203_source_league", // 1-row corpus-mean scalar broadcast
@@ -2653,6 +2655,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(byEpoch.keySet == Set(0L, 1L, 2L) &&
       byEpoch.values.forall(_.length == 5))
     assert(byEpoch.values.toSeq.distinct.length > 1) // orders differ
+  }
+
+  test("q209 band sweep: nested along divisor chains, B=12 dominates, " +
+    "truth total fixed") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q209_band_sweep")(spark, sf)
+      .select("b", "r", "n_cand", "n_truth", "n_found", "recall")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(rows.keySet == Set(2L, 3L, 4L, 6L, 12L))
+    assert(rows.values.map(_._4).toSet.size == 1) // one truth total
+    rows.values.foreach { r =>
+      assert(r._2 == 12 / r._1)
+      assert(r._5 <= r._4 && r._5 <= r._3) // found <= truth, <= cand
+      assert(r._6 >= 0.0 && r._6 <= 1.0)
+    }
+    // a match on an aligned R-band implies a match on some aligned
+    // R'-band it contains, so candidates nest along divisor chains
+    // (2->4->12 and 3->6->12) — recall and volume must be monotone
+    // there; B=3 vs B=4 is deliberately NOT comparable (bands of 4 and
+    // 3 don't align within K=12)
+    for (chain <- Seq(Seq(2L, 4L, 12L), Seq(3L, 6L, 12L)))
+      chain.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(rows(lo)._3 <= rows(hi)._3,
+          s"volume not monotone $lo->$hi")
+        assert(rows(lo)._5 <= rows(hi)._5,
+          s"recall not monotone $lo->$hi")
+      }
+    assert(rows.values.forall(_._3 <= rows(12L)._3)) // B=12 max volume
+    assert(rows.values.forall(_._5 <= rows(12L)._5)) // B=12 max recall
   }
 
   test("q177 blocking audit: budgets bounded by all-pairs, blocks sane") {
