@@ -174,6 +174,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(!alive(), s"scorer pid $pid leaked past task completion")
   }
 
+  test("pipeScoreStage: a python3 line-protocol child works end-to-end " +
+    "(protocol, ERR arm, spawn count, mid-partition crash)") {
+    import spark.implicits._
+    // the runtime class the seam exists for: the reference's real
+    // scorers are python (ocr_score.py, imaging_quality.py). Skips
+    // gracefully on hosts without python3.
+    val py3 = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).exists())
+      .orElse(sys.env.get("PATH").flatMap(_.split(":").iterator
+        .map(d => s"$d/python3")
+        .find(p => new java.io.File(p).exists())))
+    assume(py3.isDefined, "python3 not installed on this host")
+    val pidLog = java.nio.file.Files.createTempFile("pypids", ".log")
+    val prog =
+      s"""import os, sys
+         |with open('$pidLog', 'a') as f: f.write(str(os.getpid()) + '\\n')
+         |for line in sys.stdin:
+         |    x = line.strip()
+         |    if x.startswith('bad'):
+         |        print('ERR bad row', flush=True)
+         |    else:
+         |        print(int(x) * 2, flush=True)
+         |""".stripMargin
+    val df = (1 to 20).map(_.toString).toDF("v")
+      .withColumn("v",
+        when(col("v") === "13", lit("bad")).otherwise(col("v")))
+      .repartition(3)
+    val out = ScoreStage.pipeScoreStage(df,
+      Seq(py3.get, "-u", "-c", prog), row => row.getString(0),
+      batchSize = 4)
+      .select(col("v"), col("score"), col("score_error")).collect()
+    assert(out.length == 20)
+    val errs = out.filter(_.get(2) != null)
+    assert(errs.toSeq.map(_.getString(0)) == Seq("bad") &&
+      errs.head.getString(2) == "bad row")
+    out.filter(_.get(2) == null).foreach { r =>
+      assert(r.getDouble(1) == r.getString(0).toDouble * 2)
+    }
+    val pids = java.nio.file.Files.readAllLines(pidLog)
+    assert(pids.size() <= 3 && pids.size() >= 1,
+      s"expected one interpreter per partition, saw ${pids.size()}")
+    // mid-partition crash: a python child that dies after 2 answers
+    // errors the remaining rows, not the task
+    val crash =
+      s"""import sys
+         |n = 0
+         |for line in sys.stdin:
+         |    print(int(line.strip()) * 2, flush=True)
+         |    n += 1
+         |    if n >= 2: sys.exit(3)
+         |""".stripMargin
+    val out2 = ScoreStage.pipeScoreStage(
+      (1 to 6).map(_.toString).toDF("v").coalesce(1),
+      Seq(py3.get, "-u", "-c", crash), row => row.getString(0),
+      batchSize = 2)
+      .select(col("score"), col("score_error")).collect()
+    assert(out2.count(_.get(0) != null) == 2)
+    val failed = out2.filter(_.get(0) == null)
+    assert(failed.length == 4 &&
+      failed.forall(_.getString(1).contains("scorer")))
+  }
+
   test("custom DotProduct expression matches the HOF fold bit-for-bit") {
     val e = Tables.table(spark, sf, "embeddings").limit(64)
     val hof =
