@@ -1368,10 +1368,13 @@ object EmbeddingOps {
         .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
 
-  val q150IvfPqSearch = OpSpec(
-    "q150_ivfpq_search",
-    (s, dir) => ivfPqSearch(s, dir, IvfPqNprobe),
-    Some(s"""
+  /** q150's full-trajectory oracle, parameterized by a survivor
+    * predicate over the scored corpus rows (`TRUE` == the inline
+    * q150). q210 passes the tombstone predicate's complement: a
+    * deleted-then-vacuumed index must reproduce the SAME trajectory
+    * restricted to surviving vectors — deletion changes which rows
+    * score, never how anything was trained or coded. */
+  private def ivfPqOracleSql(survivor: String): String = s"""
       WITH ${(0 until PqM).map(pqSubSql).mkString(",")},
       e AS ($normedDuck),
       kseeds AS (
@@ -1430,12 +1433,18 @@ object EmbeddingOps {
         JOIN ccodes c ON c.cell = p.cell
         JOIN lut l ON l.query_id = p.query_id
           AND l.sub = c.sub AND l.code = c.code
+        WHERE $survivor
         GROUP BY 1, 2)
       SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
         vec_id, score
       FROM scored
-      QUALIFY rank <= 10"""))
+      QUALIFY rank <= 10"""
+
+  val q150IvfPqSearch = OpSpec(
+    "q150_ivfpq_search",
+    (s, dir) => ivfPqSearch(s, dir, IvfPqNprobe),
+    Some(ivfPqOracleSql("TRUE")))
 
   // ---- Persisted IVF-PQ vector index (build / append / search) -------
 
@@ -1542,6 +1551,55 @@ object EmbeddingOps {
       s"${prefix}_codes", "cell", buckets, s"$path/codes")
   }
 
+  /** Tombstone a batch of vec_ids out of a persisted index — the
+    * delete half of the serving lifecycle (takedowns, opt-outs,
+    * quality recalls). Deletes are LOGICAL: the batch of ids lands in
+    * `<prefix>_tombstones` (insert-only, cost = |batch|) and
+    * [[readVectorIndexLive]] masks them at read time; the 100 TB
+    * codes table is not rewritten until [[vacuumVectorIndex]] folds
+    * the mask in. This is the same append-now/compact-later
+    * discipline as [[appendToVectorIndex]], applied to removal. */
+  def deleteFromVectorIndex(s: SparkSession, delIds: DataFrame,
+      prefix: String, path: String): Unit =
+    graft.io.Sinks.appendBucketedTable(
+      delIds.select(col("vec_id")), s"${prefix}_tombstones", "vec_id",
+      1, s"$path/tombstones")
+
+  /** Open an index with tombstones applied: the codes table anti-joined
+    * against the (small, broadcast) tombstone set. Searches over the
+    * live view see deletions immediately — before any vacuum — at the
+    * cost of one broadcast anti-join on the probe path. */
+  def readVectorIndexLive(s: SparkSession, prefix: String): VectorIndex = {
+    val idx = readVectorIndex(s, prefix)
+    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
+    else idx.copy(codes = idx.codes.join(
+      broadcast(s.table(s"${prefix}_tombstones")), Seq("vec_id"),
+      "left_anti"))
+  }
+
+  /** Physically drop tombstoned rows: rewrite the codes table without
+    * them (bucketed on `cell`, one file per bucket) and clear the
+    * tombstone set. Follows [[graft.io.Sinks.compactBucketedTable]]'s
+    * swap discipline — the rewrite lands under a staging name at
+    * `newCodesPath` and the public name is re-pointed only after the
+    * write commits, so a mid-vacuum crash leaves the old registration
+    * (with its tombstone mask) fully intact. After a vacuum,
+    * [[readVectorIndex]] and [[readVectorIndexLive]] agree, and the
+    * spec proves the rewrite equals a from-scratch rebuild on the
+    * surviving corpus. */
+  def vacuumVectorIndex(s: SparkSession, prefix: String,
+      newCodesPath: String, buckets: Int = 8): Unit = {
+    val staging = s"${prefix}_codes__vacuum"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.io.Sinks.bucketedTable(
+      readVectorIndexLive(s, prefix).codes
+        .repartition(buckets, col("cell")),
+      staging, "cell", buckets, newCodesPath)
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_codes")
+    s.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_codes")
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
+  }
+
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
     * stored coarse rows), per-query LUT (dot of query slices against
@@ -1609,6 +1667,37 @@ object EmbeddingOps {
         readVectorIndex(s, prefix), IvfPqNprobe)
     },
     q150IvfPqSearch.oracle)
+
+  /** q210: the DELETE half of the serving lifecycle under the gate.
+    * Build the q205 index, tombstone every seventh vector
+    * ([[deleteFromVectorIndex]]), fold the tombstones in
+    * ([[vacuumVectorIndex]]), and serve from the vacuumed tables. The
+    * oracle is q150's trajectory with the scored corpus restricted to
+    * survivors — deletion must change WHICH rows score and nothing
+    * else (codebooks stay frozen; a deleted vector's id may still
+    * arrive as a QUERY, which the lifecycle must serve fine). The
+    * spec additionally proves the pre-vacuum live view, the vacuumed
+    * table, and a from-scratch survivor rebuild are code-identical. */
+  val q210VectorVacuum = OpSpec(
+    "q210_vector_vacuum",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_vvac").toString
+      val prefix = "vvac" +
+        path.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+      buildVectorIndex(s, e, e, prefix, path)
+      deleteFromVectorIndex(s,
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        prefix, path)
+      vacuumVectorIndex(s, prefix, s"$path/codes_vacuumed")
+      searchVectorIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        readVectorIndex(s, prefix), IvfPqNprobe)
+    },
+    Some(ivfPqOracleSql("c.vec_id % 7 <> 3")))
 
   /** BINARY sign quantization + Hamming top-k — the most compact code
     * family (64 dims → 64 BITS, a 256× cut vs float32; the memory
@@ -2376,5 +2465,5 @@ object EmbeddingOps {
     q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
-    q191MrrEval, q192SpearmanEval, q205VectorIndex)
+    q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum)
 }

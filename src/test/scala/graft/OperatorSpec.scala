@@ -1243,6 +1243,8 @@ class OperatorSpec extends AnyFunSuite {
       "q205_vector_index", // q150's stored twin: 8-row coarse + 16-row
                            // codebook broadcasts read from the index
                            // tables; the cell prune is an equi-join
+      "q210_vector_vacuum", // q205's serving plan over the vacuumed
+                            // codes table — identical broadcast shapes
       "q160_hamming_search", // 20-query packed-code broadcast (q30 shape)
       "q162_staged_retrieval", // same bounded broadcast in its
                                // Hamming prefilter stage
@@ -1513,6 +1515,61 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     spark.catalog.clearCache()
     assert(q205 == q150, "stored-index serving diverged from q150")
+  }
+
+  test("q210 vector delete/vacuum: live view == vacuumed table == " +
+    "survivor rebuild; crash-safe swap leaves the old registration") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def tmp() = java.nio.file.Files.createTempDirectory("vvac_spec")
+      .toString
+    def pfx(path: String) =
+      "vv" + path.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    val (pA, pB) = (tmp(), tmp())
+    val (pxA, pxB) = (pfx(pA), pfx(pB))
+    val dead = e.filter(col("vec_id") % 5 === 1).select(col("vec_id"))
+    // index A: full build, tombstone every fifth vector
+    EmbeddingOps.buildVectorIndex(spark, e, e, pxA, pA)
+    EmbeddingOps.deleteFromVectorIndex(spark, dead, pxA, pA)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val liveBefore = codeSet(
+      EmbeddingOps.readVectorIndexLive(spark, pxA).codes)
+    // tombstoned rows are masked, survivors intact
+    assert(liveBefore.forall(_._1 % 5 != 1), "tombstoned row served")
+    val raw = codeSet(EmbeddingOps.readVectorIndex(spark, pxA).codes)
+    assert(raw.exists(_._1 % 5 == 1),
+      "delete rewrote the codes table before vacuum")
+    // the live search masks deletions BEFORE any vacuum
+    val q = e.filter(col("vec_id") < 20)
+    val servedLive = EmbeddingOps.searchVectorIndex(
+      q, EmbeddingOps.readVectorIndexLive(spark, pxA), 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(servedLive.forall(_._3 % 5 != 1))
+    // vacuum: physical rewrite equals the live view row-for-row, the
+    // tombstone table is gone, and serving is unchanged
+    EmbeddingOps.vacuumVectorIndex(spark, pxA, s"$pA/codes_v")
+    assert(codeSet(EmbeddingOps.readVectorIndex(spark, pxA).codes)
+      == liveBefore, "vacuum diverged from the tombstone-masked view")
+    assert(!spark.catalog.tableExists(s"${pxA}_tombstones"))
+    val servedAfter = EmbeddingOps.searchVectorIndex(
+      q, EmbeddingOps.readVectorIndex(spark, pxA), 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(servedAfter == servedLive,
+      "vacuum changed what the index serves")
+    // with no tombstone table, live == raw (the mask is a no-op)
+    assert(codeSet(EmbeddingOps.readVectorIndexLive(spark, pxA).codes)
+      == liveBefore)
+    // index B: from-scratch build coding only survivors against the
+    // SAME training set — must equal the vacuumed table (codebooks are
+    // trained on the full corpus in both, coding is deterministic)
+    val survivors = e.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    EmbeddingOps.buildVectorIndex(spark, e, survivors, pxB, pB)
+    assert(codeSet(EmbeddingOps.readVectorIndex(spark, pxB).codes)
+      == liveBefore, "vacuum diverged from a survivor rebuild")
+    spark.catalog.clearCache()
   }
 
   test("q138 ADC search: well-formed rankings, recall above chance") {
