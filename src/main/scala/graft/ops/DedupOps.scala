@@ -868,6 +868,103 @@ object DedupOps {
     } finally { bands.unpersist(); shingles.unpersist() }
   }
 
+  /** Carve a takedown set out of a [[CorpusIndex]] — the
+    * right-to-be-forgotten half of index maintenance (opt-outs, DMCA
+    * takedowns, quality recalls must stop matching IMMEDIATELY, not at
+    * the next rebuild). Per-doc artifacts (hashes/shingles/bands/
+    * sizes) are masked with a broadcast anti-join (takedown batches
+    * are small relative to a corpus); `bandCounts` — the one
+    * aggregate — is corrected by SUBTRACTING the dead docs' band
+    * contributions, computed from the stored bands alone (cost ∝
+    * takedown batch, never the corpus). A purged doc therefore counts
+    * nowhere: not as an exact-tier hash, not as a candidate, and not
+    * toward the bucket-cap population its bands used to inflate. */
+  def purgeCorpusView(corpus: CorpusIndex, dead: DataFrame): CorpusIndex = {
+    val d = broadcast(dead.select(col("doc_id")).distinct())
+    def mask(df: DataFrame) = df.join(d, Seq("doc_id"), "left_anti")
+    val removed = corpus.bands.join(d, Seq("doc_id"), "left_semi")
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("dcnt"))
+    val counts = corpus.bandCounts
+      .join(removed, Seq("band_idx", "band_val"), "left")
+      .na.fill(0L, Seq("dcnt"))
+      .select(col("band_idx"), col("band_val"),
+        (col("ccnt") - col("dcnt")).as("ccnt"))
+      .filter(col("ccnt") > 0)
+    CorpusIndex(mask(corpus.hashes), mask(corpus.shingles),
+      mask(corpus.bands), mask(corpus.sizes), counts)
+  }
+
+  /** Persisted purge: tombstone the ids (insert-only, idempotent —
+    * already-tombstoned ids are dropped so a retried takedown never
+    * double-subtracts) and append NEGATIVE partial rows to
+    * `<prefix>_bandcounts` for the dead docs' band contributions —
+    * the same additive-partials trick [[appendToCorpusIndex]] uses
+    * for inserts, so [[readCorpusIndex]]'s open-time sum folds
+    * deletions in with zero rewrite. Per-doc tables keep the dead
+    * rows until [[vacuumCorpusIndex]]; [[readCorpusIndexLive]] masks
+    * them meanwhile. */
+  def purgeFromCorpusIndex(s: SparkSession, dead: DataFrame,
+      prefix: String, path: String, buckets: Int = 32): Unit = {
+    val tomb = s"${prefix}_tombstones"
+    val dAll = dead.select(col("doc_id")).distinct()
+    val d = (if (s.catalog.tableExists(tomb))
+        dAll.join(s.table(tomb), Seq("doc_id"), "left_anti")
+      else dAll).persist()
+    try {
+      val neg = s.table(s"${prefix}_bands")
+        .join(broadcast(d), Seq("doc_id"), "left_semi")
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg((-count(lit(1))).as("ccnt"))
+      graft.io.Sinks.appendBucketedTable(neg, s"${prefix}_bandcounts",
+        "band_val", buckets, s"$path/bandcounts")
+      graft.io.Sinks.appendBucketedTable(d, tomb, "doc_id", 1,
+        s"$path/tombstones")
+    } finally d.unpersist()
+  }
+
+  /** Open a persisted index with tombstones applied. `bandCounts`
+    * needs no mask — the negative partials are already folded in by
+    * [[readCorpusIndex]]'s open-time sum (zeroed buckets are dropped
+    * to match what a scratch build would contain). */
+  def readCorpusIndexLive(s: SparkSession, prefix: String): CorpusIndex = {
+    val idx = readCorpusIndex(s, prefix)
+    if (!s.catalog.tableExists(s"${prefix}_tombstones"))
+      idx.copy(bandCounts = idx.bandCounts.filter(col("ccnt") > 0))
+    else {
+      val d = broadcast(s.table(s"${prefix}_tombstones"))
+      def mask(df: DataFrame) = df.join(d, Seq("doc_id"), "left_anti")
+      CorpusIndex(mask(idx.hashes), mask(idx.shingles), mask(idx.bands),
+        mask(idx.sizes), idx.bandCounts.filter(col("ccnt") > 0))
+    }
+  }
+
+  /** Fold tombstones into the physical tables: each table is staged
+    * at `newPath` and re-pointed only after its write commits
+    * ([[graft.io.Sinks.compactBucketedTable]]'s swap discipline — a
+    * mid-vacuum crash leaves every not-yet-swapped table intact and
+    * the tombstone mask still in force), then the tombstone set is
+    * dropped. The spec proves vacuum == build-from-survivors
+    * table-for-table. */
+  def vacuumCorpusIndex(s: SparkSession, prefix: String,
+      newPath: String, buckets: Int = 32): Unit = {
+    val live = readCorpusIndexLive(s, prefix)
+    def swap(df: DataFrame, suffix: String, key: String): Unit = {
+      val staging = s"${prefix}_${suffix}__vacuum"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      graft.io.Sinks.bucketedTable(df.repartition(buckets, col(key)),
+        staging, key, buckets, s"$newPath/$suffix")
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$suffix")
+      s.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_$suffix")
+    }
+    swap(live.hashes, "hashes", "h")
+    swap(live.shingles, "shingles", "doc_id")
+    swap(live.bands, "bands", "band_val")
+    swap(live.sizes, "sizes", "doc_id")
+    swap(live.bandCounts, "bandcounts", "band_val")
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
+  }
+
   /** Incremental ingest dedup of a NEW batch against an existing corpus
     * index: every join is BIPARTITE (new×corpus), so the corpus is
     * never re-deduped against itself — and with a persisted index the
@@ -947,6 +1044,64 @@ object DedupOps {
     * (doc_id % 10 = 0 stands in for today's shard) deduped against the
     * EXISTING corpus (the rest) through [[incrementalDedup]] with an
     * inline-built index. */
+  /** The q55 incremental-dedup oracle, parameterized by the new-batch
+    * and corpus membership predicates (each a function of a qualified
+    * doc_id column reference). q55 splits documents 1-in-10 vs rest;
+    * q211 additionally carves a purged set OUT of the corpus side —
+    * purged docs must count nowhere: not as exact-tier hashes, not as
+    * band candidates, and not toward the bucket-cap populations. */
+  private def incrementalDedupOracleSql(newPred: String => String,
+      corpusPred: String => String): String = {
+    val sigSelect = (0 until K).map(i =>
+      s"min(${sigExpr(i)}) AS s$i").mkString(", ")
+    val bandUnion = (0 until B).map { j =>
+      val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH shrows AS ($shingleRowsDuck),
+      h12 AS (
+        SELECT doc_id,
+          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
+          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
+      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
+      bands AS ($bandUnion),
+      ok AS (SELECT band_idx, band_val FROM bands
+             WHERE (${newPred("doc_id")}) OR (${corpusPred("doc_id")})
+             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
+      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
+      exact_dup AS (
+        SELECT DISTINCT n.doc_id
+        FROM (SELECT doc_id, md5(text) AS h FROM documents
+              WHERE ${newPred("doc_id")}) n
+        SEMI JOIN (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE ${corpusPred("doc_id")}) c USING (h)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE (${newPred("a.doc_id")}) AND (${corpusPred("b.doc_id")})),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
+      near_dup AS (
+        SELECT DISTINCT new_id AS doc_id FROM (
+          SELECT c.new_id, c.old_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN h12 x ON x.doc_id = c.new_id
+          JOIN h12 y ON y.doc_id = c.old_id AND y.h1 = x.h1 AND y.h2 = x.h2
+          GROUP BY c.new_id, c.old_id) i
+        JOIN sizes sa ON sa.doc_id = i.new_id
+        JOIN sizes sb ON sb.doc_id = i.old_id
+        WHERE 4 * i.n_inter >= sa.sz + sb.sz - i.n_inter)
+      SELECT d.doc_id,
+        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'keep' END AS verdict
+      FROM (SELECT doc_id FROM documents WHERE ${newPred("doc_id")}) d
+      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+      LEFT JOIN near_dup nd ON nd.doc_id = d.doc_id"""
+  }
+
   val q55IncrementalDedup = OpSpec(
     "q55_incremental_dedup",
     (s, dir) => {
@@ -969,54 +1124,40 @@ object DedupOps {
       incrementalDedupFrom(docs.filter(isNew).select(col("doc_id")),
         side(isNew), side(!isNew))
     },
-    Some {
-      val sigSelect = (0 until K).map(i =>
-        s"min(${sigExpr(i)}) AS s$i").mkString(", ")
-      val bandUnion = (0 until B).map { j =>
-        val cat = (0 until R).map(r => s"CAST(s${j * R + r} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, $j AS band_idx, concat_ws('|', $cat) AS band_val FROM sigs"
-      }.mkString("\n      UNION ALL\n      ")
-      s"""
-      WITH shrows AS ($shingleRowsDuck),
-      h12 AS (
-        SELECT doc_id,
-          CAST(${hexToLong("hx", 1, 8)} AS BIGINT) AS h1,
-          CAST(${hexToLong("hx", 9, 8)} AS BIGINT) AS h2
-        FROM (SELECT doc_id, md5(shingle) AS hx FROM shrows)),
-      sigs AS (SELECT doc_id, $sigSelect FROM h12 GROUP BY doc_id),
-      bands AS ($bandUnion),
-      ok AS (SELECT band_idx, band_val FROM bands
-             GROUP BY 1, 2 HAVING COUNT(*) <= $BucketCap),
-      capped AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)),
-      exact_dup AS (
-        SELECT DISTINCT n.doc_id
-        FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0) n
-        SEMI JOIN (SELECT DISTINCT md5(text) AS h FROM documents
-                   WHERE doc_id % 10 <> 0) c USING (h)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-        FROM capped a JOIN capped b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM h12 GROUP BY doc_id),
-      near_dup AS (
-        SELECT DISTINCT new_id AS doc_id FROM (
-          SELECT c.new_id, c.old_id, COUNT(*) AS n_inter
-          FROM cand c
-          JOIN h12 x ON x.doc_id = c.new_id
-          JOIN h12 y ON y.doc_id = c.old_id AND y.h1 = x.h1 AND y.h2 = x.h2
-          GROUP BY c.new_id, c.old_id) i
-        JOIN sizes sa ON sa.doc_id = i.new_id
-        JOIN sizes sb ON sb.doc_id = i.old_id
-        WHERE 4 * i.n_inter >= sa.sz + sb.sz - i.n_inter)
-      SELECT d.doc_id,
-        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-             ELSE 'keep' END AS verdict
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
-      LEFT JOIN near_dup nd ON nd.doc_id = d.doc_id"""
-    })
+    Some(incrementalDedupOracleSql(
+      c => s"$c % 10 = 0", c => s"$c % 10 <> 0")))
+
+  /** q211: ingest dedup against a PURGED corpus — the gated proof that
+    * a takedown actually stops matching. The q55 trajectory, except a
+    * quarter of the corpus (doc_id % 4 = 1, the takedown set) is
+    * carved out via [[purgeCorpusView]] before the batch arrives. The
+    * oracle rebuilds the ground truth with those docs absent from the
+    * corpus side everywhere — exact tier, candidate join, AND the
+    * bucket-cap populations (the subtlest obligation: a purged doc's
+    * bands must stop inflating bucket counts, or caps misfire) —
+    * while the batch side is untouched. A batch doc whose only
+    * duplicate was purged must come back `keep`: forgotten means
+    * forgotten. */
+  val q211PurgedDedup = OpSpec(
+    "q211_purged_dedup",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val hashed = hashedShingles(docs).persist()
+      val bands = bandRows(hashed).persist()
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val hashes = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      def side(p: org.apache.spark.sql.Column) = CorpusIndex(
+        hashes.filter(p), hashed.filter(p), bands.filter(p), sizes.filter(p),
+        bands.filter(p).groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("ccnt")))
+      val dead = docs.filter(col("doc_id") % 4 === 1).select(col("doc_id"))
+      incrementalDedupFrom(docs.filter(isNew).select(col("doc_id")),
+        side(isNew), purgeCorpusView(side(!isNew), dead))
+    },
+    Some(incrementalDedupOracleSql(
+      c => s"$c % 10 = 0", c => s"$c % 10 <> 0 AND $c % 4 <> 1")))
 
   // ---- Train/eval decontamination -------------------------------------
 
@@ -2696,5 +2837,5 @@ object DedupOps {
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
     q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit,
-    q201BbitMinhash, q209BandSweep)
+    q201BbitMinhash, q209BandSweep, q211PurgedDedup)
 }

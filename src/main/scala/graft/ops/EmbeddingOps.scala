@@ -2458,6 +2458,107 @@ object EmbeddingOps {
       FROM ranked
       GROUP BY query_id"""))
 
+  /** SemDeDup prune threshold: same-cluster pairs with cosine above
+    * this are duplicates (Abbas et al. 2023, "SemDeDup" — cluster
+    * first so the quadratic pair scan is bounded per cluster, then
+    * prune within clusters only). 4e-1 sits in the synthetic corpus's
+    * upper tail (~0.2 % of all pairs), the paper's "high but not
+    * vacuous" regime. */
+  private val SemDedupTau = "4e-1"
+
+  /** Semantic dedup (SemDeDup): k-means-cluster the corpus with the
+    * gated q98 trainer, assign every vector to its trained centroid,
+    * then prune any vector that has a same-cluster neighbor with
+    * SMALLER vec_id and cosine > [[SemDedupTau]] (first-writer-wins —
+    * the q31 keep rule, no connected components needed: the kept set
+    * is exactly the ids with no earlier near-twin, which is
+    * arrival-order-free and retry-stable). Cross-cluster near-twins
+    * are by-design NOT pruned — that recall loss is the knob the
+    * paper trades for tractability, and q31/q48 cover the unblocked
+    * pair search.
+    *
+    * Scale shape: training is q98's (broadcast-k assignment passes);
+    * the pair scan is an equi-join on cid, so cost is Σ|cluster|² —
+    * bounded by choosing k ∝ n/target-cluster-size (k is the ONLY
+    * knob; the join itself shuffles each cluster to one stream and
+    * never materializes cross-cluster pairs). Output: every vector
+    * with its cluster and keep/prune verdict. */
+  val q212SemDedup = OpSpec(
+    "q212_semdedup",
+    (s, dir) => {
+      val (e, km) = coarseKm(s, dir)
+      val cents = km.select(col("cid"), col("cv"), col("cnrm"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("cid").asc)
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("cosine", expr(
+          """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
+             0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        .persist()
+      val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val pruned = a.join(b, Seq("cid"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")) > expr(SemDedupTau))
+        .select(col("cid"), col("vec_b").as("vec_id")).distinct()
+      asg.select(col("cid"), col("vec_id"))
+        .join(pruned.withColumn("hit", lit(1)), Seq("cid", "vec_id"),
+          "left")
+        .select(col("cid"), col("vec_id"),
+          when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
+            .as("verdict"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      seeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM embeddings)
+        QUALIFY cid < $KmK),
+      c0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds)),
+      s1 AS (${kmIterDuck("c0")}),
+      c1 AS (
+        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
+              FROM s1)),
+      s2 AS (${kmIterDuck("c1")}),
+      c2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2)),
+      asg AS (
+        SELECT cid, vec_id, embedding, nrm FROM (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+          FROM e, c2 c)
+        WHERE rn = 1),
+      pruned AS (
+        SELECT DISTINCT b.cid, b.vec_id
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+          > $SemDedupTau)
+      SELECT g.cid, g.vec_id,
+        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+          AS verdict
+      FROM asg g LEFT JOIN pruned p
+        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
@@ -2465,5 +2566,6 @@ object EmbeddingOps {
     q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
-    q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum)
+    q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
+    q212SemDedup)
 }

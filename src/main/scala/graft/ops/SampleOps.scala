@@ -397,7 +397,121 @@ object SampleOps {
       FROM rn r JOIN quota q USING (source)
       WHERE r.rn <= q.quota"""))
 
+  /** Feature-hash buckets for q217's DSIR importance weights. */
+  private val DsirBuckets = 128L
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank every document
+    * by how much more likely its hashed-bigram features are under a
+    * TARGET distribution (here: the `lang = 'en'` slice) than under
+    * the raw-source distribution, and take the top 20 %. The paper's
+    * importance weight is Σ_f log p_target(f)/p_source(f); ln() is
+    * banned under the bit-exact gate, so the log is QUANTIZED to
+    * integer bit lengths — term(f) = L(c_t(f)+1) + L(N_s) − L(c_s(f)+1)
+    * − L(N_t) with L = ⌈log2⌉ via bin-string length — an
+    * integer within ±2 bits of the true log2 ratio per feature,
+    * exactly reproducible in both engines (the q167 dyadic-fold
+    * discipline applied to importance weights). Scores are therefore
+    * integer SUMS: no fold-order concern at all.
+    *
+    * Scale shape: feature hashing collapses the vocabulary to
+    * [[DsirBuckets]] buckets (the paper's trick — model tables are
+    * CONSTANT-size regardless of corpus); the two count tables and the
+    * two 1-row totals broadcast; scoring is one equi-join pass over
+    * the feature stream. The global top-20 % rank uses the q171
+    * histogram-offset two-pass (scores are small bounded ints — the
+    * frequency table is tiny), never a global window. */
+  val q217DsirImportance = OpSpec(
+    "q217_dsir_importance",
+    (s, dir) => {
+      val sq = s; import sq.implicits._
+      val w = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(TextOps.lwordsSpark).as("words"))
+      val occ = w.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> concat(words[i - 1], ' ', words[i]))""")).as("bg"))
+        .withColumn("hx",
+          md5(concat(lit("dsir:"), col("bg")).cast("binary")))
+        .select(col("doc_id"), col("lang"),
+          expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $DsirBuckets"
+            + " AS BIGINT)").as("f"))
+        .persist()
+      val tgt = occ.filter(col("lang") === "en")
+      val ct = tgt.groupBy(col("f")).agg(count(lit(1)).as("ct"))
+      val cs = occ.groupBy(col("f")).agg(count(lit(1)).as("cs"))
+      val nt = tgt.agg(count(lit(1)).as("nt"))
+      val ns = occ.agg(count(lit(1)).as("ns"))
+      val scores = occ.join(cs, "f").join(ct, Seq("f"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+        .select(col("doc_id"), expr(
+          """CAST(length(bin(coalesce(ct, CAST(0 AS BIGINT)) + 1))
+               + length(bin(ns))
+               - length(bin(cs + 1)) - length(bin(nt)) AS BIGINT)""")
+          .as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("score"))
+        .persist()
+      // global (score desc, doc_id) rank without a global window:
+      // driver offsets from the bounded score histogram (q171 trick)
+      val ff = scores.groupBy(col("score")).agg(count(lit(1)).as("cw"))
+        .collect().sortBy(r => -r.getLong(0))
+      var cum = 0L
+      val offsets = ff.map { r =>
+        val o = (r.getLong(0), cum); cum += r.getLong(1); o
+      }.toSeq
+      val cutoff = (cum + 4) / 5 // ceil(n/5), exact integer form
+      val offDf = broadcast(offsets.toDF("score", "off"))
+      scores.join(offDf, "score")
+        .withColumn("rnw", row_number().over(
+          Window.partitionBy(col("score")).orderBy(col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          (col("off") + col("rnw")).as("rank"),
+          when(col("off") + col("rnw") <= cutoff, lit("take"))
+            .otherwise(lit("skip")).as("verdict"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, lang, ${TextOps.lwordsDuck} AS words
+        FROM documents),
+      occ AS (
+        SELECT doc_id, lang,
+          CAST(${DedupOps.hexToLong("hx", 1, 8)} % $DsirBuckets
+            AS BIGINT) AS f
+        FROM (
+          SELECT doc_id, lang,
+            md5('dsir:' || words[i] || ' ' || words[i + 1]) AS hx
+          FROM w, LATERAL (SELECT unnest(generate_series(1,
+                             len(words) - 1)) AS i) g
+          WHERE len(words) >= 2)),
+      ct AS (SELECT f, COUNT(*) AS ct FROM occ WHERE lang = 'en'
+             GROUP BY f),
+      cs AS (SELECT f, COUNT(*) AS cs FROM occ GROUP BY f),
+      nt AS (SELECT COUNT(*) AS nt FROM occ WHERE lang = 'en'),
+      ns AS (SELECT COUNT(*) AS ns FROM occ),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          CAST(SUM(length(format('{:b}', COALESCE(ct.ct, 0) + 1))
+             + length(format('{:b}', ns.ns))
+             - length(format('{:b}', cs.cs + 1))
+             - length(format('{:b}', nt.nt))) AS BIGINT) AS score
+        FROM occ o
+        JOIN cs ON cs.f = o.f
+        LEFT JOIN ct ON ct.f = o.f, nt, ns
+        GROUP BY doc_id),
+      tot AS (SELECT COUNT(*) AS n FROM sc)
+      SELECT doc_id, n_feats, score,
+        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank,
+        CASE WHEN ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               <= (t.n + 4) // 5
+             THEN 'take' ELSE 'skip' END AS verdict
+      FROM sc, tot t"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
     q115PrioritySample, q146NegativePairs, q157MixtureAlloc,
-    q169WeightedSample, q202BalancedCorpus, q204SplitLeakage)
+    q169WeightedSample, q202BalancedCorpus, q204SplitLeakage,
+    q217DsirImportance)
 }

@@ -478,8 +478,39 @@ object SketchOps {
     * member of the sketch family next to KMV/HLL cardinality and the
     * bottom-k quantiles). Rows are md5-derived ("cm<r>:<word>"), so
     * the sketch is deterministic and oracle-able cell-for-cell. */
-  private val CmD = 4
-  private val CmW = 64L
+  private[graft] val CmD = 4
+  private[graft] val CmW = 64L
+
+  /** Append the count-min cell address columns (r, col) to every row —
+    * a [[CmD]]-way fan-out with the md5-derived column hash
+    * "<salt><r>:<key>". The ONE addressing definition shared by the
+    * batch cell builder, the readout, and the streaming windowed
+    * sketch (divergent addressing between build and serve would make
+    * every estimate silently wrong). */
+  private[graft] def cmAddress(df: DataFrame, keyCol: String,
+      salt: String = "cm"): DataFrame =
+    df.select(df.columns.map(col) :+
+        explode(array((0 until CmD).map(i => lit(i.toLong)): _*)).as("r"): _*)
+      .withColumn("hx",
+        md5(concat(lit(salt), col("r").cast("string"), lit(":"),
+          col(keyCol)).cast("binary")))
+      .withColumn("col",
+        expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT)"))
+      .drop("hx")
+
+  /** DuckDB twin of [[cmAddress]]'s column hash over an md5-hex column
+    * — exposed so the streaming twin's oracle shares the exact
+    * addressing arithmetic. */
+  private[graft] def cmColDuck(hxCol: String): String =
+    s"CAST(${DedupOps.hexToLong(hxCol, 1, 8)} % $CmW AS BIGINT)"
+
+  /** DuckDB twins of q167's HLL bit fields over an md5-hex column —
+    * exposed so the streaming windowed-HLL oracle (q216) shares the
+    * register arithmetic with the batch sketch, digit for digit. */
+  private[graft] def hllBDuck(hxCol: String): String =
+    s"CAST(${DedupOps.hexToLong(hxCol, 1, 2)} % 64 AS BIGINT)"
+  private[graft] def hllWDuck(hxCol: String): String =
+    s"CAST(${DedupOps.hexToLong(hxCol, 3, 15)} AS BIGINT)"
 
   /** Build the count-min cell table (r, col, cnt) from a (word, n)
     * frequency frame. Cells are SUMS — additively mergeable, so
@@ -489,31 +520,14 @@ object SketchOps {
     * heavy-hitter queries without a rescan. Empty cells are absent
     * (the merge treats them as 0). */
   def countMinCells(wordCounts: DataFrame): DataFrame =
-    wordCounts
-      .select(col("word"), col("n"),
-        explode(array((0 until CmD).map(i => lit(i.toLong)): _*)).as("r"))
-      .withColumn("hx",
-        md5(concat(lit("cm"), col("r").cast("string"), lit(":"),
-          col("word")).cast("binary")))
-      .select(col("r"),
-        expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT)")
-          .as("col"),
-        col("n"))
+    cmAddress(wordCounts, "word")
       .groupBy(col("r"), col("col"))
       .agg(sum(col("n")).as("cnt"))
 
   /** Point estimate per word from a cell table: min over the D row
     * hashes — the classic CM readout, never an underestimate. */
   def countMinEstimate(words: DataFrame, cells: DataFrame): DataFrame =
-    words
-      .select(col("word"),
-        explode(array((0 until CmD).map(i => lit(i.toLong)): _*)).as("r"))
-      .withColumn("hx",
-        md5(concat(lit("cm"), col("r").cast("string"), lit(":"),
-          col("word")).cast("binary")))
-      .select(col("word"), col("r"),
-        expr(s"CAST(${DedupOps.hexToLong("hx", 1, 8)} % $CmW AS BIGINT)")
-          .as("col"))
+    cmAddress(words.select(col("word")), "word")
       .join(cells, Seq("r", "col"))
       .groupBy(col("word"))
       .agg(min(col("cnt")).as("est"))

@@ -1561,6 +1561,199 @@ object TextOps {
       WHERE rn <= k
       GROUP BY k"""))
 
+  // ---- Statistical LM quality filter (q214) ---------------------------
+
+  /** Lower-cased word arrays for the LM scorer (defensive — q171's
+    * convention for vocabulary-keyed statistics). */
+  private[ops] val lwordsSpark =
+    "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)"
+  private[ops] val lwordsDuck =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)"
+
+  /** Flag threshold on mean bigram surprise (calibrated on the corpus:
+    * median ≈ 34, p95 ≈ 39, max ≈ 57 — 40 flags the atypical tail). */
+  private val LmSurpriseTau = "4e1"
+
+  /** Statistical LM quality filter (the CCNet recipe, Wenzek et al.
+    * 2020: score every document by an n-gram language model trained on
+    * a curated reference corpus; atypical perplexity → flag). Two
+    * engine-portability substitutions vs the paper: the model is a
+    * bigram add-one model (5-gram KenLM is a binary artifact; the
+    * statistic class is the same), and the score is mean INVERSE
+    * PROBABILITY — surprise(w1,w2) = (c(w1)+V)/(c(w1w2)+1), i.e.
+    * 1/p_addone(w2|w1) — instead of log-perplexity, because ln() is
+    * banned under the bit-exact gate (libm divergence) while a single
+    * IEEE division of exact integers is correctly rounded in both
+    * engines. Monotone link: mean-surprise ranks high-perplexity
+    * documents high; the threshold verdict is what a pipeline acts on.
+    *
+    * Reference slice: docs with doc_id % 5 = 0 stand in for the
+    * curated LM training corpus; ALL docs are scored (the reference
+    * slice scores itself too, as CCNet's Wikipedia-trained model also
+    * scores Wikipedia-like text).
+    *
+    * Exactness: each surprise is ONE division of exact BIGINTs (both
+    * engines correctly round); the per-doc sum is an ordered fold over
+    * positions (Spark aggregate-over-sort_array == DuckDB list_reduce
+    * ORDER BY pos — 0+x==x covers the init mismatch); the mean is one
+    * more exact-int division of a deterministic double.
+    *
+    * Scale shape: the bigram/unigram model tables are vocab-bounded
+    * map-side-combined aggregates; scoring is the corpus bigram stream
+    * equi-joined to those tables (left joins — unseen grams hit the
+    * smoothing floor, never drop rows); V is a 1-row scalar broadcast
+    * (crossOk-allowlisted). No all-pairs, no global window; the fold
+    * groups by doc_id — the corpus's natural partitioning. */
+  val q214LmSurprise = OpSpec(
+    "q214_lm_surprise",
+    (s, dir) => {
+      val w = table(s, dir, "documents")
+        .select(col("doc_id"), expr(lwordsSpark).as("words"))
+        .persist()
+      val ref = w.filter(col("doc_id") % 5 === 0)
+      val uni = ref.select(explode(col("words")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocabN = uni.agg(count(lit(1)).as("v"))
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> struct(CAST(i AS BIGINT) AS pos,
+                         words[i - 1] AS w1, words[i] AS w2))""")).as("p"))
+        .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+      val bg = bigrams(ref)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      bigrams(w)
+        .join(bg, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .crossJoin(broadcast(vocabN))
+        .select(col("doc_id"), col("pos"),
+          ((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+            (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double"))
+            .as("surprise"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("""aggregate(
+              transform(sort_array(collect_list(struct(pos, surprise))),
+                x -> x.surprise),
+              CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sm") / col("n_bigrams").cast("double")).as("mean_surprise"))
+        .withColumn("verdict",
+          when(col("mean_surprise") > expr(LmSurpriseTau), lit("flag"))
+            .otherwise(lit("keep")))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, $lwordsDuck AS words FROM documents),
+      ref AS (SELECT doc_id, words FROM w WHERE doc_id % 5 = 0),
+      uni AS (
+        SELECT word AS w1, COUNT(*) AS c1
+        FROM (SELECT unnest(words) AS word FROM ref) GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM uni),
+      bg AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2, COUNT(*) AS c12
+        FROM ref, LATERAL (SELECT unnest(generate_series(1, len(words) - 1))
+                           AS i) g
+        GROUP BY 1, 2),
+      db AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          words[i] AS w1, words[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1))
+                         AS i) g
+        WHERE len(words) >= 2),
+      sc AS (
+        SELECT d.doc_id, d.pos,
+          CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)
+            / CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE) AS surprise
+        FROM db d
+        LEFT JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN uni u ON u.w1 = d.w1, v),
+      doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          list_reduce(list(surprise ORDER BY pos), (a, x) -> a + x)
+            / CAST(COUNT(*) AS DOUBLE) AS mean_surprise
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, mean_surprise,
+        CASE WHEN mean_surprise > $LmSurpriseTau THEN 'flag'
+             ELSE 'keep' END AS verdict
+      FROM doc"""))
+
+  // ---- Inference batching padding audit (q215) ------------------------
+
+  /** Sequences per inference batch for the q215 audit. */
+  private val InferBatch = 32
+
+  /** Padding-waste audit: how many pad tokens two batching strategies
+    * burn when serving the corpus through fixed-size inference batches
+    * (every sequence in a batch is padded to the batch max — the cost
+    * model of dense transformer batching). Strategies: `arrival`
+    * (doc_id order — what a naive loader does) vs `length_sorted`
+    * (length-descending bucketing — the standard fix). The audit is the
+    * measurement that justifies deploying a length-bucketed loader.
+    *
+    * Batching is PER-SHARD (doc_id % 8) like q59's packing — real
+    * loaders batch per worker, and a global arrival order would need
+    * exactly the partition-less global window the plan audit forbids.
+    * Integer arithmetic end-to-end; the one double is the final
+    * waste fraction (single division of exact BIGINTs). */
+  val q215PaddingAudit = OpSpec(
+    "q215_padding_audit",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard_id"),
+          expr(s"CAST(size($wordsSpark) AS BIGINT)").as("n"))
+      def audit(strategy: String,
+          ord: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy(col("shard_id")).orderBy(ord: _*)
+        d.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("batch", expr(s"(rn - 1) DIV $InferBatch"))
+          .groupBy(col("shard_id"), col("batch"))
+          .agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"),
+            sum(col("n")).as("tok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("tok")).as("total_tokens"),
+            sum(col("mx") * col("cnt")).as("padded_tokens"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("total_tokens"), col("padded_tokens"),
+            (col("padded_tokens") - col("total_tokens")).as("waste"),
+            ((col("padded_tokens") - col("total_tokens")).cast("double")
+              / col("padded_tokens").cast("double")).as("waste_frac"))
+      }
+      audit("arrival", Seq(col("doc_id")))
+        .unionByName(audit("length_sorted",
+          Seq(col("n").desc, col("doc_id"))))
+    },
+    Some {
+      def side(strategy: String, ord: String) = s"""
+        SELECT '$strategy' AS strategy,
+          CAST(COUNT(*) AS BIGINT) AS n_batches,
+          CAST(SUM(tok) AS BIGINT) AS total_tokens,
+          CAST(SUM(mx * cnt) AS BIGINT) AS padded_tokens
+        FROM (
+          SELECT shard_id, batch, COUNT(*) AS cnt, MAX(n) AS mx,
+            SUM(n) AS tok
+          FROM (
+            SELECT shard_id, n,
+              CAST((ROW_NUMBER() OVER (PARTITION BY shard_id
+                ORDER BY $ord) - 1) // $InferBatch AS BIGINT) AS batch
+            FROM d)
+          GROUP BY 1, 2)"""
+      s"""
+      WITH d AS (
+        SELECT doc_id, doc_id % 8 AS shard_id,
+          CAST(len($wordsDuck) AS BIGINT) AS n
+        FROM documents),
+      u AS (${side("arrival", "doc_id")}
+        UNION ALL
+        ${side("length_sorted", "n DESC, doc_id")})
+      SELECT strategy, n_batches, total_tokens, padded_tokens,
+        padded_tokens - total_tokens AS waste,
+        CAST(padded_tokens - total_tokens AS DOUBLE)
+          / CAST(padded_tokens AS DOUBLE) AS waste_frac
+      FROM u"""
+    })
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
@@ -1568,5 +1761,6 @@ object TextOps {
     q77InvertedIndex, q80Winnowing, q87Commonness, q100PipelineV2,
     q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain,
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
-    q182PrfExpansion, q185SentenceStats, q194LangidConfusion)
+    q182PrfExpansion, q185SentenceStats, q194LangidConfusion,
+    q214LmSurprise, q215PaddingAudit)
 }

@@ -22,11 +22,14 @@ object StreamingStages {
     * directory of parquet files OR one plain .parquet file — the file
     * source's inferred basePath must be a directory, so for a file path
     * the parent is pinned explicitly. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val f = new java.io.File(dir)
     val staticPath = if (f.isFile) dir else dir + "/*.parquet"
     val schema = spark.read.parquet(staticPath).schema
-    val r = spark.readStream.schema(schema)
+    val r0 = spark.readStream.schema(schema)
+    val r = maxFilesPerTrigger.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n))
     // single file: address it as a {name} glob — for a NON-glob path the
     // file source force-overrides basePath with the path itself, which
     // then fails "basePath must be a directory"; a glob path keeps the
@@ -738,6 +741,166 @@ object StreamingStages {
     },
     Some(graft.ops.DedupOps.bandDupBatchOracle))
 
+  /** Streaming windowed count-min sketch: per tumbling 1-hour window,
+    * the 4×64-cell frequency sketch over user_id — the heavy-hitter
+    * surface of a live ingest (abusive-client / hot-key detection)
+    * without per-key state. The cell address fan-out is row-local
+    * ([[graft.ops.SketchOps.cmAddress]], the SAME addressing as the
+    * batch q207/q208 family, so a batch readout can serve estimates
+    * from stream-built cells), and the cells are plain windowed COUNT
+    * state: ≤ 256 rows per open window no matter how many distinct
+    * users arrive — the property that makes the sketch the right
+    * streaming-state shape where an exact per-user windowed count
+    * would hold O(users/window) state. Additivity means micro-batch
+    * boundaries can't change the result: each batch's increments SUM
+    * into the same cells. */
+  def windowedCountMin(events: DataFrame): DataFrame =
+    graft.ops.SketchOps.cmAddress(
+        events
+          .withWatermark("ts", "1 hour")
+          .select(col("ts"), col("user_id").cast("string").as("k")),
+        "k", salt = "cmu")
+      .groupBy(window(col("ts"), "1 hour"), col("r"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(graft.Tables.fmtTsSec(col("window.start")).as("win_start"),
+        col("r"), col("col"), col("cnt"))
+
+  private val cmSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q213: [[windowedCountMin]] as a REAL streaming query under the
+    * gate (file source → watermarked windowed agg → complete-mode
+    * memory sink, the q56 drive). The oracle rebuilds every populated
+    * cell in batch SQL: 1-hour Spark windows are epoch-aligned, so
+    * DuckDB's date_trunc('hour') names the same buckets, and the cell
+    * address is the same md5 arithmetic — cell-for-cell equality, not
+    * just matching estimates. */
+  val q213StreamingCountmin: graft.OpSpec = graft.OpSpec(
+    "q213_streaming_countmin",
+    (s, dir) => {
+      val id = cmSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q213_mem_${id - 1}")
+      val name = s"q213_mem_$id"
+      runToMemory(
+        windowedCountMin(eventsStream(s, s"$dir/events.parquet")),
+        name, "complete").stop()
+      s.table(name)
+    },
+    Some(s"""
+      SELECT win_start, r, c AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS win_start,
+          r, ${graft.ops.SketchOps.cmColDuck("hx")} AS c
+        FROM (
+          SELECT ts, g.r,
+            md5('cmu' || CAST(g.r AS VARCHAR) || ':'
+              || CAST(user_id AS VARCHAR)) AS hx
+          FROM events,
+            (SELECT CAST(unnest(range(0, ${graft.ops.SketchOps.CmD}))
+               AS BIGINT) AS r) g))
+      GROUP BY 1, 2, 3"""))
+
+  /** Streaming windowed HyperLogLog: per tumbling 1-hour window, the
+    * 64-register distinct-user sketch — live unique-visitor counting
+    * with ≤ 64 rows of state per open window no matter the user
+    * cardinality (the exact-distinct alternative, q65-style key dedup,
+    * holds one state row PER USER). The register fields are q167's bit
+    * arithmetic row-local (b = first md5 byte mod 64, rho = leading-
+    * zero rank of the next 60 bits), and the registers are windowed
+    * MAX state — max is mergeable, so micro-batch boundaries are
+    * invisible: each batch folds its rho values into the same
+    * registers. Registers only (the harmonic-mean estimate is a
+    * 64-value batch fold over the sink — kept out of the stream so the
+    * state stays 64 longs). */
+  def windowedHll(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"),
+        md5(concat(lit("hllu:"), col("user_id").cast("string"))
+          .cast("binary")).as("h"))
+      .select(col("ts"),
+        (expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)") % 64)
+          .as("b"),
+        expr("CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(61L))
+        .otherwise(expr("CAST(61 - length(bin(w)) AS BIGINT)")))
+      .groupBy(window(col("ts"), "1 hour"), col("b"))
+      .agg(max(col("rho")).as("register"))
+      .select(graft.Tables.fmtTsSec(col("window.start")).as("win_start"),
+        col("b"), col("register"))
+
+  private val hllSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q216: [[windowedHll]] as a REAL streaming query under the gate,
+    * plus the batch readout: the sink's sparse registers are densified
+    * per window (collected to a b→register map, probed over the full
+    * 0..63 domain) and folded in register order into the q167
+    * harmonic-mean estimate — the serve path a live uniques dashboard
+    * runs over stream-built registers. ONE scan of the sink: the
+    * registers are exploded back out of the same collected list the
+    * estimate folds over, because the memory sink's relation
+    * (`MemoryPlan`) is a leaf Catalyst can't re-instance — a self-join
+    * of the sink table fails analysis with conflicting attributes.
+    * The oracle rebuilds registers AND estimate from scratch in batch
+    * SQL with the same bit arithmetic
+    * ([[graft.ops.SketchOps.hllBDuck]]), so the gate pins the sketch
+    * cell-for-cell and the estimate bit-for-bit. */
+  val q216StreamingHll: graft.OpSpec = graft.OpSpec(
+    "q216_streaming_hll",
+    (s, dir) => {
+      val id = hllSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q216_mem_${id - 1}")
+      val name = s"q216_mem_$id"
+      runToMemory(
+        windowedHll(eventsStream(s, s"$dir/events.parquet")),
+        name, "complete").stop()
+      s.table(name)
+        .groupBy(col("win_start"))
+        .agg(collect_list(struct(col("b"), col("register"))).as("rs"))
+        .withColumn("z", expr("""
+          aggregate(
+            transform(sequence(CAST(0 AS BIGINT), CAST(63 AS BIGINT)),
+              i -> 1.0D / CAST(shiftleft(CAST(1 AS BIGINT),
+                CAST(coalesce(element_at(map_from_entries(rs), i),
+                              CAST(0 AS BIGINT)) AS INT)) AS DOUBLE)),
+            CAST(0 AS DOUBLE), (a, x) -> a + x)"""))
+        .withColumn("est",
+          expr("7213e-4 / (1e0 + 1079e-3 / 64e0) * 64e0 * 64e0 / z"))
+        .select(col("win_start"), explode(col("rs")).as("p"), col("est"))
+        .select(col("win_start"), col("p.b").as("b"),
+          col("p.register").as("register"), col("est"))
+    },
+    Some(s"""
+      WITH bits AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS win_start,
+          ${graft.ops.SketchOps.hllBDuck("hx")} AS b,
+          ${graft.ops.SketchOps.hllWDuck("hx")} AS w
+        FROM (SELECT ts, md5('hllu:' || CAST(user_id AS VARCHAR)) AS hx
+              FROM events)),
+      r AS (
+        SELECT win_start, b,
+          CAST(MAX(CASE WHEN w = 0 THEN 61
+                        ELSE 61 - length(format('{:b}', w)) END)
+               AS BIGINT) AS register
+        FROM bits GROUP BY 1, 2),
+      dense AS (
+        SELECT w.win_start, g.b, COALESCE(r.register, 0) AS register
+        FROM (SELECT DISTINCT win_start FROM r) w
+        CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS BIGINT) AS b) g
+        LEFT JOIN r ON r.win_start = w.win_start AND r.b = g.b),
+      z AS (
+        SELECT win_start,
+          list_reduce(
+            list_transform(list(register ORDER BY b),
+              x -> 1.0 / CAST(CAST(1 AS BIGINT) << CAST(x AS INT)
+                              AS DOUBLE)),
+            (a, x) -> a + x) AS z
+        FROM dense GROUP BY 1)
+      SELECT r.win_start, r.b, r.register,
+        7213e-4 / (1e0 + 1079e-3 / 64e0) * 64e0 * 64e0 / z.z AS est
+      FROM r JOIN z ON z.win_start = r.win_start"""))
+
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
@@ -746,5 +909,5 @@ object StreamingStages {
       q122StreamingSession, q123StreamingHopping,
       q127StreamingUserStats, q128StreamingEnrich,
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
-      q206StreamingBandDedup)
+      q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll)
 }

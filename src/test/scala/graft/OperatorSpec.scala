@@ -685,6 +685,93 @@ class OperatorSpec extends AnyFunSuite {
       }
   }
 
+  test("purgeFromCorpusIndex: live view == vacuum == survivor build, " +
+    "purged duplicates stop matching, re-purge is idempotent") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "pack my box with five dozen liquor jugs right now ok",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota nu",
+      6L -> "completely different content nothing shared here at all")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (corpusDir, probeDir, idxDir) = (tmp("cpg1"), tmp("cpg2"), tmp("cpg3"))
+    texts.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    // probe: exact copy of doc 1, near-dup of docs 2/5, novel — the
+    // first two lose their ONLY corpus partners to the takedown
+    Seq(10L -> texts(0)._2,
+      20L -> (texts(4)._2.split(" ").dropRight(1).mkString(" ") + " mu"),
+      30L -> "zebra yak xylophone walrus vulture toad snake rat")
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$probeDir/documents.parquet")
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val probe = spark.read.parquet(s"$probeDir/documents.parquet")
+    val dead = Seq(1L, 2L, 5L).toDF("doc_id")
+    val survivors = corpus.filter(!col("doc_id").isin(1L, 2L, 5L))
+    def tableSets(idx: DedupOps.CorpusIndex) = Map(
+      "hashes" -> idx.hashes.collect().toSet,
+      "shingles" -> idx.shingles.collect().toSet,
+      "bands" -> idx.bands.collect().toSet,
+      "sizes" -> idx.sizes.collect().toSet,
+      "bandcounts" -> idx.bandCounts.collect().toSet)
+    def verdicts(idx: DedupOps.CorpusIndex) =
+      DedupOps.incrementalDedup(probe, idx)
+        .as[(Long, String)].collect().toMap
+    try {
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(corpus),
+        "ut_cpg", idxDir, buckets = 4)
+      // before the takedown: the probe matches
+      val before = verdicts(DedupOps.readCorpusIndex(spark, "ut_cpg"))
+      assert(before == Map(10L -> "exact_dup", 20L -> "near_dup",
+        30L -> "keep"), before.toString)
+      // the in-memory view identity q211's gate rests on:
+      // purgeCorpusView(build(all)) == build(survivors) table-for-table
+      val viewSets = tableSets(DedupOps.purgeCorpusView(
+        DedupOps.buildCorpusIndex(corpus), dead))
+      val scratchSets = tableSets(DedupOps.buildCorpusIndex(survivors))
+      assert(viewSets == scratchSets,
+        s"purged view diverged from survivor build: " +
+          s"${viewSets.keySet.filter(k => viewSets(k) != scratchSets(k))}")
+      // persisted purge: must read only index tables, never corpus text
+      val purgePlans = capturePlans(atLeast = 2) {
+        DedupOps.purgeFromCorpusIndex(spark, dead, "ut_cpg", idxDir,
+          buckets = 4)
+      }
+      purgePlans.foreach(p => assert(!p.contains(corpusDir),
+        s"purge re-scanned corpus text:\n$p"))
+      val live = DedupOps.readCorpusIndexLive(spark, "ut_cpg")
+      assert(tableSets(live) == scratchSets,
+        "live view diverged from survivor build")
+      // forgotten means forgotten: the probe's partners are gone
+      val after = verdicts(live)
+      assert(after == Map(10L -> "keep", 20L -> "keep", 30L -> "keep"),
+        after.toString)
+      // re-purging the same ids must not double-subtract band counts
+      DedupOps.purgeFromCorpusIndex(spark, dead, "ut_cpg", idxDir,
+        buckets = 4)
+      assert(tableSets(DedupOps.readCorpusIndexLive(spark, "ut_cpg"))
+        == scratchSets, "re-purge was not idempotent")
+      // vacuum: physical tables now EQUAL the survivor build, the
+      // tombstones are gone, and verdicts are unchanged
+      DedupOps.vacuumCorpusIndex(spark, "ut_cpg", tmp("cpg4"),
+        buckets = 4)
+      assert(!spark.catalog.tableExists("ut_cpg_tombstones"))
+      val vac = DedupOps.readCorpusIndex(spark, "ut_cpg")
+      assert(tableSets(vac) == scratchSets,
+        "vacuum diverged from survivor build")
+      spark.catalog.clearCache()
+      assert(verdicts(vac) == after, "vacuum changed verdicts")
+    } finally {
+      Seq("hashes", "shingles", "bands", "sizes", "bandcounts",
+        "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ut_cpg_$t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("appendToGramIndex: frozen-order appends answer containment like a scratch build") {
     import spark.implicits._
     import graft.ops.DedupOps
@@ -1271,6 +1358,13 @@ class OperatorSpec extends AnyFunSuite {
                                // (inherits q107-family scalar shapes)
       "q199_conversion_sweep", // 1-row error-count scalar broadcast
       "q203_source_league", // 1-row corpus-mean scalar broadcast
+      "q212_semdedup", // q98's k=8 centroid broadcasts (train + final
+                       // assignment); the within-cluster pair scan is
+                       // an equi-join on cid
+      "q214_lm_surprise", // 1-row vocab-size scalar broadcast (V in
+                          // the add-one smoothing denominator)
+      "q217_dsir_importance", // two 1-row feature-total scalar
+                              // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -2929,6 +3023,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(mean > 0.05, s"mean prefix recall $mean")
   }
 
+  test("q212 semdedup: kept set has no internal near-pair, every pruned " +
+    "vector has a smaller-id same-cluster twin above tau") {
+    val out = SparkEntry.queries("q212_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getString(2)))).toMap
+    val emb = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.keySet == emb.keySet, "verdict set != corpus")
+    assert(out.valuesIterator.map(_._2).toSet.subsetOf(Set("keep", "prune")))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def nrm(v: Array[Double]) = {
+        val ss = v.map(x => x * x).sum
+        if (ss == 0.0) 1.0 else math.sqrt(ss)
+      }
+      a.zip(b).map { case (x, y) => x * y }.sum / (nrm(a) * nrm(b))
+    }
+    val ids = out.keys.toSeq.sorted
+    val tau = 0.4
+    for (i <- ids; j <- ids if i < j) {
+      val ((ci, vi), (cj, vj)) = (out(i), out(j))
+      if (ci == cj) {
+        val c = cos(emb(i), emb(j))
+        // maximality: two kept same-cluster vectors are never near-twins
+        assert(!(vi == "keep" && vj == "keep" && c > tau),
+          s"kept pair $i/$j cos=$c")
+      }
+    }
+    // soundness: every pruned id has SOME earlier same-cluster twin
+    for (j <- ids if out(j)._2 == "prune") {
+      val cj = out(j)._1
+      assert(ids.exists(i => i < j && out(i)._1 == cj
+        && cos(emb(i), emb(j)) > tau), s"pruned $j has no earlier twin")
+    }
+    // the prune rule fires on this corpus (non-vacuous gate)
+    assert(out.valuesIterator.count(_._2 == "prune") > 0)
+  }
+
   test("q182 PRF expansion: 5 terms, none from the query band") {
     val out = SparkEntry.queries("q182_prf_expansion")(spark, sf)
       .collect()
@@ -3238,6 +3370,90 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
       assert(r.getString(0) <= r.getString(1)) // canonical order
     }
+  }
+
+  test("q214 lm surprise: every doc scored once, verdict matches the " +
+    "threshold, one doc's score reproduced brute-force") {
+    val rows = SparkEntry.queries("q214_lm_surprise")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    assert(rows.keySet == docs.keySet.filter(docs(_).length >= 2))
+    rows.foreach { case (_, (nb, ms, v)) =>
+      assert(nb > 0 && ms > 0.0 && !ms.isNaN)
+      assert(v == (if (ms > 40.0) "flag" else "keep"))
+    }
+    // the threshold sits in the tail, not the body
+    val flagged = rows.count(_._2._3 == "flag")
+    assert(flagged.toDouble / rows.size < 0.2, s"$flagged flagged")
+    // brute-force one document against driver-side model counts
+    val refWords = docs.filter(_._1 % 5 == 0).values
+    val uni = refWords.flatten.groupBy(identity).map { case (w, o) =>
+      w -> o.size.toLong }
+    val vocabV = uni.size.toLong
+    val bg = refWords.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val probe = rows.keys.min
+    val ws = docs(probe)
+    val surprises = ws.zip(ws.tail).map { case (w1, w2) =>
+      (uni.getOrElse(w1, 0L) + vocabV).toDouble /
+        (bg.getOrElse((w1, w2), 0L) + 1L).toDouble
+    }
+    val expected = surprises.sum / surprises.size
+    assert(math.abs(rows(probe)._2 - expected) < 1e-9,
+      s"doc $probe: got ${rows(probe)._2}, brute-force $expected")
+  }
+
+  test("q215 padding audit: length-sorted batching never wastes more " +
+    "than arrival order, identities hold") {
+    val rows = SparkEntry.queries("q215_padding_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(rows.keySet == Set("arrival", "length_sorted"))
+    val (aB, aT, aP, aW, aF) = rows("arrival")
+    val (sB, sT, sP, sW, sF) = rows("length_sorted")
+    // same corpus either way: batch count and true token mass invariant
+    assert(aB == sB && aT == sT && aT > 0)
+    Seq(rows("arrival"), rows("length_sorted")).foreach {
+      case (_, t, p, w, f) =>
+        assert(p >= t && w == p - t)
+        assert(math.abs(f - w.toDouble / p.toDouble) == 0.0)
+    }
+    // the point of the audit: sorting by length reduces pad burn
+    assert(sW <= aW, s"length-sorted $sW > arrival $aW")
+    assert(sF <= aF)
+  }
+
+  test("q217 dsir importance: ranks are a permutation, cutoff is " +
+    "ceil(n/5), and target-language docs score higher on average") {
+    val rows = SparkEntry.queries("q217_dsir_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    assert(rows.map(_._3).sorted.toSeq == (1L to n), "ranks not 1..n")
+    val cutoff = (n + 4) / 5
+    assert(rows.count(_._4 == "take") == cutoff)
+    rows.foreach { case (_, _, rk, v) =>
+      assert(v == (if (rk <= cutoff) "take" else "skip"))
+    }
+    // rank order agrees with (score desc, doc_id) order
+    assert(rows.sortBy(r => (-r._2, r._1)).map(_._3).toSeq ==
+      (1L to n))
+    // the selection is target-seeking: the en slice outscores the rest
+    val langs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = rows.partition(r => langs(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_._2).sum.toDouble / en.size
+    val restMean = rest.map(_._2).sum.toDouble / rest.size
+    assert(enMean > restMean,
+      s"en mean $enMean not above non-target mean $restMean")
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {

@@ -292,4 +292,144 @@ class StreamingSpec extends AnyFunSuite {
         "state carry not exercised by this corpus")
     } finally q.stop()
   }
+
+  test("streaming windowed count-min accumulates cells across " +
+    "micro-batches and equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.table(spark, sf, "events")
+    // split INSIDE a window, between two events of the SAME user — the
+    // straddle assertion below is per CELL, so a window straddling the
+    // cut only guarantees a straddling cell if one user's events land
+    // on both sides (same 4 cell addresses). cut = min event time of
+    // the earliest (window, user) pair with ≥2 distinct timestamps:
+    // batch 1 ends exactly at that user's first event, batch 2 has the
+    // user's later events in the same window. Everything in batch 2 is
+    // strictly newer, so nothing is late-dropped. (A median cut has no
+    // such guarantee and flaked on this corpus.)
+    val cut = events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(countDistinct(col("ts")).as("nd"),
+        min(unix_micros(col("ts"))).as("mn"))
+      .filter(col("nd") >= 2)
+      .orderBy(col("window.start"), col("user_id")).limit(1)
+      .collect()(0).getAs[Long]("mn")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cm2")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cm2w")
+      events.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(unix_micros(col("ts")) <= cut, "00_early.parquet", 100000L)
+    stage(unix_micros(col("ts")) > cut, "01_late.parquet", 200000L)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.windowedCountMin(StreamingStages.eventsStream(
+        spark, streamDir.toString, maxFilesPerTrigger = Some(1))),
+      "cm2_out", "complete")
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val streamed = spark.table("cm2_out")
+      val batch = graft.ops.SketchOps.cmAddress(
+          events.select(col("ts"),
+            col("user_id").cast("string").as("k")), "k", salt = "cmu")
+        .groupBy(window(col("ts"), "1 hour"), col("r"), col("col"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(Tables.fmtTsSec(col("window.start")).as("win_start"),
+          col("r"), col("col"), col("cnt"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "stream-built cells diverge from the batch sketch")
+      // at least one cell straddles the cut (its count merged
+      // increments from both batches)
+      val straddle = streamed.join(
+        graft.ops.SketchOps.cmAddress(
+            events.select(col("ts"),
+              col("user_id").cast("string").as("k")), "k", salt = "cmu")
+          .groupBy(window(col("ts"), "1 hour"), col("r"), col("col"))
+          .agg(
+            sum(when(unix_micros(col("ts")) <= cut, 1L).otherwise(0L))
+              .as("early"),
+            sum(when(unix_micros(col("ts")) > cut, 1L).otherwise(0L))
+              .as("late"))
+          .filter(col("early") > 0 && col("late") > 0)
+          .select(Tables.fmtTsSec(col("window.start")).as("win_start"),
+            col("r"), col("col")),
+        Seq("win_start", "r", "col"))
+      assert(straddle.count() > 0, "no cell straddles the cut — " +
+        "cross-batch additivity not exercised")
+      // bounded-state shape: ≤ D×W cells per window
+      val perWin = streamed.groupBy(col("win_start"))
+        .agg(count(lit(1)).as("cells"))
+        .agg(max(col("cells"))).collect()(0).getLong(0)
+      assert(perWin <= 4 * 64, s"window holds $perWin cells")
+    } finally q.stop()
+  }
+
+  test("streaming windowed HLL max-merges registers across " +
+    "micro-batches and equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.table(spark, sf, "events")
+    // same-user in-window cut as the count-min test: registers are MAX
+    // state, so the merge is only exercised when one window's register
+    // set receives rho values from BOTH batches
+    val cut = events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(countDistinct(col("ts")).as("nd"),
+        min(unix_micros(col("ts"))).as("mn"))
+      .filter(col("nd") >= 2)
+      .orderBy(col("window.start"), col("user_id")).limit(1)
+      .collect()(0).getAs[Long]("mn")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hll2")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll2w")
+      events.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(unix_micros(col("ts")) <= cut, "00_early.parquet", 100000L)
+    stage(unix_micros(col("ts")) > cut, "01_late.parquet", 200000L)
+    val q = StreamingStages.runToMemory(
+      StreamingStages.windowedHll(StreamingStages.eventsStream(
+        spark, streamDir.toString, maxFilesPerTrigger = Some(1))),
+      "hll2_out", "complete")
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val streamed = spark.table("hll2_out")
+      val batch = events
+        .select(col("ts"),
+          md5(concat(lit("hllu:"), col("user_id").cast("string"))
+            .cast("binary")).as("h"))
+        .select(col("ts"),
+          (expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)") % 64)
+            .as("b"),
+          expr("CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)")
+            .as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(61L))
+          .otherwise(expr("CAST(61 - length(bin(w)) AS BIGINT)")))
+        .groupBy(window(col("ts"), "1 hour"), col("b"))
+        .agg(max(col("rho")).as("register"))
+        .select(Tables.fmtTsSec(col("window.start")).as("win_start"),
+          col("b"), col("register"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "stream-built registers diverge from the batch sketch")
+      // bounded-state shape: ≤ 64 registers per window
+      val perWin = streamed.groupBy(col("win_start"))
+        .agg(count(lit(1)).as("regs"))
+        .agg(max(col("regs"))).collect()(0).getLong(0)
+      assert(perWin <= 64, s"window holds $perWin registers")
+    } finally q.stop()
+  }
 }
