@@ -903,7 +903,21 @@ object DedupOps {
     * for inserts, so [[readCorpusIndex]]'s open-time sum folds
     * deletions in with zero rewrite. Per-doc tables keep the dead
     * rows until [[vacuumCorpusIndex]]; [[readCorpusIndexLive]] masks
-    * them meanwhile. */
+    * them meanwhile.
+    *
+    * Append ORDER is the crash-safety argument: tombstones land FIRST,
+    * and the negatives are computed from the ids newly tombstoned in
+    * THIS call (the batch snapshot is pinned by the persist +
+    * materialize below, so the tombstone append cannot feed back into
+    * it). A crash between the two appends followed by a retry then
+    * re-computes an EMPTY batch and appends nothing — the failure mode
+    * is band counts left slightly INFLATED until the next vacuum
+    * rebuilds them, which is conservative (a bucket may trip
+    * [[BucketCap]] a little early; `ccnt > 0` keeps an emptied band
+    * readable as a harmless empty join). The reverse order would let a
+    * retry double-subtract, driving `ccnt` to zero or negative and
+    * silently DROPPING bands that still hold live docs — missed
+    * candidates, the non-conservative direction. */
   def purgeFromCorpusIndex(s: SparkSession, dead: DataFrame,
       prefix: String, path: String, buckets: Int = 32): Unit = {
     val tomb = s"${prefix}_tombstones"
@@ -912,14 +926,19 @@ object DedupOps {
         dAll.join(s.table(tomb), Seq("doc_id"), "left_anti")
       else dAll).persist()
     try {
+      // pin the newly-dead snapshot BEFORE touching the tombstone
+      // table: d's plan reads it, and the append below writes it —
+      // materializing the (takedown-batch-sized) cache first keeps the
+      // negatives below derived from exactly this call's ids
+      d.count()
+      graft.io.Sinks.appendBucketedTable(d, tomb, "doc_id", 1,
+        s"$path/tombstones")
       val neg = s.table(s"${prefix}_bands")
         .join(broadcast(d), Seq("doc_id"), "left_semi")
         .groupBy(col("band_idx"), col("band_val"))
         .agg((-count(lit(1))).as("ccnt"))
       graft.io.Sinks.appendBucketedTable(neg, s"${prefix}_bandcounts",
         "band_val", buckets, s"$path/bandcounts")
-      graft.io.Sinks.appendBucketedTable(d, tomb, "doc_id", 1,
-        s"$path/tombstones")
     } finally d.unpersist()
   }
 
@@ -2611,7 +2630,14 @@ object DedupOps {
     * uncapped on purpose — it must measure the TRUE candidate volume a
     * banding implies (q27's production cap would hide exactly the
     * hot-bucket blowup the sweep exists to reveal; at B=12/R=1 single-
-    * hash buckets are the worst case and the count quantifies it). */
+    * hash buckets are the worst case and the count quantifies it).
+    *
+    * AUDIT ONLY: the uncapped self-join IS the measurement — never
+    * lift this query into a production dedup path; q27's capped band
+    * join remains the operator. Relationship to the streaming tier:
+    * q206 streams the CURRENT (12, 4) banding's buckets — re-banding a
+    * live stream to a sweep-chosen B means recomputing band signatures
+    * at ingest (row-local, cheap), not reshaping existing state. */
   val q209BandSweep = OpSpec(
     "q209_band_sweep",
     (s, dir) => {

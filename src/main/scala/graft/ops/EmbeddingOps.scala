@@ -1600,6 +1600,24 @@ object EmbeddingOps {
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
+  /** Idempotent pre-build reset for a persisted index prefix: drop
+    * every catalog table the lifecycle can leave behind (including a
+    * crashed vacuum's staging name) and clear the on-disk directory.
+    * The gated lifecycle queries run under a FIXED prefix + path and
+    * call this first, so repeated invocations (Bench's min-of-2, the
+    * correctness driver, specs) never accrete catalog tables or index
+    * files. */
+  def resetVectorIndex(s: SparkSession, prefix: String,
+      path: String): Unit = {
+    Seq("coarse", "codebooks", "codes", "tombstones", "codes__vacuum")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
     * stored coarse rows), per-query LUT (dot of query slices against
@@ -1656,10 +1674,11 @@ object EmbeddingOps {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_vidx").toString
-      val prefix = "vidx" +
-        path.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+      // FIXED prefix + path, reset first: a fresh name per run would
+      // leak one set of catalog tables and index files per invocation
+      val path = s"${sys.props("java.io.tmpdir")}/graft_vidx_q205"
+      val prefix = "vidx_q205"
+      resetVectorIndex(s, prefix, path)
       buildVectorIndex(s, e, e, prefix, path)
       searchVectorIndex(
         table(s, dir, "embeddings").filter(col("vec_id") < 20)
@@ -1683,10 +1702,9 @@ object EmbeddingOps {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_vvac").toString
-      val prefix = "vvac" +
-        path.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_vvac_q210"
+      val prefix = "vvac_q210"
+      resetVectorIndex(s, prefix, path)
       buildVectorIndex(s, e, e, prefix, path)
       deleteFromVectorIndex(s,
         e.filter(col("vec_id") % 7 === 3).select(col("vec_id")),

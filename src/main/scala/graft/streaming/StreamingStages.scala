@@ -674,9 +674,13 @@ object StreamingStages {
     * per-doc signature min cannot be a groupBy), then each (band_idx,
     * band_val) bucket is a flatMapGroupsWithState group whose state is
     * ONE long: the smallest doc_id ever seen. First-writer-wins BY KEY
-    * ORDER (not arrival order), so the emitted dup set is
-    * micro-batch-partition-free and batch-checkable: a doc is a dup
-    * iff it shares a band with a smaller-id doc. State is evicted by
+    * ORDER (not arrival order): when a LATER batch delivers a smaller
+    * id than the stored bucket min (legal out-of-order arrival within
+    * the watermark horizon), the displaced former min is emitted
+    * RETROACTIVELY as a dup alongside the batch's non-min ids — so the
+    * final dup set is exactly "shares a band with a smaller-id doc"
+    * no matter how arrivals interleave, micro-batch-partition-free and
+    * batch-checkable. State is evicted by
     * event-time timeout once the watermark passes the bucket's last
     * activity + horizon — bounded state at unbounded ingest, the
     * reference's resume/done-set discipline (aesthetic_score.py:98)
@@ -702,14 +706,17 @@ object StreamingStages {
             val batch = rows.map(r => (r._2, r._3.getTime)).toArray
             // overall min across persisted state and this batch: every
             // other id in the bucket has a smaller-id partner => dup
-            val mn = math.min(
-              state.getOption.getOrElse(Long.MaxValue),
+            val stored = state.getOption
+            val mn = math.min(stored.getOrElse(Long.MaxValue),
               batch.iterator.map(_._1).min)
             state.update(mn)
             state.setTimeoutTimestamp(
               batch.iterator.map(_._2).max + horizonMs)
-            batch.iterator.map(_._1).filter(_ > mn).toArray
-              .sorted.iterator
+            // a batch min that DISPLACES the stored min retroactively
+            // turns the former keep into a dup — it must be re-emitted
+            // here or the dup set would depend on arrival order
+            (batch.iterator.map(_._1) ++ stored.iterator)
+              .filter(_ > mn).toArray.distinct.sorted.iterator
           }
       }
       .toDF("doc_id")

@@ -756,14 +756,37 @@ class OperatorSpec extends AnyFunSuite {
         == scratchSets, "re-purge was not idempotent")
       // vacuum: physical tables now EQUAL the survivor build, the
       // tombstones are gone, and verdicts are unchanged
-      DedupOps.vacuumCorpusIndex(spark, "ut_cpg", tmp("cpg4"),
-        buckets = 4)
+      val vacDir = tmp("cpg4")
+      DedupOps.vacuumCorpusIndex(spark, "ut_cpg", vacDir, buckets = 4)
       assert(!spark.catalog.tableExists("ut_cpg_tombstones"))
       val vac = DedupOps.readCorpusIndex(spark, "ut_cpg")
       assert(tableSets(vac) == scratchSets,
         "vacuum diverged from survivor build")
       spark.catalog.clearCache()
       assert(verdicts(vac) == after, "vacuum changed verdicts")
+      // crash-retry safety of the append ORDER: simulate a purge that
+      // died between its two appends (tombstones landed, negatives did
+      // not) by appending the tombstone row directly, then RETRY via
+      // the public API. The retry must compute an empty batch and
+      // subtract nothing — counts stay (conservatively) inflated, and
+      // no band that still holds live docs may vanish from the live
+      // view (the old order double-subtracted here and dropped them).
+      import graft.ops.DedupOps.CorpusIndex
+      graft.io.Sinks.appendBucketedTable(Seq(3L).toDF("doc_id"),
+        "ut_cpg_tombstones", "doc_id", 1, s"$vacDir/tombstones")
+      DedupOps.purgeFromCorpusIndex(spark, Seq(3L).toDF("doc_id"),
+        "ut_cpg", vacDir, buckets = 4)
+      val liveRetry = DedupOps.readCorpusIndexLive(spark, "ut_cpg")
+      val scratch46 = DedupOps.buildCorpusIndex(
+        corpus.filter(col("doc_id").isin(4L, 6L)))
+      def bandKeys(i: CorpusIndex) = i.bandCounts
+        .select("band_idx", "band_val").collect().toSet
+      assert((bandKeys(scratch46) -- bandKeys(liveRetry)).isEmpty,
+        "retry after a partial purge dropped bands that still hold " +
+          "live docs (double-subtract)")
+      spark.catalog.clearCache()
+      assert(verdicts(liveRetry) == verdicts(scratch46),
+        "retry after a partial purge changed ingest verdicts")
     } finally {
       Seq("hashes", "shingles", "bands", "sizes", "bandcounts",
         "tombstones").foreach(t =>

@@ -293,6 +293,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming band dedup retroactively flags a displaced bucket min " +
+    "when a smaller id arrives in a later batch") {
+    import org.apache.spark.sql.functions._
+    // Out-of-order arrival within the watermark horizon: doc `lo`
+    // arrives AFTER its larger band-mate `hi`. Batch 1 installs hi as
+    // its bucket's min (a keep); batch 2 delivers lo, which displaces
+    // hi — the stage must re-emit hi as a dup or the dup set would
+    // depend on arrival order. Pick a hi whose ONLY smaller band
+    // partner is lo, so hi can ONLY be flagged by the retroactive path.
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val bands = graft.ops.DedupOps.bandRowsRowLocal(docs)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+      .distinct()
+    val only = pairs.groupBy(col("hi"))
+      .agg(countDistinct(col("lo")).as("nlo"), min(col("lo")).as("lo"))
+      .filter(col("nlo") === 1)
+      .orderBy(col("hi")).limit(1).collect()
+    assert(only.nonEmpty, "corpus has no doc whose only smaller band " +
+      "partner is unique — cannot stage the displacement scenario")
+    val (lo, hi) = (only(0).getAs[Long]("lo"), only(0).getAs[Long]("hi"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bd3")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bd3w")
+      docs.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(col("doc_id") =!= lo, "00_first.parquet", 100000L)
+    stage(col("doc_id") === lo, "01_late_lo.parquet", 200000L)
+    val stream = StreamingStages.documentsStream(spark,
+      streamDir.toString, maxFilesPerTrigger = Some(1))
+    val q = StreamingStages.runToMemory(
+      StreamingStages.streamingBandDedup(spark, stream,
+        horizonMs = 30L * 86400 * 1000), "bd3_out", "update")
+    try {
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val streamed = spark.table("bd3_out").select("doc_id").distinct()
+      val hits = streamed.filter(col("doc_id") === hi).count()
+      assert(hits == 1, s"doc $hi (displaced by late-arriving $lo) was " +
+        "not retroactively flagged")
+      // and the full dup set still equals the arrival-order-free truth
+      val truth = pairs.select(col("hi").as("doc_id")).distinct()
+      assert(streamed.count() == truth.count())
+      assert(streamed.exceptAll(truth).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed count-min accumulates cells across " +
     "micro-batches and equals the batch sketch") {
     import org.apache.spark.sql.functions._
