@@ -1386,6 +1386,10 @@ class OperatorSpec extends AnyFunSuite {
                        // an equi-join on cid
       "q214_lm_surprise", // 1-row vocab-size scalar broadcast (V in
                           // the add-one smoothing denominator)
+      "q218_staged_serve_recall", // q205 serving shapes + the audit's
+                                  // bounded broadcasts: 20-query truth
+                                  // scan (q30 shape), 3-row shortlist
+                                  // domain, 20-row query-id domain
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
@@ -1686,6 +1690,84 @@ class OperatorSpec extends AnyFunSuite {
     EmbeddingOps.buildVectorIndex(spark, e, survivors, pxB, pB)
     assert(codeSet(EmbeddingOps.readVectorIndex(spark, pxB).codes)
       == liveBefore, "vacuum diverged from a survivor rebuild")
+    spark.catalog.clearCache()
+  }
+
+  test("q218 staged serving: recall monotone in shortlist size, corpus " +
+    "floats enter through one bounded hash join, guard reuses the index") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    // (1) the gated audit: 3 arms × 20 queries, every recall holds the
+    // self-hit floor, and recall is non-decreasing in shortlist size
+    val rows = SparkEntry.queries("q218_staged_serve_recall")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 60, s"${rows.length} rows")
+    assert(rows.forall(_._4 >= 0.1),
+      "a query lost its own self-hit from the reranked top-10")
+    rows.groupBy(_._2).foreach { case (q, xs) =>
+      val byS = xs.sortBy(_._1).map(_._3)
+      assert(byS.zip(byS.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in shortlist size for query $q: " +
+          xs.sortBy(_._1).mkString(", "))
+    }
+    // (2) plan audit of the serving function alone: the ONLY
+    // unfiltered embeddings scan is the rerank side of a broadcast
+    // HASH join against the shortlist — never a full-corpus scoring
+    // pass (the cost inversion the composition exists for)
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val p = java.nio.file.Files.createTempDirectory("rrk_spec").toString
+    val px = "rr" + p.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    try {
+      EmbeddingOps.buildVectorIndex(spark, e, e, px, p)
+      val serve = EmbeddingOps.rerankVectorIndex(
+        e.filter(col("vec_id") < 20), e,
+        EmbeddingOps.readVectorIndex(spark, px), 2, 50)
+      val plan = serve.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      val scans = plan.linesIterator
+        .filter(_.contains("embeddings.parquet")).toSeq
+      val unfiltered = scans.filterNot(_.contains("LessThan(vec_id,20)"))
+      assert(unfiltered.size == 1,
+        s"expected exactly one corpus-float scan (the bounded rerank " +
+          s"join), found ${unfiltered.size}:\n${unfiltered.mkString("\n")}")
+      // exact rerank really reorders: adc_rank and rank must disagree
+      // somewhere, and cosines must be non-increasing per query
+      val served = serve
+        .as[(Long, Long, Long, Double, Long)].collect()
+      assert(served.exists(r => r._2 != r._5),
+        "rerank never disagreed with ADC order — audit is vacuous")
+      served.groupBy(_._1).foreach { case (_, xs) =>
+        val cs = xs.sortBy(_._2).map(_._4)
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      }
+    } finally Seq("coarse", "codebooks", "codes").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${px}_$t"))
+    // (3) the build-once guard: a second gated invocation serves from
+    // the SAME on-disk index (file set untouched), so warm runs time
+    // the serve path alone
+    val codesTable = spark.catalog.listTables()
+      .filter(t => t.name.startsWith("vidx218_") &&
+        t.name.endsWith("_codes"))
+      .collect().map(_.name)
+    assert(codesTable.length == 1, codesTable.mkString(", "))
+    def fileSet() = {
+      val loc = spark.sql(s"DESC FORMATTED ${codesTable.head}")
+        .filter(col("col_name") === "Location")
+        .collect()(0).getString(1).stripPrefix("file:")
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(loc)).toSet
+    }
+    val before = fileSet()
+    val again = SparkEntry.queries("q218_staged_serve_recall")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fileSet() == before,
+      "warm invocation rebuilt the index instead of serving from it")
+    assert(again.toSet == rows.toSet)
     spark.catalog.clearCache()
   }
 
