@@ -1298,8 +1298,9 @@ object EmbeddingOps {
       FROM scored
       QUALIFY rank <= 10"""))
 
-  /** Probed coarse cells per query in the IVF-PQ search. */
-  private val IvfPqNprobe = 2
+  /** Probed coarse cells per query in the IVF-PQ search (shared with
+    * the streaming-ingest gate, which serves the same trajectory). */
+  private[graft] val IvfPqNprobe = 2
 
   /** IVF-PQ search — the production ANN serving shape, composing the
     * two gated halves: q98's TRAINED coarse quantizer partitions

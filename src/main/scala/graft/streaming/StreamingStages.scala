@@ -909,6 +909,75 @@ object StreamingStages {
       FROM r JOIN z ON z.win_start = r.win_start"""))
 
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
+  /** foreachBatch ingest into a persisted
+    * [[graft.ops.EmbeddingOps.VectorIndex]]: each arriving micro-batch
+    * of (vec_id, embedding) rows is coded against the FROZEN stored
+    * codebooks and appended to the codes table — the streaming half of
+    * the index lifecycle (q206 dedups a document stream; this indexes
+    * a vector stream). Coding is per-row deterministic against frozen
+    * artifacts, so the stream-built index equals a batch rebuild no
+    * matter how the micro-batch boundaries fall (spec-proven), and the
+    * checkpoint gives exactly-once appends across restarts — per-batch
+    * cost ∝ batch, never corpus. Blocks until all currently available
+    * input is processed; the caller stops (or keeps) the query. */
+  def streamIntoVectorIndex(s: SparkSession, vecs: DataFrame,
+      prefix: String, path: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.EmbeddingOps.appendToVectorIndex(s, batch, prefix,
+            path)
+          // the append's write runs through the micro-batch's CLONED
+          // session, which invalidates only its own relation cache —
+          // the serving session would keep the stale (pre-append) file
+          // listing for the codes table without this metadata-only
+          // refresh
+          s.catalog.refreshTable(s"${prefix}_codes")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** q219: the stream-built index under the bit-exact gate. Codebooks
+    * are trained once (batch, frozen); the corpus arrives as a FILE
+    * STREAM in four micro-batches, each coded + appended by
+    * [[streamIntoVectorIndex]]; serving then reads only the stored
+    * tables. The oracle is q150's inline trajectory verbatim — a
+    * stream-ingested index must serve exactly what a batch build
+    * serves, which is the whole point of freezing the codebooks. */
+  val q219StreamIndexIngest: graft.OpSpec = graft.OpSpec(
+    "q219_stream_index_ingest",
+    (s, dir) => {
+      import graft.ops.EmbeddingOps
+      val e = graft.Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_vsi_q219"
+      val prefix = "vsi_q219"
+      EmbeddingOps.resetVectorIndex(s, prefix, base)
+      val (streamDir, idxPath, ckpt) =
+        (s"$base/stream", s"$base/idx", s"$base/ckpt")
+      // train on the full corpus, start with ZERO codes — ingest is
+      // the stream's job
+      EmbeddingOps.buildVectorIndex(s, e, e.limit(0), prefix, idxPath)
+      e.repartition(4, col("vec_id")).write.parquet(streamDir)
+      val stream = s.readStream
+        .schema(s.read.parquet(streamDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      streamIntoVectorIndex(s, stream, prefix, idxPath, ckpt).stop()
+      EmbeddingOps.searchVectorIndex(
+        graft.Tables.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        EmbeddingOps.readVectorIndex(s, prefix),
+        EmbeddingOps.IvfPqNprobe)
+    },
+    graft.ops.EmbeddingOps.q150IvfPqSearch.oracle)
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -916,5 +985,6 @@ object StreamingStages {
       q122StreamingSession, q123StreamingHopping,
       q127StreamingUserStats, q128StreamingEnrich,
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
-      q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll)
+      q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
+      q219StreamIndexIngest)
 }

@@ -1390,6 +1390,9 @@ class OperatorSpec extends AnyFunSuite {
                                   // bounded broadcasts: 20-query truth
                                   // scan (q30 shape), 3-row shortlist
                                   // domain, 20-row query-id domain
+      "q219_stream_index_ingest", // q205's serving plan over the
+                                  // stream-built codes table —
+                                  // identical broadcast shapes
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast

@@ -491,4 +491,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(perWin <= 64, s"window holds $perWin registers")
     } finally q.stop()
   }
+
+  test("stream-ingested vector index equals a batch rebuild across " +
+    "micro-batches and serves identically") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.EmbeddingOps
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (pS, pB) = (tmp("vsi_s"), tmp("vsi_b"))
+    def pfx(t: String, p: String) =
+      t + p.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    val (pxS, pxB) = (pfx("vss", pS), pfx("vsb", pB))
+    try {
+      // stream side: codebooks trained once (frozen), zero codes, the
+      // corpus arriving as a 3-file stream — one file per micro-batch
+      EmbeddingOps.buildVectorIndex(spark, e, e.limit(0), pxS, s"$pS/idx")
+      e.repartition(3, col("vec_id")).write.parquet(s"$pS/stream")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$pS/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$pS/stream")
+      val q = StreamingStages.streamIntoVectorIndex(spark, stream, pxS,
+        s"$pS/idx", s"$pS/ckpt")
+      try assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      finally q.stop()
+      // batch side: same training set, corpus coded in one pass
+      EmbeddingOps.buildVectorIndex(spark, e, e, pxB, pB)
+      def codes(px: String) = EmbeddingOps.readVectorIndex(spark, px)
+        .codes.as[(Long, Long, Long, Long)].collect().toSet
+      assert(codes(pxS) == codes(pxB),
+        "stream-built codes diverge from a batch rebuild")
+      val qs = e.filter(col("vec_id") < 20)
+      def served(px: String) = EmbeddingOps.searchVectorIndex(qs,
+        EmbeddingOps.readVectorIndex(spark, px), 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(served(pxS) == served(pxB),
+        "stream-built index serves differently from the batch build")
+    } finally {
+      Seq("coarse", "codebooks", "codes").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${pxS}_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ${pxB}_$t")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
