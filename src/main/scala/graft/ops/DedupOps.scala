@@ -570,6 +570,41 @@ object DedupOps {
     * same semantics (a cross-gram collision would need a 60-bit
     * md5-prefix match INSIDE one document or candidate pair; the
     * distinct() guard keeps even that exact per-doc). */
+  /** q50's oracle CTE chain up to `inter` (candidate pairs + exact
+    * intersection counts; `sizes` also in scope) — shared with q220's
+    * SemDeDup cross-cluster miss audit, which reuses the lossless
+    * truth verbatim. */
+  private[ops] val q50OracleCtes: String = s"""grows0 AS (
+        SELECT DISTINCT doc_id, words[i] || ' ' || words[i + 1] AS gram
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+        WHERE len(words) >= 2),
+      grows AS (
+        SELECT DISTINCT doc_id,
+          CAST(${hexToLong("hx", 1, 15)} AS BIGINT) AS g
+        FROM (SELECT doc_id, md5(gram) AS hx FROM grows0)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grows GROUP BY doc_id),
+      freq AS (SELECT g, COUNT(*) AS df FROM grows GROUP BY g),
+      prefix AS (
+        SELECT doc_id, g, sz, rn FROM (
+          SELECT w.doc_id, w.g, s.sz,
+            CAST(ROW_NUMBER() OVER (PARTITION BY w.doc_id
+              ORDER BY f.df ASC, w.g ASC) AS BIGINT) AS rn
+          FROM grows w JOIN freq f USING (g) JOIN sizes s USING (doc_id))
+        WHERE 3 * sz <= 4 * (sz - rn + 1)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+         AND 4 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)
+         AND 7 * (1 + least(a.sz - a.rn, b.sz - b.rn)) >= 3 * (a.sz + b.sz)),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN grows x ON x.doc_id = c.doc_a
+        JOIN grows y ON y.doc_id = c.doc_b AND y.g = x.g
+        GROUP BY c.doc_a, c.doc_b)"""
+
   val q50NgramJaccard = OpSpec(
     "q50_ngram_jaccard",
     (s, dir) => {
@@ -625,36 +660,7 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
     },
     Some(s"""
-      WITH grows0 AS (
-        SELECT DISTINCT doc_id, words[i] || ' ' || words[i + 1] AS gram
-        FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
-             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
-        WHERE len(words) >= 2),
-      grows AS (
-        SELECT DISTINCT doc_id,
-          CAST(${hexToLong("hx", 1, 15)} AS BIGINT) AS g
-        FROM (SELECT doc_id, md5(gram) AS hx FROM grows0)),
-      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grows GROUP BY doc_id),
-      freq AS (SELECT g, COUNT(*) AS df FROM grows GROUP BY g),
-      prefix AS (
-        SELECT doc_id, g, sz, rn FROM (
-          SELECT w.doc_id, w.g, s.sz,
-            CAST(ROW_NUMBER() OVER (PARTITION BY w.doc_id
-              ORDER BY f.df ASC, w.g ASC) AS BIGINT) AS rn
-          FROM grows w JOIN freq f USING (g) JOIN sizes s USING (doc_id))
-        WHERE 3 * sz <= 4 * (sz - rn + 1)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM prefix a JOIN prefix b
-          ON a.g = b.g AND a.doc_id < b.doc_id
-         AND 4 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)
-         AND 7 * (1 + least(a.sz - a.rn, b.sz - b.rn)) >= 3 * (a.sz + b.sz)),
-      inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-        FROM cand c
-        JOIN grows x ON x.doc_id = c.doc_a
-        JOIN grows y ON y.doc_id = c.doc_b AND y.g = x.g
-        GROUP BY c.doc_a, c.doc_b)
+      WITH $q50OracleCtes
       SELECT doc_a, doc_b, n_inter,
         CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
       FROM inter

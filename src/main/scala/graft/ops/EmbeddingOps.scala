@@ -1035,11 +1035,16 @@ object EmbeddingOps {
   /** [[coarseKm]] over any (vec_id, embedding, nrm) frame — the
     * df-parameterized trainer the persisted [[VectorIndex]] shares
     * with the gated q98/q150 trajectory. */
-  private def coarseKmOf(e: DataFrame): DataFrame = {
+  private def coarseKmOf(e: DataFrame): DataFrame = coarseKmOfK(e, KmK)
+
+  /** [[coarseKmOf]] at an arbitrary k — q220 sweeps the SemDeDup
+    * cluster count; the seed ORDER is k-independent (same md5 rank),
+    * so k=4's seeds are a prefix of k=16's. */
+  private def coarseKmOfK(e: DataFrame, k: Int): DataFrame = {
     val seeds = e
       .withColumn("rk",
         md5(concat_ws(":", lit("ivf"), col("vec_id")).cast("binary")))
-      .orderBy(col("rk"), col("vec_id")).limit(KmK)
+      .orderBy(col("rk"), col("vec_id")).limit(k)
     // bounded post-limit fold assigns cid 0..k-1 in rank order with
     // no window operator (TakeOrderedAndProject feeds an 8-row agg)
     val c0 = seeds
@@ -2670,11 +2675,13 @@ object EmbeddingOps {
     * knob; the join itself shuffles each cluster to one stream and
     * never materializes cross-cluster pairs). Output: every vector
     * with its cluster and keep/prune verdict. */
-  val q212SemDedup = OpSpec(
-    "q212_semdedup",
-    (s, dir) => {
-      val (e, km) = coarseKm(s, dir)
-      val cents = km.select(col("cid"), col("cv"), col("cnrm"))
+  /** SemDeDup train→assign→within-cluster-prune at cluster count k
+    * over a normed (vec_id, embedding, nrm) frame — q212's gated
+    * trajectory factored out so the q220 miss audit can sweep k.
+    * Returns (cid, vec_id, verdict). */
+  def semDedupVerdicts(e: DataFrame, k: Int): DataFrame = {
+      val cents = coarseKmOfK(e, k)
+        .select(col("cid"), col("cv"), col("cnrm"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("cid").asc)
       val asg = e.crossJoin(broadcast(cents))
@@ -2700,7 +2707,13 @@ object EmbeddingOps {
         .select(col("cid"), col("vec_id"),
           when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
             .as("verdict"))
-    },
+  }
+
+  val q212SemDedup = OpSpec(
+    "q212_semdedup",
+    (s, dir) => semDedupVerdicts(
+      normedDf(s, dir).select(col("vec_id"), col("embedding"),
+        col("nrm")), KmK),
     Some(s"""
       WITH e AS ($normedDuck),
       seeds AS (
@@ -2746,6 +2759,151 @@ object EmbeddingOps {
       FROM asg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
 
+  /** Swept SemDeDup cluster counts for the q220 miss audit. */
+  private val SemDedupKs = Seq(4, 8, 16)
+
+  /** DuckDB CTE chain for one SemDeDup arm at cluster count k: q212's
+    * full train→assign→prune trajectory with `_k`-suffixed names,
+    * ending in verd_k (vec_id, cid, verdict). */
+  private def semDedupArmSql(k: Int): String = s"""
+      seeds_$k AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM embeddings)
+        QUALIFY cid < $k),
+      c0_$k AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds_$k)),
+      s1_$k AS (${kmIterDuck(s"c0_$k")}),
+      c1_$k AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1_$k)),
+      s2_$k AS (${kmIterDuck(s"c1_$k")}),
+      c2_$k AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2_$k)),
+      asg_$k AS (
+        SELECT cid, vec_id, embedding, nrm FROM (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+          FROM e, c2_$k c)
+        WHERE rn = 1),
+      pruned_$k AS (
+        SELECT DISTINCT b.cid, b.vec_id
+        FROM asg_$k a JOIN asg_$k b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+          > $SemDedupTau),
+      verd_$k AS (
+        SELECT g.vec_id, g.cid,
+          CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+            AS verdict
+        FROM asg_$k g LEFT JOIN pruned_$k p
+          ON p.cid = g.cid AND p.vec_id = g.vec_id)"""
+
+  /** q220: the SemDeDup CROSS-CLUSTER MISS audit — the recall price of
+    * the paper's tractability trade, measured instead of footnoted.
+    * Ground truth: q50's lossless n-gram near-dup pairs (doc_id ==
+    * vec_id in this corpus). For each swept k, SemDeDup's kept set is
+    * recomputed (q212's exact trajectory) and every truth pair is
+    * classified: both ends kept AND different clusters = a pair the
+    * within-cluster prune could NEVER have caught at any tau (the
+    * structural miss the audit exists to price); both kept and same
+    * cluster = a threshold miss (tau knob, not k). One shared join:
+    * truth built once, the three arms' verdicts stacked into a single
+    * frame joined on each pair end. A 100 TB operator reads the
+    * cross-miss column against k's Σ|cluster|² scan cost to choose the
+    * cluster count. Scale: three broadcast-k trainings + three
+    * cid-equi-join pair scans (q212's shape); the audit join is
+    * truth-pair-sized. */
+  val q220SemdedupMissAudit = OpSpec(
+    "q220_semdedup_miss_audit",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val verdicts = SemDedupKs.map(k =>
+          semDedupVerdicts(e, k).withColumn("k", lit(k.toLong)))
+        .reduce(_ unionByName _)
+      val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val joined = truth
+        .join(verdicts.select(col("k"), col("vec_id").as("doc_a"),
+          col("cid").as("cid_a"), col("verdict").as("v_a")), "doc_a")
+        .join(verdicts.select(col("k"), col("vec_id").as("doc_b"),
+          col("cid").as("cid_b"), col("verdict").as("v_b")),
+          Seq("k", "doc_b"))
+      val kept = col("v_a") === "keep" && col("v_b") === "keep"
+      val agg = joined.groupBy(col("k")).agg(
+        count(lit(1)).as("n_truth"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_both_kept"),
+        sum(when(kept && col("cid_a") =!= col("cid_b"), 1L).otherwise(0L))
+          .as("n_cross_missed"),
+        sum(when(kept && col("cid_a") === col("cid_b"), 1L).otherwise(0L))
+          .as("n_same_kept"))
+      // explicit k domain + left join: an arm with zero joined truth
+      // pairs must still emit its row (the q178 empty-set lesson)
+      s.range(1).select(explode(array(
+          SemDedupKs.map(k => lit(k.toLong)): _*)).as("k"))
+        .join(agg, Seq("k"), "left")
+        .na.fill(0L, Seq("n_truth", "n_both_kept", "n_cross_missed",
+          "n_same_kept"))
+        .select(col("k"), col("n_truth"), col("n_both_kept"),
+          col("n_cross_missed"), col("n_same_kept"),
+          when(col("n_truth") === 0L, lit(0.0))
+            .otherwise(col("n_cross_missed").cast("double")
+              / col("n_truth").cast("double")).as("cross_miss_rate"))
+    },
+    Some(s"""
+      WITH ${graft.ops.DedupOps.q50OracleCtes},
+      truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 7 * i.n_inter >= 3 * (sa.sz + sb.sz)),
+      e AS ($normedDuck),
+      ${SemDedupKs.map(semDedupArmSql).mkString(",")},
+      verd AS (${SemDedupKs.map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, vec_id, cid, verdict
+        FROM verd_$k""").mkString("\n        UNION ALL\n        ")}),
+      j AS (
+        SELECT va.k, va.verdict AS v_a, vb.verdict AS v_b,
+          va.cid AS cid_a, vb.cid AS cid_b
+        FROM truth t
+        JOIN verd va ON va.vec_id = t.doc_a
+        JOIN verd vb ON vb.vec_id = t.doc_b AND vb.k = va.k),
+      agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
+          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
+            AND cid_a <> cid_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cross_missed,
+          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
+            AND cid_a = cid_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_same_kept
+        FROM j GROUP BY k)
+      SELECT d.k,
+        COALESCE(a.n_truth, CAST(0 AS BIGINT)) AS n_truth,
+        COALESCE(a.n_both_kept, CAST(0 AS BIGINT)) AS n_both_kept,
+        COALESCE(a.n_cross_missed, CAST(0 AS BIGINT)) AS n_cross_missed,
+        COALESCE(a.n_same_kept, CAST(0 AS BIGINT)) AS n_same_kept,
+        CASE WHEN COALESCE(a.n_truth, 0) = 0 THEN 0e0
+             ELSE CAST(a.n_cross_missed AS DOUBLE)
+                  / CAST(a.n_truth AS DOUBLE) END AS cross_miss_rate
+      FROM (SELECT CAST(unnest([${SemDedupKs.mkString(", ")}])
+            AS BIGINT) AS k) d
+      LEFT JOIN agg a ON a.k = d.k"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
@@ -2754,5 +2912,5 @@ object EmbeddingOps {
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
-    q212SemDedup, q218StagedServeRecall)
+    q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit)
 }

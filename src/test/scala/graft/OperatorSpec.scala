@@ -1393,6 +1393,10 @@ class OperatorSpec extends AnyFunSuite {
       "q219_stream_index_ingest", // q205's serving plan over the
                                   // stream-built codes table —
                                   // identical broadcast shapes
+      "q220_semdedup_miss_audit", // q212's broadcast-k centroid
+                                  // trainings ×3 swept k's + a 3-row
+                                  // k domain; pair scans and the
+                                  // truth join are equi-joins
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
@@ -1771,6 +1775,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(fileSet() == before,
       "warm invocation rebuilt the index instead of serving from it")
     assert(again.toSet == rows.toSet)
+    spark.catalog.clearCache()
+  }
+
+  test("q220 semdedup miss audit: counts consistent, kept pairs split " +
+    "exactly into cross-cluster and same-cluster misses") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q220_semdedup_miss_audit")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(4L, 8L, 16L))
+    rows.foreach { case (k, nTruth, bothKept, cross, same, rate) =>
+      assert(cross + same == bothKept,
+        s"k=$k: kept-pair split $cross + $same != $bothKept")
+      assert(bothKept <= nTruth, s"k=$k: kept pairs exceed truth")
+      assert(math.abs(rate - cross.toDouble / math.max(nTruth, 1)) == 0.0
+        || nTruth == 0, s"k=$k rate mismatch")
+    }
+    // the audit must be exercised: the corpus has truth pairs, and at
+    // least one arm shows a structural (cross-cluster) miss
+    assert(rows.exists(_._2 > 0), "no truth pairs — audit vacuous")
     spark.catalog.clearCache()
   }
 
