@@ -1199,6 +1199,11 @@ object DedupOps {
     * recipe is exactly this n-gram-overlap scan (WebText/GPT-style
     * 8-13-gram matching, scaled to this corpus's short documents).
     *
+    * Round-7 bench flagged +35 % here; a controlled A/B (10 interleaved
+    * solo-JVM min-of-2 runs at sf0.1, round-6 tree vs round-8 tree,
+    * 2026-08-15) measured round-6 min 2.84 s vs current min 2.33 s —
+    * the code is not slower; the in-suite number was host-band drift.
+    *
     * Shape: one shared shingle-hash pass; document-frequency cap drops
     * corpus-wide boilerplate grams ([[GramDfCap]]); the join is
     * BIPARTITE train×eval on fixed-width hash pairs, so cost scales
