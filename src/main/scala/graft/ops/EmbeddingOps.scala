@@ -1622,7 +1622,8 @@ object EmbeddingOps {
     * files. */
   def resetVectorIndex(s: SparkSession, prefix: String,
       path: String): Unit = {
-    Seq("coarse", "codebooks", "codes", "tombstones", "codes__vacuum")
+    Seq("coarse", "codebooks", "codes", "tombstones", "codes__vacuum",
+        "codes__compacting")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -1630,6 +1631,21 @@ object EmbeddingOps {
     }
     rm(new java.io.File(path))
   }
+
+  /** Compact the codes table's append-accreted file sets back to one
+    * file per bucket — the periodic maintenance pass after N daily
+    * [[appendToVectorIndex]] batches (each append lands its own file
+    * set per bucket; reads stay correct but open N files and re-merge
+    * N sorted runs per bucket). Delegates to
+    * [[graft.io.Sinks.compactBucketedTable]]'s staged-swap discipline:
+    * a mid-compaction crash leaves the old registration live. Contents,
+    * bucket spec, and serving are unchanged (spec-proven); only the
+    * file count drops. */
+  def compactVectorIndex(s: SparkSession, prefix: String,
+      oldCodesPath: String, newCodesPath: String,
+      buckets: Int = 8): Unit =
+    graft.io.Sinks.compactBucketedTable(s, s"${prefix}_codes", "cell",
+      buckets, oldCodesPath, newCodesPath)
 
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
@@ -1729,6 +1745,36 @@ object EmbeddingOps {
         readVectorIndex(s, prefix), IvfPqNprobe)
     },
     Some(ivfPqOracleSql("c.vec_id % 7 <> 3")))
+
+  /** q221: COMPACTION exercised on a real append-accreted index under
+    * the gate. The corpus lands as build + three appends (four file
+    * sets per bucket — a month of weekly ingests in miniature), then
+    * [[compactVectorIndex]] rewrites the codes table to one file per
+    * bucket through the staged swap, and serving reads the COMPACTED
+    * table. The oracle is q150's inline trajectory: compaction must be
+    * invisible to every query — same rows, same bucket layout, fewer
+    * files. The spec additionally proves the file-count drop and that
+    * the bucket spec survives the rewrite. */
+  val q221CompactedServe = OpSpec(
+    "q221_compacted_serve",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_vcp_q221"
+      val prefix = "vcp_q221"
+      resetVectorIndex(s, prefix, base)
+      buildVectorIndex(s, e, e.filter(col("vec_id") % 4 === 0), prefix,
+        s"$base/idx")
+      (1 to 3).foreach(i => appendToVectorIndex(s,
+        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
+      compactVectorIndex(s, prefix, s"$base/idx/codes",
+        s"$base/codes_compact")
+      searchVectorIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        readVectorIndex(s, prefix), IvfPqNprobe)
+    },
+    q150IvfPqSearch.oracle)
 
   /** Build-once guard for gated SERVING queries: the fixed
     * (prefix, path) for `tag` over this scale-factor dir, building the
@@ -2912,5 +2958,6 @@ object EmbeddingOps {
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
-    q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit)
+    q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
+    q221CompactedServe)
 }

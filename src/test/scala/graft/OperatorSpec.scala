@@ -1397,6 +1397,9 @@ class OperatorSpec extends AnyFunSuite {
                                   // trainings ×3 swept k's + a 3-row
                                   // k domain; pair scans and the
                                   // truth join are equi-joins
+      "q221_compacted_serve", // q205's serving plan over the
+                              // compacted codes table —
+                              // identical broadcast shapes
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
@@ -1795,6 +1798,64 @@ class OperatorSpec extends AnyFunSuite {
     // least one arm shows a structural (cross-cluster) miss
     assert(rows.exists(_._2 > 0), "no truth pairs — audit vacuous")
     spark.catalog.clearCache()
+  }
+
+  test("q221 compaction: contents identical, file count collapses to " +
+    "one per bucket, bucket spec survives, serving unchanged") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("vcp_spec")
+      .toString
+    val px = "vc" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def codeSet() = EmbeddingOps.readVectorIndex(spark, px).codes
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def served() = EmbeddingOps.searchVectorIndex(
+      e.filter(col("vec_id") < 20),
+      EmbeddingOps.readVectorIndex(spark, px), 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    try {
+      EmbeddingOps.buildVectorIndex(spark, e,
+        e.filter(col("vec_id") % 4 === 0), px, s"$base/idx")
+      (1 to 3).foreach(i => EmbeddingOps.appendToVectorIndex(spark,
+        e.filter(col("vec_id") % 4 === i), px, s"$base/idx"))
+      val (beforeRows, beforeServe) = (codeSet(), served())
+      val beforeFiles = parquetFiles(s"$base/idx/codes")
+      assert(beforeFiles > 8,
+        s"appends did not accrete file sets ($beforeFiles files)")
+      EmbeddingOps.compactVectorIndex(spark, px, s"$base/idx/codes",
+        s"$base/codes_compact")
+      assert(codeSet() == beforeRows, "compaction changed table contents")
+      // one file per NON-EMPTY bucket (empty buckets write none — with
+      // 8 cells murmur3-pmod'd into 8 buckets, collisions leave some
+      // buckets empty at this sf)
+      val afterFiles = parquetFiles(s"$base/codes_compact")
+      assert(afterFiles <= 8 && afterFiles < beforeFiles,
+        s"expected at most one file per bucket after compaction " +
+          s"(was $beforeFiles), got $afterFiles")
+      // the rewritten table keeps its bucket layout (co-bucketed joins
+      // on `cell` stay exchange-free) and serves identically
+      val desc = spark.sql(s"DESC EXTENDED ${px}_codes")
+        .collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets=8") &&
+        desc.contains("Bucket Columns=[`cell`]"), desc)
+      assert(served() == beforeServe, "compaction changed serving")
+      // crash-safety: the staging name is gone after a clean swap
+      assert(!spark.catalog.tableExists(s"${px}_codes__compacting"))
+    } finally {
+      Seq("coarse", "codebooks", "codes", "codes__compacting").foreach(
+        t => spark.sql(s"DROP TABLE IF EXISTS ${px}_$t"))
+      spark.catalog.clearCache()
+    }
   }
 
   test("q138 ADC search: well-formed rankings, recall above chance") {
