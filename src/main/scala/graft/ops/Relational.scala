@@ -1164,6 +1164,194 @@ object Relational {
       ORDER BY lift DESC, antecedent ASC, consequent ASC
       LIMIT 20"""))
 
+  /** Shipping-priority top-10 (the TPC-H Q3 shape, minus the schema's
+    * absent o_shippriority): one market segment's customers SEMI-join
+    * into the pre-cutoff orders, the post-cutoff lineitems shuffle
+    * once on orderkey, and revenue accumulates as exact 4-dp DECIMAL
+    * integer units. The top-10 ORDERS ON THE EXACT INTEGER revenue
+    * (tie to orderkey), so the limit boundary can never depend on
+    * double rounding; the double is emitted after selection. Both
+    * date filters push to the scans; the plan is scan→scan→one
+    * shuffle→TakeOrdered. */
+  val q222ShippingPriority = OpSpec(
+    "q222_shipping_priority",
+    (s, dir) => {
+      val cutoff = lit("1997-03-15 00:00:00").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .orderBy(col("rev_4dp").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT l.l_orderkey, o.o_orderdate,
+          CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+            AS BIGINT) AS rev_4dp
+        FROM (SELECT l_orderkey,
+                CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+                CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1997-03-15 00:00:00') l
+        JOIN (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+              WHERE o_orderdate < TIMESTAMP '1997-03-15 00:00:00') o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        GROUP BY 1, 2)
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        CAST(rev_4dp AS DOUBLE) / 1e4 AS revenue
+      FROM r
+      ORDER BY rev_4dp DESC, l_orderkey ASC
+      LIMIT 10"""))
+
+  /** Returned-item revenue top-20 (the TPC-H Q10 shape): one quarter's
+    * orders join their RETURNED lineitems, roll up per customer with
+    * the nation dim broadcast, and rank by exact integer revenue
+    * (tie to custkey) before the double is emitted. The returnflag
+    * and date filters push to the scans; the customer join precedes
+    * the aggregation because the customer IS the group key. */
+  val q223ReturnedItems = OpSpec(
+    "q223_returned_items",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1997-04-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val n = table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .orderBy(col("rev_4dp").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+          CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+            AS BIGINT) AS rev_4dp
+        FROM (SELECT l_orderkey,
+                CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+                CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+              FROM lineitem WHERE l_returnflag = 'R') l
+        JOIN (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00') o
+          ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3, 4)
+      SELECT c_custkey, c_name, n_name, c_acctbal,
+        CAST(rev_4dp AS DOUBLE) / 1e4 AS revenue
+      FROM r
+      ORDER BY rev_4dp DESC, c_custkey ASC
+      LIMIT 20"""))
+
+  /** Suppliers-who-kept-waiting (the TPC-H Q21 shape, lateness adapted
+    * to this schema as q130's ship-more-than-60-days-after-order):
+    * for finalized orders, a supplier's late lineitem counts only if
+    * the order has ANOTHER supplier's lineitem (semi join) and NO
+    * other supplier's late lineitem (anti join) — the double
+    * correlated EXISTS/NOT EXISTS on the SAME fact table that makes
+    * Q21 the canonical anti+semi planning stress. Both the semi and
+    * anti sides are equi-joins on orderkey with the supplier
+    * inequality as a hash-join residual; the late set is computed
+    * ONCE and reused for the probe and the anti side; nation filters
+    * via a broadcast semi join. Count ranks on exact integers. */
+  val q224SuppliersWaiting = OpSpec(
+    "q224_suppliers_waiting",
+    (s, dir) => {
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val anyOther = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a_orderkey"),
+          col("l_suppkey").as("a_suppkey"))
+      val waiting = late
+        .join(anyOther,
+          col("l_orderkey") === col("a_orderkey") &&
+            col("a_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(late.select(col("l_orderkey").as("b_orderkey"),
+          col("l_suppkey").as("b_suppkey")),
+          col("l_orderkey") === col("b_orderkey") &&
+            col("b_suppkey") =!= col("l_suppkey"), "left_anti")
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val n = table(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3")
+      waiting
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    },
+    Some("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                   AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_3'
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate >
+                              o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 100"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1172,5 +1360,6 @@ object Relational {
     q111GroupedMode, q118MerkleDiff, q129RevenueRollup, q130LateOrders,
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
     q145JoinForecast, q155NationVolume, q161Copurchase,
-    q165PricingSummary, q193LiftRules)
+    q165PricingSummary, q193LiftRules, q222ShippingPriority,
+    q223ReturnedItems, q224SuppliersWaiting)
 }

@@ -1858,6 +1858,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H trio plans: pushed filters, TakeOrdered top-k, anti+semi " +
+    "on the same fact for q224, no nested-loop joins") {
+    val p222 = plan("q222_shipping_priority")
+    assert(p222.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$p222")
+    assert(p222.contains("IsNotNull(o_orderdate)") ||
+      p222.contains("LessThan(o_orderdate"), p222)
+    assert(p222.contains("GreaterThan(l_shipdate"),
+      s"ship-date filter not pushed:\n$p222")
+    assert(p222.contains("TakeOrderedAndProject"),
+      s"top-10 did not plan as TakeOrdered:\n$p222")
+    val p223 = plan("q223_returned_items")
+    assert(p223.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p223")
+    assert(p223.contains("TakeOrderedAndProject"), p223)
+    val p224 = plan("q224_suppliers_waiting")
+    assert(p224.contains("LeftSemi"), s"missing semi join:\n$p224")
+    assert(p224.contains("LeftAnti"), s"missing anti join:\n$p224")
+    assert(p224.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed:\n$p224")
+    Seq(p222, p223, p224).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("q138 ADC search: well-formed rankings, recall above chance") {
     import spark.implicits._
     val rows = SparkEntry.queries("q138_pq_adc_search")(spark, sf)
