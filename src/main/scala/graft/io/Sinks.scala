@@ -177,6 +177,47 @@ object Sinks {
     spark.sql(s"ALTER TABLE $staging RENAME TO $tableName")
   }
 
+  /** Partial-aggregate rows for one batch of an incrementally
+    * maintained rollup: per key, the row count and the EXACT decimal
+    * sum of each measure (money-like ≤2-dp doubles — the
+    * [[graft.Tables.dec]] discipline). Partials are ADDITIVE — counts
+    * and exact decimal sums are associative — so appending each
+    * batch's partials and folding at read time equals aggregating the
+    * union of the raw batches, independent of how batches were split.
+    * This is the [[graft.ops.DedupOps]] band-count maintenance trick
+    * exposed as a first-class primitive: a 100 TB corpus's running
+    * stats cost one batch scan per ingest, never a corpus rescan. */
+  def rollupPartials(df: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame =
+    df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(count(lit(1)).as("n"),
+        measures.map(m =>
+          sum(org.apache.spark.sql.functions.col(m)
+            .cast(graft.Tables.dec)).as(s"sum_$m")): _*)
+
+  /** Append one batch's [[rollupPartials]] to the rollup table
+    * (bucketed on the first key). Cost ∝ batch. */
+  def appendRollup(df: DataFrame, keys: Seq[String],
+      measures: Seq[String], tableName: String, buckets: Int,
+      path: String): Unit =
+    appendBucketedTable(rollupPartials(df, keys, measures), tableName,
+      keys.head, buckets, path)
+
+  /** Open-time fold of a rollup table: one aggregate over the stored
+    * partials — bounded by |key domain| × appends rows, not corpus
+    * size. Returns (keys..., n, sum_<measure>...) with the count as
+    * BIGINT and sums still exact decimals (consumers cast to double
+    * at emit). */
+  def readRollup(s: org.apache.spark.sql.SparkSession, tableName: String,
+      keys: Seq[String], measures: Seq[String]): DataFrame =
+    s.table(tableName)
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(sum(org.apache.spark.sql.functions.col("n")).cast("long")
+          .as("n"),
+        measures.map(m =>
+          sum(org.apache.spark.sql.functions.col(s"sum_$m"))
+            .as(s"sum_$m")): _*)
+
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;
     * `Archived` means the zip is durably written — a non-empty
     * `cleanupWarning` flags raw files/dir that could not be removed

@@ -513,8 +513,49 @@ object CurationOps {
         CAST(lang_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
       FROM stats, top_lang"""))
 
+  /** q227: incrementally-maintained rollup under the bit-exact gate —
+    * the corpus-stats pattern every ingest pipeline runs daily,
+    * maintained WITHOUT rescanning history. The events table arrives
+    * as three batches (an arbitrary id split — additivity makes the
+    * boundary invisible); each batch appends its
+    * [[graft.io.Sinks.rollupPartials]] (count + exact decimal sum per
+    * event type), and serving folds the stored partials in one
+    * key-domain-bounded aggregate. The oracle aggregates the RAW
+    * table: the maintained rollup must equal the scratch aggregate
+    * bit-for-bit, including the derived mean (exact sum / exact
+    * count, one double division). */
+  val q227IncrementalRollup = OpSpec(
+    "q227_incremental_rollup",
+    (s, dir) => {
+      val tableName = "roll_q227"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roll_q227"
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val ev = table(s, dir, "events")
+      (0 to 2).foreach(i => graft.io.Sinks.appendRollup(
+        ev.filter(col("event_id") % 3 === i), Seq("event_type"),
+        Seq("value"), tableName, 4, path))
+      graft.io.Sinks.readRollup(s, tableName, Seq("event_type"),
+          Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("total"),
+          (col("sum_value").cast("double") / col("n")).as("avg_value"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          AS avg_value
+      FROM events
+      GROUP BY event_type"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
-    q190DatasetCard, q200PipelineV3, q203SourceLeague)
+    q190DatasetCard, q200PipelineV3, q203SourceLeague,
+    q227IncrementalRollup)
 }

@@ -1352,6 +1352,167 @@ object Relational {
       ORDER BY numwait DESC, s_name ASC
       LIMIT 100"""))
 
+  /** Nation-pair trade volume (the TPC-H Q7 shape): revenue shipped
+    * between two nations in each direction, per ship year. Both
+    * nation dims filter to the TWO named nations BEFORE the fact
+    * joins (2-row broadcasts — the supplier and customer joins then
+    * prune to the two nations' rows), and only the direction
+    * predicate remains post-join. Ship-date slice pushes to the
+    * lineitem scan; revenue is the exact 4-dp DECIMAL recipe. */
+  val q225NationTrade = OpSpec(
+    "q225_nation_trade",
+    (s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("n_items"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(CAST(
+            CAST(round(l.l_extendedprice * 1e2) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 1e2) AS BIGINT))
+          AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) / 1e4 AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3"""))
+
+  /** National market share (the TPC-H Q8 shape): among one part
+    * type's lineitems sold to one region's customers over two order
+    * years, the share of revenue supplied by one nation, per year.
+    * Share = exact-integer nation revenue / exact-integer total, one
+    * correctly-rounded double division at emit — both engines agree
+    * bit-for-bit because the operands are exact BIGINTs. The part
+    * type filter broadcasts as a semi join; the region restriction
+    * semi-joins customers through the broadcast nation→region dims;
+    * supplier nations ride a broadcast dim for the CASE. */
+  val q226MarketShare = OpSpec(
+    "q226_market_share",
+    (s, dir) => {
+      val p = table(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val custAsia = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"),
+          "left_semi")
+        .select(col("c_custkey"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"),
+          "left_semi")
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val sn = nat.select(col("n_nationkey").as("sn_nk"),
+        col("n_name").as("supp_nation"))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_nk"))
+        .groupBy(col("o_year"))
+        .agg(
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("total_4dp"),
+          expr("""CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                THEN CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)""")
+            .as("nation_4dp"))
+        .select(col("o_year"), col("total_4dp"), col("nation_4dp"),
+          (col("nation_4dp").cast("double")
+            / col("total_4dp").cast("double")).as("mkt_share"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+            AS o_year,
+          CAST(round(l.l_extendedprice * 1e2) AS BIGINT) AS price_c,
+          CAST(round(l.l_discount * 1e2) AS BIGINT) AS disc_c,
+          n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey
+                        AND p.p_type = 'PROMO')
+          AND EXISTS (SELECT 1 FROM customer c
+                      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                      JOIN region r ON r.r_regionkey = n2.n_regionkey
+                      WHERE c.c_custkey = o.o_custkey
+                        AND r.r_name = 'ASIA'))
+      SELECT o_year,
+        CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+          AS BIGINT) AS total_4dp,
+        CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+          THEN CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS nation_4dp,
+        CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+          THEN CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(price_c * (100 - disc_c)
+          AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) AS mkt_share
+      FROM f
+      GROUP BY o_year"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1361,5 +1522,6 @@ object Relational {
     q131CustDist, q136Benford, q141TopNOthers, q144SkewReport,
     q145JoinForecast, q155NationVolume, q161Copurchase,
     q165PricingSummary, q193LiftRules, q222ShippingPriority,
-    q223ReturnedItems, q224SuppliersWaiting)
+    q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
+    q226MarketShare)
 }

@@ -1884,6 +1884,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental rollup: partials are split-invariant and equal " +
+    "the scratch aggregate") {
+    import spark.implicits._
+    val ev = Tables.table(spark, sf, "events")
+    def tmp() = java.nio.file.Files.createTempDirectory("roll_spec")
+      .toString
+    val (tA, tB) = ("ut_roll_a", "ut_roll_b")
+    try {
+      // A: three arbitrary batches; B: one batch of everything
+      val (pA, pB) = (tmp(), tmp())
+      (0 to 2).foreach(i => graft.io.Sinks.appendRollup(
+        ev.filter(col("event_id") % 3 === i), Seq("event_type"),
+        Seq("value"), tA, 2, pA))
+      graft.io.Sinks.appendRollup(ev, Seq("event_type"), Seq("value"),
+        tB, 2, pB)
+      def fold(t: String) = graft.io.Sinks.readRollup(spark, t,
+          Seq("event_type"), Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      val (a, b) = (fold(tA), fold(tB))
+      assert(a == b, "rollup fold depends on the batch split")
+      val scratch = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(a == scratch, "maintained rollup diverged from scratch")
+      // the A table holds one partial row per (key, append) — the fold
+      // input is key-domain × appends, never corpus-sized
+      val partialRows = spark.table(tA).count()
+      val keyDomain = scratch.size
+      assert(partialRows <= keyDomain * 3L, s"$partialRows partials")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tA")
+      spark.sql(s"DROP TABLE IF EXISTS $tB")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q138 ADC search: well-formed rankings, recall above chance") {
     import spark.implicits._
     val rows = SparkEntry.queries("q138_pq_adc_search")(spark, sf)
