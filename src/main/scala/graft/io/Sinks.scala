@@ -187,13 +187,19 @@ object Sinks {
     * This is the [[graft.ops.DedupOps]] band-count maintenance trick
     * exposed as a first-class primitive: a 100 TB corpus's running
     * stats cost one batch scan per ingest, never a corpus rescan. */
+  /** Stable partial-sum type: wide enough that folds of folds never
+    * re-widen (Spark caps decimal precision at 38), so appends,
+    * [[readRollup]] output, and [[compactRollup]] rewrites all carry
+    * the SAME schema across generations. */
+  private val rollDec = org.apache.spark.sql.types.DecimalType(38, 2)
+
   def rollupPartials(df: DataFrame, keys: Seq[String],
       measures: Seq[String]): DataFrame =
     df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
       .agg(count(lit(1)).as("n"),
         measures.map(m =>
           sum(org.apache.spark.sql.functions.col(m)
-            .cast(graft.Tables.dec)).as(s"sum_$m")): _*)
+            .cast(graft.Tables.dec)).cast(rollDec).as(s"sum_$m")): _*)
 
   /** Append one batch's [[rollupPartials]] to the rollup table
     * (bucketed on the first key). Cost ∝ batch. */
@@ -216,7 +222,27 @@ object Sinks {
           .as("n"),
         measures.map(m =>
           sum(org.apache.spark.sql.functions.col(s"sum_$m"))
-            .as(s"sum_$m")): _*)
+            .cast(rollDec).as(s"sum_$m")): _*)
+
+  /** Compact a rollup table: fold the accumulated partials down to ONE
+    * partial row per key and swap it in as the new table contents —
+    * the [[compactBucketedTable]] staged-swap discipline applied to
+    * aggregate state instead of raw rows. After N appends the fold
+    * input is |keys|·N rows; compaction resets it to |keys| while
+    * [[readRollup]] results are provably unchanged (summing a sum of
+    * partials == summing the partials — associativity again). */
+  def compactRollup(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, keys: Seq[String], measures: Seq[String],
+      buckets: Int, newPath: String): Unit = {
+    val staging = tableName + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    bucketedTable(
+      readRollup(spark, tableName, keys, measures)
+        .repartition(buckets, org.apache.spark.sql.functions.col(keys.head)),
+      staging, keys.head, buckets, newPath)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $tableName")
+  }
 
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;
     * `Archived` means the zip is durably written — a non-empty

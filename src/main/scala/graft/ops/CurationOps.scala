@@ -553,9 +553,51 @@ object CurationOps {
       FROM events
       GROUP BY event_type"""))
 
+  /** q229: the rollup COMPACTION lifecycle under the gate — appends,
+    * a staged-swap compaction that folds accumulated partials to one
+    * row per key, and a FURTHER append onto the compacted generation
+    * (the schema-stability property that makes compaction safe to run
+    * at any point in the ingest cadence). Serving folds whatever
+    * generation mix is on disk; the oracle aggregates the raw table —
+    * equality proves compaction is invisible to every reader. */
+  val q229RollupCompaction = OpSpec(
+    "q229_rollup_compaction",
+    (s, dir) => {
+      val tableName = "roll_q229"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_roll_q229"
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+      s.sql(s"DROP TABLE IF EXISTS ${tableName}__compacting")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val ev = table(s, dir, "events")
+      (0 to 2).foreach(i => graft.io.Sinks.appendRollup(
+        ev.filter(col("event_id") % 4 === i), Seq("event_type"),
+        Seq("value"), tableName, 4, s"$path/tbl"))
+      graft.io.Sinks.compactRollup(s, tableName, Seq("event_type"),
+        Seq("value"), 4, s"$path/compact1")
+      // appends keep working on the compacted generation
+      graft.io.Sinks.appendRollup(ev.filter(col("event_id") % 4 === 3),
+        Seq("event_type"), Seq("value"), tableName, 4, s"$path/compact1")
+      graft.io.Sinks.readRollup(s, tableName, Seq("event_type"),
+          Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("total"),
+          (col("sum_value").cast("double") / col("n")).as("avg_value"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          AS avg_value
+      FROM events
+      GROUP BY event_type"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
     q190DatasetCard, q200PipelineV3, q203SourceLeague,
-    q227IncrementalRollup)
+    q227IncrementalRollup, q229RollupCompaction)
 }

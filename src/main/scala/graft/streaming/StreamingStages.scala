@@ -978,6 +978,73 @@ object StreamingStages {
     },
     graft.ops.EmbeddingOps.q150IvfPqSearch.oracle)
 
+  /** foreachBatch ingest into an incrementally-maintained rollup
+    * ([[graft.io.Sinks.appendRollup]]): each micro-batch appends its
+    * exact-decimal partial aggregates — additive, so micro-batch
+    * boundaries are invisible to the fold, and the running corpus
+    * stats are maintained with per-batch cost while history is never
+    * rescanned. The batch q227 and this stream produce the SAME
+    * table. */
+  def streamIntoRollup(s: SparkSession, rows: DataFrame,
+      keys: Seq[String], measures: Seq[String], tableName: String,
+      buckets: Int, path: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.io.Sinks.appendRollup(batch, keys, measures, tableName,
+            buckets, path)
+          // micro-batch writes run in a cloned session — refresh the
+          // serving session's relation cache (the q219 lesson)
+          s.catalog.refreshTable(tableName)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** q228: the stream-maintained rollup under the bit-exact gate. The
+    * events table arrives as a four-file stream; each micro-batch
+    * appends partials; serving folds the stored partials. The oracle
+    * aggregates the raw table — stream-maintained state must equal
+    * the scratch aggregate bit-for-bit (q227's contract, fed by a
+    * stream instead of batch appends). */
+  val q228StreamingRollup: graft.OpSpec = graft.OpSpec(
+    "q228_streaming_rollup",
+    (s, dir) => {
+      val tableName = "roll_q228"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_roll_q228"
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      graft.Tables.table(s, dir, "events")
+        .repartition(4, col("event_id"))
+        .write.parquet(s"$base/stream")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream")
+      streamIntoRollup(s, stream, Seq("event_type"), Seq("value"),
+        tableName, 4, s"$base/tbl", s"$base/ckpt").stop()
+      graft.io.Sinks.readRollup(s, tableName, Seq("event_type"),
+          Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("total"),
+          (col("sum_value").cast("double") / col("n")).as("avg_value"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          AS avg_value
+      FROM events
+      GROUP BY event_type"""))
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -986,5 +1053,5 @@ object StreamingStages {
       q127StreamingUserStats, q128StreamingEnrich,
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
-      q219StreamIndexIngest)
+      q219StreamIndexIngest, q228StreamingRollup)
 }

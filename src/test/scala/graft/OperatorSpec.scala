@@ -1915,6 +1915,17 @@ class OperatorSpec extends AnyFunSuite {
       val partialRows = spark.table(tA).count()
       val keyDomain = scratch.size
       assert(partialRows <= keyDomain * 3L, s"$partialRows partials")
+      // compaction collapses partials to one row per key, the fold is
+      // unchanged, and a post-compaction append still folds correctly
+      val pC = tmp()
+      graft.io.Sinks.compactRollup(spark, tA, Seq("event_type"),
+        Seq("value"), 2, pC)
+      assert(spark.table(tA).count() == keyDomain.toLong,
+        "compaction did not collapse to one partial per key")
+      assert(fold(tA) == scratch, "compaction changed the fold")
+      graft.io.Sinks.appendRollup(ev.limit(0), Seq("event_type"),
+        Seq("value"), tA, 2, pC) // schema-compat append (0 rows)
+      assert(fold(tA) == scratch)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tA")
       spark.sql(s"DROP TABLE IF EXISTS $tB")
