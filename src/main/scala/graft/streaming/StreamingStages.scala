@@ -1045,6 +1045,73 @@ object StreamingStages {
       FROM events
       GROUP BY event_type"""))
 
+  /** foreachBatch ingest into a persisted
+    * [[graft.ops.DedupOps.CorpusIndex]]: each micro-batch's per-doc
+    * artifacts (hashes/shingles/bands/sizes) and additive bandcount
+    * partials are appended — insert-only, cost ∝ batch, corpus text
+    * never rescanned — so the text-dedup index gets the same
+    * streaming half the vector index got in [[streamIntoVectorIndex]].
+    * Micro-batch boundaries are invisible: every artifact is
+    * row-local to its doc or additively mergeable, so stream-built ==
+    * batch-built table-for-table. */
+  def streamIntoCorpusIndex(s: SparkSession, docs: DataFrame,
+      prefix: String, path: String, buckets: Int,
+      checkpointDir: String): StreamingQuery = {
+    val tables = Seq("hashes", "shingles", "bands", "sizes",
+      "bandcounts")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.DedupOps.appendToCorpusIndex(batch, prefix, path,
+            buckets)
+          // cloned-session writes only invalidate their own relation
+          // cache (the q219 lesson) — refresh the serving session's
+          tables.foreach(t =>
+            if (s.catalog.tableExists(s"${prefix}_$t"))
+              s.catalog.refreshTable(s"${prefix}_$t"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** q230: ingest dedup served from a STREAM-BUILT corpus index. The
+    * corpus side (doc_id % 10 <> 0) arrives as a four-file stream and
+    * accretes into the persisted index; the probe batch (doc_id % 10
+    * = 0) then dedups against the stored tables. The oracle is q55's
+    * verbatim: a stream-accreted index must answer ingest queries
+    * exactly like the batch-derived corpus side. */
+  val q230StreamingCorpusIngest: graft.OpSpec = graft.OpSpec(
+    "q230_streaming_corpus_ingest",
+    (s, dir) => {
+      val prefix = "sci_q230"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sci_q230"
+      Seq("hashes", "shingles", "bands", "sizes", "bandcounts",
+        "tombstones").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = graft.Tables.table(s, dir, "documents")
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .repartition(4, col("doc_id"))
+        .write.parquet(s"$base/stream")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream")
+      streamIntoCorpusIndex(s, stream, prefix, s"$base/idx", 8,
+        s"$base/ckpt").stop()
+      graft.ops.DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        graft.ops.DedupOps.readCorpusIndex(s, prefix))
+    },
+    graft.ops.DedupOps.q55IncrementalDedup.oracle)
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -1053,5 +1120,6 @@ object StreamingStages {
       q127StreamingUserStats, q128StreamingEnrich,
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
-      q219StreamIndexIngest, q228StreamingRollup)
+      q219StreamIndexIngest, q228StreamingRollup,
+      q230StreamingCorpusIngest)
 }

@@ -539,4 +539,52 @@ class StreamingSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("stream-ingested corpus index equals a batch build " +
+    "table-for-table across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DedupOps
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (pS, pB) = (tmp("sci_s"), tmp("sci_b"))
+    def pfx(t: String, p: String) =
+      t + p.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
+    val (pxS, pxB) = (pfx("scs", pS), pfx("scb", pB))
+    val tables = Seq("hashes", "shingles", "bands", "sizes",
+      "bandcounts")
+    try {
+      docs.repartition(3, col("doc_id")).write.parquet(s"$pS/stream")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$pS/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$pS/stream")
+      val q = StreamingStages.streamIntoCorpusIndex(spark, stream, pxS,
+        s"$pS/idx", 4, s"$pS/ckpt")
+      try assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      finally q.stop()
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(docs), pxB,
+        s"$pB/idx", buckets = 4)
+      val (si, bi) = (DedupOps.readCorpusIndex(spark, pxS),
+        DedupOps.readCorpusIndex(spark, pxB))
+      Seq("hashes" -> (si.hashes, bi.hashes),
+        "shingles" -> (si.shingles, bi.shingles),
+        "bands" -> (si.bands, bi.bands),
+        "sizes" -> (si.sizes, bi.sizes),
+        "bandcounts" -> (si.bandCounts, bi.bandCounts)
+      ).foreach { case (name, (fs, fb)) =>
+        val (rs, rb) = (fs.collect().toSet, fb.collect().toSet)
+        assert(rs == rb, s"$name diverged: stream-extra=" +
+          s"${(rs -- rb).take(3)} batch-extra=${(rb -- rs).take(3)}")
+      }
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${pxS}_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ${pxB}_$t")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
