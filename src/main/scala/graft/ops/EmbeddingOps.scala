@@ -1937,6 +1937,73 @@ object EmbeddingOps {
       LEFT JOIN hitcnt h
         ON h.shortlist_s = d.shortlist_s AND h.query_id = d.query_id"""))
 
+  /** q231: IVF inverted-list balance readout over the PERSISTED index —
+    * the ops dashboard number that decides re-training: a hot cell
+    * makes every probe touching it scan |hot list| codes, so the
+    * load factor (cell size ÷ mean) IS the worst-case probe
+    * amplification. Reads ONLY the stored codes table (one bucketed
+    * scan, sub=0 rows so each vector counts once); the explicit
+    * 0..k-1 cell domain keeps empty cells visible (a dead cell is
+    * exactly what an operator must see). Oracle re-derives the coarse
+    * assignment trajectory. */
+  val q231CellBalance = OpSpec(
+    "q231_cell_balance",
+    (s, dir) => {
+      val prefix = ensureVectorIndex(s, dir, "vidx218")
+      val counts = s.table(s"${prefix}_codes")
+        .filter(col("sub") === 0)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val total = counts.agg(sum(col("n_vecs")).as("total"))
+      s.range(KmK).select(col("id").as("cell"))
+        .join(counts, Seq("cell"), "left")
+        .na.fill(0L, Seq("n_vecs"))
+        .crossJoin(broadcast(total))
+        .select(col("cell"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("n_vecs").cast("double") * lit(KmK.toDouble)
+            / col("total").cast("double")).as("load_factor"))
+    },
+    Some(s"""
+      WITH ${ivfPqScoredCtes("TRUE")},
+      cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+              FROM assign GROUP BY cell),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cnt)
+      SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+          AS share,
+        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
+          / CAST(t.total AS DOUBLE) AS load_factor
+      FROM (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell) d
+      LEFT JOIN cnt c ON c.cell = d.cell
+      CROSS JOIN tot t"""))
+
+  /** q232: TOMBSTONE-MASKED live serving — the lifecycle point q210
+    * vacuums past: a takedown lands as an insert-only tombstone batch
+    * and searches must stop matching IMMEDIATELY, while the 100 TB
+    * codes table stays untouched until the next maintenance window.
+    * [[readVectorIndexLive]] anti-joins the broadcast tombstone set on
+    * the probe path; the oracle is the survivor-restricted trajectory
+    * — identical to a physical rewrite, which is the whole point. */
+  val q232LiveMaskedServe = OpSpec(
+    "q232_live_masked_serve",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_vlm_q232"
+      val prefix = "vlm_q232"
+      resetVectorIndex(s, prefix, path)
+      buildVectorIndex(s, e, e, prefix, path)
+      deleteFromVectorIndex(s,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        prefix, path)
+      searchVectorIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        readVectorIndexLive(s, prefix), IvfPqNprobe)
+    },
+    Some(ivfPqOracleSql("c.vec_id % 5 <> 2")))
+
   /** BINARY sign quantization + Hamming top-k — the most compact code
     * family (64 dims → 64 BITS, a 256× cut vs float32; the memory
     * regime below even int8 q73 and PQ q137): each embedding collapses
@@ -2959,5 +3026,5 @@ object EmbeddingOps {
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
-    q221CompactedServe)
+    q221CompactedServe, q231CellBalance, q232LiveMaskedServe)
 }

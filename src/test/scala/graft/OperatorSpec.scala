@@ -1400,6 +1400,11 @@ class OperatorSpec extends AnyFunSuite {
       "q221_compacted_serve", // q205's serving plan over the
                               // compacted codes table —
                               // identical broadcast shapes
+      "q231_cell_balance", // 1-row total scalar broadcast onto the
+                           // 8-row cell domain (q76 shape)
+      "q232_live_masked_serve", // q205's serving plan with the
+                                // broadcast tombstone anti-join —
+                                // same bounded broadcast shapes
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
