@@ -1513,6 +1513,64 @@ object Relational {
       FROM f
       GROUP BY o_year"""))
 
+  /** Discounted-revenue with DISJUNCTIVE part predicates (the TPC-H
+    * Q19 shape): one lineitem⨝part equi-join whose residual is an OR
+    * of three (brand, size-band, quantity-band) conjuncts — the plan
+    * class where the optimizer must extract the COMMON subexpressions
+    * of a disjunction for pushdown (each side keeps its own pushable
+    * conjuncts: quantity bounds on the lineitem scan, size floor on
+    * the part scan) while the cross-table OR stays a join residual.
+    * Part side broadcasts; revenue is the exact 4-dp recipe. The
+    * quantity bands COMPARE raw doubles against exactly-representable
+    * literals — comparisons involve no arithmetic, so they are
+    * engine-exact AND parquet-pushable (an exact-cents rewrite would
+    * be equally exact but unpushable, the wrong trade for a scan
+    * predicate). */
+  val q233DisjunctiveRevenue = OpSpec(
+    "q233_disjunctive_revenue",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+        .select(col("l_partkey"), col("l_quantity"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .filter(col("p_size") >= 1)
+      val arm1 = col("p_brand") === "Brand#11" &&
+        col("p_size") <= 15 && col("l_quantity") <= 11.0
+      val arm2 = col("p_brand") === "Brand#22" &&
+        col("p_size") <= 25 && col("l_quantity") >= 5.0 &&
+        col("l_quantity") <= 20.0
+      val arm3 = col("p_brand") === "Brand#33" &&
+        col("p_size") <= 35 && col("l_quantity") >= 9.0
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(count(lit(1)).as("n_items"),
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+        .select(col("n_items"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+          AS BIGINT) AS DOUBLE) / 1e4 AS revenue
+      FROM (SELECT l_partkey, l_quantity,
+              CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+              CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+            FROM lineitem) l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity >= 1e0 AND l.l_quantity <= 3e1
+        AND p.p_size >= 1
+        AND ((p.p_brand = 'Brand#11' AND p.p_size <= 15
+              AND l.l_quantity <= 11e0)
+          OR (p.p_brand = 'Brand#22' AND p.p_size <= 25
+              AND l.l_quantity >= 5e0 AND l.l_quantity <= 2e1)
+          OR (p.p_brand = 'Brand#33' AND p.p_size <= 35
+              AND l.l_quantity >= 9e0))"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1523,5 +1581,5 @@ object Relational {
     q145JoinForecast, q155NationVolume, q161Copurchase,
     q165PricingSummary, q193LiftRules, q222ShippingPriority,
     q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
-    q226MarketShare)
+    q226MarketShare, q233DisjunctiveRevenue)
 }

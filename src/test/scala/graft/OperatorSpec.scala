@@ -1883,7 +1883,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(p224.contains("LeftAnti"), s"missing anti join:\n$p224")
     assert(p224.contains("EqualTo(o_orderstatus,F)"),
       s"status filter not pushed:\n$p224")
-    Seq(p222, p223, p224).foreach { p =>
+    // q233: the disjunction's COMMON conjuncts (quantity band, size
+    // floor) push to their scans; the cross-table OR stays a residual
+    val p233 = plan("q233_disjunctive_revenue")
+    assert(p233.contains("GreaterThanOrEqual(l_quantity") ||
+      p233.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"quantity band not pushed to the lineitem scan:\n$p233")
+    assert(p233.contains("BroadcastHashJoin"), p233)
+    Seq(p222, p223, p224, p233).foreach { p =>
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), p)
     }
