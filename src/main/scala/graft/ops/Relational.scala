@@ -1571,6 +1571,111 @@ object Relational {
           OR (p.p_brand = 'Brand#33' AND p.p_size <= 35
               AND l.l_quantity >= 9e0))"""))
 
+  /** Small-order revenue for one brand (the TPC-H Q17 shape): lines
+    * whose quantity is below a fifth of their PART's average — the
+    * correlated-aggregate class Catalyst decorrelates into a per-part
+    * aggregate joined back to the fact. The threshold test is PURE
+    * INTEGER: qty < (Σqty/n)/5 ⟺ 5·qty_c·n < Σqty_c over exact
+    * quantity cents, so no double ever enters the predicate. The
+    * per-part aggregate runs over the brand-restricted lines only
+    * (broadcast semi join before BOTH sides — at 100 TB the
+    * decorrelated aggregate must not scan every part). */
+  val q234SmallOrderRevenue = OpSpec(
+    "q234_small_order_revenue",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("CAST(round(l_quantity * 1e2) AS BIGINT)").as("qty_c"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("qty_c")).as("sum_qc"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(lit(5L) * col("qty_c") * col("n_part") < col("sum_qc"))
+        .agg(count(lit(1)).as("n_small"),
+          expr("CAST(SUM(price_c) AS BIGINT)").as("rev_2dp"))
+        .select(col("n_small"),
+          (col("rev_2dp").cast("double") / 1e2).as("revenue"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_partkey,
+          CAST(round(l_quantity * 1e2) AS BIGINT) AS qty_c,
+          CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey
+                        AND p.p_brand = 'Brand#23')),
+      pp AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_part,
+               CAST(SUM(qty_c) AS BIGINT) AS sum_qc
+             FROM li GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        CAST(CAST(SUM(li.price_c) AS BIGINT) AS DOUBLE) / 1e2
+          AS revenue
+      FROM li JOIN pp ON pp.pk = li.l_partkey
+      WHERE 5 * li.qty_c * pp.n_part < pp.sum_qc"""))
+
+  /** Idle high-balance customers (the TPC-H Q22 shape, nation instead
+    * of the schema's absent phone country code): customers whose
+    * balance exceeds the average POSITIVE balance and who placed no
+    * RECENT orders (none since 2000 — this corpus leaves almost no
+    * customer entirely order-free, so the classic no-orders-ever form
+    * would gate on an empty result) — a 1-row scalar-aggregate
+    * broadcast plus an anti join with a pushed date filter, rolled up
+    * per nation. The threshold compare is raw-double vs an
+    * exactly-derived average (exact cent sum / exact count, one
+    * correctly-rounded division), so both engines admit identical
+    * customers. */
+  val q235IdleCustomers = OpSpec(
+    "q235_idle_customers",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          expr("CAST(round(c_acctbal * 1e2) AS BIGINT)").as("bal_c"))
+      val avgPos = c.filter(col("bal_c") > 0L)
+        .agg((sum(col("bal_c")).cast("double")
+          / (count(lit(1)) * lit(100L)).cast("double")).as("avg_bal"))
+      val idle = c
+        .crossJoin(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(table(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+            lit("2000-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      idle.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          expr("CAST(SUM(bal_c) AS BIGINT)").as("bal_2dp"))
+        .select(col("nationkey"), col("n_cust"),
+          (col("bal_2dp").cast("double") / 1e2).as("total_bal"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          CAST(round(c_acctbal * 1e2) AS BIGINT) AS bal_c
+        FROM customer),
+      a AS (
+        SELECT CAST(SUM(bal_c) AS DOUBLE)
+             / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_bal
+        FROM c WHERE bal_c > 0)
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        CAST(COUNT(*) AS BIGINT) AS n_cust,
+        CAST(CAST(SUM(c.bal_c) AS BIGINT) AS DOUBLE) / 1e2
+          AS total_bal
+      FROM c, a
+      WHERE c.c_acctbal > a.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >=
+                              TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1581,5 +1686,6 @@ object Relational {
     q145JoinForecast, q155NationVolume, q161Copurchase,
     q165PricingSummary, q193LiftRules, q222ShippingPriority,
     q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
-    q226MarketShare, q233DisjunctiveRevenue)
+    q226MarketShare, q233DisjunctiveRevenue, q234SmallOrderRevenue,
+    q235IdleCustomers)
 }
