@@ -1402,6 +1402,8 @@ class OperatorSpec extends AnyFunSuite {
                               // identical broadcast shapes
       "q231_cell_balance", // 1-row total scalar broadcast onto the
                            // 8-row cell domain (q76 shape)
+      "q235_idle_customers", // 1-row positive-average scalar
+                             // broadcast (q76 shape)
       "q232_live_masked_serve", // q205's serving plan with the
                                 // broadcast tombstone anti-join —
                                 // same bounded broadcast shapes
