@@ -241,6 +241,86 @@ object LayoutOps {
           (SELECT CAST(UNNEST(range(0, 3)) AS BIGINT) AS epoch) e)
       WHERE position <= 5"""))
 
+  /** Shared recursive temp-dir reset for the layout lifecycle gates. */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** q236: Hive-partitioned table layout + PARTITION PRUNING — the
+    * date-partitioned directory scheme every 100 TB event table ships
+    * with: events land under dt=YYYY-MM-DD directories (the write
+    * pays one shuffle-free pass), and a date-sliced read touches ONLY
+    * the matching directories — the scan does file-listing-level
+    * pruning before any row is read (spec-audited: PartitionFilters
+    * in the plan, input files restricted to the slice). The gated
+    * result is a one-week rollup off the partitioned copy; the oracle
+    * derives the same week from the raw table, so the layout must be
+    * lossless. Partition values come back as typed partition columns;
+    * the output casts to the oracle's string form. */
+  val q236PartitionedLayout = OpSpec(
+    "q236_partitioned_layout",
+    (s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_part_q236"
+      rmTree(path)
+      table(s, dir, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("dt").parquet(path)
+      s.read.parquet(path)
+        .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
+        .groupBy(col("dt").cast("string").as("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+        AND strftime(ts, '%Y-%m-%d') <= '2024-01-14'
+      GROUP BY 1, 2"""))
+
+  /** q237: SCHEMA EVOLUTION across shard generations — the ingest
+    * reality a year-long pipeline cannot avoid: generation 1 shards
+    * were written before the `lang` column existed, generation 2
+    * carries it (plus `n_chars`). A mergeSchema read unions the file
+    * schemas (old files yield NULLs for the new columns) and the
+    * rollup treats missing language as its own class — no backfill
+    * rewrite of the old 100 TB generation required. The oracle
+    * re-derives the same split from the raw table, so the
+    * two-generation read must be lossless. */
+  val q237SchemaEvolution = OpSpec(
+    "q237_schema_evolution",
+    (s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_gen_q237"
+      rmTree(path)
+      val docs = table(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.parquet(s"$path/g1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.parquet(s"$path/g2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/g1", s"$path/g2")
+        .groupBy(coalesce(col("lang"), lit("missing")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(n_chars) AS BIGINT)").as("chars"))
+    },
+    Some("""
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END
+          AS lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END)
+          AS BIGINT) AS chars
+      FROM documents
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
-    q110Log2Histogram, q176CompactionPlan, q179EpochShuffle)
+    q110Log2Histogram, q176CompactionPlan, q179EpochShuffle,
+    q236PartitionedLayout, q237SchemaEvolution)
 }

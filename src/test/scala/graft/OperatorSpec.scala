@@ -1947,6 +1947,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q236 partitioned layout: the date slice prunes partitions at " +
+    "file-listing level") {
+    // running the gated query materializes the partitioned copy
+    val df = SparkEntry.queries("q236_partitioned_layout")(spark, sf)
+    assert(df.count() > 0)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_part_q236"
+    val sliced = spark.read.parquet(path)
+      .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"no partition filters in the scan:\n$plan")
+    assert(plan.contains("dt"), plan)
+    // inputFiles reflects the UNPRUNED file index; the executed scan's
+    // numFiles metric counts what was actually read after pruning —
+    // execute THIS queryExecution (collect), then unwrap AQE to reach
+    // the leaf scan whose metric was populated
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    sliced.collect()
+    val finalPlan = sliced.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanned = finalPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(scanned > 0 && scanned < allFiles,
+      s"pruning ineffective: read $scanned of $allFiles files")
+    spark.catalog.clearCache()
+  }
+
   test("q138 ADC search: well-formed rankings, recall above chance") {
     import spark.implicits._
     val rows = SparkEntry.queries("q138_pq_adc_search")(spark, sf)
