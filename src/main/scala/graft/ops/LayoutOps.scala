@@ -320,7 +320,80 @@ object LayoutOps {
       FROM documents
       GROUP BY 1"""))
 
+  /** q238: single-partition BACKFILL via dynamic partition overwrite —
+    * the late-data correction a 100 TB event table takes weekly:
+    * one day's values arrive revised, and ONLY that day's dt=
+    * directory is rewritten (partitionOverwriteMode=dynamic replaces
+    * exactly the partitions present in the incoming frame; a static
+    * overwrite would truncate the whole table). The gated readout
+    * rolls up the corrected table; the oracle applies the same
+    * correction as a CASE over the raw rows — so the surgical rewrite
+    * must be indistinguishable from a full recompute. The spec proves
+    * the OTHER 29 partitions' files were not touched. */
+  val q238PartitionBackfill = OpSpec(
+    "q238_partition_backfill",
+    (s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bkf_q238"
+      rmTree(path)
+      val ev = table(s, dir, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      ev.write.partitionBy("dt").parquet(path)
+      // the revised day: values double (a corrected currency feed)
+      val revised = ev.filter(col("dt") === "2024-01-10")
+        .withColumn("value", col("value") * 2.0)
+      revised.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("dt").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10'
+          THEN value * 2 ELSE value END AS DECIMAL(12,2))) AS DOUBLE)
+          AS total
+      FROM events
+      GROUP BY 1"""))
+
+  /** q239: CSV round-trip losslessness — the K4 edge format under the
+    * bit-exact gate: money-typed doubles and timestamps survive
+    * write-as-text → parse-back exactly (Spark emits the shortest
+    * double representation and string→double parses are correctly
+    * rounded, so the round-trip is the identity; timestamps pin an
+    * explicit UTC pattern). The rollup over the round-tripped copy
+    * must equal the oracle over the raw parquet — any formatting loss
+    * would shift the exact decimal sums. */
+  val q239CsvRoundtrip = OpSpec(
+    "q239_csv_roundtrip",
+    (s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_q239"
+      rmTree(path)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.option("header", "true").option("timestampFormat", fmt)
+        .csv(path)
+      s.read.option("header", "true").option("timestampFormat", fmt)
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total"),
+          graft.Tables.fmtTs(max(col("ts"))).as("last_ts"))
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+      FROM events
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
     q110Log2Histogram, q176CompactionPlan, q179EpochShuffle,
-    q236PartitionedLayout, q237SchemaEvolution)
+    q236PartitionedLayout, q237SchemaEvolution, q238PartitionBackfill,
+    q239CsvRoundtrip)
 }

@@ -1977,6 +1977,45 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q238 backfill: dynamic overwrite rewrites only the revised " +
+    "partition, all others' files are untouched") {
+    val base = java.nio.file.Files.createTempDirectory("bkf_spec")
+      .toString + "/t"
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("dt").parquet(base)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(base))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = files()
+    ev.filter(col("dt") === "2024-01-10")
+      .withColumn("value", col("value") * 2.0)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("dt").parquet(base)
+    val after = files()
+    val (touchedB, untouchedB) = before.partition(_._1.contains("dt=2024-01-10"))
+    val (touchedA, untouchedA) = after.partition(_._1.contains("dt=2024-01-10"))
+    assert(untouchedA == untouchedB,
+      "dynamic overwrite touched partitions outside the revised day")
+    assert(touchedB.nonEmpty && touchedA.keySet != touchedB.keySet,
+      "the revised partition was not rewritten")
+    // and the corrected table equals a full recompute
+    val cor = spark.read.parquet(base)
+      .agg(Tables.dsum(col("value"))).collect()(0).getDouble(0)
+    val exp = ev.withColumn("value",
+        when(col("dt") === "2024-01-10", col("value") * 2.0)
+          .otherwise(col("value")))
+      .agg(Tables.dsum(col("value"))).collect()(0).getDouble(0)
+    assert(cor == exp, s"backfilled $cor != recompute $exp")
+    spark.catalog.clearCache()
+  }
+
   test("q138 ADC search: well-formed rankings, recall above chance") {
     import spark.implicits._
     val rows = SparkEntry.queries("q138_pq_adc_search")(spark, sf)
