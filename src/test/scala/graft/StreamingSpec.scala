@@ -540,6 +540,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup stream restart from checkpoint appends each batch " +
+    "exactly once (no re-emit of committed input)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, sf, "events")
+    val base = java.nio.file.Files.createTempDirectory("roll_rs")
+      .toString
+    val (streamDir, tbl) = (s"$base/stream", "ut_roll_rs")
+    def stage(pred: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("roll_rsw")
+      ev.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(streamDir))
+      val dst = java.nio.file.Paths.get(streamDir).resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    try {
+      stage(col("event_id") % 2 === 0, "00_a.parquet", 100000L)
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir)
+        StreamingStages.streamIntoRollup(spark, stream,
+          Seq("event_type"), Seq("value"), tbl, 2, s"$base/tbl",
+          s"$base/ckpt").stop()
+      }
+      run() // processes file A, commits it in the checkpoint
+      stage(col("event_id") % 2 =!= 0, "01_b.parquet", 200000L)
+      run() // restart: must append ONLY file B's partials
+      import spark.implicits._
+      val fold = graft.io.Sinks.readRollup(spark, tbl,
+          Seq("event_type"), Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      val scratch = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(fold == scratch,
+        "restart re-emitted (or lost) a committed batch's partials")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stream-ingested corpus index equals a batch build " +
     "table-for-table across micro-batches") {
     import org.apache.spark.sql.functions._
