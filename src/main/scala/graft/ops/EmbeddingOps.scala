@@ -2791,13 +2791,22 @@ object EmbeddingOps {
   /** SemDeDup train→assign→within-cluster-prune at cluster count k
     * over a normed (vec_id, embedding, nrm) frame — q212's gated
     * trajectory factored out so the q220 miss audit can sweep k.
-    * Returns (cid, vec_id, verdict). */
-  def semDedupVerdicts(e: DataFrame, k: Int): DataFrame = {
+    * Returns (cid, vec_id, verdict).
+    *
+    * `onlyFor`: optional (vec_id) frame restricting WHOSE verdicts are
+    * computed. A vector's verdict depends only on SMALLER-id vectors
+    * in its own cluster, so restricting the pair scan's pruned-
+    * candidate side (and the output) to the requested ids is exact —
+    * and turns the cost from Σ|cluster|² into
+    * Σ|cluster|·|requested ∩ cluster|: the difference between
+    * re-running the dedup and answering a bounded audit at 100 TB. */
+  def semDedupVerdicts(e: DataFrame, k: Int,
+      onlyFor: Option[DataFrame] = None): DataFrame = {
       val cents = coarseKmOfK(e, k)
         .select(col("cid"), col("cv"), col("cnrm"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("cid").asc)
-      val asg = e.crossJoin(broadcast(cents))
+      val asg0 = e.crossJoin(broadcast(cents))
         .withColumn("cosine", expr(
           """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
              0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
@@ -2805,7 +2814,10 @@ object EmbeddingOps {
         .filter(col("rn") === 1)
         .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
         .persist()
-      val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      val asg = onlyFor.fold(asg0)(ids => asg0.join(
+        broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi"))
+      val a = asg0.select(col("cid"), col("vec_id").as("vec_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
         col("embedding").as("vb"), col("nrm").as("nb"))
@@ -2943,11 +2955,16 @@ object EmbeddingOps {
     (s, dir) => {
       val e = normedDf(s, dir)
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      val verdicts = SemDedupKs.map(k =>
-          semDedupVerdicts(e, k).withColumn("k", lit(k.toLong)))
-        .reduce(_ unionByName _)
+      // truth feeds the three arms' verdict restriction AND the final
+      // join — persist so the lossless ppjoin runs once
       val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).persist()
+      val endpoints = truth.select(col("doc_a").as("vec_id"))
+        .union(truth.select(col("doc_b").as("vec_id"))).distinct()
+      val verdicts = SemDedupKs.map(k =>
+          semDedupVerdicts(e, k, Some(endpoints))
+            .withColumn("k", lit(k.toLong)))
+        .reduce(_ unionByName _)
       val joined = truth
         .join(verdicts.select(col("k"), col("vec_id").as("doc_a"),
           col("cid").as("cid_a"), col("verdict").as("v_a")), "doc_a")
