@@ -1407,6 +1407,9 @@ class OperatorSpec extends AnyFunSuite {
       "q232_live_masked_serve", // q205's serving plan with the
                                 // broadcast tombstone anti-join —
                                 // same bounded broadcast shapes
+      "q240_reranked_serve", // q218's serving composition alone —
+                             // the same q205 broadcast shapes plus
+                             // the bounded rerank hash join
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
