@@ -2865,12 +2865,20 @@ object EmbeddingOps {
         .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
           / (col("na") * col("nb")) > expr(SemDedupTau))
         .select(col("cid"), col("vec_b").as("vec_id")).distinct()
-      asg.select(col("cid"), col("vec_id"))
+      val out = asg.select(col("cid"), col("vec_id"))
         .join(pruned.withColumn("hit", lit(1)), Seq("cid", "vec_id"),
           "left")
         .select(col("cid"), col("vec_id"),
           when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
             .as("verdict"))
+        // eager: the verdict frame is one bounded row per (requested)
+        // vector, so materializing it here lets asg0's cached
+        // assignment blocks be released BEFORE returning — a library
+        // caller (q220 sweeps three k's per invocation) must not
+        // accrete one persisted frame per call
+        .localCheckpoint()
+      asg0.unpersist()
+      out
   }
 
   val q212SemDedup = OpSpec(
@@ -2988,7 +2996,12 @@ object EmbeddingOps {
     * cross-miss column against k's Σ|cluster|² scan cost to choose the
     * cluster count. Scale: three broadcast-k trainings + three
     * cid-equi-join pair scans (q212's shape); the audit join is
-    * truth-pair-sized. */
+    * truth-pair-sized.
+    *
+    * AUDIT ONLY: the lossless ppjoin truth plus three trainings ARE the
+    * measurement (the suite's most expensive query by construction) —
+    * never lift this into a production dedup path; q212 remains the
+    * operator and this prices its k knob offline. */
   val q220SemdedupMissAudit = OpSpec(
     "q220_semdedup_miss_audit",
     (s, dir) => {

@@ -1292,8 +1292,10 @@ object Relational {
     * correlated EXISTS/NOT EXISTS on the SAME fact table that makes
     * Q21 the canonical anti+semi planning stress. Both the semi and
     * anti sides are equi-joins on orderkey with the supplier
-    * inequality as a hash-join residual; the late set is computed
-    * ONCE and reused for the probe and the anti side; nation filters
+    * inequality as a hash-join residual; the late set's DEFINITION is
+    * shared between the probe and the anti side (the physical plan may
+    * recompute the unpersisted subtree for each reference — Catalyst
+    * exchange reuse decides, not this code); nation filters
     * via a broadcast semi join. Count ranks on exact integers. */
   val q224SuppliersWaiting = OpSpec(
     "q224_suppliers_waiting",
