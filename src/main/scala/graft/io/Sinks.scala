@@ -152,10 +152,9 @@ object Sinks {
     * name first, and `tableName` is re-pointed only after that write
     * commits. A plain Overwrite-saveAsTable would drop the catalog
     * entry BEFORE writing, so a mid-compaction failure would leave no
-    * registered table at all; here every failure point leaves either
-    * the old registration intact or both data sets durable with the
-    * new one recoverable under the staging name (metadata-only
-    * recovery, no data loss window). */
+    * registered table at all; here every failure point leaves the old
+    * registration fully readable — see [[repointTable]] for why the
+    * re-point itself has no unregistered instant. */
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
       tableName: String, key: String, buckets: Int,
       oldPath: String, newPath: String): Unit = {
@@ -170,11 +169,31 @@ object Sinks {
       spark.read.parquet(oldPath)
         .repartition(buckets, org.apache.spark.sql.functions.col(key)),
       staging, key, buckets, newPath)
-    // the compacted file set is durable from here on: re-pointing the
-    // public name is metadata-only (both tables are external — DROP
-    // deletes no data at oldPath)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $tableName")
+    repointTable(spark, tableName, staging, newPath)
+  }
+
+  /** Atomically re-point the PUBLIC `tableName` at the compacted file
+    * set staged at `newPath` under `stagingTable`. The visibility-
+    * critical step is ONE metadata statement — `ALTER TABLE ... SET
+    * LOCATION` — so there is no instant at which the public name is
+    * unregistered: a reader concurrent with the swap sees either the
+    * old or the new file set, never a missing table (the
+    * DROP-then-RENAME it replaces had exactly that hole between its
+    * two statements). The staged and public tables share schema and
+    * bucket spec by construction, so re-pointing the location is the
+    * entire semantic change. A crash AFTER the re-point merely leaks
+    * the staging registration (both names then read the new location,
+    * staging is dropped by the next run's `DROP IF EXISTS`); a crash
+    * BEFORE it leaves the public table serving the old files with the
+    * new set durable and recoverable. Both tables are external — no
+    * statement here deletes data; the caller retires the old path once
+    * the swap is durable (the K7 archive discipline). */
+  private[graft] def repointTable(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, stagingTable: String, newPath: String): Unit = {
+    spark.sql(s"ALTER TABLE $tableName SET LOCATION '$newPath'")
+    // metadata-only: drop the stale cached file listing for the name
+    spark.catalog.refreshTable(tableName)
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
   }
 
   /** Partial-aggregate rows for one batch of an incrementally
@@ -240,8 +259,7 @@ object Sinks {
       readRollup(spark, tableName, keys, measures)
         .repartition(buckets, org.apache.spark.sql.functions.col(keys.head)),
       staging, keys.head, buckets, newPath)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $tableName")
+    repointTable(spark, tableName, staging, newPath)
   }
 
   /** [[archiveShards]] outcome. `Refused` means nothing was touched;

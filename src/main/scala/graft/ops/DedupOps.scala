@@ -965,12 +965,16 @@ object DedupOps {
   }
 
   /** Fold tombstones into the physical tables: each table is staged
-    * at `newPath` and re-pointed only after its write commits
-    * ([[graft.io.Sinks.compactBucketedTable]]'s swap discipline — a
-    * mid-vacuum crash leaves every not-yet-swapped table intact and
-    * the tombstone mask still in force), then the tombstone set is
-    * dropped. The spec proves vacuum == build-from-survivors
-    * table-for-table. */
+    * at `newPath` and re-pointed only after its write commits, through
+    * [[graft.io.Sinks.repointTable]]'s SINGLE-STATEMENT location swap
+    * — a mid-vacuum crash leaves every not-yet-swapped table intact
+    * (and readable: no table name is ever unregistered, even
+    * mid-swap) and the tombstone mask still in force; a crash BETWEEN
+    * per-table swaps leaves a mixed index whose already-swapped
+    * tables are exactly their masked contents, so the still-standing
+    * mask re-applied over them is an idempotent no-op. Then the
+    * tombstone set is dropped. The spec proves vacuum ==
+    * build-from-survivors table-for-table. */
   def vacuumCorpusIndex(s: SparkSession, prefix: String,
       newPath: String, buckets: Int = 32): Unit = {
     val live = readCorpusIndexLive(s, prefix)
@@ -979,8 +983,8 @@ object DedupOps {
       s.sql(s"DROP TABLE IF EXISTS $staging")
       graft.io.Sinks.bucketedTable(df.repartition(buckets, col(key)),
         staging, key, buckets, s"$newPath/$suffix")
-      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$suffix")
-      s.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_$suffix")
+      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
+        s"$newPath/$suffix")
     }
     swap(live.hashes, "hashes", "h")
     swap(live.shingles, "shingles", "doc_id")

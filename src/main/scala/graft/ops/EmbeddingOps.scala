@@ -1608,8 +1608,12 @@ object EmbeddingOps {
       readVectorIndexLive(s, prefix).codes
         .repartition(buckets, col("cell")),
       staging, "cell", buckets, newCodesPath)
-    s.sql(s"DROP TABLE IF EXISTS ${prefix}_codes")
-    s.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_codes")
+    graft.io.Sinks.repointTable(s, s"${prefix}_codes", staging,
+      newCodesPath)
+    // a crash between the re-point and this drop leaves the tombstones
+    // registered against an already-vacuumed codes table — harmless:
+    // the live view's anti-join then masks ids that no longer exist
+    // (an idempotent no-op) until the next maintenance run drops them
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 

@@ -938,6 +938,57 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ut_cbt")
   }
 
+  test("compaction crash windows: the public table reads correctly at every " +
+    "kill point of the staged swap, and the next run recovers") {
+    import spark.implicits._
+    val pathA = java.nio.file.Files.createTempDirectory("cbxA").toString
+    val pathB = java.nio.file.Files.createTempDirectory("cbxB").toString + "/t"
+    val pathC = java.nio.file.Files.createTempDirectory("cbxC").toString + "/t"
+    try {
+      graft.io.Sinks.bucketedTable(
+        (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        "ut_cbx", "k", 4, pathA)
+      graft.io.Sinks.appendBucketedTable(
+        (41 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        "ut_cbx", "k", 4, pathA)
+      val before = spark.table("ut_cbx").as[(Long, String)].collect().toSet
+      def readPublic() = spark.table("ut_cbx").as[(Long, String)]
+        .collect().toSet
+      // KILL POINT 1: the writer dies after the staging write commits
+      // but before the re-point statement runs (replayed here by
+      // executing compactBucketedTable's steps up to that line). The
+      // public name must still read the OLD files in full.
+      spark.sql("DROP TABLE IF EXISTS ut_cbx__compacting")
+      graft.io.Sinks.bucketedTable(
+        spark.read.parquet(pathA).repartition(4, col("k")),
+        "ut_cbx__compacting", "k", 4, pathB)
+      assert(readPublic() == before,
+        "staged write disturbed the live table")
+      // KILL POINT 2: the writer dies between ALTER ... SET LOCATION
+      // and the staging DROP. The single ALTER statement is the whole
+      // visibility change: the public name now reads the compacted
+      // files (never a missing table — the DROP→RENAME this replaced
+      // had an unregistered instant here), and the staging name leaks
+      // until the next run.
+      spark.sql(s"ALTER TABLE ut_cbx SET LOCATION '$pathB'")
+      spark.catalog.refreshTable("ut_cbx")
+      assert(readPublic() == before,
+        "re-pointed table does not serve the compacted rows")
+      assert(spark.catalog.tableExists("ut_cbx__compacting"),
+        "kill-point-2 replay should leak the staging name")
+      // RECOVERY: the next maintenance run's leading DROP IF EXISTS
+      // clears the leaked staging registration and converges.
+      graft.io.Sinks.compactBucketedTable(spark, "ut_cbx", "k", 4,
+        pathB, pathC)
+      assert(readPublic() == before, "recovery run changed content")
+      assert(!spark.catalog.tableExists("ut_cbx__compacting"),
+        "recovery left the staging name registered")
+      val plan = spark.table("ut_cbx").queryExecution.executedPlan.toString
+      assert(plan.contains(pathC), s"recovery did not re-point:\n$plan")
+    } finally Seq("ut_cbx", "ut_cbx__compacting")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("incremental containment joins the persisted gram index, no corpus rescan") {
     import spark.implicits._
     import graft.ops.DedupOps
