@@ -135,6 +135,47 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Idempotent per-batch append for streaming ingest: every appended
+    * row is tagged with `ingest_batch = batchId`, and the append is
+    * SKIPPED when the table already holds rows with that tag. Because
+    * the tag commits atomically WITH the data (one Spark write job —
+    * files become visible only at job commit), an at-least-once replay
+    * of a micro-batch converges to exactly-once table contents no
+    * matter where the previous attempt died: crash before the job
+    * commit leaves no rows (replay appends), crash after it leaves the
+    * tag (replay skips). A side ledger table could not give this —
+    * data-then-marker always leaves a torn window between the two
+    * commits, which is precisely the double-append hole this closes.
+    *
+    * The presence probe is a pushed `ingest_batch = id` equality under
+    * LIMIT 1: parquet row-group min/max stats skip the (old, -1 or
+    * lower-id) bulk of a 100 TB table, so the probe costs file footers
+    * plus at most one row-group read of the recent file sets.
+    *
+    * Contract: batchIds must be unique over the TABLE's lifetime — one
+    * streaming checkpoint per table (resetting the checkpoint restarts
+    * ids at 0 and would false-skip), and maintenance that folds or
+    * rewrites tags away (rollup compaction writes -1) must only run
+    * while the feeding stream is stopped at a committed offset. */
+  def appendBucketedTableIdempotent(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      batchId: Long, tableName: String, key: String, buckets: Int,
+      path: String): Boolean = {
+    val applied = spark.catalog.tableExists(tableName) && {
+      // re-list before probing: the crashed attempt's append may have
+      // committed through a DIFFERENT session clone, whose write only
+      // invalidated its own relation cache — a stale file listing here
+      // would miss the committed tag and double-append
+      spark.catalog.refreshTable(tableName)
+      !spark.table(tableName)
+        .filter(col("ingest_batch") === batchId).isEmpty
+    }
+    if (!applied)
+      appendBucketedTable(df.withColumn("ingest_batch", lit(batchId)),
+        tableName, key, buckets, path)
+    !applied
+  }
+
   /** Compact an append-accumulated [[bucketedTable]] back to one file
     * set per bucket — the optional maintenance pass after many
     * [[appendBucketedTable]] batches (each append adds a file per
@@ -221,12 +262,23 @@ object Sinks {
             .cast(graft.Tables.dec)).cast(rollDec).as(s"sum_$m")): _*)
 
   /** Append one batch's [[rollupPartials]] to the rollup table
-    * (bucketed on the first key). Cost ∝ batch. */
+    * (bucketed on the first key). Cost ∝ batch. Every partial row
+    * carries an `ingest_batch` tag (-1 for batch-API appends); a
+    * streaming caller passes its micro-batch id in `batchId` to get
+    * [[appendBucketedTableIdempotent]]'s replay-safe skip. */
   def appendRollup(df: DataFrame, keys: Seq[String],
       measures: Seq[String], tableName: String, buckets: Int,
-      path: String): Unit =
-    appendBucketedTable(rollupPartials(df, keys, measures), tableName,
-      keys.head, buckets, path)
+      path: String, batchId: Option[Long] = None): Unit = batchId match {
+    case Some(id) =>
+      appendBucketedTableIdempotent(df.sparkSession,
+        rollupPartials(df, keys, measures), id, tableName, keys.head,
+        buckets, path); ()
+    case None =>
+      appendBucketedTable(
+        rollupPartials(df, keys, measures)
+          .withColumn("ingest_batch", lit(-1L)),
+        tableName, keys.head, buckets, path)
+  }
 
   /** Open-time fold of a rollup table: one aggregate over the stored
     * partials — bounded by |key domain| × appends rows, not corpus
@@ -257,6 +309,11 @@ object Sinks {
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     bucketedTable(
       readRollup(spark, tableName, keys, measures)
+        // folding erases per-batch ingest tags (-1 = "maintenance
+        // write") — see appendBucketedTableIdempotent's contract: only
+        // compact while the feeding stream is stopped at a committed
+        // offset, or a replayed batch would no longer see its tag
+        .withColumn("ingest_batch", lit(-1L))
         .repartition(buckets, org.apache.spark.sql.functions.col(keys.head)),
       staging, keys.head, buckets, newPath)
     repointTable(spark, tableName, staging, newPath)

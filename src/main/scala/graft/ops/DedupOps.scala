@@ -810,16 +810,20 @@ object DedupOps {
     * every join is pre-shuffled on disk. */
   def writeCorpusIndex(idx: CorpusIndex, prefix: String, path: String,
       buckets: Int = 32): Unit = {
-    graft.io.Sinks.bucketedTable(idx.hashes, s"${prefix}_hashes", "h",
-      buckets, s"$path/hashes")
-    graft.io.Sinks.bucketedTable(idx.shingles, s"${prefix}_shingles",
-      "doc_id", buckets, s"$path/shingles")
-    graft.io.Sinks.bucketedTable(idx.bands, s"${prefix}_bands", "band_val",
-      buckets, s"$path/bands")
-    graft.io.Sinks.bucketedTable(idx.sizes, s"${prefix}_sizes", "doc_id",
-      buckets, s"$path/sizes")
-    graft.io.Sinks.bucketedTable(idx.bandCounts, s"${prefix}_bandcounts",
-      "band_val", buckets, s"$path/bandcounts")
+    // every physical table carries the ingest_batch maintenance tag
+    // (-1 = batch build); idempotent streaming appends key on it and
+    // readCorpusIndex drops it on open
+    def tagged(df: DataFrame) = df.withColumn("ingest_batch", lit(-1L))
+    graft.io.Sinks.bucketedTable(tagged(idx.hashes), s"${prefix}_hashes",
+      "h", buckets, s"$path/hashes")
+    graft.io.Sinks.bucketedTable(tagged(idx.shingles),
+      s"${prefix}_shingles", "doc_id", buckets, s"$path/shingles")
+    graft.io.Sinks.bucketedTable(tagged(idx.bands), s"${prefix}_bands",
+      "band_val", buckets, s"$path/bands")
+    graft.io.Sinks.bucketedTable(tagged(idx.sizes), s"${prefix}_sizes",
+      "doc_id", buckets, s"$path/sizes")
+    graft.io.Sinks.bucketedTable(tagged(idx.bandCounts),
+      s"${prefix}_bandcounts", "band_val", buckets, s"$path/bandcounts")
   }
 
   /** Re-open a persisted [[CorpusIndex]] by table-name prefix.
@@ -828,8 +832,11 @@ object DedupOps {
     * (pure inserts — never a corpus-sized rewrite); for a never-
     * appended index the sum is the identity. */
   def readCorpusIndex(s: SparkSession, prefix: String): CorpusIndex =
-    CorpusIndex(s.table(s"${prefix}_hashes"), s.table(s"${prefix}_shingles"),
-      s.table(s"${prefix}_bands"), s.table(s"${prefix}_sizes"),
+    CorpusIndex(
+      s.table(s"${prefix}_hashes").drop("ingest_batch"),
+      s.table(s"${prefix}_shingles").drop("ingest_batch"),
+      s.table(s"${prefix}_bands").drop("ingest_batch"),
+      s.table(s"${prefix}_sizes").drop("ingest_batch"),
       s.table(s"${prefix}_bandcounts")
         .groupBy(col("band_idx"), col("band_val"))
         .agg(sum(col("ccnt")).as("ccnt")))
@@ -849,9 +856,19 @@ object DedupOps {
     * [[readCorpusIndex]] sums at open. Cost scales with the batch,
     * never the corpus, and prior corpus text is never re-scanned
     * (plan-audited in the spec). The invariant spec proves
-    * build(all) == build(part) + append(rest) table-for-table. */
+    * build(all) == build(part) + append(rest) table-for-table.
+    *
+    * A streaming caller passes its micro-batch id in `batchId`: each
+    * of the five table appends then commits the id atomically with its
+    * rows and skips on replay
+    * ([[graft.io.Sinks.appendBucketedTableIdempotent]]). The check is
+    * PER TABLE on purpose — a crash partway through the five appends
+    * leaves a torn batch (some tables written, some not), and the
+    * replay must fill exactly the missing tables without re-appending
+    * the committed ones. */
   def appendToCorpusIndex(newDocs: DataFrame, prefix: String,
-      path: String, buckets: Int = 32): Unit = {
+      path: String, buckets: Int = 32,
+      batchId: Option[Long] = None): Unit = {
     val shingles = hashedShingles(newDocs).persist()
     val bands = bandRows(shingles).persist()
     val fresh = CorpusIndex(
@@ -860,17 +877,23 @@ object DedupOps {
       shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
       bands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("ccnt")))
+    def put(df: DataFrame, suffix: String, key: String): Unit =
+      batchId match {
+        case Some(id) =>
+          graft.io.Sinks.appendBucketedTableIdempotent(df.sparkSession,
+            df, id, s"${prefix}_$suffix", key, buckets,
+            s"$path/$suffix"); ()
+        case None =>
+          graft.io.Sinks.appendBucketedTable(
+            df.withColumn("ingest_batch", lit(-1L)),
+            s"${prefix}_$suffix", key, buckets, s"$path/$suffix")
+      }
     try {
-    graft.io.Sinks.appendBucketedTable(fresh.hashes, s"${prefix}_hashes",
-      "h", buckets, s"$path/hashes")
-    graft.io.Sinks.appendBucketedTable(fresh.shingles,
-      s"${prefix}_shingles", "doc_id", buckets, s"$path/shingles")
-    graft.io.Sinks.appendBucketedTable(fresh.bands, s"${prefix}_bands",
-      "band_val", buckets, s"$path/bands")
-    graft.io.Sinks.appendBucketedTable(fresh.sizes, s"${prefix}_sizes",
-      "doc_id", buckets, s"$path/sizes")
-    graft.io.Sinks.appendBucketedTable(fresh.bandCounts,
-      s"${prefix}_bandcounts", "band_val", buckets, s"$path/bandcounts")
+      put(fresh.hashes, "hashes", "h")
+      put(fresh.shingles, "shingles", "doc_id")
+      put(fresh.bands, "bands", "band_val")
+      put(fresh.sizes, "sizes", "doc_id")
+      put(fresh.bandCounts, "bandcounts", "band_val")
     } finally { bands.unpersist(); shingles.unpersist() }
   }
 
@@ -943,6 +966,7 @@ object DedupOps {
         .join(broadcast(d), Seq("doc_id"), "left_semi")
         .groupBy(col("band_idx"), col("band_val"))
         .agg((-count(lit(1))).as("ccnt"))
+        .withColumn("ingest_batch", lit(-1L))
       graft.io.Sinks.appendBucketedTable(neg, s"${prefix}_bandcounts",
         "band_val", buckets, s"$path/bandcounts")
     } finally d.unpersist()
@@ -981,7 +1005,11 @@ object DedupOps {
     def swap(df: DataFrame, suffix: String, key: String): Unit = {
       val staging = s"${prefix}_${suffix}__vacuum"
       s.sql(s"DROP TABLE IF EXISTS $staging")
-      graft.io.Sinks.bucketedTable(df.repartition(buckets, col(key)),
+      // the live view drops the physical ingest_batch tag; rewrite
+      // with the maintenance tag so later tagged appends still match
+      graft.io.Sinks.bucketedTable(
+        df.withColumn("ingest_batch", lit(-1L))
+          .repartition(buckets, col(key)),
         staging, key, buckets, s"$newPath/$suffix")
       graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
         s"$newPath/$suffix")

@@ -1538,7 +1538,8 @@ object EmbeddingOps {
       1, s"$path/codebooks")
     val frozen = readVectorIndexHead(s, prefix)
     graft.io.Sinks.bucketedTable(
-      codeVectors(corpus, frozen._1, frozen._2), s"${prefix}_codes",
+      codeVectors(corpus, frozen._1, frozen._2)
+        .withColumn("ingest_batch", lit(-1L)), s"${prefix}_codes",
       "cell", buckets, s"$path/codes")
   }
 
@@ -1546,22 +1547,38 @@ object EmbeddingOps {
       : (DataFrame, DataFrame) =
     (s.table(s"${prefix}_coarse"), s.table(s"${prefix}_codebooks"))
 
-  /** Re-open a persisted [[VectorIndex]] by table-name prefix. */
+  /** Re-open a persisted [[VectorIndex]] by table-name prefix. The
+    * physical `ingest_batch` maintenance tag (idempotent streaming
+    * appends key on it) is dropped on open — index consumers see the
+    * logical (vec_id, cell, sub, code) schema only. */
   def readVectorIndex(s: SparkSession, prefix: String): VectorIndex = {
     val (coarse, books) = readVectorIndexHead(s, prefix)
-    VectorIndex(coarse, books, s.table(s"${prefix}_codes"))
+    VectorIndex(coarse, books,
+      s.table(s"${prefix}_codes").drop("ingest_batch"))
   }
 
   /** Fold a new vector batch into a persisted index: assign + code
     * against the FROZEN stored codebooks (zero training anywhere in
     * the plan) and append to the codes table — insert-only, cost
-    * scales with the batch, never the corpus. */
+    * scales with the batch, never the corpus. A streaming caller
+    * passes its micro-batch id in `batchId`: the append then commits
+    * the id atomically with the rows and an at-least-once replay of
+    * the same batch is skipped
+    * ([[graft.io.Sinks.appendBucketedTableIdempotent]]). */
   def appendToVectorIndex(s: SparkSession, newVecs: DataFrame,
-      prefix: String, path: String, buckets: Int = 8): Unit = {
+      prefix: String, path: String, buckets: Int = 8,
+      batchId: Option[Long] = None): Unit = {
     val idx = readVectorIndex(s, prefix)
-    graft.io.Sinks.appendBucketedTable(
-      codeVectors(newVecs, idx.coarse, idx.codebooks),
-      s"${prefix}_codes", "cell", buckets, s"$path/codes")
+    val coded = codeVectors(newVecs, idx.coarse, idx.codebooks)
+    batchId match {
+      case Some(id) =>
+        graft.io.Sinks.appendBucketedTableIdempotent(s, coded, id,
+          s"${prefix}_codes", "cell", buckets, s"$path/codes"); ()
+      case None =>
+        graft.io.Sinks.appendBucketedTable(
+          coded.withColumn("ingest_batch", lit(-1L)),
+          s"${prefix}_codes", "cell", buckets, s"$path/codes")
+    }
   }
 
   /** Tombstone a batch of vec_ids out of a persisted index — the
@@ -1606,6 +1623,11 @@ object EmbeddingOps {
     s.sql(s"DROP TABLE IF EXISTS $staging")
     graft.io.Sinks.bucketedTable(
       readVectorIndexLive(s, prefix).codes
+        // the live view drops the physical ingest_batch tag; rewrite
+        // with the maintenance tag so later tagged appends still match
+        // the table schema (vacuum only runs with ingest quiesced —
+        // appendBucketedTableIdempotent's contract)
+        .withColumn("ingest_batch", lit(-1L))
         .repartition(buckets, col("cell")),
       staging, "cell", buckets, newCodesPath)
     graft.io.Sinks.repointTable(s, s"${prefix}_codes", staging,

@@ -917,17 +917,22 @@ object StreamingStages {
     * a vector stream). Coding is per-row deterministic against frozen
     * artifacts, so the stream-built index equals a batch rebuild no
     * matter how the micro-batch boundaries fall (spec-proven), and the
-    * checkpoint gives exactly-once appends across restarts — per-batch
+    * appends are EFFECTIVELY exactly-once: foreachBatch replays are
+    * at-least-once, so each append commits its micro-batch id
+    * atomically with its rows and a replayed id is skipped
+    * ([[graft.io.Sinks.appendBucketedTableIdempotent]] — a crash after
+    * the append commits but before the checkpoint offset commits
+    * re-runs the batch, which must NOT double-append codes). Per-batch
     * cost ∝ batch, never corpus. Blocks until all currently available
     * input is processed; the caller stops (or keeps) the query. */
   def streamIntoVectorIndex(s: SparkSession, vecs: DataFrame,
       prefix: String, path: String,
       checkpointDir: String): StreamingQuery = {
     val q = vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.EmbeddingOps.appendToVectorIndex(s, batch, prefix,
-            path)
+            path, batchId = Some(batchId))
           // the append's write runs through the micro-batch's CLONED
           // session, which invalidates only its own relation cache —
           // the serving session would keep the stale (pre-append) file
@@ -984,16 +989,19 @@ object StreamingStages {
     * boundaries are invisible to the fold, and the running corpus
     * stats are maintained with per-batch cost while history is never
     * rescanned. The batch q227 and this stream produce the SAME
-    * table. */
+    * table. Replay-safe: each append commits its micro-batch id with
+    * its partial rows and a replayed id is skipped (an at-least-once
+    * re-run of a committed batch would otherwise double-count every
+    * sum — [[graft.io.Sinks.appendBucketedTableIdempotent]]). */
   def streamIntoRollup(s: SparkSession, rows: DataFrame,
       keys: Seq[String], measures: Seq[String], tableName: String,
       buckets: Int, path: String,
       checkpointDir: String): StreamingQuery = {
     val q = rows.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.io.Sinks.appendRollup(batch, keys, measures, tableName,
-            buckets, path)
+            buckets, path, batchId = Some(batchId))
           // micro-batch writes run in a cloned session — refresh the
           // serving session's relation cache (the q219 lesson)
           s.catalog.refreshTable(tableName)
@@ -1053,17 +1061,23 @@ object StreamingStages {
     * streaming half the vector index got in [[streamIntoVectorIndex]].
     * Micro-batch boundaries are invisible: every artifact is
     * row-local to its doc or additively mergeable, so stream-built ==
-    * batch-built table-for-table. */
+    * batch-built table-for-table. Replay-safe per table: the five
+    * appends each commit the micro-batch id with their rows, so an
+    * at-least-once re-run (crash between append and checkpoint
+    * commit, or partway through the five tables) fills exactly what
+    * is missing and never double-appends
+    * ([[graft.ops.DedupOps.appendToCorpusIndex]]'s torn-batch
+    * contract). */
   def streamIntoCorpusIndex(s: SparkSession, docs: DataFrame,
       prefix: String, path: String, buckets: Int,
       checkpointDir: String): StreamingQuery = {
     val tables = Seq("hashes", "shingles", "bands", "sizes",
       "bandcounts")
     val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.DedupOps.appendToCorpusIndex(batch, prefix, path,
-            buckets)
+            buckets, batchId = Some(batchId))
           // cloned-session writes only invalidate their own relation
           // cache (the q219 lesson) — refresh the serving session's
           tables.foreach(t =>

@@ -590,6 +590,104 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("replayed micro-batch appends are skipped: vector index and " +
+    "rollup converge to exactly-once contents under at-least-once re-runs") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.EmbeddingOps
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("idem").toString
+    val px = "ut_idem" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val tbl = s"${px}_roll"
+    try {
+      // vector index: codebooks trained, zero codes; the same batch
+      // "arrives" three times with one micro-batch id (a foreachBatch
+      // replay after a crash between append commit and checkpoint
+      // commit). Contents must equal ONE append.
+      EmbeddingOps.buildVectorIndex(spark, e, e.limit(0), px, s"$base/idx")
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      (1 to 3).foreach(_ => EmbeddingOps.appendToVectorIndex(spark,
+        batch, px, s"$base/idx", batchId = Some(0L)))
+      val once = EmbeddingOps.codeVectors(batch,
+        EmbeddingOps.readVectorIndex(spark, px).coarse,
+        EmbeddingOps.readVectorIndex(spark, px).codebooks)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val stored = EmbeddingOps.readVectorIndex(spark, px).codes
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stored == once, "replayed vector append double-appended")
+      // a LATER batch id with new rows still appends
+      EmbeddingOps.appendToVectorIndex(spark,
+        e.filter(col("vec_id") % 3 === 1), px, s"$base/idx",
+        batchId = Some(1L))
+      assert(EmbeddingOps.readVectorIndex(spark, px).codes.count()
+        > stored.size, "distinct batch id was wrongly skipped")
+      // rollup: same replay discipline, sums must not double-count
+      val ev = Tables.table(spark, sf, "events")
+      (1 to 3).foreach(_ => graft.io.Sinks.appendRollup(ev,
+        Seq("event_type"), Seq("value"), tbl, 2, s"$base/roll",
+        batchId = Some(0L)))
+      val fold = graft.io.Sinks.readRollup(spark, tbl,
+          Seq("event_type"), Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      val scratch = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(fold == scratch, "replayed rollup append double-counted")
+    } finally {
+      Seq(s"${px}_coarse", s"${px}_codebooks", s"${px}_codes", tbl)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("torn corpus-index append: a replay fills only the missing tables " +
+    "(per-table idempotence) and converges to the batch build") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DedupOps
+    val docs = Tables.table(spark, sf, "documents")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val base = java.nio.file.Files.createTempDirectory("torn").toString
+    val px = "ut_torn" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val pxB = px + "b"
+    val tables = Seq("hashes", "shingles", "bands", "sizes", "bandcounts")
+    try {
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(a), px,
+        s"$base/idx", buckets = 4)
+      // simulate the crash: batch 0's FIRST table append (hashes)
+      // committed, then the writer died before the other four
+      graft.io.Sinks.appendBucketedTableIdempotent(spark,
+        b.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
+        0L, s"${px}_hashes", "h", 4, s"$base/idx/hashes")
+      // the foreachBatch replay re-runs the whole batch
+      DedupOps.appendToCorpusIndex(b, px, s"$base/idx", buckets = 4,
+        batchId = Some(0L))
+      DedupOps.writeCorpusIndex(DedupOps.buildCorpusIndex(docs), pxB,
+        s"$base/idxb", buckets = 4)
+      val (ti, bi) = (DedupOps.readCorpusIndex(spark, px),
+        DedupOps.readCorpusIndex(spark, pxB))
+      Seq("hashes" -> (ti.hashes, bi.hashes),
+        "shingles" -> (ti.shingles, bi.shingles),
+        "bands" -> (ti.bands, bi.bands),
+        "sizes" -> (ti.sizes, bi.sizes),
+        "bandcounts" -> (ti.bandCounts, bi.bandCounts)
+      ).foreach { case (name, (ft, fb)) =>
+        val (rt, rb) = (ft.collect().toSet, fb.collect().toSet)
+        assert(rt == rb, s"$name diverged after torn replay: " +
+          s"torn-extra=${(rt -- rb).take(3)} missing=${(rb -- rt).take(3)}")
+      }
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${px}_$t")
+        spark.sql(s"DROP TABLE IF EXISTS ${pxB}_$t")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stream-ingested corpus index equals a batch build " +
     "table-for-table across micro-batches") {
     import org.apache.spark.sql.functions._
