@@ -47,6 +47,41 @@ object Tables {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
 
+  /** Per-JVM scratch root for the lifecycle queries' persisted
+    * artifacts (indexes, rollups, layouts). Fixed WITHIN a JVM so
+    * build-once guards stay warm and repeated invocations reset their
+    * own state instead of accreting one directory per run; unique
+    * ACROSS processes so two drivers sharing a host can never delete
+    * each other's live index files mid-query (catalog table names are
+    * already per-JVM — the in-memory catalog dies with the session —
+    * so the filesystem was the only shared surface). */
+  lazy val scratchDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}"
+
+  /** Cheap order-free fingerprint of a table's physical file listing
+    * (relative name, size, mtime per file): build-once guards fold it
+    * into their key so regenerated source data changes the key and
+    * forces a rebuild instead of silently serving a stale index. */
+  def dataFingerprint(sfDir: String, name: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val entries: Seq[String] =
+      if (!java.nio.file.Files.exists(root)) Seq(s"absent:$root")
+      else {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:" +
+            s"${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toVector.sorted
+        finally walk.close()
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(x => f"$x%02x").mkString
+  }
+
   /** Exact decimal type for money-like doubles (<=2 dp, < 1e10). */
   val dec: DecimalType = DecimalType(12, 2)
 

@@ -528,7 +528,7 @@ object CurationOps {
     "q227_incremental_rollup",
     (s, dir) => {
       val tableName = "roll_q227"
-      val path = s"${sys.props("java.io.tmpdir")}/graft_roll_q227"
+      val path = s"${graft.Tables.scratchDir}/roll_q227"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -564,7 +564,7 @@ object CurationOps {
     "q229_rollup_compaction",
     (s, dir) => {
       val tableName = "roll_q229"
-      val path = s"${sys.props("java.io.tmpdir")}/graft_roll_q229"
+      val path = s"${graft.Tables.scratchDir}/roll_q229"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
       s.sql(s"DROP TABLE IF EXISTS ${tableName}__compacting")
       def rm(f: java.io.File): Unit = {

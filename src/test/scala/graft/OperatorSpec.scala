@@ -1842,6 +1842,32 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("build-once guard self-validates: regenerating the corpus under " +
+    "the same dir forces a rebuild instead of serving the stale index") {
+    import spark.implicits._
+    val full = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("fp_regen").toString
+    // generation 1: only vec_id < 40 exist
+    full.filter(col("vec_id") < 40).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r1 = SparkEntry.queries("q240_reranked_serve")(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(r1.nonEmpty && r1.forall(_._3 < 40),
+      "generation-1 serve returned ids outside its corpus")
+    // generation 2: the data under the SAME dir is regenerated with the
+    // full corpus — the old (tag, dir, geometry)-keyed guard would take
+    // the warm hit and keep serving generation-1 shortlists
+    full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.catalog.refreshByPath(s"$dir/embeddings.parquet")
+    val r2 = SparkEntry.queries("q240_reranked_serve")(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(r2.exists(_._3 >= 40),
+      "warm invocation served the stale generation-1 index " +
+        "(no neighbor beyond the old corpus ever surfaced)")
+    spark.catalog.clearCache()
+  }
+
   test("q220 semdedup miss audit: counts consistent, kept pairs split " +
     "exactly into cross-cluster and same-cluster misses") {
     import spark.implicits._
