@@ -1547,14 +1547,41 @@ object EmbeddingOps {
       : (DataFrame, DataFrame) =
     (s.table(s"${prefix}_coarse"), s.table(s"${prefix}_codebooks"))
 
-  /** Re-open a persisted [[VectorIndex]] by table-name prefix. The
-    * physical `ingest_batch` maintenance tag (idempotent streaming
-    * appends key on it) is dropped on open — index consumers see the
-    * logical (vec_id, cell, sub, code) schema only. */
+  /** Resolve a logical index prefix to its LIVE physical table prefix.
+    * An index that has never been retrained has no pointer table and
+    * resolves to itself (generation 0 — the plain `<prefix>_coarse` /
+    * `_codebooks` / `_codes` names [[buildVectorIndex]] writes).
+    * [[retrainVectorIndex]] writes each new generation under
+    * `<prefix>_rN_*` names and flips the single-row `<prefix>_ptr`
+    * table — ONE atomic publication for all three tables, which three
+    * per-table location swaps could never give (a crash between them
+    * would leave new centroids over old codes: a silently WRONG index,
+    * not a stale one). The pointer read is a 1-row collect at plan-
+    * construction time — driver-bounded by construction. */
+  private def livePrefix(s: SparkSession, prefix: String): String =
+    if (!s.catalog.tableExists(s"${prefix}_ptr")) prefix
+    else {
+      val gen = s.table(s"${prefix}_ptr").collect()(0).getLong(0)
+      if (gen == 0L) prefix else s"${prefix}_r$gen"
+    }
+
+  /** Registered location of a catalog table — appends target it so a
+    * re-pointed (vacuumed/compacted/retrained) table keeps accepting
+    * batches without the caller tracking path moves. */
+  private def tableLocation(s: SparkSession, name: String): String =
+    s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.getPath
+
+  /** Re-open a persisted [[VectorIndex]] by logical prefix (pointer-
+    * resolved — see [[livePrefix]]). The physical `ingest_batch`
+    * maintenance tag (idempotent streaming appends key on it) is
+    * dropped on open — index consumers see the logical
+    * (vec_id, cell, sub, code) schema only. */
   def readVectorIndex(s: SparkSession, prefix: String): VectorIndex = {
-    val (coarse, books) = readVectorIndexHead(s, prefix)
+    val phys = livePrefix(s, prefix)
+    val (coarse, books) = readVectorIndexHead(s, phys)
     VectorIndex(coarse, books,
-      s.table(s"${prefix}_codes").drop("ingest_batch"))
+      s.table(s"${phys}_codes").drop("ingest_batch"))
   }
 
   /** Fold a new vector batch into a persisted index: assign + code
@@ -1570,14 +1597,21 @@ object EmbeddingOps {
       batchId: Option[Long] = None): Unit = {
     val idx = readVectorIndex(s, prefix)
     val coded = codeVectors(newVecs, idx.coarse, idx.codebooks)
+    // resolve the live codes table and ITS registered location: after
+    // a vacuum/retrain moved the table, appends must follow it (a
+    // caller-tracked path would hit mismatchedTableLocation); `path`
+    // only seeds a first append against a not-yet-existing table
+    val codesTable = s"${livePrefix(s, prefix)}_codes"
+    val loc = if (s.catalog.tableExists(codesTable))
+      tableLocation(s, codesTable) else s"$path/codes"
     batchId match {
       case Some(id) =>
         graft.io.Sinks.appendBucketedTableIdempotent(s, coded, id,
-          s"${prefix}_codes", "cell", buckets, s"$path/codes"); ()
+          codesTable, "cell", buckets, loc); ()
       case None =>
         graft.io.Sinks.appendBucketedTable(
           coded.withColumn("ingest_batch", lit(-1L)),
-          s"${prefix}_codes", "cell", buckets, s"$path/codes")
+          codesTable, "cell", buckets, loc)
     }
   }
 
@@ -1619,7 +1653,8 @@ object EmbeddingOps {
     * surviving corpus. */
   def vacuumVectorIndex(s: SparkSession, prefix: String,
       newCodesPath: String, buckets: Int = 8): Unit = {
-    val staging = s"${prefix}_codes__vacuum"
+    val phys = livePrefix(s, prefix)
+    val staging = s"${phys}_codes__vacuum"
     s.sql(s"DROP TABLE IF EXISTS $staging")
     graft.io.Sinks.bucketedTable(
       readVectorIndexLive(s, prefix).codes
@@ -1630,7 +1665,7 @@ object EmbeddingOps {
         .withColumn("ingest_batch", lit(-1L))
         .repartition(buckets, col("cell")),
       staging, "cell", buckets, newCodesPath)
-    graft.io.Sinks.repointTable(s, s"${prefix}_codes", staging,
+    graft.io.Sinks.repointTable(s, s"${phys}_codes", staging,
       newCodesPath)
     // a crash between the re-point and this drop leaves the tombstones
     // registered against an already-vacuumed codes table — harmless:
@@ -1648,9 +1683,12 @@ object EmbeddingOps {
     * files. */
   def resetVectorIndex(s: SparkSession, prefix: String,
       path: String): Unit = {
-    Seq("coarse", "codebooks", "codes", "tombstones", "codes__vacuum",
-        "codes__compacting")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    // prefix-scan the catalog instead of a fixed suffix list: retrain
+    // generations (`<prefix>_rN_*`), the pointer, and every staging
+    // name a crashed maintenance pass can leave must all go
+    s.sessionState.catalog.listTables("default").map(_.table)
+      .filter(_.startsWith(s"${prefix}_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
@@ -1670,8 +1708,99 @@ object EmbeddingOps {
   def compactVectorIndex(s: SparkSession, prefix: String,
       oldCodesPath: String, newCodesPath: String,
       buckets: Int = 8): Unit =
-    graft.io.Sinks.compactBucketedTable(s, s"${prefix}_codes", "cell",
+    graft.io.Sinks.compactBucketedTable(s,
+      s"${livePrefix(s, prefix)}_codes", "cell",
       buckets, oldCodesPath, newCodesPath)
+
+  /** RE-TRAIN a persisted [[VectorIndex]] from the CURRENT corpus —
+    * the actuator for q231's cell-balance dashboard. Appends code
+    * against FROZEN codebooks forever, so a corpus that grows in
+    * generations (the reference's 20M-clip dataset did,
+    * /root/reference/README.md:7,89) drifts away from centroids
+    * trained on generation zero: cells unbalance (probe amplification)
+    * and ADC quantization error grows, with no recovery short of a
+    * manual scratch rebuild — until this.
+    *
+    * `corpus` is the authoritative CURRENT vector source (the index
+    * stores codes, not floats — re-training needs the floats back);
+    * live tombstones are subtracted, so the retrained index is exactly
+    * base + appends − deletions. New coarse centroids and codebooks
+    * are trained from those survivors (the q98 recipe through
+    * [[trainVectorCodebooks]]), the survivors re-coded against the
+    * re-read staged artifacts (the same persisted-bytes discipline as
+    * [[buildVectorIndex]], so retrain == scratch build is an
+    * arithmetic identity, oracle-gated by q241), everything written
+    * under next-generation `<prefix>_rN_*` names at `newPath` — and
+    * published by ONE single-row pointer flip ([[livePrefix]]). A
+    * crash anywhere before the flip leaves the OLD generation serving
+    * untouched (spec-proven); after it, the superseded generation's
+    * registrations and the folded tombstones are dropped (external
+    * tables — files retire separately; a crash here leaks catalog
+    * names that the next retrain/reset clears). Cost: two training
+    * passes + one corpus re-code — a scheduled maintenance job priced
+    * by q231's dashboard, never an ingest-path cost. */
+  def retrainVectorIndex(s: SparkSession, corpus: DataFrame,
+      prefix: String, newPath: String, buckets: Int = 8): Unit = {
+    val gen = stageRetrainVectorIndex(s, corpus, prefix, newPath,
+      buckets)
+    publishRetrainVectorIndex(s, prefix, gen, newPath)
+  }
+
+  /** The staging half of [[retrainVectorIndex]]: train + re-code into
+    * `<prefix>_r<gen>_*` tables that nothing references yet. Exposed
+    * within the library so the crash spec can kill the writer between
+    * staging and publication. */
+  private[graft] def stageRetrainVectorIndex(s: SparkSession,
+      corpus: DataFrame, prefix: String, newPath: String,
+      buckets: Int = 8): Long = {
+    val cur = livePrefix(s, prefix)
+    val gen = if (cur == prefix) 1L
+      else cur.stripPrefix(s"${prefix}_r").toLong + 1L
+    val phys = s"${prefix}_r$gen"
+    Seq("coarse", "codebooks", "codes") // crashed-run leftovers
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
+    val survivors =
+      if (s.catalog.tableExists(s"${prefix}_tombstones"))
+        corpus.join(broadcast(s.table(s"${prefix}_tombstones")),
+          Seq("vec_id"), "left_anti")
+      else corpus
+    val (coarse, books) = trainVectorCodebooks(survivors)
+    graft.io.Sinks.bucketedTable(coarse, s"${phys}_coarse", "cid", 1,
+      s"$newPath/g$gen/coarse")
+    graft.io.Sinks.bucketedTable(books, s"${phys}_codebooks", "sub", 1,
+      s"$newPath/g$gen/codebooks")
+    val frozen = readVectorIndexHead(s, phys)
+    graft.io.Sinks.bucketedTable(
+      codeVectors(survivors, frozen._1, frozen._2)
+        .withColumn("ingest_batch", lit(-1L)),
+      s"${phys}_codes", "cell", buckets, s"$newPath/g$gen/codes")
+    gen
+  }
+
+  /** The publication half of [[retrainVectorIndex]]: flip the pointer
+    * to `gen` in one statement, then clean up the superseded
+    * generation and the folded tombstones. */
+  private[graft] def publishRetrainVectorIndex(s: SparkSession,
+      prefix: String, gen: Long, newPath: String): Unit = {
+    val ptr = s"${prefix}_ptr"
+    val row = s.range(1).select(lit(gen).as("gen"))
+    if (!s.catalog.tableExists(ptr))
+      // first retrain: the pointer table's creation IS the flip —
+      // the catalog entry appears only after its single row is durable
+      graft.io.Sinks.bucketedTable(row, ptr, "gen", 1,
+        s"$newPath/ptr_g$gen")
+    else {
+      val staging = s"${ptr}__retrain"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      graft.io.Sinks.bucketedTable(row, staging, "gen", 1,
+        s"$newPath/ptr_g$gen")
+      graft.io.Sinks.repointTable(s, ptr, staging, s"$newPath/ptr_g$gen")
+    }
+    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
+    Seq("coarse", "codebooks", "codes")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
+  }
 
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
@@ -2076,6 +2205,40 @@ object EmbeddingOps {
         vec_id, cosine, adc_rank
       FROM rr
       QUALIFY rank <= 10"""))
+
+  /** q241: the RETRAIN half of the index lifecycle under the bit-exact
+    * gate — the actuator q231's dashboard was missing. Generation 0
+    * trains on a quarter of the corpus (a first shard generation);
+    * three appends accrete the rest against those frozen codebooks
+    * (exactly how drift accumulates in production); then
+    * [[retrainVectorIndex]] re-trains from the CURRENT corpus and
+    * atomically re-points. The oracle is q150's inline trajectory over
+    * the FULL corpus verbatim: a retrained index must serve exactly
+    * what a scratch build on the final corpus serves — bit-exact, not
+    * approximately — which is what makes retraining a safe scheduled
+    * maintenance job rather than a migration. The crash spec proves a
+    * kill between staging and the pointer flip leaves generation 0
+    * serving; the balance spec proves the load factors return to the
+    * scratch-build profile. */
+  val q241RetrainedServe = OpSpec(
+    "q241_retrained_serve",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${graft.Tables.scratchDir}/vrt_q241"
+      val prefix = "vrt_q241"
+      resetVectorIndex(s, prefix, base)
+      val g0 = e.filter(col("vec_id") % 4 === 0)
+      buildVectorIndex(s, g0, g0, prefix, s"$base/idx")
+      (1 to 3).foreach(i => appendToVectorIndex(s,
+        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
+      retrainVectorIndex(s, e, prefix, s"$base/retrain")
+      searchVectorIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        readVectorIndex(s, prefix), IvfPqNprobe)
+    },
+    q150IvfPqSearch.oracle)
 
   /** BINARY sign quantization + Hamming top-k — the most compact code
     * family (64 dims → 64 BITS, a 256× cut vs float32; the memory
@@ -3130,5 +3293,5 @@ object EmbeddingOps {
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
-    q240RerankedServe)
+    q240RerankedServe, q241RetrainedServe)
 }

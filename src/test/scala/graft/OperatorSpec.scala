@@ -1461,6 +1461,9 @@ class OperatorSpec extends AnyFunSuite {
       "q240_reranked_serve", // q218's serving composition alone —
                              // the same q205 broadcast shapes plus
                              // the bounded rerank hash join
+      "q241_retrained_serve", // q205's serving plan over the
+                              // retrained generation's tables —
+                              // identical broadcast shapes
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
@@ -1840,6 +1843,79 @@ class OperatorSpec extends AnyFunSuite {
       "warm invocation rebuilt the index instead of serving from it")
     assert(again.toSet == rows.toSet)
     spark.catalog.clearCache()
+  }
+
+  test("retrain lifecycle: crash before the pointer flip leaves gen 0 " +
+    "serving; the flip restores scratch-build balance; appends follow " +
+    "the new generation") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("vrt_spec").toString
+    val px = "ut_vrt" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val pxScr = px + "scr"
+    val queries = e.filter(col("vec_id") < 20)
+    def serve(prefix: String) = EmbeddingOps.searchVectorIndex(queries,
+      EmbeddingOps.readVectorIndex(spark, prefix), 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // per-cell populations → max load factor (cell count ÷ mean)
+    def maxLoad(prefix: String): Double = {
+      val counts = EmbeddingOps.readVectorIndex(spark, prefix).codes
+        .filter(col("sub") === 0)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().map(_._2.toDouble)
+      counts.max * counts.length / counts.sum
+    }
+    try {
+      // generation 0 trained on an ADVERSARIALLY small slice (the 16
+      // hash-rank-first vectors): the full corpus coded against those
+      // centroids lands unbalanced — the drift q231 measures
+      val g0 = e.orderBy(md5(concat_ws(":", lit("ivf"), col("vec_id"))
+        .cast("binary")), col("vec_id")).limit(16)
+      EmbeddingOps.buildVectorIndex(spark, g0, g0, px, s"$base/idx")
+      EmbeddingOps.appendToVectorIndex(spark,
+        e.join(g0.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+        px, s"$base/idx")
+      val served0 = serve(px)
+      val loadBefore = maxLoad(px)
+      // CRASH: stage the full new generation, die before the flip —
+      // the old index must keep serving byte-identical results
+      val gen = EmbeddingOps.stageRetrainVectorIndex(spark, e, px,
+        s"$base/retrain")
+      assert(serve(px) == served0,
+        "staging a retrain disturbed the live index")
+      // RECOVERY/PUBLISH: flip the pointer; serving must now equal a
+      // scratch build on the current corpus, bit for bit
+      EmbeddingOps.publishRetrainVectorIndex(spark, px, gen,
+        s"$base/retrain")
+      EmbeddingOps.buildVectorIndex(spark, e, e, pxScr, s"$base/scr")
+      assert(serve(px) == serve(pxScr),
+        "retrained index diverges from the scratch build")
+      // balance restored: the retrained profile is the scratch
+      // profile, and strictly better than the drifted generation 0
+      val loadAfter = maxLoad(px)
+      assert(loadAfter == maxLoad(pxScr),
+        "retrained balance differs from scratch-build balance")
+      assert(loadAfter < loadBefore,
+        s"retrain did not improve the max load factor " +
+          s"($loadBefore -> $loadAfter)")
+      // appends keep working after the generation move (the codes
+      // table's location is resolved from the catalog, not the caller)
+      val nBefore = EmbeddingOps.readVectorIndex(spark, px).codes.count()
+      EmbeddingOps.appendToVectorIndex(spark,
+        e.filter(col("vec_id") < 8)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        px, s"$base/idx")
+      assert(EmbeddingOps.readVectorIndex(spark, px).codes.count()
+        > nBefore, "post-retrain append was lost")
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(t => t.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
   }
 
   test("build-once guard self-validates: regenerating the corpus under " +
