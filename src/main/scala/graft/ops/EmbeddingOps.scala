@@ -3128,6 +3128,195 @@ object EmbeddingOps {
       FROM asg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
 
+  /** Cosine-argmax cell assignment of a normed (vec_id, embedding,
+    * nrm) frame against a broadcast (cid, cv, cnrm) centroid table —
+    * the row shape the semantic index stores per member. */
+  private[graft] def semAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cosine", expr(
+        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
+           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  /** Within-cluster smaller-id-wins prune of `probe` against `members`
+    * (both (cid, vec_id, embedding, nrm)): a probe row is `prune` iff
+    * some member in ITS cell has a smaller vec_id and cosine >
+    * [[SemDedupTau]]. Equi-join on cid — never an all-pairs product;
+    * cost ∝ Σ_touched-cells |cell| · |probe ∩ cell|. */
+  private[graft] def semPruneVerdicts(members: DataFrame,
+      probe: DataFrame): DataFrame = {
+    val a = members.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = probe.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val pruned = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")) > expr(SemDedupTau))
+      .select(col("cid"), col("vec_b").as("vec_id")).distinct()
+    probe.select(col("cid"), col("vec_id"))
+      .join(pruned.withColumn("hit", lit(1)), Seq("cid", "vec_id"),
+        "left")
+      .select(col("cid"), col("vec_id"),
+        when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
+          .as("verdict"))
+  }
+
+  /** Build a persisted SEMANTIC-DEDUP index from the base corpus — the
+    * incremental story q212 was missing (n-gram dedup has had it since
+    * q55): centroids are trained ONCE on the base (the q98 recipe,
+    * then FROZEN — q205's discipline applied to SemDeDup), written as
+    * `<prefix>_semcents`, and every base vector's cell assignment plus
+    * the floats the pair scan needs land in `<prefix>_members`,
+    * bucketed on cid (the probe join key). Returns the base corpus's
+    * own verdicts (q212's smaller-id-wins rule under the frozen
+    * centroids). After this, each arriving generation pays
+    * [[ingestSemanticIndex]]'s batch-sized cost instead of q212's full
+    * re-train + corpus re-scan. */
+  def buildSemanticIndex(s: SparkSession, base: DataFrame,
+      prefix: String, path: String, k: Int = KmK,
+      buckets: Int = 8): DataFrame = {
+    val cents = coarseKmOfK(base, k).select(col("cid"), col("cv"),
+      col("cnrm"))
+    graft.io.Sinks.bucketedTable(cents, s"${prefix}_semcents", "cid", 1,
+      s"$path/semcents")
+    // assign against the RE-READ stored centroids — the same frozen
+    // bytes every later ingest codes against
+    val frozen = s.table(s"${prefix}_semcents")
+    graft.io.Sinks.bucketedTable(
+      semAssign(base, frozen).repartition(buckets, col("cid")),
+      s"${prefix}_members", "cid", buckets, s"$path/members")
+    val m = s.table(s"${prefix}_members")
+    semPruneVerdicts(m, m).localCheckpoint()
+  }
+
+  /** Ingest one arriving batch into the persisted semantic index:
+    * assign the batch to cells against the FROZEN stored centroids
+    * (zero training in the plan), append its members (insert-only,
+    * cost ∝ batch), and return the batch's verdicts from ONE
+    * cid-equi-join pair scan of the stored members — only the batch's
+    * touched cells' members ever pair up, and prior docs' verdicts are
+    * never recomputed (q55's bipartite discipline applied to q212's
+    * trajectory). A 100 TB curation loop runs THIS per shard
+    * generation, not a corpus-wide SemDeDup.
+    *
+    * Ordering contract (mirrors q212's arrival-free smaller-id rule):
+    * when generations arrive in vec_id order — the reference's shard
+    * convention, README.md:66-89 — ingest verdicts equal a scratch
+    * frozen-centroid SemDeDup over the unioned corpus EXACTLY
+    * (q242's oracle). Out-of-order arrival degrades gracefully to
+    * first-arrival-wins: a later batch carrying a smaller id does not
+    * retroactively flip an already-emitted verdict. */
+  def ingestSemanticIndex(s: SparkSession, batch: DataFrame,
+      prefix: String, path: String, buckets: Int = 8): DataFrame = {
+    val frozen = s.table(s"${prefix}_semcents")
+    val asgB = semAssign(batch, frozen).localCheckpoint()
+    graft.io.Sinks.appendBucketedTable(
+      asgB.repartition(buckets, col("cid")),
+      s"${prefix}_members", "cid", buckets, s"$path/members")
+    s.catalog.refreshTable(s"${prefix}_members")
+    // members now include the batch itself, so within-batch smaller-id
+    // pairs are covered by the same single equi-join
+    semPruneVerdicts(s.table(s"${prefix}_members"), asgB)
+      .localCheckpoint()
+  }
+
+  /** Idempotent pre-build reset for a semantic-index prefix. */
+  def resetSemanticIndex(s: SparkSession, prefix: String,
+      path: String): Unit = {
+    s.sessionState.catalog.listTables("default").map(_.table)
+      .filter(_.startsWith(s"${prefix}_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** q242: INCREMENTAL SemDeDup under the bit-exact gate. The corpus
+    * arrives as three vec_id-ordered generations (base = first half by
+    * a count-scalar range split, then two quarter batches — the
+    * reference's shard-generation pattern); the base builds the
+    * persisted index, each batch pays only its ingest, and the unioned
+    * verdicts must equal a SCRATCH frozen-centroid SemDeDup over the
+    * full corpus (the oracle re-derives q212's trajectory with
+    * training restricted to the base subset). Training happens exactly
+    * once, in the build — the ingest plans contain no k-means stage
+    * (spec-audited) and never rescan prior members as probes. */
+  val q242IncrementalSemdedup = OpSpec(
+    "q242_incremental_semdedup",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      // bounded 1-row scalar: the id-range split threshold
+      val total = e.count()
+      val base = e.filter(col("vec_id") * 2 < total)
+      val b1 = e.filter(col("vec_id") * 2 >= total &&
+        col("vec_id") * 4 < total * 3)
+      val b2 = e.filter(col("vec_id") * 4 >= total * 3)
+      val prefix = "sem_q242"
+      val path = s"${graft.Tables.scratchDir}/sem_q242"
+      resetSemanticIndex(s, prefix, path)
+      val v0 = buildSemanticIndex(s, base, prefix, path)
+      val v1 = ingestSemanticIndex(s, b1, prefix, path)
+      val v2 = ingestSemanticIndex(s, b2, prefix, path)
+      v0.unionByName(v1).unionByName(v2)
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      b AS (SELECT e.vec_id, e.embedding, e.nrm
+            FROM e, t WHERE 2 * e.vec_id < t.n),
+      seeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT em.vec_id, em.embedding,
+                md5('ivf:' || em.vec_id) AS rk
+              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
+        QUALIFY cid < $KmK),
+      c0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds)),
+      s1 AS (${kmIterDuck("c0", "b")}),
+      c1 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1)),
+      s2 AS (${kmIterDuck("c1", "b")}),
+      c2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2)),
+      asg AS (
+        SELECT cid, vec_id, embedding, nrm FROM (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+          FROM e, c2 c)
+        WHERE rn = 1),
+      pruned AS (
+        SELECT DISTINCT p.cid, p.vec_id
+        FROM asg a JOIN asg p
+          ON a.cid = p.cid AND a.vec_id < p.vec_id
+        WHERE ${dotDuck("a.embedding", "p.embedding")} / (a.nrm * p.nrm)
+          > $SemDedupTau)
+      SELECT g.cid, g.vec_id,
+        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+          AS verdict
+      FROM asg g LEFT JOIN pruned p
+        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
+
   /** Swept SemDeDup cluster counts for the q220 miss audit. */
   private val SemDedupKs = Seq(4, 8, 16)
 
@@ -3293,5 +3482,5 @@ object EmbeddingOps {
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
-    q240RerankedServe, q241RetrainedServe)
+    q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup)
 }

@@ -1944,6 +1944,57 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental semdedup: verdicts are split-invariant across batch " +
+    "boundaries and the ingest plan contains no training stage") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val rows = SparkEntry.queries("q242_incremental_semdedup")(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows.nonEmpty && rows.exists(_._3 == "prune"),
+      "no prune verdict anywhere — the tau never fired, audit vacuous")
+    // split invariance: one ingest of everything-after-base must equal
+    // the gated query's two-batch trajectory verdict-for-verdict
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+    val total = e.count()
+    val base = e.filter(col("vec_id") * 2 < total)
+    val rest = e.filter(col("vec_id") * 2 >= total)
+    val base2 = java.nio.file.Files.createTempDirectory("sem_spec").toString
+    val px = "ut_sem" + base2.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    try {
+      val v0 = EmbeddingOps.buildSemanticIndex(spark, base, px, base2)
+      val ing = EmbeddingOps.ingestSemanticIndex(spark, rest, px, base2)
+      val oneShot = v0.unionByName(ing)
+        .as[(Long, Long, String)].collect().toSet
+      assert(oneShot == rows,
+        "verdicts depend on how the post-base corpus was batched")
+      // no-retraining audit: ingestSemanticIndex materializes eagerly
+      // (localCheckpoint), so audit its exact lazy composition —
+      // assign against the stored centroids + one equi-join prune
+      // against the stored members. The k-means seeding (md5 rank) and
+      // the Lloyd fold (collect_list) must be absent, and the members
+      // probe must be a hash join on cid, not a product.
+      val lazyVerdicts = EmbeddingOps.semPruneVerdicts(
+        spark.table(s"${px}_members"),
+        EmbeddingOps.semAssign(rest.limit(50),
+          spark.table(s"${px}_semcents")))
+      val p = lazyVerdicts.queryExecution.executedPlan.toString
+      assert(!p.contains("md5"), s"training seed hash in ingest plan:\n$p")
+      assert(!p.contains("collect_list"), s"Lloyd fold in ingest plan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("members"), p)
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q220 semdedup miss audit: counts consistent, kept pairs split " +
     "exactly into cross-cluster and same-cluster misses") {
     import spark.implicits._
