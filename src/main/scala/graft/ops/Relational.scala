@@ -1678,6 +1678,187 @@ object Relational {
                               TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1"""))
 
+  /** Top-revenue supplier (the TPC-H Q15 shape): the revenue "view" —
+    * one quarter's exact 4-dp revenue per supplier — is referenced
+    * twice, once as the ranking base and once under a scalar MAX, and
+    * the winner(s) are selected by EQUALITY against that 1-row
+    * broadcast scalar: the view-max decorrelation class (Q15's
+    * CREATE VIEW + WHERE total = (SELECT MAX...)). The equality
+    * compares EXACT INTEGERS (4-dp revenue units), so the winner set
+    * can never depend on double rounding — the double is emitted
+    * after selection. Ship-date bounds push to the scan. */
+  val q243TopSupplier = OpSpec(
+    "q243_top_supplier",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1998-04-01 00:00:00").cast("timestamp"))
+        .select(col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+                AS DECIMAL(38,0))) AS BIGINT)""").as("rev_4dp"))
+      val mx = rev.agg(max(col("rev_4dp")).as("mx"))
+      rev.join(broadcast(mx), col("rev_4dp") === col("mx"))
+        .join(table(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_4dp").cast("double") / 1e4).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+            AS BIGINT) AS rev_4dp
+        FROM (SELECT l_suppkey,
+                CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+                CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.s_name,
+        CAST(r.rev_4dp AS DOUBLE) / 1e4 AS total_revenue
+      FROM rev r
+      JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      WHERE r.rev_4dp = (SELECT MAX(rev_4dp) FROM rev)
+      ORDER BY s.s_suppkey"""))
+
+  /** Minimum-cost supplier per part (the TPC-H Q2 shape, lineitem
+    * price standing in for the schema's absent partsupp supplycost):
+    * for each STANDARD size-5 part, the ASIA-region supplier(s)
+    * offering it cheapest — the correlated per-group scalar-MIN
+    * decorrelated into a grouped MIN joined back by EQUALITY on the
+    * measure. The min and the equality are COMPARES of raw parquet
+    * doubles (no arithmetic), so both engines admit identical rows;
+    * region restriction lands BEFORE the min (the correlation's own
+    * filter), part filters push to the part scan and semi-prune the
+    * fact scan. DISTINCT because several lineitems can tie at the
+    * min for the same (part, supplier). */
+  val q244MinCostSupplier = OpSpec(
+    "q244_min_cost_supplier",
+    (s, dir) => {
+      val rsup = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"), "left_semi")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val pp = table(s, dir, "part")
+        .filter(col("p_size") === 5 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val el = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+        .join(broadcast(pp.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(rsup.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val mc = el.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_cost"))
+      el.join(mc.select(col("l_partkey").as("m_partkey"),
+          col("min_cost")),
+          col("l_partkey") === col("m_partkey") &&
+            col("l_extendedprice") === col("min_cost"))
+        .join(broadcast(rsup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          col("l_extendedprice").as("supply_cost"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    },
+    Some("""
+      WITH rsup AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'ASIA'),
+      pp AS (SELECT p_partkey, p_name FROM part
+             WHERE p_size = 5 AND p_type = 'STANDARD'),
+      el AS (
+        SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM rsup s
+                      WHERE s.s_suppkey = l.l_suppkey)
+          AND EXISTS (SELECT 1 FROM pp
+                      WHERE pp.p_partkey = l.l_partkey)),
+      mc AS (SELECT l_partkey, MIN(l_extendedprice) AS min_cost
+             FROM el GROUP BY 1)
+      SELECT DISTINCT s.s_acctbal, s.s_name, s.n_name,
+        p.p_partkey, p.p_name, e.l_extendedprice AS supply_cost
+      FROM el e
+      JOIN mc ON mc.l_partkey = e.l_partkey
+             AND e.l_extendedprice = mc.min_cost
+      JOIN rsup s ON s.s_suppkey = e.l_suppkey
+      JOIN pp p ON p.p_partkey = e.l_partkey
+      ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      LIMIT 100"""))
+
+  /** Dominant part suppliers (the TPC-H Q20 shape, shipped share
+    * standing in for the schema's absent availqty-vs-shipments test):
+    * NATION_3 suppliers who, for SOME part, shipped more than a
+    * quarter of that part's 1997 volume — the nested semi-join whose
+    * inner block carries a CORRELATED AGGREGATE (Q20's HAVING-over-
+    * correlated-SUM decorrelation class; q224/q234 cover EXISTS and
+    * scalar-avg, this is the grouped-threshold variant). Decorrelated
+    * as per-(supplier, part) sums equi-joined to per-part totals; the
+    * threshold compares EXACT integer quantities (4·sup > total), and
+    * the outer block is a semi join so a supplier dominating several
+    * parts emits once. Date bounds push to both scans of the fact. */
+  val q245DominantSuppliers = OpSpec(
+    "q245_dominant_suppliers",
+    (s, dir) => {
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_suppkey"), col("l_partkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty_i"))
+      val sp = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("qty_i")).as("sup_qty"))
+      val pt = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_i")).as("part_qty"))
+      val dom = sp.join(pt, "l_partkey")
+        .filter(col("sup_qty") * 4 > col("part_qty"))
+        .select(col("l_suppkey"))
+      table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+    Some("""
+      SELECT s.s_name, s.s_acctbal
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_3'
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING 4 * SUM(CAST(round(l.l_quantity) AS BIGINT)) >
+          (SELECT SUM(CAST(round(l2.l_quantity) AS BIGINT))
+           FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey
+             AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+      ORDER BY s.s_name"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1689,5 +1870,6 @@ object Relational {
     q165PricingSummary, q193LiftRules, q222ShippingPriority,
     q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
     q226MarketShare, q233DisjunctiveRevenue, q234SmallOrderRevenue,
-    q235IdleCustomers)
+    q235IdleCustomers, q243TopSupplier, q244MinCostSupplier,
+    q245DominantSuppliers)
 }

@@ -1845,6 +1845,40 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q243/q244/q245 decorrelation shapes: filters pushed to the scans, " +
+    "dims broadcast, winners selected on exact compares, no products") {
+    val p243 = plan("q243_top_supplier")
+    // the ship-date window reaches the lineitem scan
+    assert(p243.contains("GreaterThanOrEqual(l_shipdate") &&
+      p243.contains("LessThan(l_shipdate"), p243)
+    // the view-max winner join is a broadcast HASH join on the exact
+    // integer revenue — never a nested loop over the view
+    assert(p243.contains("BroadcastHashJoin"), p243)
+    val p244 = plan("q244_min_cost_supplier")
+    // part filters push to the part scan; the fact scan is semi-pruned
+    assert(p244.contains("EqualTo(p_size,5)") &&
+      p244.contains("EqualTo(p_type,STANDARD)"), p244)
+    assert(p244.contains("BroadcastHashJoin"), p244)
+    val p245 = plan("q245_dominant_suppliers")
+    assert(p245.contains("GreaterThanOrEqual(l_shipdate"), p245)
+    // the correlated-agg decorrelation is an equi join of the two
+    // grouped sums on partkey
+    assert(p245.contains("SortMergeJoin") ||
+      p245.contains("ShuffledHashJoin") ||
+      p245.contains("BroadcastHashJoin"), p245)
+    Seq(p243, p244, p245).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // non-empty at the driver's sf (all three return rows at sf0.01+;
+    // q245's nation slice is data-thin at sf0.001 by construction)
+    assert(SparkEntry.queries("q243_top_supplier")(spark, sf).count() > 0)
+    assert(SparkEntry.queries("q244_min_cost_supplier")(spark, sf)
+      .count() > 0)
+    assert(SparkEntry.queries("q245_dominant_suppliers")(
+      spark, "/root/testdata/sf0.01").count() > 0)
+  }
+
   test("retrain lifecycle: crash before the pointer flip leaves gen 0 " +
     "serving; the flip restores scratch-build balance; appends follow " +
     "the new generation") {
