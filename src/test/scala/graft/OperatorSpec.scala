@@ -1845,6 +1845,29 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q246 pipeline v4: explode and scorers pipelined with no shuffle " +
+    "between map stages — exactly two exchanges (dedup key, pack video)") {
+    val p = plan("q246_pipeline_v4")
+    assert(p.contains("Generate"), s"no explode generator in plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the whole pipeline pays exactly two hash exchanges: the canonical-
+    // dedup window and the per-video pack window; scene-cut, frame
+    // sampling, scoring, and both gates are row-local projections that
+    // pipeline inside the scan+generate stage
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"$exchanges hash exchanges (want 2):\n$p")
+    // the map stages really fused: the plan prints root-first, so the
+    // Generate (and everything below it — scoring projections, integer
+    // gates, the scan) must sit BELOW the last exchange, i.e. after it
+    // in the rendering — no shuffle between the explode and the scorers
+    assert(p.lastIndexOf("Exchange hashpartitioning")
+        < p.indexOf("Generate"),
+      "a shuffle crept between the explode and the scorers:\n" + p)
+    val rows = SparkEntry.queries("q246_pipeline_v4")(spark, sf).count()
+    assert(rows > 0, "pipeline v4 emitted nothing")
+  }
+
   test("q243/q244/q245 decorrelation shapes: filters pushed to the scans, " +
     "dims broadcast, winners selected on exact compares, no products") {
     val p243 = plan("q243_top_supplier")
