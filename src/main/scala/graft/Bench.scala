@@ -12,6 +12,32 @@ import org.apache.spark.sql.SparkSession
   * projections and undercount the real work.
   */
 object Bench {
+
+  /** FROZEN drift probe — DO NOT EDIT (pinned in round 9). A fixed
+    * synthetic workload (range → hash → 1000-key shuffle → fold) with
+    * zero file I/O and zero dependence on the query library, timed
+    * min-of-3 inside the same JVM as the bench. Its sole purpose is
+    * CROSS-ROUND comparability: the probe's code never changes, so a
+    * probe delta between two rounds' records measures the HOST, and a
+    * bench delta beyond the probe delta measures the CODE — in-band,
+    * instead of the after-the-fact same-code re-run forensics round 8
+    * needed (SURVEY §6). Reported as "drift_probe_sec" in the record. */
+  def driftProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .select((org.apache.spark.sql.functions.col("id") % 1000)
+          .as("k"),
+          // bounded summand: a raw xxhash64 sum overflows Long under
+          // ANSI mode; mod keeps 20M terms far inside 2^63
+          (xxhash64(org.apache.spark.sql.functions.col("id")) % 1000003L)
+            .as("h"))
+        .groupBy("k").agg(sum("h").as("s"))
+        .agg(sum("s")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -53,6 +79,10 @@ object Bench {
       held.clear()
       System.gc()
     }
+
+    // host-speed control, timed after the heap pretouch so it measures
+    // the steady-state host, not page-commit stalls
+    val probe = driftProbe(spark)
 
     // SPARK_GRAFT_ONLY=q50_ngram_jaccard,q51_dedup_clusters restricts the
     // run (local profiling loop); the driver sets no filter and times all
@@ -96,7 +126,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"drift_probe_sec":$probe,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout's tail, which has been observed
     // truncated — also persist the full record in-repo so every round's
