@@ -3189,7 +3189,8 @@ object EmbeddingOps {
     // bytes every later ingest codes against
     val frozen = s.table(s"${prefix}_semcents")
     graft.io.Sinks.bucketedTable(
-      semAssign(base, frozen).repartition(buckets, col("cid")),
+      semAssign(base, frozen).withColumn("ingest_batch", lit(-1L))
+        .repartition(buckets, col("cid")),
       s"${prefix}_members", "cid", buckets, s"$path/members")
     val m = s.table(s"${prefix}_members")
     semPruneVerdicts(m, m).localCheckpoint()
@@ -3213,12 +3214,24 @@ object EmbeddingOps {
     * first-arrival-wins: a later batch carrying a smaller id does not
     * retroactively flip an already-emitted verdict. */
   def ingestSemanticIndex(s: SparkSession, batch: DataFrame,
-      prefix: String, path: String, buckets: Int = 8): DataFrame = {
+      prefix: String, path: String, buckets: Int = 8,
+      batchId: Option[Long] = None): DataFrame = {
     val frozen = s.table(s"${prefix}_semcents")
     val asgB = semAssign(batch, frozen).localCheckpoint()
-    graft.io.Sinks.appendBucketedTable(
-      asgB.repartition(buckets, col("cid")),
-      s"${prefix}_members", "cid", buckets, s"$path/members")
+    val parted = asgB.repartition(buckets, col("cid"))
+    // streaming callers pass their micro-batch id: the member append
+    // then commits the id atomically with the rows and an at-least-
+    // once replay is skipped (a replay's verdicts recompute fine from
+    // the already-stored members — assignment is deterministic)
+    batchId match {
+      case Some(id) =>
+        graft.io.Sinks.appendBucketedTableIdempotent(s, parted, id,
+          s"${prefix}_members", "cid", buckets, s"$path/members"); ()
+      case None =>
+        graft.io.Sinks.appendBucketedTable(
+          parted.withColumn("ingest_batch", lit(-1L)),
+          s"${prefix}_members", "cid", buckets, s"$path/members")
+    }
     s.catalog.refreshTable(s"${prefix}_members")
     // members now include the batch itself, so within-batch smaller-id
     // pairs are covered by the same single equi-join

@@ -1126,6 +1126,95 @@ object StreamingStages {
     },
     graft.ops.DedupOps.q55IncrementalDedup.oracle)
 
+  /** foreachBatch ingest into a persisted SEMANTIC-DEDUP index
+    * ([[graft.ops.EmbeddingOps.ingestSemanticIndex]]): each arriving
+    * micro-batch of (vec_id, embedding, nrm) rows is assigned against
+    * the FROZEN stored centroids, appended to the members table, and
+    * its verdicts land in `<prefix>_verdicts` — both appends
+    * replay-safe per micro-batch id (a torn batch whose members
+    * committed but verdicts didn't recomputes identical verdicts from
+    * the stored members and fills only the verdict table). Ordering:
+    * the smaller-id-wins contract needs generations to ARRIVE in
+    * vec_id order, which a file stream delivers when files are staged
+    * in modification-time order (q247 stages them so; the reference's
+    * shard convention, README.md:66-89). */
+  def streamIntoSemanticIndex(s: SparkSession, docs: DataFrame,
+      prefix: String, path: String, buckets: Int,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = graft.ops.EmbeddingOps.ingestSemanticIndex(
+            s, batch, prefix, path, buckets, batchId = Some(batchId))
+          graft.io.Sinks.appendBucketedTableIdempotent(s, verdicts,
+            batchId, s"${prefix}_verdicts", "vec_id", buckets,
+            s"$path/verdicts")
+          // cloned-session writes only invalidate their own relation
+          // cache (the q219 lesson)
+          Seq("members", "verdicts").foreach(t =>
+            if (s.catalog.tableExists(s"${prefix}_$t"))
+              s.catalog.refreshTable(s"${prefix}_$t"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** q247: incremental SemDeDup fed by a STREAM — q242's trajectory
+    * with the two post-base generations arriving as a file stream in
+    * mtime (= vec_id) order, one micro-batch each. The base builds the
+    * index (batch); the stream pays only per-batch ingest; the unioned
+    * verdicts (base + streamed, read back from the verdict table) must
+    * equal the scratch frozen-centroid SemDeDup — q242's oracle
+    * verbatim. This gives the semantic index the same streaming half
+    * the vector index (q219) and the n-gram corpus index (q230) have. */
+  val q247StreamingSemdedup: graft.OpSpec = graft.OpSpec(
+    "q247_streaming_semdedup",
+    (s, dir) => {
+      import graft.ops.EmbeddingOps
+      val prefix = "sem_q247"
+      val base = s"${graft.Tables.scratchDir}/sem_q247"
+      EmbeddingOps.resetSemanticIndex(s, prefix, base)
+      val e = graft.Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("""CASE WHEN aggregate(embedding, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+            ELSE sqrt(aggregate(embedding, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+      val total = e.count()
+      val v0 = EmbeddingOps.buildSemanticIndex(s,
+        e.filter(col("vec_id") * 2 < total), prefix, s"$base/idx")
+      // stage the two generations as files whose MTIME order is their
+      // id order — the arrival-order contract the ingest needs
+      val streamDir = java.nio.file.Paths.get(s"$base/stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("semstage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = streamDir.resolve(name)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(mtime); ()
+      }
+      stage(e.filter(col("vec_id") * 2 >= total &&
+        col("vec_id") * 4 < total * 3), "00_g1.parquet", 100000L)
+      stage(e.filter(col("vec_id") * 4 >= total * 3), "01_g2.parquet",
+        200000L)
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream")
+      streamIntoSemanticIndex(s, stream, prefix, s"$base/idx",
+        8, s"$base/ckpt").stop()
+      v0.unionByName(s.table(s"${prefix}_verdicts")
+        .select(col("cid"), col("vec_id"), col("verdict")))
+    },
+    graft.ops.EmbeddingOps.q242IncrementalSemdedup.oracle)
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -1135,5 +1224,5 @@ object StreamingStages {
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
       q219StreamIndexIngest, q228StreamingRollup,
-      q230StreamingCorpusIngest)
+      q230StreamingCorpusIngest, q247StreamingSemdedup)
 }

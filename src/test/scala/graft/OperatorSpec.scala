@@ -1967,6 +1967,24 @@ class OperatorSpec extends AnyFunSuite {
         px, s"$base/idx")
       assert(EmbeddingOps.readVectorIndex(spark, px).codes.count()
         > nBefore, "post-retrain append was lost")
+      // retrain FOLDS TOMBSTONES: delete a slice (ids >= 20 so the
+      // query set survives), retrain again — the second generation
+      // must equal a scratch build on the survivors (training AND
+      // coding both restricted), and the tombstone set must be gone
+      EmbeddingOps.deleteFromVectorIndex(spark,
+        e.filter(col("vec_id") >= 20 && col("vec_id") % 7 === 3)
+          .select(col("vec_id")),
+        px, s"$base/idx")
+      val survivors = e.filter(col("vec_id") < 20 ||
+        col("vec_id") % 7 =!= 3)
+      EmbeddingOps.retrainVectorIndex(spark, e, px, s"$base/retrain2")
+      val pxSur = px + "sur"
+      EmbeddingOps.buildVectorIndex(spark, survivors, survivors, pxSur,
+        s"$base/sur")
+      assert(serve(px) == serve(pxSur),
+        "tombstone-folding retrain diverges from the survivor build")
+      assert(!spark.catalog.tableExists(s"${px}_tombstones"),
+        "retrain left the folded tombstones registered")
     } finally {
       spark.sessionState.catalog.listTables("default").map(_.table)
         .filter(t => t.startsWith(px))
