@@ -2104,11 +2104,13 @@ object EmbeddingOps {
     * the ops dashboard number that decides re-training: a hot cell
     * makes every probe touching it scan |hot list| codes, so the
     * load factor (cell size ÷ mean) IS the worst-case probe
-    * amplification. Reads ONLY the stored codes table (one bucketed
-    * scan, sub=0 rows so each vector counts once); the explicit
-    * 0..k-1 cell domain keeps empty cells visible (a dead cell is
-    * exactly what an operator must see). Oracle re-derives the coarse
-    * assignment trajectory. */
+    * amplification. When the readout degrades, the actuator is
+    * [[retrainVectorIndex]] (gated q241) — the scheduled maintenance
+    * job this dashboard prices. Reads ONLY the stored codes table (one
+    * bucketed scan, sub=0 rows so each vector counts once); the
+    * explicit 0..k-1 cell domain keeps empty cells visible (a dead
+    * cell is exactly what an operator must see). Oracle re-derives the
+    * coarse assignment trajectory. */
   val q231CellBalance = OpSpec(
     "q231_cell_balance",
     (s, dir) => {
