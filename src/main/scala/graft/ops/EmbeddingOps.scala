@@ -3332,6 +3332,99 @@ object EmbeddingOps {
       FROM asg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
 
+  /** DuckDB CTE chain for one coarse-training arm: seeds + two Lloyd
+    * rounds trained on `trainPred`'s rows, full-corpus assignment,
+    * per-cell counts — suffixed so q248 can run two arms in one
+    * query. */
+  private def coarseArmSql(sfx: String, trainPred: String): String = s"""
+      b$sfx AS (SELECT vec_id, embedding, nrm FROM e WHERE $trainPred),
+      seeds$sfx AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM embeddings WHERE $trainPred)
+        QUALIFY cid < $KmK),
+      c0$sfx AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds$sfx)),
+      s1$sfx AS (${kmIterDuck(s"c0$sfx", s"b$sfx")}),
+      c1$sfx AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1$sfx)),
+      s2$sfx AS (${kmIterDuck(s"c1$sfx", s"b$sfx")}),
+      c2$sfx AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2$sfx)),
+      asg$sfx AS (
+        SELECT cid FROM (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+          FROM e, c2$sfx c)
+        WHERE rn = 1),
+      cnt$sfx AS (SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                  FROM asg$sfx GROUP BY 1)"""
+
+  /** q248: the RETRAIN PAYOFF readout — q231's load-factor dashboard
+    * evaluated on BOTH sides of the actuator in one gated query: the
+    * full corpus assigned to DRIFTED centroids (trained on the first
+    * shard generation only, vec_id % 4 = 0 — exactly the state an
+    * append-only index reaches) versus the same corpus assigned to
+    * RETRAINED centroids (trained on everything). An operator reads
+    * the per-cell load-factor deltas to decide whether q241's
+    * maintenance run is worth its two training passes — the number
+    * that connects the q231 dashboard to the q241 actuator. Pure
+    * assignment arithmetic (no index tables needed): two broadcast-k
+    * trainings + two argmax passes, one scan family. */
+  val q248RetrainPayoff = OpSpec(
+    "q248_retrain_payoff",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      def balance(cents: DataFrame, phase: String): DataFrame = {
+        val counts = semAssign(e, cents)
+          .groupBy(col("cid").as("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        s.range(KmK).select(col("id").as("cell"))
+          .join(counts, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_vecs"))
+          .select(lit(phase).as("phase"), col("cell"), col("n_vecs"),
+            (col("n_vecs").cast("double") * lit(KmK.toDouble)
+              / lit(total.toDouble)).as("load_factor"))
+      }
+      val drifted = coarseKmOfK(e.filter(col("vec_id") % 4 === 0), KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      val retrained = coarseKmOfK(e, KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      balance(drifted, "drifted")
+        .unionByName(balance(retrained, "retrained"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      ${coarseArmSql("d", "vec_id % 4 = 0")},
+      ${coarseArmSql("r", "TRUE")},
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+      dom AS (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell)
+      SELECT 'drifted' AS phase, d.cell,
+        COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
+          / CAST(t.total AS DOUBLE) AS load_factor
+      FROM dom d LEFT JOIN cntd c ON c.cell = d.cell CROSS JOIN tot t
+      UNION ALL
+      SELECT 'retrained' AS phase, d.cell,
+        COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
+          / CAST(t.total AS DOUBLE) AS load_factor
+      FROM dom d LEFT JOIN cntr c ON c.cell = d.cell CROSS JOIN tot t"""))
+
   /** Swept SemDeDup cluster counts for the q220 miss audit. */
   private val SemDedupKs = Seq(4, 8, 16)
 
@@ -3497,5 +3590,6 @@ object EmbeddingOps {
     q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
-    q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup)
+    q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
+    q248RetrainPayoff)
 }

@@ -1859,6 +1859,89 @@ object Relational {
              AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
       ORDER BY s.s_name"""))
 
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds a threshold — the IN-over-grouped-
+    * HAVING subquery on the SAME fact the outer block joins (Q18's
+    * signature double use of lineitem). Decorrelated as ONE grouped
+    * exact-integer quantity sum that serves both as the IN-filter and
+    * the output's sum_qty column (the optimizer-friendly form of the
+    * self-referencing subquery); customer dim joined after the
+    * restriction; top-100 on raw o_totalprice (compare only, orderkey
+    * tie) so the limit boundary is engine-exact. */
+  val q249LargeOrders = OpSpec(
+    "q249_large_orders",
+    (s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty_i"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("qty_i")).as("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300)
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o.o_totalprice, b.sum_qty
+      FROM orders o
+      JOIN big b ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+      LIMIT 100"""))
+
+  /** Supplier-variety count (the TPC-H Q16 shape, lineitem supplier
+    * links standing in for the absent partsupp): per (brand, type,
+    * size) over a size slice, how many DISTINCT suppliers ship the
+    * part — excluding "complaint" suppliers (negative balance) via
+    * NOT IN, the anti-join class q04 covers for resume but here
+    * feeding a distinct-aggregate. The exclusion set is a broadcast
+    * anti join (suppkeys are non-null, so NOT IN == anti join);
+    * p_size IN (...) and the brand exclusion push to the part scan. */
+  val q250SupplierVariety = OpSpec(
+    "q250_supplier_variety",
+    (s, dir) => {
+      val pp = table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 3, 5, 7))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val bad = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""
+      SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND p.p_size IN (1, 3, 5, 7)
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0e0)
+      GROUP BY 1, 2, 3"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1871,5 +1954,5 @@ object Relational {
     q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
     q226MarketShare, q233DisjunctiveRevenue, q234SmallOrderRevenue,
     q235IdleCustomers, q243TopSupplier, q244MinCostSupplier,
-    q245DominantSuppliers)
+    q245DominantSuppliers, q249LargeOrders, q250SupplierVariety)
 }

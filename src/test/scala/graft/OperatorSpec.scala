@@ -1464,6 +1464,11 @@ class OperatorSpec extends AnyFunSuite {
       "q241_retrained_serve", // q205's serving plan over the
                               // retrained generation's tables —
                               // identical broadcast shapes
+      "q248_retrain_payoff", // two broadcast-k centroid trainings +
+                             // two broadcast-k argmax assignment
+                             // passes (q98/q212 family) + the 1-row
+                             // total scalar onto the 8-row cell
+                             // domain (q231 shape)
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
       "q204_split_leakage") // 1-row pair-total scalar broadcast
