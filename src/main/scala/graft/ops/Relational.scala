@@ -1942,6 +1942,101 @@ object Relational {
                                 WHERE s_acctbal < 0e0)
       GROUP BY 1, 2, 3"""))
 
+  /** Promo revenue share (the TPC-H Q14 shape): one month's revenue
+    * split by part type through a conditional aggregate — the
+    * CASE-inside-SUM class. Both the promo slice and the total
+    * accumulate as exact 4-dp integers; the share is exact-int × 100
+    * (still < 2^53, so the double is exact) over exact-int in ONE
+    * correctly-rounded division — no double accumulation anywhere.
+    * Part dim broadcast; date bounds pushed to the fact scan. */
+  val q251PromoShare = OpSpec(
+    "q251_promo_share",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1997-06-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1997-07-01 00:00:00").cast("timestamp"))
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+      li.join(broadcast(table(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          expr("""CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+              ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)""")
+            .as("promo_4dp"),
+          expr("""CAST(SUM(CAST(price_c * (100 - disc_c)
+              AS DECIMAL(38,0))) AS BIGINT)""").as("total_4dp"))
+        .select(
+          (col("promo_4dp").cast("double") * 1e2
+            / col("total_4dp").cast("double")).as("promo_share"),
+          (col("promo_4dp").cast("double") / 1e4).as("promo_revenue"),
+          (col("total_4dp").cast("double") / 1e4).as("total_revenue"))
+    },
+    Some("""
+      SELECT CAST(promo_4dp AS DOUBLE) * 1e2 / CAST(total_4dp AS DOUBLE)
+          AS promo_share,
+        CAST(promo_4dp AS DOUBLE) / 1e4 AS promo_revenue,
+        CAST(total_4dp AS DOUBLE) / 1e4 AS total_revenue
+      FROM (
+        SELECT
+          CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))
+            ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS promo_4dp,
+          CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0)))
+            AS BIGINT) AS total_4dp
+        FROM (SELECT l_partkey,
+                CAST(round(l_extendedprice * 1e2) AS BIGINT) AS price_c,
+                CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00') l
+        JOIN part p ON p.p_partkey = l.l_partkey)"""))
+
+  /** Priority split per return flag (the TPC-H Q12 shape, returnflag
+    * standing in for the schema's absent shipmode): for a ship-year
+    * window, per flag, how many lineitems belong to high- vs
+    * low-priority orders — the dual CASE-count aggregate over a fact ⋈
+    * dim join. Pure integer counts; the priority predicate is a
+    * residual on the hash join, the date bounds push to the fact
+    * scan. */
+  val q252PrioritySplit = OpSpec(
+    "q252_priority_split",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      li.join(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("""CAST(SUM(CASE WHEN o_orderpriority IN
+              ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)""")
+            .as("high_line_count"),
+          expr("""CAST(SUM(CASE WHEN o_orderpriority NOT IN
+              ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)""")
+            .as("low_line_count"))
+    },
+    Some("""
+      SELECT l.l_returnflag,
+        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -1954,5 +2049,6 @@ object Relational {
     q223ReturnedItems, q224SuppliersWaiting, q225NationTrade,
     q226MarketShare, q233DisjunctiveRevenue, q234SmallOrderRevenue,
     q235IdleCustomers, q243TopSupplier, q244MinCostSupplier,
-    q245DominantSuppliers, q249LargeOrders, q250SupplierVariety)
+    q245DominantSuppliers, q249LargeOrders, q250SupplierVariety,
+    q251PromoShare, q252PrioritySplit)
 }

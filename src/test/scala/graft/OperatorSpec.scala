@@ -2067,6 +2067,17 @@ class OperatorSpec extends AnyFunSuite {
       assert(!p.contains("collect_list"), s"Lloyd fold in ingest plan:\n$p")
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("members"), p)
+      // replay safety: re-running a micro-batch id neither duplicates
+      // members nor changes the verdicts (the torn-batch recompute is
+      // deterministic against the stored members)
+      val nMembers = spark.table(s"${px}_members").count()
+      val r1 = EmbeddingOps.ingestSemanticIndex(spark, rest.limit(50),
+        px, base2, batchId = Some(9L)).collect().toSet
+      val r2 = EmbeddingOps.ingestSemanticIndex(spark, rest.limit(50),
+        px, base2, batchId = Some(9L)).collect().toSet
+      assert(spark.table(s"${px}_members").count() == nMembers + 50,
+        "replayed semantic ingest duplicated members")
+      assert(r1 == r2, "replayed semantic ingest changed verdicts")
     } finally {
       spark.sessionState.catalog.listTables("default").map(_.table)
         .filter(_.startsWith(px))
