@@ -1738,7 +1738,12 @@ object EmbeddingOps {
     * tables — files retire separately; a crash here leaks catalog
     * names that the next retrain/reset clears). Cost: two training
     * passes + one corpus re-code — a scheduled maintenance job priced
-    * by q231's dashboard, never an ingest-path cost. */
+    * by q231's dashboard, never an ingest-path cost. Like vacuum and
+    * compaction, retrain runs with INGEST QUIESCED: a batch appended
+    * to the old generation between staging and the flip would vanish
+    * from the new one (the staged re-code snapshots `corpus`), so the
+    * maintenance window must drain appends first — the
+    * appendBucketedTableIdempotent contract extended to generations. */
   def retrainVectorIndex(s: SparkSession, corpus: DataFrame,
       prefix: String, newPath: String, buckets: Int = 8): Unit = {
     val gen = stageRetrainVectorIndex(s, corpus, prefix, newPath,

@@ -1905,6 +1905,18 @@ class OperatorSpec extends AnyFunSuite {
       .count() > 0)
     assert(SparkEntry.queries("q245_dominant_suppliers")(
       spark, "/root/testdata/sf0.01").count() > 0)
+    // the round-9 additions to the set: Q18/Q16/Q14/Q12 shapes
+    val p250 = plan("q250_supplier_variety")
+    assert(p250.contains("In(p_size, [1,3,5,7])"), p250)
+    val p251 = plan("q251_promo_share")
+    assert(p251.contains("GreaterThanOrEqual(l_shipdate") &&
+      p251.contains("BroadcastHashJoin"), p251)
+    val p252 = plan("q252_priority_split")
+    assert(p252.contains("GreaterThanOrEqual(l_shipdate"), p252)
+    Seq(plan("q249_large_orders"), p250, p251, p252).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
   }
 
   test("retrain lifecycle: crash before the pointer flip leaves gen 0 " +
