@@ -595,9 +595,100 @@ object CurationOps {
       FROM events
       GROUP BY event_type"""))
 
+  /** q253: curation pipeline v5 — the CROSS-MODAL selection join a
+    * multimodal training-data run needs and rounds 1-8 gated only per
+    * modality: the TEXT signals (q200's canonical-form dedup +
+    * exact-rational quality gate) and the SEMANTIC signal (q212's
+    * SemDeDup verdict over the paired embeddings, doc_id == vec_id in
+    * this corpus) decide jointly, and the survivors pack into
+    * per-source token budgets (q79's exact integer window). One query,
+    * four stages, both modalities:
+    *
+    *   canonical dedup (keep min-id per normalized text) → quality ≥
+    *   0.5 → SemDeDup 'keep' (frozen q212 trajectory, k = KmK) →
+    *   per-source budget fill (cum tokens ≤ 600, n_chars-desc order).
+    *
+    * Plan: the text stages are one hash group-by + row-local scoring;
+    * the semantic verdicts come from [[EmbeddingOps.semDedupVerdicts]]
+    * (materialized — its training never enters this plan) and join as
+    * a semi join on doc_id; the pack is one partitioned window. The
+    * oracle composes q200's CTEs with q212's full training arm. */
+  val q253PipelineV5 = OpSpec(
+    "q253_pipeline_v5",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")).cast("binary")).as("nk"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("""CASE WHEN aggregate(embedding, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+            ELSE sqrt(aggregate(embedding, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+      val semKeep = EmbeddingOps.semDedupVerdicts(e, EmbeddingOps.KmK)
+        .filter(col("verdict") === "keep")
+        .select(col("vec_id").as("doc_id"))
+      val wc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("words", expr(TextOps.wordsSpark))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+        .withColumn("n_punct", expr(
+          "CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          s"""CAST(size(filter(words, w -> w IN
+              (${TextOps.stopwordsSql}))) AS BIGINT)"""))
+        .withColumn("quality",
+          expr(TextOps.qualityFormula("length(text)")))
+        .filter(col("quality") >= 0.5)
+        .join(semKeep, Seq("doc_id"), "left_semi")
+        .withColumn("cum_tokens", sum(col("n_words")).over(wc))
+        .filter(col("cum_tokens") <= 600L)
+        .select(col("source"), col("doc_id"), col("n_words"),
+          col("quality"), col("cum_tokens"))
+    },
+    Some(s"""
+      WITH e AS (${EmbeddingOps.normedDuck}),
+      ${EmbeddingOps.semDedupArmSql(EmbeddingOps.KmK)},
+      semkeep AS (
+        SELECT vec_id FROM verd_${EmbeddingOps.KmK}
+        WHERE verdict = 'keep'),
+      keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                         'g')))),
+      kept AS (
+        SELECT d.* FROM documents d SEMI JOIN keepers USING (doc_id)),
+      scored AS (
+        SELECT doc_id, source, n_chars,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(len(list_filter(words, w -> w IN
+               (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
+          length(text) AS len_text
+        FROM (SELECT *, ${TextOps.wordsDuck} AS words FROM kept)),
+      gated AS (
+        SELECT s.doc_id, s.source, s.n_chars, s.n_words,
+          ${TextOps.qualityFormula("len_text")} AS quality
+        FROM scored s
+        SEMI JOIN semkeep sk ON sk.vec_id = s.doc_id
+        WHERE ${TextOps.qualityFormula("len_text")} >= 5e-1)
+      SELECT source, doc_id, n_words, quality,
+        CAST(SUM(n_words) OVER (PARTITION BY source
+          ORDER BY n_chars DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+      FROM gated
+      QUALIFY cum_tokens <= 600"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
     q190DatasetCard, q200PipelineV3, q203SourceLeague,
-    q227IncrementalRollup, q229RollupCompaction)
+    q227IncrementalRollup, q229RollupCompaction, q253PipelineV5)
 }

@@ -50,7 +50,7 @@ object EmbeddingOps {
       .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
       .drop("ss")
 
-  private val normedDuck =
+  private[graft] val normedDuck =
     s"""SELECT vec_id, label, embedding,
           CASE WHEN ss = 0 THEN 1e0 ELSE sqrt(ss) END AS nrm
         FROM (SELECT vec_id, label, embedding,
@@ -956,7 +956,7 @@ object EmbeddingOps {
       QUALIFY rrf_rank <= 5"""))
 
   /** Seeds / unrolled iterations of the gated k-means (q98). */
-  private val KmK = 8
+  private[graft] val KmK = 8
   /** Shared zero-guarded L2 norm over a DOUBLE array column. */
   private def dnrm(v: String): String =
     s"""CASE WHEN aggregate($v, 0e0, (a, x) -> a + x * x) = 0e0 THEN 1e0
@@ -3436,7 +3436,7 @@ object EmbeddingOps {
   /** DuckDB CTE chain for one SemDeDup arm at cluster count k: q212's
     * full train→assign→prune trajectory with `_k`-suffixed names,
     * ending in verd_k (vec_id, cid, verdict). */
-  private def semDedupArmSql(k: Int): String = s"""
+  private[graft] def semDedupArmSql(k: Int): String = s"""
       seeds_$k AS (
         SELECT vec_id, embedding,
           CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
