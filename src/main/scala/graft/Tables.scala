@@ -55,8 +55,33 @@ object Tables {
     * each other's live index files mid-query (catalog table names are
     * already per-JVM — the in-memory catalog dies with the session —
     * so the filesystem was the only shared surface). */
-  lazy val scratchDir: String =
+  lazy val scratchDir: String = {
+    reapDeadScratch()
     s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}"
+  }
+
+  /** Delete scratch roots left by DEAD drivers (graft_<pid> dirs whose
+    * pid no longer runs): each Verify/Bench/test JVM gets its own
+    * scratch dir, so without reaping, repeated driver invocations
+    * accrete one index-sized directory per JVM in /tmp forever. A
+    * LIVE pid's dir is never touched (that is the whole point of the
+    * per-JVM scoping); pid reuse at worst leaves one dir to the next
+    * reap. Runs once per JVM, at first scratchDir use. */
+  private[graft] def reapDeadScratch(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+      .foreach { f =>
+        f.getName.stripPrefix("graft_").toLongOption.foreach { pid =>
+          val h = ProcessHandle.of(pid)
+          if (!(h.isPresent && h.get().isAlive)) rm(f)
+        }
+      }
+  }
 
   /** Cheap order-free fingerprint of a table's physical file listing
     * (relative name, size, mtime per file): build-once guards fold it

@@ -2010,6 +2010,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("scratch reaper deletes dead drivers' dirs and spares live ones") {
+    val tmp = sys.props("java.io.tmpdir")
+    // a pid that cannot be running (beyond any realistic pid_max)
+    val dead = new java.io.File(s"$tmp/graft_99999999")
+    val deadSub = new java.io.File(dead, "idx")
+    deadSub.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(deadSub, "x").toPath, "stale")
+    val live = new java.io.File(
+      s"$tmp/graft_${ProcessHandle.current().pid()}")
+    live.mkdirs()
+    val marker = new java.io.File(live, "keepme")
+    java.nio.file.Files.writeString(marker.toPath, "live")
+    try {
+      Tables.reapDeadScratch()
+      assert(!dead.exists(), "dead driver's scratch survived the reap")
+      assert(marker.exists(), "the reaper touched a LIVE pid's scratch")
+    } finally { marker.delete(); () }
+  }
+
   test("build-once guard self-validates: regenerating the corpus under " +
     "the same dir forces a rebuild instead of serving the stale index") {
     import spark.implicits._
