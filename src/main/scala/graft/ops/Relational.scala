@@ -2037,6 +2037,50 @@ object Relational {
         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY 1"""))
 
+  /** Forecast revenue change (the TPC-H Q6 shape): the pure pushed-
+    * range-filter aggregate — one ship-year, a discount band, a
+    * quantity ceiling, SUM(extendedprice · discount), no join at all.
+    * Trivial relationally, load-bearing physically: EVERY predicate
+    * must reach the parquet scan (row-group pruning is the entire
+    * cost model at 100 TB), and the revenue accumulates as the exact
+    * integer product price_c · disc_c (1e-4 units) so the single
+    * output double is engine-identical. The discount band compares the
+    * derived integer cents (disc_c IN 5..7) — equivalent to the
+    * classic BETWEEN 0.05 AND 0.07 on 2-dp data without a raw-double
+    * range compare. */
+  val q254ForecastRevenue = OpSpec(
+    "q254_forecast_revenue",
+    (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+            lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") <
+            lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_quantity") < 24.0)
+        .select(
+          expr("CAST(round(l_extendedprice * 1e2) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 1e2) AS BIGINT)").as("disc_c"))
+        .filter(col("disc_c") >= 5L && col("disc_c") <= 7L)
+        .agg(count(lit(1)).as("n_items"),
+          expr("""CAST(SUM(CAST(price_c * disc_c AS DECIMAL(38,0)))
+              AS BIGINT)""").as("rev_4dp"))
+        .select(col("n_items"),
+          (col("rev_4dp").cast("double") / 1e4).as("revenue"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(CAST(SUM(CAST(price_c * disc_c AS DECIMAL(38,0)))
+          AS BIGINT) AS DOUBLE) / 1e4 AS revenue
+      FROM (SELECT CAST(round(l_extendedprice * 1e2) AS BIGINT)
+                AS price_c,
+              CAST(round(l_discount * 1e2) AS BIGINT) AS disc_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_quantity < 24e0)
+      WHERE disc_c BETWEEN 5 AND 7"""))
+
   val all: Seq[OpSpec] = Seq(
     q01AggPushdown, q02FilterProject, q03StarJoin, q04ResumeAntiJoin,
     q05SemiJoin, q06CompletionRollup, q07TopkPerGroup, q08Histogram,
@@ -2050,5 +2094,5 @@ object Relational {
     q226MarketShare, q233DisjunctiveRevenue, q234SmallOrderRevenue,
     q235IdleCustomers, q243TopSupplier, q244MinCostSupplier,
     q245DominantSuppliers, q249LargeOrders, q250SupplierVariety,
-    q251PromoShare, q252PrioritySplit)
+    q251PromoShare, q252PrioritySplit, q254ForecastRevenue)
 }
