@@ -57,8 +57,21 @@ object Tables {
     * so the filesystem was the only shared surface). */
   lazy val scratchDir: String = {
     reapDeadScratch()
-    s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}"
+    // sentinel marks the dir as OURS — the reaper deletes only marked
+    // dirs, so an unrelated process that happens to name a tmpdir
+    // graft_<digits> is never touched (the tmpdir/graft_<pid> namespace
+    // is otherwise reserved by this engine by convention only)
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val s = p.resolve(ScratchSentinel)
+    if (!java.nio.file.Files.exists(s)) java.nio.file.Files.createFile(s)
+    dir
   }
+
+  /** Marker file every engine scratch dir carries (see [[scratchDir]]/
+    * [[reapDeadScratch]]). */
+  private val ScratchSentinel = ".graft_scratch"
 
   /** Delete scratch roots left by DEAD drivers (graft_<pid> dirs whose
     * pid no longer runs): each Verify/Bench/test JVM gets its own
@@ -66,7 +79,11 @@ object Tables {
     * accrete one index-sized directory per JVM in /tmp forever. A
     * LIVE pid's dir is never touched (that is the whole point of the
     * per-JVM scoping); pid reuse at worst leaves one dir to the next
-    * reap. Runs once per JVM, at first scratchDir use. */
+    * reap. Only dirs carrying the [[ScratchSentinel]] marker are
+    * deleted — `tmpdir/graft_<digits>` is reserved by this engine by
+    * convention, and the sentinel turns that convention into a check
+    * so a foreign process's same-named dir survives. Runs once per
+    * JVM, at first scratchDir use. */
   private[graft] def reapDeadScratch(): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -74,7 +91,8 @@ object Tables {
     }
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+        new java.io.File(f, ScratchSentinel).isFile)
       .foreach { f =>
         f.getName.stripPrefix("graft_").toLongOption.foreach { pid =>
           val h = ProcessHandle.of(pid)

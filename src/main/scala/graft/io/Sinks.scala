@@ -116,6 +116,16 @@ object Sinks {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Registered filesystem location of a catalog table. Appends must
+    * target THIS, not a caller-remembered path: after a compaction /
+    * vacuum / retrain re-pointed the table elsewhere, Spark rejects an
+    * append whose `path` option disagrees with the catalog
+    * (mismatched-table-location AnalysisException). */
+  private[graft] def tableLocation(
+      spark: org.apache.spark.sql.SparkSession, name: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.getPath
+
   /** Append a batch to an existing [[bucketedTable]]: each append
     * writes its own bucketed+sorted file set (Spark requires the spec
     * to match the table's and rejects a drifted one), so buckets
@@ -125,32 +135,51 @@ object Sinks {
     * batch into a 100 TB corpus index costs the BATCH's shuffle, never
     * a corpus rewrite. Compaction (a periodic [[bucketedTable]]
     * rewrite) is an optional throughput optimization, not a
-    * correctness requirement. */
+    * correctness requirement.
+    *
+    * The write targets the table's REGISTERED location when it exists
+    * ([[tableLocation]]) — so a stream resumed after a compaction /
+    * vacuum moved the table keeps appending without the caller
+    * tracking the move; `path` only seeds a first append against a
+    * not-yet-existing table. */
   def appendBucketedTable(df: DataFrame, tableName: String, key: String,
-      buckets: Int, path: String): Unit =
+      buckets: Int, path: String): Unit = {
+    val s = df.sparkSession
+    val loc = if (s.catalog.tableExists(tableName))
+      tableLocation(s, tableName) else path
     df.write.mode(SaveMode.Append)
-      .option("path", path)
+      .option("path", loc)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Idempotent per-batch append for streaming ingest: every appended
     * row is tagged with `ingest_batch = batchId`, and the append is
-    * SKIPPED when the table already holds rows with that tag. Because
-    * the tag commits atomically WITH the data (one Spark write job —
-    * files become visible only at job commit), an at-least-once replay
-    * of a micro-batch converges to exactly-once table contents no
-    * matter where the previous attempt died: crash before the job
-    * commit leaves no rows (replay appends), crash after it leaves the
-    * tag (replay skips). A side ledger table could not give this —
-    * data-then-marker always leaves a torn window between the two
-    * commits, which is precisely the double-append hole this closes.
+    * SKIPPED when the table already holds the COMPLETE batch under
+    * that tag. The skip is gated on a row-count compare, not tag
+    * presence: Spark's file commit protocol is not atomic
+    * (FileOutputCommitter v1 renames task outputs one-by-one during
+    * job commit; v2 publishes at task commit), so a crash mid-commit
+    * can leave a PARTIAL file set already carrying the tag — a
+    * presence-only probe would see it and silently drop the rest of
+    * the batch. Here the replay counts the stored tag rows against the
+    * batch; on a mismatch it HEALS: every table file holding the tag
+    * is deleted (a file written by the batch's job contains ONLY that
+    * batch's rows — appends tag every row, and maintenance rewrites
+    * re-tag -1 wholesale, so tag values never mix within a file) and
+    * the full batch is re-appended. Every crash point therefore
+    * converges to exactly-once contents: before any rename → replay
+    * appends; mid job commit → replay heals; after → replay skips.
     *
-    * The presence probe is a pushed `ingest_batch = id` equality under
-    * LIMIT 1: parquet row-group min/max stats skip the (old, -1 or
-    * lower-id) bulk of a 100 TB table, so the probe costs file footers
-    * plus at most one row-group read of the recent file sets.
+    * Cost: one extra batch-plan evaluation for the count (∝ batch) and
+    * a per-file tag count whose scan is pruned to the tag's row groups
+    * by parquet min/max stats (old -1/lower-id files are skipped on
+    * their footers); the collected per-file histogram is bounded by
+    * the batch's file count (≤ buckets). The heal's file surgery runs
+    * only in the torn-replay path, which — like the probe — assumes
+    * ingest is quiesced to one writer per table.
     *
     * Contract: batchIds must be unique over the TABLE's lifetime — one
     * streaming checkpoint per table (resetting the checkpoint restarts
@@ -161,19 +190,38 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       batchId: Long, tableName: String, key: String, buckets: Int,
       path: String): Boolean = {
-    val applied = spark.catalog.tableExists(tableName) && {
+    val exists = spark.catalog.tableExists(tableName)
+    val expected = df.count()
+    val perFile: Array[(String, Long)] = if (!exists) Array.empty
+    else {
       // re-list before probing: the crashed attempt's append may have
       // committed through a DIFFERENT session clone, whose write only
       // invalidated its own relation cache — a stale file listing here
       // would miss the committed tag and double-append
       spark.catalog.refreshTable(tableName)
-      !spark.table(tableName)
-        .filter(col("ingest_batch") === batchId).isEmpty
+      spark.table(tableName)
+        .filter(col("ingest_batch") === batchId)
+        .select(input_file_name().as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     }
-    if (!applied)
+    val stored = perFile.map(_._2).sum
+    if (exists && stored == expected) false
+    else {
+      if (stored > 0) {
+        // torn mid-job commit: retract the partial file set, then
+        // re-append the whole batch
+        val conf = spark.sessionState.newHadoopConf()
+        perFile.foreach { case (uri, _) =>
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(conf).delete(p, false); ()
+        }
+        spark.catalog.refreshTable(tableName)
+      }
       appendBucketedTable(df.withColumn("ingest_batch", lit(batchId)),
         tableName, key, buckets, path)
-    !applied
+      true
+    }
   }
 
   /** Compact an append-accumulated [[bucketedTable]] back to one file

@@ -3060,27 +3060,12 @@ object EmbeddingOps {
       val asg = onlyFor.fold(asg0)(ids => asg0.join(
         broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
         "left_semi"))
-      val a = asg0.select(col("cid"), col("vec_id").as("vec_a"),
-        col("embedding").as("va"), col("nrm").as("na"))
-      val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
-        col("embedding").as("vb"), col("nrm").as("nb"))
-      val pruned = a.join(b, Seq("cid"))
-        .filter(col("vec_a") < col("vec_b"))
-        .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
-          / (col("na") * col("nb")) > expr(SemDedupTau))
-        .select(col("cid"), col("vec_b").as("vec_id")).distinct()
-      val out = asg.select(col("cid"), col("vec_id"))
-        .join(pruned.withColumn("hit", lit(1)), Seq("cid", "vec_id"),
-          "left")
-        .select(col("cid"), col("vec_id"),
-          when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
-            .as("verdict"))
-        // eager: the verdict frame is one bounded row per (requested)
-        // vector, so materializing it here lets asg0's cached
-        // assignment blocks be released BEFORE returning — a library
-        // caller (q220 sweeps three k's per invocation) must not
-        // accrete one persisted frame per call
-        .localCheckpoint()
+      // eager localCheckpoint: the verdict frame is one bounded row per
+      // (requested) vector, so materializing it here lets asg0's cached
+      // assignment blocks be released BEFORE returning — a library
+      // caller (q220 sweeps three k's per invocation) must not
+      // accrete one persisted frame per call
+      val out = semPruneVerdicts(asg0, asg).localCheckpoint()
       asg0.unpersist()
       out
   }
@@ -3150,18 +3135,122 @@ object EmbeddingOps {
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
   }
 
+  /** Per-cell scan bound for the SemDeDup pair scan: a cell whose
+    * member count exceeds this is first recursively SPLIT
+    * ([[splitOversizedCells]]) and, if still oversized, its SCAN side
+    * truncated to the cap smallest vec_ids — so the pair count is
+    * ≤ |probe|·cap per cell no matter how badly embedding drift
+    * inflates one cell (the Σ|cluster|² quadratic cliff the k knob
+    * alone can't prevent once centroids are frozen). Never reached by
+    * the gated flows at test scale (cells there are thousands of rows,
+    * so q212/q242/q247/q253 stay bit-exact vs the uncapped oracle);
+    * at 100 TB it is the backstop that keeps one drifted mega-cell
+    * from going quadratic between retrains. */
+  private[graft] val SemCellCap = 65536
+
+  /** Split bound: each round 2-way splits every oversized cell, so
+    * maxRounds = r handles cells up to cap·2^r (≈ 16M at the default)
+    * before the truncation backstop takes over. */
+  private[graft] val SemSplitRounds = 8
+
+  /** Recursively split cells larger than `cap` into sub-cells keyed by
+    * a refined `ckey` string (original `cid` column preserved): per
+    * oversized cell, the 2 smallest-md5-rank members become frozen
+    * sub-centroids and every row (member AND probe side, same seeds)
+    * re-assigns by cosine argmax (ties to the lower sub — fully
+    * deterministic, so identical vectors always co-locate and a retry
+    * re-derives the same refinement). Near-twins sit on the same side
+    * of any bisector almost surely, which is SemDeDup's own
+    * cluster-then-prune argument applied one level down — the q81
+    * best-first discipline for the semantic tier. A cell of mostly
+    * IDENTICAL vectors may refuse to split (both seeds equal → all
+    * rows tie to sub 0); rounds are bounded and the caller's
+    * truncation backstop is EXACT for that shape (every row matches
+    * the cell's min id, which truncation always keeps). Each round is
+    * localCheckpoint-ed (lineage per round, the q51 discipline); the
+    * common no-oversized-cell case returns after ONE bounded
+    * count-by-cell probe and never checkpoints. The broadcast sides
+    * are bounded by the oversized-cell count ≤ n/cap. */
+  private[graft] def splitOversizedCells(members: DataFrame,
+      probe: DataFrame, cap: Int, maxRounds: Int = SemSplitRounds)
+      : (DataFrame, DataFrame) = {
+    // normalize to the pair-scan row shape (callers may carry extra
+    // physical columns, e.g. the members table's ingest_batch tag)
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+        .withColumn("ckey", col("cid").cast("string"))
+    var m = shape(members)
+    var p = shape(probe)
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val over = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > cap).select(col("ckey"))
+      if (over.isEmpty) done = true
+      else {
+        val ws = Window.partitionBy(col("ckey"))
+          .orderBy(col("rk").asc, col("vec_id").asc)
+        val seeds = m.join(broadcast(over), Seq("ckey"), "left_semi")
+          .withColumn("rk",
+            md5(concat(lit("split:"), col("vec_id").cast("string"))))
+          .withColumn("srn", row_number().over(ws))
+          .filter(col("srn") <= 2)
+          .select(col("ckey"), (col("srn") - 1).cast("long").as("sub"),
+            col("embedding").as("sv"), col("nrm").as("snrm"))
+        def reassign(df: DataFrame): DataFrame = {
+          val keep = df.join(broadcast(over), Seq("ckey"), "left_anti")
+          val wr = Window.partitionBy(col("ckey"), col("vec_id"))
+            .orderBy(col("cossub").desc, col("sub").asc)
+          val moved = df.join(broadcast(over), Seq("ckey"), "left_semi")
+            .join(broadcast(seeds), Seq("ckey"))
+            .withColumn("cossub",
+              graft.functions.VectorFunctions.dot(col("embedding"),
+                col("sv")) / (col("nrm") * col("snrm")))
+            .withColumn("rn", row_number().over(wr))
+            .filter(col("rn") === 1)
+            .withColumn("ckey",
+              concat(col("ckey"), lit(":"), col("sub")))
+            .select(col("cid"), col("vec_id"), col("embedding"),
+              col("nrm"), col("ckey"))
+          keep.unionByName(moved).localCheckpoint()
+        }
+        m = reassign(m)
+        p = reassign(p)
+        round += 1
+      }
+    }
+    (m, p)
+  }
+
   /** Within-cluster smaller-id-wins prune of `probe` against `members`
     * (both (cid, vec_id, embedding, nrm)): a probe row is `prune` iff
     * some member in ITS cell has a smaller vec_id and cosine >
-    * [[SemDedupTau]]. Equi-join on cid — never an all-pairs product;
-    * cost ∝ Σ_touched-cells |cell| · |probe ∩ cell|. */
+    * [[SemDedupTau]]. Equi-join on the (cap-refined) cell key — never
+    * an all-pairs product; cost ∝ Σ_touched-cells |cell|·|probe ∩
+    * cell|, and `cellCap` bounds the member factor: oversized cells
+    * are recursively split ([[splitOversizedCells]]) and any residue
+    * has its SCAN side truncated to the cap smallest vec_ids (sound
+    * to truncate high ids only — a verdict can only come from a
+    * SMALLER-id partner, and smaller ids prune the most; exact for an
+    * all-identical cell, whose min id survives truncation by
+    * construction). Verdicts reference the ORIGINAL cid. */
   private[graft] def semPruneVerdicts(members: DataFrame,
-      probe: DataFrame): DataFrame = {
-    val a = members.select(col("cid"), col("vec_id").as("vec_a"),
+      probe: DataFrame, cellCap: Int = SemCellCap): DataFrame = {
+    val (m, p) = splitOversizedCells(members, probe, cellCap)
+    val residue = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > cellCap).select(col("ckey"))
+    val scan = if (residue.isEmpty) m else {
+      val wt = Window.partitionBy(col("ckey")).orderBy(col("vec_id").asc)
+      m.join(broadcast(residue), Seq("ckey"), "left_anti").unionByName(
+        m.join(broadcast(residue), Seq("ckey"), "left_semi")
+          .withColumn("trn", row_number().over(wt))
+          .filter(col("trn") <= cellCap).drop("trn"))
+    }
+    val a = scan.select(col("ckey"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
-    val b = probe.select(col("cid"), col("vec_id").as("vec_b"),
+    val b = p.select(col("ckey"), col("cid"), col("vec_id").as("vec_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    val pruned = a.join(b, Seq("cid"))
+    val pruned = a.join(b, Seq("ckey"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
         / (col("na") * col("nb")) > expr(SemDedupTau))

@@ -1194,8 +1194,9 @@ object StreamingStages {
           mtime: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("semstage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
+        val ls = java.nio.file.Files.list(tmp)
+        val part = try ls.toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head finally ls.close()
         val dst = streamDir.resolve(name)
         java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
         dst.toFile.setLastModified(mtime); ()

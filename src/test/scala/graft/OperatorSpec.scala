@@ -2118,6 +2118,77 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup cell cap: a planted mega-cluster's pair scan is bounded " +
+    "(split + truncation) while planted near-twins are still pruned") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val cap = 64
+    // one mega-cell (cid 0) of 512 vectors on a 2-d arc: pair j gets
+    // angle j·π/256, and its twin (odd id) the SAME direction scaled —
+    // identical cosine to everything, so any deterministic refinement
+    // must co-locate the pair
+    def vec(pair: Int, twin: Boolean): Seq[Float] = {
+      val a = pair * math.Pi / 256.0
+      val s = if (twin) 2.0 else 1.0
+      Seq((s * math.cos(a)).toFloat, (s * math.sin(a)).toFloat, 0f, 0f)
+    }
+    val rows = (0 until 512).map { i =>
+      val v = vec(i / 2, i % 2 == 1)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (0L, i.toLong, v, nrm)
+    }.toDF("cid", "vec_id", "embedding", "nrm")
+    // bound: after split + scan-side truncation no scan cell exceeds
+    // the cap, so the pair count is <= |probe| * cap
+    val (m, _) = EmbeddingOps.splitOversizedCells(rows, rows, cap)
+    val residue = m.groupBy(col("ckey")).count()
+      .filter(col("count") > cap).count()
+    assert(residue == 0,
+      "arc mega-cell did not split below the cap within bounded rounds")
+    // quality: every odd id has an IDENTICAL-direction smaller twin in
+    // its (refined) cell, so all 256 must come back pruned
+    val verdicts = EmbeddingOps.semPruneVerdicts(rows, rows, cap)
+      .as[(Long, Long, String)].collect()
+    val odd = verdicts.filter(_._2 % 2 == 1)
+    assert(odd.length == 256 && odd.forall(_._3 == "prune"),
+      s"capped scan lost planted twins: " +
+        s"${odd.filter(_._3 != "prune").take(5).mkString(",")}")
+    assert(verdicts.map(v => (v._1, v._2)).toSet ==
+      rows.select(col("cid"), col("vec_id")).as[(Long, Long)]
+        .collect().toSet, "capped verdicts lost or invented rows")
+    // determinism: a retry re-derives the same refinement + verdicts
+    val again = EmbeddingOps.semPruneVerdicts(rows, rows, cap)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == verdicts.toSet, "capped verdicts nondeterministic")
+    // degenerate all-identical mega-cell: unsplittable by construction,
+    // but truncation is EXACT there — every row matches the min id,
+    // which truncation always keeps: min id keep, all others prune
+    val same = (0 until 200).map(i =>
+        (0L, i.toLong, Seq(1f, 0f, 0f, 0f), 1.0))
+      .toDF("cid", "vec_id", "embedding", "nrm")
+    val sv = EmbeddingOps.semPruneVerdicts(same, same, 16)
+      .as[(Long, Long, String)].collect()
+    assert(sv.count(_._3 == "keep") == 1 &&
+      sv.find(_._3 == "keep").get._2 == 0L &&
+      sv.length == 200,
+      "all-identical cell under truncation must keep exactly the min id")
+    // uncapped equivalence: with the cap above the cell size the
+    // verdicts equal the brute-force smaller-id rule
+    val brute = {
+      val r = rows.as[(Long, Long, Seq[Float], Double)].collect()
+      r.map { case (_, id, v, n) =>
+        val pruned = r.exists { case (_, id2, v2, n2) =>
+          id2 < id && v.zip(v2).map { case (x, y) =>
+            x.toDouble * y.toDouble }.sum / (n * n2) > 0.4
+        }
+        (0L, id, if (pruned) "prune" else "keep")
+      }.toSet
+    }
+    val uncapped = EmbeddingOps.semPruneVerdicts(rows, rows, 1024)
+      .as[(Long, Long, String)].collect().toSet
+    assert(uncapped == brute, "uncapped verdicts diverge from brute force")
+    spark.catalog.clearCache()
+  }
+
   test("q220 semdedup miss audit: counts consistent, kept pairs split " +
     "exactly into cross-cluster and same-cluster misses") {
     import spark.implicits._
@@ -2267,9 +2338,17 @@ class OperatorSpec extends AnyFunSuite {
       assert(spark.table(tA).count() == keyDomain.toLong,
         "compaction did not collapse to one partial per key")
       assert(fold(tA) == scratch, "compaction changed the fold")
-      graft.io.Sinks.appendRollup(ev.limit(0), Seq("event_type"),
-        Seq("value"), tA, 2, pC) // schema-compat append (0 rows)
-      assert(fold(tA) == scratch)
+      // a caller resuming with the ORIGINAL (pre-compaction) path must
+      // keep appending: the append resolves the table's registered
+      // location from the catalog, so the move is invisible to it
+      // (previously this threw mismatched-table-location)
+      graft.io.Sinks.appendRollup(ev, Seq("event_type"),
+        Seq("value"), tA, 2, pA)
+      val doubled = ev.unionByName(ev).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(fold(tA) == doubled,
+        "post-compaction append with the stale path did not fold in")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tA")
       spark.sql(s"DROP TABLE IF EXISTS $tB")

@@ -688,6 +688,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("torn mid-job commit: a replay heals a PARTIAL tagged file set " +
+    "instead of skipping on tag presence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("heal").toString
+    val tbl = "ut_heal" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    try {
+      // batch -1 seeds the table (the batch-API tag)
+      graft.io.Sinks.appendBucketedTable(
+        (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+          .withColumn("ingest_batch", lit(-1L)),
+        tbl, "k", 4, s"$base/t")
+      // simulate the torn window: batch 0's job commit died after
+      // renaming only SOME task outputs — physically, a committed
+      // write that carries the tag but only half the batch's rows
+      val batch = (21 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      graft.io.Sinks.appendBucketedTable(
+        batch.filter(col("k") <= 30L).withColumn("ingest_batch", lit(0L)),
+        tbl, "k", 4, s"$base/t")
+      // the foreachBatch replay re-runs the whole batch: a presence-
+      // only probe would see tag 0 and skip, silently losing k=31..40;
+      // the count-compare detects the tear, retracts the partial file
+      // set, and re-appends the full batch
+      val applied = graft.io.Sinks.appendBucketedTableIdempotent(spark,
+        batch, 0L, tbl, "k", 4, s"$base/t")
+      assert(applied, "torn replay was skipped on tag presence")
+      val got = spark.table(tbl).select(col("k"), col("v"))
+        .as[(Long, String)].collect().toSet
+      val want = (1 to 40).map(i => (i.toLong, s"v$i")).toSet
+      assert(got == want, s"healed contents wrong: " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      // and a SECOND replay of the now-complete batch skips
+      assert(!graft.io.Sinks.appendBucketedTableIdempotent(spark,
+        batch, 0L, tbl, "k", 4, s"$base/t"),
+        "complete batch was re-appended")
+      assert(spark.table(tbl).count() == 40L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stream-ingested corpus index equals a batch build " +
     "table-for-table across micro-batches") {
     import org.apache.spark.sql.functions._

@@ -59,21 +59,21 @@ run_one() { # $1 = tree root; prints the bench total (sec)
 
 cur=() anc=()
 for i in $(seq "$RUNS"); do
-  echo "run $i/{$RUNS}: current..." >&2
+  echo "run $i/$RUNS: current..." >&2
   cur+=("$(run_one "$ROOT")")
-  echo "run $i/{$RUNS}: anchor..." >&2
+  echo "run $i/$RUNS: anchor..." >&2
   anc+=("$(run_one "$WT")")
 done
 
-python3 - "$ANCHOR" "$RUNS" "${cur[@]}" "${anc[@]}" <<'EOF'
+python3 - "$ANCHOR" "$RUNS" "$ONLY" "${cur[@]}" "${anc[@]}" <<'EOF'
 import json, sys
-anchor, runs = sys.argv[1], int(sys.argv[2])
-vals = [float(x) for x in sys.argv[3:]]
+anchor, runs, only = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+vals = [float(x) for x in sys.argv[4:]]
 cur, anc = vals[:runs], vals[runs:]
 rec = {
     "anchor_commit": anchor,
     "runs_per_side": runs,
-    "common_query_count": 41,
+    "common_query_count": len([q for q in only.split(",") if q]),
     "current_runs_sec": cur,
     "anchor_runs_sec": anc,
     "current_min_sec": min(cur),
