@@ -1862,6 +1862,41 @@ object DedupOps {
     GramIndex(s.table(s"${prefix}_ranked"), s.table(s"${prefix}_prefixes"),
       s.table(s"${prefix}_docgrams"), s.table(s"${prefix}_gramdf"))
 
+  /** Tombstone a takedown batch of doc_ids out of a persisted
+    * [[GramIndex]] — the right-to-be-forgotten path the containment
+    * index owes any user running it long-lived ([[purgeFromCorpusIndex]]
+    * gave the n-gram index its version; this is the same discipline
+    * with a SIMPLER obligation: the gram index has no aggregate table
+    * to correct — `gramDf` is the FROZEN efficiency order
+    * ([[appendToGramIndex]]'s argument: the positional bound needs one
+    * consistent total order, not true document frequency), so a purged
+    * doc's df contribution staying in the frozen order affects only
+    * candidate volume, never results). Insert-only, cost ∝ takedown
+    * batch; per-doc rows stay on disk until a periodic rebuild and
+    * [[readGramIndexLive]] masks them meanwhile. Idempotent: re-purging
+    * an id appends a duplicate tombstone row, and the mask is a
+    * semi-membership test, so retries are harmless. */
+  def purgeGramIndex(s: SparkSession, dead: DataFrame, prefix: String,
+      path: String): Unit =
+    graft.io.Sinks.appendBucketedTable(
+      dead.select(col("doc_id")).distinct(), s"${prefix}_tombstones",
+      "doc_id", 1, s"$path/tombstones")
+
+  /** Open a persisted [[GramIndex]] with tombstones applied: every
+    * per-doc table anti-joined against the (small, broadcast) takedown
+    * set — a purged doc stops matching IMMEDIATELY, as a candidate, a
+    * prefix probe, or a verify array. */
+  def readGramIndexLive(s: SparkSession, prefix: String): GramIndex = {
+    val idx = readGramIndex(s, prefix)
+    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
+    else {
+      val d = broadcast(s.table(s"${prefix}_tombstones"))
+      def mask(df: DataFrame) = df.join(d, Seq("doc_id"), "left_anti")
+      GramIndex(mask(idx.ranked), mask(idx.prefixes), mask(idx.docGrams),
+        idx.gramDf)
+    }
+  }
+
   /** Fold an accepted batch into a persisted [[GramIndex]] without
     * rebuilding. The batch's grams are ranked by the index's FROZEN
     * `gramDf` rarity order and appended (ranked / prefixes /
@@ -2017,6 +2052,31 @@ object DedupOps {
       s.table(s"${prefix}_chars"), s.table(s"${prefix}_tiny"),
       s.table(s"${prefix}_bigramdf"))
 
+  /** Tombstone a takedown batch of names out of a persisted
+    * [[NameIndex]] — [[purgeGramIndex]]'s discipline for the fuzzy
+    * entity tier (an opted-out entity must stop matching immediately).
+    * `bigramDf` stays frozen for the same reason `gramDf` does — the
+    * fuzzy prefix theorem is a set argument that never needed true
+    * frequency at all. Insert-only, cost ∝ takedown batch. */
+  def purgeNameIndex(s: SparkSession, dead: DataFrame, prefix: String,
+      path: String): Unit =
+    graft.io.Sinks.appendBucketedTable(
+      dead.select(col("p_name")).distinct(), s"${prefix}_tombstones",
+      "p_name", 1, s"$path/tombstones")
+
+  /** Open a persisted [[NameIndex]] with tombstones applied (broadcast
+    * anti-join on every per-name table). */
+  def readNameIndexLive(s: SparkSession, prefix: String): NameIndex = {
+    val idx = readNameIndex(s, prefix)
+    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
+    else {
+      val d = broadcast(s.table(s"${prefix}_tombstones"))
+      def mask(df: DataFrame) = df.join(d, Seq("p_name"), "left_anti")
+      NameIndex(mask(idx.grams), mask(idx.prefixes), mask(idx.chars),
+        mask(idx.tiny), idx.bigramDf)
+    }
+  }
+
   /** Fold an accepted name batch into a persisted [[NameIndex]]
     * without rebuilding. Same maintenance discipline as
     * [[appendToGramIndex]], with an even weaker requirement: the
@@ -2093,6 +2153,157 @@ object DedupOps {
           .cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= EditCap)
   }
+
+  /** q257: CONTAINMENT-INDEX PURGE under the bit-exact gate — the
+    * right-to-be-forgotten proof for the persisted [[GramIndex]]
+    * (q211 gave the n-gram dedup index its version). The corpus side
+    * (doc_id % 10 <> 0) builds the persisted index; a takedown quarter
+    * of it (% 4 = 1) is purged via tombstones (cost ∝ batch — no
+    * corpus rewrite, plan-audited in the spec); the new batch
+    * (% 10 = 0) then runs [[incrementalContainment]] against the LIVE
+    * masked view. The oracle is the NAIVE-COMPLETE bipartite
+    * containment rule with the purged docs absent from the corpus side
+    * everywhere — candidates, sizes, verify — so the gate proves both
+    * halves at once: the tombstone mask equals a scratch build on the
+    * purged corpus, and the blocking still drops no true pair. A batch
+    * doc whose only superset was purged must come back unmatched:
+    * forgotten means forgotten. */
+  val q257ContainmentPurge = OpSpec(
+    "q257_containment_purge",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val isNew = col("doc_id") % 10 === 0
+      val isDead = col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 1
+      val prefix = "gix_q257"
+      val path = s"${graft.Tables.scratchDir}/gix_q257"
+      Seq("ranked", "prefixes", "docgrams", "gramdf", "tombstones")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeGramIndex(buildGramIndex(docs.filter(!isNew)), prefix, path,
+        buckets = 8)
+      purgeGramIndex(s, docs.filter(isDead).select(col("doc_id")),
+        prefix, path)
+      incrementalContainment(docs.filter(isNew),
+        readGramIndexLive(s, prefix))
+    },
+    Some(s"""
+      WITH grows0 AS (
+        SELECT DISTINCT doc_id, words[i] || ' ' || words[i + 1] AS gram
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+        WHERE len(words) >= 2),
+      grows AS (
+        SELECT DISTINCT doc_id,
+          CAST(${hexToLong("hx", 1, 15)} AS BIGINT) AS g
+        FROM (SELECT doc_id, md5(gram) AS hx FROM grows0)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grows GROUP BY doc_id),
+      inter2 AS (
+        SELECT n.doc_id AS doc_n, c.doc_id AS doc_c, COUNT(*) AS n_inter
+        FROM grows n JOIN grows c ON n.g = c.g
+        WHERE n.doc_id % 10 = 0
+          AND c.doc_id % 10 <> 0 AND c.doc_id % 4 <> 1
+        GROUP BY 1, 2),
+      orient AS (
+        SELECT CASE WHEN sn.sz <= sc.sz THEN i.doc_n ELSE i.doc_c END
+            AS doc_small,
+          CASE WHEN sn.sz <= sc.sz THEN i.doc_c ELSE i.doc_n END
+            AS doc_large,
+          i.n_inter, LEAST(sn.sz, sc.sz) AS szs
+        FROM inter2 i
+        JOIN sizes sn ON sn.doc_id = i.doc_n
+        JOIN sizes sc ON sc.doc_id = i.doc_c)
+      SELECT doc_small, doc_large, CAST(n_inter AS BIGINT) AS n_inter,
+        CAST(n_inter AS DOUBLE) / CAST(szs AS DOUBLE) AS containment
+      FROM orient WHERE 4 * n_inter >= 3 * szs"""))
+
+  /** q258: FUZZY-ENTITY-INDEX PURGE under the bit-exact gate —
+    * [[q257ContainmentPurge]]'s obligation for the persisted
+    * [[NameIndex]]. Names split deterministically by an md5 bucket:
+    * bucket 0 is the arriving batch, buckets 1-2 the takedown set,
+    * the rest the surviving corpus. The index is built on corpus ∪
+    * takedown (the realistic state — the entities were indexed before
+    * they opted out), the takedown is tombstoned, and the batch runs
+    * [[incrementalFuzzyMatch]] against the live view. The oracle is
+    * q95's NAIVE-COMPLETE tier rule made bipartite with the purged
+    * names absent — so the gate proves mask-equals-purged-scratch AND
+    * tier completeness per orientation in one compare. */
+  val q258FuzzyPurge = OpSpec(
+    "q258_fuzzy_purge",
+    (s, dir) => {
+      val bucket = expr(
+        s"${hexToLong("md5(cast(p_name as binary))", 1, 8)} % 10")
+      val names = table(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("b", bucket).persist()
+      val prefix = "nix_q258"
+      val path = s"${graft.Tables.scratchDir}/nix_q258"
+      Seq("grams", "prefixes", "chars", "tiny", "bigramdf", "tombstones")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeNameIndex(
+        buildNameIndex(names.filter(col("b") =!= 0).drop("b")),
+        prefix, path, buckets = 8)
+      purgeNameIndex(s,
+        names.filter(col("b") === 1 || col("b") === 2).drop("b"),
+        prefix, path)
+      incrementalFuzzyMatch(names.filter(col("b") === 0).drop("b"),
+        readNameIndexLive(s, prefix))
+    },
+    Some(s"""
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+      cls AS (
+        SELECT p_name,
+          ${hexToLong("md5(p_name)", 1, 8)} % 10 AS b
+        FROM names),
+      newn AS (SELECT p_name FROM cls WHERE b = 0),
+      liven AS (SELECT p_name FROM cls WHERE b >= 3),
+      grams_n AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name) - 1),
+            i -> substring(p_name, i, 2)))) AS bg
+        FROM newn WHERE length(p_name) >= 2),
+      grams_c AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name) - 1),
+            i -> substring(p_name, i, 2)))) AS bg
+        FROM liven WHERE length(p_name) >= 2),
+      chars_n AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name)),
+            i -> substring(p_name, i, 1)))) AS ch
+        FROM newn WHERE length(p_name) <= ${2 * EditCap + 1}),
+      chars_c AS (
+        SELECT p_name, unnest(list_distinct(
+          list_transform(generate_series(1, length(p_name)),
+            i -> substring(p_name, i, 1)))) AS ch
+        FROM liven WHERE length(p_name) <= ${2 * EditCap + 1}),
+      cand AS (
+        SELECT DISTINCT n.p_name AS name_new, c.p_name AS name_old
+        FROM grams_n n JOIN grams_c c
+          ON n.bg = c.bg
+         AND abs(length(n.p_name) - length(c.p_name)) <= $EditCap
+        UNION
+        SELECT DISTINCT n.p_name, c.p_name
+        FROM chars_n n JOIN chars_c c
+          ON n.ch = c.ch
+         AND abs(length(n.p_name) - length(c.p_name)) <= $EditCap
+        UNION
+        SELECT n.p_name, c.p_name
+        FROM newn n, liven c
+        WHERE length(n.p_name) <= $EditCap
+          AND length(c.p_name) <= $EditCap)
+      SELECT name_new, name_old,
+        CAST(levenshtein(name_new, name_old) AS BIGINT) AS dist
+      FROM cand
+      WHERE levenshtein(name_new, name_old) <= $EditCap"""))
 
   /** GOLDEN-RECORD construction — the survivorship step that closes
     * the entity-resolution loop (q27 finds pairs, q51 clusters them;
@@ -2906,5 +3117,6 @@ object DedupOps {
     q148SourceDupRate, q149SourceOverlap, q151SharedSpans, q153SpanScrub,
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
     q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit,
-    q201BbitMinhash, q209BandSweep, q211PurgedDedup)
+    q201BbitMinhash, q209BandSweep, q211PurgedDedup,
+    q257ContainmentPurge, q258FuzzyPurge)
 }

@@ -1782,11 +1782,13 @@ object EmbeddingOps {
     gen
   }
 
-  /** The publication half of [[retrainVectorIndex]]: flip the pointer
-    * to `gen` in one statement, then clean up the superseded
-    * generation and the folded tombstones. */
-  private[graft] def publishRetrainVectorIndex(s: SparkSession,
-      prefix: String, gen: Long, newPath: String): Unit = {
+  /** Flip the `<prefix>_ptr` generation pointer to `gen` in ONE
+    * visibility-critical statement (table creation on first flip, a
+    * single SET LOCATION re-point after) — the shared publication
+    * primitive of every generational index ([[retrainVectorIndex]],
+    * [[retrainSemanticIndex]]). */
+  private def flipGenerationPtr(s: SparkSession, prefix: String,
+      gen: Long, newPath: String): Unit = {
     val ptr = s"${prefix}_ptr"
     val row = s.range(1).select(lit(gen).as("gen"))
     if (!s.catalog.tableExists(ptr))
@@ -1801,6 +1803,14 @@ object EmbeddingOps {
         s"$newPath/ptr_g$gen")
       graft.io.Sinks.repointTable(s, ptr, staging, s"$newPath/ptr_g$gen")
     }
+  }
+
+  /** The publication half of [[retrainVectorIndex]]: flip the pointer
+    * to `gen` in one statement, then clean up the superseded
+    * generation and the folded tombstones. */
+  private[graft] def publishRetrainVectorIndex(s: SparkSession,
+      prefix: String, gen: Long, newPath: String): Unit = {
+    flipGenerationPtr(s, prefix, gen, newPath)
     val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
     Seq("coarse", "codebooks", "codes")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
@@ -3120,20 +3130,30 @@ object EmbeddingOps {
       FROM asg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
 
-  /** Cosine-argmax cell assignment of a normed (vec_id, embedding,
-    * nrm) frame against a broadcast (cid, cv, cnrm) centroid table —
-    * the row shape the semantic index stores per member. */
-  private[graft] def semAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  /** Cosine top-`nprobe` cell assignment of a normed (vec_id,
+    * embedding, nrm) frame against a broadcast (cid, cv, cnrm)
+    * centroid table — one row per (vector, probed cell) with the probe
+    * rank `pr` (1 = the argmax/primary cell; ties to the lower cid,
+    * fully deterministic). */
+  private[graft] def semAssignTop(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("cid").asc)
     e.crossJoin(broadcast(cents))
       .withColumn("cosine", expr(
         """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
            0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"),
+        col("pr"))
   }
+
+  /** Cosine-argmax cell assignment of a normed (vec_id, embedding,
+    * nrm) frame against a broadcast (cid, cv, cnrm) centroid table —
+    * the row shape the semantic index stores per member. */
+  private[graft] def semAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    semAssignTop(e, cents, 1).drop("pr")
 
   /** Per-cell scan bound for the SemDeDup pair scan: a cell whose
     * member count exceeds this is first recursively SPLIT
@@ -3312,7 +3332,12 @@ object EmbeddingOps {
   def ingestSemanticIndex(s: SparkSession, batch: DataFrame,
       prefix: String, path: String, buckets: Int = 8,
       batchId: Option[Long] = None): DataFrame = {
-    val frozen = s.table(s"${prefix}_semcents")
+    // pointer-resolved: after retrainSemanticIndex flipped the live
+    // generation, ingests code against ITS frozen centroids and append
+    // to ITS members table (appendBucketedTable resolves the table's
+    // registered location; `path` only seeds a first-build table)
+    val phys = livePrefix(s, prefix)
+    val frozen = s.table(s"${phys}_semcents")
     val asgB = semAssign(batch, frozen).localCheckpoint()
     val parted = asgB.repartition(buckets, col("cid"))
     // streaming callers pass their micro-batch id: the member append
@@ -3322,17 +3347,86 @@ object EmbeddingOps {
     batchId match {
       case Some(id) =>
         graft.io.Sinks.appendBucketedTableIdempotent(s, parted, id,
-          s"${prefix}_members", "cid", buckets, s"$path/members"); ()
+          s"${phys}_members", "cid", buckets, s"$path/members"); ()
       case None =>
         graft.io.Sinks.appendBucketedTable(
           parted.withColumn("ingest_batch", lit(-1L)),
-          s"${prefix}_members", "cid", buckets, s"$path/members")
+          s"${phys}_members", "cid", buckets, s"$path/members")
     }
-    s.catalog.refreshTable(s"${prefix}_members")
+    s.catalog.refreshTable(s"${phys}_members")
     // members now include the batch itself, so within-batch smaller-id
     // pairs are covered by the same single equi-join
-    semPruneVerdicts(s.table(s"${prefix}_members"), asgB)
+    semPruneVerdicts(s.table(s"${phys}_members"), asgB)
       .localCheckpoint()
+  }
+
+  /** Serve the persisted semantic index's CURRENT verdicts: the
+    * smaller-id-wins prune over the live generation's stored members —
+    * pointer-resolved, zero training in the plan (the q212 trajectory
+    * answered entirely from stored tables). */
+  def semanticIndexVerdicts(s: SparkSession, prefix: String): DataFrame = {
+    val phys = livePrefix(s, prefix)
+    val m = s.table(s"${phys}_members").drop("ingest_batch")
+    semPruneVerdicts(m, m)
+  }
+
+  /** Re-train the semantic index on its CURRENT stored corpus and flip
+    * the generation pointer — the [[retrainVectorIndex]] maintenance
+    * actuator applied to SemDeDup: q242 freezes centroids at build
+    * time (ingest cost ∝ batch), so embedding drift degrades cell
+    * balance exactly as it does for the vector index, and the same
+    * answer applies — periodically re-train OFFLINE into
+    * `<prefix>_r<gen>_*` tables nothing references, then publish with
+    * ONE pointer flip ([[flipGenerationPtr]]). A crash anywhere before
+    * the flip leaves the old generation serving, bit-identical; a
+    * crash after merely leaks droppable staging. Runs with ingest
+    * quiesced (the snapshot-then-flip contract shared with vacuum /
+    * compaction / vector retrain). Cost: one k-means train + one
+    * corpus re-assign — a scheduled maintenance job priced by the
+    * q231/q248 dashboards, never an ingest-path cost. */
+  def retrainSemanticIndex(s: SparkSession, prefix: String,
+      newPath: String, k: Int = KmK, buckets: Int = 8): Unit = {
+    val gen = stageRetrainSemanticIndex(s, prefix, newPath, k, buckets)
+    publishRetrainSemanticIndex(s, prefix, gen, newPath)
+  }
+
+  /** The staging half of [[retrainSemanticIndex]] — exposed within the
+    * library so the crash spec can kill the writer between staging and
+    * publication. */
+  private[graft] def stageRetrainSemanticIndex(s: SparkSession,
+      prefix: String, newPath: String, k: Int = KmK,
+      buckets: Int = 8): Long = {
+    val cur = livePrefix(s, prefix)
+    val gen = if (cur == prefix) 1L
+      else cur.stripPrefix(s"${prefix}_r").toLong + 1L
+    val phys = s"${prefix}_r$gen"
+    Seq("semcents", "members") // crashed-run leftovers
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
+    // the stored member floats ARE the corpus snapshot — no source
+    // rescan; parquet round-trips them bit-exactly, so training here
+    // equals training on the original vectors
+    val corpus = s.table(s"${cur}_members")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cents = coarseKmOfK(corpus, k).select(col("cid"), col("cv"),
+      col("cnrm"))
+    graft.io.Sinks.bucketedTable(cents, s"${phys}_semcents", "cid", 1,
+      s"$newPath/g$gen/semcents")
+    val frozen = s.table(s"${phys}_semcents")
+    graft.io.Sinks.bucketedTable(
+      semAssign(corpus, frozen).withColumn("ingest_batch", lit(-1L))
+        .repartition(buckets, col("cid")),
+      s"${phys}_members", "cid", buckets, s"$newPath/g$gen/members")
+    gen
+  }
+
+  /** The publication half of [[retrainSemanticIndex]]: one pointer
+    * flip, then drop the superseded generation's tables. */
+  private[graft] def publishRetrainSemanticIndex(s: SparkSession,
+      prefix: String, gen: Long, newPath: String): Unit = {
+    flipGenerationPtr(s, prefix, gen, s"$newPath/g$gen")
+    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
+    Seq("semcents", "members")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
   }
 
   /** Idempotent pre-build reset for a semantic-index prefix. */
@@ -3519,6 +3613,185 @@ object EmbeddingOps {
           / CAST(t.total AS DOUBLE) AS load_factor
       FROM dom d LEFT JOIN cntr c ON c.cell = d.cell CROSS JOIN tot t"""))
 
+  /** q255: SEMANTIC-INDEX RETRAIN under the bit-exact gate — the
+    * maintenance actuator q242 was missing (the vector index got its
+    * in q241). Trajectory: the q242 lifecycle runs first (base build
+    * on the first half, two frozen-centroid ingests — exactly the
+    * drifted append-only state a long-lived index reaches), then
+    * [[retrainSemanticIndex]] re-trains on the stored members and
+    * flips the generation pointer, and the RETURNED plan is
+    * [[semanticIndexVerdicts]] — the smaller-id prune served from the
+    * retrained generation's stored tables only. The oracle is q212's
+    * full-corpus trajectory verbatim: a retrained index must serve
+    * exactly what a scratch full-train SemDeDup computes, which is the
+    * whole point of the retrain (the frozen base-half centroids it
+    * replaces would NOT match it — the spec proves that separation,
+    * plus crash-before-flip leaving gen 0 serving). */
+  val q255SemanticRetrain = OpSpec(
+    "q255_semantic_retrain",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      val prefix = "sem_q255"
+      val path = s"${graft.Tables.scratchDir}/sem_q255"
+      resetSemanticIndex(s, prefix, path)
+      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
+        prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total &&
+        col("vec_id") * 4 < total * 3), prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 4 >= total * 3),
+        prefix, s"$path/idx")
+      retrainSemanticIndex(s, prefix, s"$path/retrain")
+      semanticIndexVerdicts(s, prefix)
+    },
+    q212SemDedup.oracle)
+
+  /** q256: MULTI-PROBE SemDeDup — the recovery knob for q220's
+    * structural misses. q220 measures the near-dup pairs SemDeDup can
+    * NEVER catch at any tau because their endpoints land in different
+    * cells; assigning the PROBE side to its top-2 cells (members stay
+    * single-assigned — storage unchanged) makes a pair comparable
+    * whenever the smaller id's primary cell appears anywhere in the
+    * larger id's top-2, for ~2× scan cost (the IVF nprobe trade
+    * applied to dedup). Gated as the side-by-side audit: one row per
+    * phase (single / multiprobe) with the truth-pair counts under that
+    * phase's OWN verdicts and its OWN reachability rule — n_structural
+    * must fall (spec-asserted), which is the whole point. Scale: one
+    * broadcast-k training + the cid-equi-join pair scan at ≤2× q212's
+    * volume; the audit joins are truth-pair-sized. */
+  val q256MultiprobeAudit = OpSpec(
+    "q256_multiprobe_audit",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_s"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_l")).persist()
+      val cents = coarseKmOfK(e, KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      val asg2 = semAssignTop(e, cents, 2).persist()
+      val asg1 = asg2.filter(col("pr") === 1).drop("pr")
+      def prunedIds(probe: DataFrame): DataFrame =
+        asg1.select(col("cid"), col("vec_id").as("vec_a"),
+            col("embedding").as("va"), col("nrm").as("na"))
+          .join(probe.select(col("cid"), col("vec_id").as("vec_b"),
+            col("embedding").as("vb"), col("nrm").as("nb")), Seq("cid"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(graft.functions.VectorFunctions.dot(col("va"),
+            col("vb")) / (col("na") * col("nb")) > expr(SemDedupTau))
+          .select(col("vec_b").as("vec_id")).distinct()
+      def verdicts(pruned: DataFrame): DataFrame =
+        asg1.select(col("vec_id"))
+          .join(pruned.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("hit").isNotNull, lit("prune"))
+              .otherwise(lit("keep")).as("verdict"))
+      // reachability: the pair is comparable iff the smaller id's
+      // PRIMARY cell is among the larger id's probed cells
+      def reach(probe: DataFrame): DataFrame = truth
+        .join(asg1.select(col("vec_id").as("doc_s"),
+          col("cid").as("c_s")), "doc_s")
+        .join(probe.select(col("vec_id").as("doc_l"),
+          col("cid").as("c_s")), Seq("doc_l", "c_s"))
+        .select(col("doc_s"), col("doc_l")).distinct()
+      def audit(v: DataFrame, r: DataFrame, phase: String): DataFrame = {
+        val kept = col("v_s") === "keep" && col("v_l") === "keep"
+        truth
+          .join(v.select(col("vec_id").as("doc_s"),
+            col("verdict").as("v_s")), "doc_s")
+          .join(v.select(col("vec_id").as("doc_l"),
+            col("verdict").as("v_l")), "doc_l")
+          .join(r.withColumn("rch", lit(1)), Seq("doc_s", "doc_l"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_both_kept"),
+            sum(when(kept && col("rch").isNull, 1L).otherwise(0L))
+              .as("n_structural"))
+          .select(lit(phase).as("phase"), col("n_truth"),
+            col("n_both_kept"), col("n_structural"),
+            when(col("n_truth") === 0L, lit(0.0))
+              .otherwise(col("n_structural").cast("double")
+                / col("n_truth").cast("double")).as("structural_rate"))
+      }
+      audit(verdicts(prunedIds(asg1)), reach(asg1), "single")
+        .unionByName(
+          audit(verdicts(prunedIds(asg2)), reach(asg2), "multiprobe"))
+    },
+    Some(s"""
+      WITH ${graft.ops.DedupOps.q50OracleCtes},
+      truth AS (
+        SELECT LEAST(i.doc_a, i.doc_b) AS doc_s,
+               GREATEST(i.doc_a, i.doc_b) AS doc_l
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 7 * i.n_inter >= 3 * (sa.sz + sb.sz)),
+      e AS ($normedDuck),
+      ${semDedupArmSql(KmK)},
+      rnk AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_reduce(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+        FROM e, c2_$KmK c),
+      asg2 AS (SELECT vec_id, cid FROM rnk WHERE rn <= 2),
+      mprune AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg_$KmK a
+        JOIN asg2 p ON p.cid = a.cid
+        JOIN asg_$KmK b ON b.vec_id = p.vec_id AND a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+          > $SemDedupTau),
+      sverd AS (SELECT vec_id, verdict FROM verd_$KmK),
+      mverd AS (
+        SELECT g.vec_id,
+          CASE WHEN m.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+            AS verdict
+        FROM asg_$KmK g LEFT JOIN mprune m ON m.vec_id = g.vec_id),
+      reach_s AS (
+        SELECT DISTINCT t.doc_s, t.doc_l FROM truth t
+        JOIN asg_$KmK x ON x.vec_id = t.doc_s
+        JOIN asg_$KmK y ON y.vec_id = t.doc_l AND y.cid = x.cid),
+      reach_m AS (
+        SELECT DISTINCT t.doc_s, t.doc_l FROM truth t
+        JOIN asg_$KmK x ON x.vec_id = t.doc_s
+        JOIN asg2 p ON p.vec_id = t.doc_l AND p.cid = x.cid),
+      aud_s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
+          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
+            AND r.doc_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_structural
+        FROM truth t
+        JOIN sverd a ON a.vec_id = t.doc_s
+        JOIN sverd b ON b.vec_id = t.doc_l
+        LEFT JOIN reach_s r ON r.doc_s = t.doc_s AND r.doc_l = t.doc_l),
+      aud_m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
+          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
+            AND r.doc_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_structural
+        FROM truth t
+        JOIN mverd a ON a.vec_id = t.doc_s
+        JOIN mverd b ON b.vec_id = t.doc_l
+        LEFT JOIN reach_m r ON r.doc_s = t.doc_s AND r.doc_l = t.doc_l)
+      SELECT 'single' AS phase, n_truth, n_both_kept, n_structural,
+        CASE WHEN n_truth = 0 THEN 0e0
+             ELSE CAST(n_structural AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        END AS structural_rate
+      FROM aud_s
+      UNION ALL
+      SELECT 'multiprobe' AS phase, n_truth, n_both_kept, n_structural,
+        CASE WHEN n_truth = 0 THEN 0e0
+             ELSE CAST(n_structural AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        END AS structural_rate
+      FROM aud_m"""))
+
   /** Swept SemDeDup cluster counts for the q220 miss audit. */
   private val SemDedupKs = Seq(4, 8, 16)
 
@@ -3685,5 +3958,5 @@ object EmbeddingOps {
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
     q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
-    q248RetrainPayoff)
+    q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit)
 }

@@ -989,6 +989,71 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("gram/name index purge: a tombstoned doc stops matching immediately, " +
+    "purge cost is the takedown batch, retries are harmless") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val excerpt = "beta gamma delta epsilon zeta eta"       // ⊂ long1
+    val superDoc = other + " eleven twelve thirteen fourteen" // ⊃ other
+    val base = java.nio.file.Files.createTempDirectory("purge").toString
+    val (pxG, pxN) = ("ut_pgx", "ut_pnx")
+    try {
+      // --- GramIndex ---
+      DedupOps.writeGramIndex(DedupOps.buildGramIndex(
+        Seq(1L -> long1, 2L -> other).toDF("doc_id", "text")),
+        pxG, s"$base/g", buckets = 2)
+      val batch = Seq(10L -> excerpt, 20L -> superDoc).toDF("doc_id", "text")
+      def pairsG = DedupOps.incrementalContainment(batch,
+        DedupOps.readGramIndexLive(spark, pxG))
+        .select(col("doc_small"), col("doc_large"))
+        .as[(Long, Long)].collect().toSet
+      assert(pairsG == Set((10L, 1L), (2L, 20L)),
+        s"pre-purge pairs wrong: $pairsG")
+      val preRanked = spark.table(s"${pxG}_ranked").count()
+      DedupOps.purgeGramIndex(spark, Seq(1L).toDF("doc_id"), pxG, s"$base/g")
+      // forgotten means forgotten: the excerpt's ONLY superset is gone
+      assert(pairsG == Set((2L, 20L)), s"post-purge pairs wrong: $pairsG")
+      // cost ∝ takedown batch: per-doc tables untouched (mask, no
+      // rewrite), tombstones hold exactly the batch
+      assert(spark.table(s"${pxG}_ranked").count() == preRanked,
+        "purge rewrote the ranked table")
+      assert(spark.table(s"${pxG}_tombstones").count() == 1L)
+      // retry: harmless
+      DedupOps.purgeGramIndex(spark, Seq(1L).toDF("doc_id"), pxG, s"$base/g")
+      assert(pairsG == Set((2L, 20L)), "re-purge changed results")
+      // the masked view equals a scratch build on the purged corpus
+      DedupOps.writeGramIndex(DedupOps.buildGramIndex(
+        Seq(2L -> other).toDF("doc_id", "text")),
+        pxG + "s", s"$base/gs", buckets = 2)
+      val scratchG = DedupOps.incrementalContainment(batch,
+        DedupOps.readGramIndex(spark, pxG + "s"))
+        .select(col("doc_small"), col("doc_large"))
+        .as[(Long, Long)].collect().toSet
+      assert(scratchG == pairsG, "mask diverges from purged-scratch build")
+      // --- NameIndex ---
+      DedupOps.writeNameIndex(DedupOps.buildNameIndex(
+        Seq("alpha", "ninety").toDF("p_name")), pxN, s"$base/n",
+        buckets = 2)
+      val nb = Seq("alphx").toDF("p_name")
+      def pairsN = DedupOps.incrementalFuzzyMatch(nb,
+        DedupOps.readNameIndexLive(spark, pxN))
+        .select(col("name_new"), col("name_old"))
+        .as[(String, String)].collect().toSet
+      assert(pairsN == Set(("alphx", "alpha")), s"pre-purge: $pairsN")
+      DedupOps.purgeNameIndex(spark, Seq("alpha").toDF("p_name"), pxN,
+        s"$base/n")
+      assert(pairsN == Set.empty, s"purged entity still matches: $pairsN")
+      assert(spark.table(s"${pxN}_tombstones").count() == 1L)
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(t => t.startsWith(pxG) || t.startsWith(pxN))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("incremental containment joins the persisted gram index, no corpus rescan") {
     import spark.implicits._
     import graft.ops.DedupOps
@@ -1471,6 +1536,10 @@ class OperatorSpec extends AnyFunSuite {
                              // domain (q231 shape)
       "q217_dsir_importance", // two 1-row feature-total scalar
                               // broadcasts (N_target, N_source)
+      "q256_multiprobe_audit", // q212's broadcast-k centroid training +
+                               // the top-2 probe assignment (same q98
+                               // shape); pair scans and the audit's
+                               // truth joins are equi-joins
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -2118,6 +2187,73 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q255 semantic retrain: crash-before-flip leaves gen 0 serving, " +
+    "the flip serves the full-train trajectory, ingest follows the pointer") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+    val total = e.count()
+    val base = java.nio.file.Files.createTempDirectory("sem_rt").toString
+    val px = "ut_srt" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    try {
+      EmbeddingOps.buildSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
+      EmbeddingOps.ingestSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
+      val pre = EmbeddingOps.semanticIndexVerdicts(spark, px)
+        .as[(Long, Long, String)].collect().toSet
+      // CRASH POINT: the writer dies after staging gen 1 but before
+      // the pointer flip — the index must keep serving gen 0 verbatim
+      val gen = EmbeddingOps.stageRetrainSemanticIndex(spark, px,
+        s"$base/retrain")
+      assert(gen == 1L)
+      val during = EmbeddingOps.semanticIndexVerdicts(spark, px)
+        .as[(Long, Long, String)].collect().toSet
+      assert(during == pre, "staged retrain disturbed the live index")
+      // publication: one pointer flip; the served verdicts must now
+      // equal the scratch FULL-train SemDeDup (and differ from the
+      // drifted base-half-centroid state it replaces)
+      EmbeddingOps.publishRetrainSemanticIndex(spark, px, gen,
+        s"$base/retrain")
+      val post = EmbeddingOps.semanticIndexVerdicts(spark, px)
+        .as[(Long, Long, String)].collect().toSet
+      val scratch = EmbeddingOps.semDedupVerdicts(e, EmbeddingOps.KmK)
+        .as[(Long, Long, String)].collect().toSet
+      assert(post == scratch,
+        "retrained index diverges from the scratch full-train trajectory")
+      assert(post != pre,
+        "retrain was a no-op: drifted and retrained states coincide " +
+          "(weaken this only if the corpus genuinely has no drift)")
+      // ingest follows the pointer: new rows land in the gen-1 members
+      // table and get verdicts under the retrained centroids
+      val nM = spark.table(s"${px}_r1_members").count()
+      val newRows = e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val v = EmbeddingOps.ingestSemanticIndex(spark, newRows, px,
+        s"$base/idx").collect()
+      assert(v.length == 50, s"${v.length} post-retrain ingest verdicts")
+      assert(spark.table(s"${px}_r1_members").count() == nM + 50,
+        "post-retrain ingest missed the live generation's members table")
+      // a SECOND retrain flips to gen 2 and folds the ingest in
+      EmbeddingOps.retrainSemanticIndex(spark, px, s"$base/retrain2")
+      assert(spark.table(s"${px}_r2_members").count() == total + 50)
+      assert(!spark.catalog.tableExists(s"${px}_r1_members"),
+        "superseded generation was not dropped")
+      assert(EmbeddingOps.semanticIndexVerdicts(spark, px).count()
+        == total + 50)
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("semdedup cell cap: a planted mega-cluster's pair scan is bounded " +
     "(split + truncation) while planted near-twins are still pruned") {
     import spark.implicits._
@@ -2186,6 +2322,34 @@ class OperatorSpec extends AnyFunSuite {
     val uncapped = EmbeddingOps.semPruneVerdicts(rows, rows, 1024)
       .as[(Long, Long, String)].collect().toSet
     assert(uncapped == brute, "uncapped verdicts diverge from brute force")
+    spark.catalog.clearCache()
+  }
+
+  test("q256 multi-probe semdedup: structural misses fall vs single-probe, " +
+    "counts consistent, verdicts deterministic") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q256_multiprobe_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (s1, m) = (rows("single"), rows("multiprobe"))
+    assert(rows.size == 2)
+    assert(s1._2 == m._2, "phases disagree on the truth-pair count")
+    assert(s1._2 > 0, "no truth pairs — audit vacuous")
+    assert(s1._4 > 0,
+      "single-probe shows no structural miss — recovery unmeasurable")
+    assert(m._4 < s1._4,
+      s"multi-probe did not reduce structural misses: ${m._4} vs ${s1._4}")
+    // multi-probe can only prune MORE (a superset of pair comparisons)
+    assert(m._3 <= s1._3, "multi-probe kept more than single-probe")
+    Seq(s1, m).foreach { r =>
+      assert(r._4 <= r._3, s"${r._1}: structural exceeds both-kept")
+      assert(r._5 == r._4.toDouble / r._2.toDouble, s"${r._1} rate")
+    }
+    // determinism: a re-run reproduces the audit bit-for-bit
+    val again = SparkEntry.queries("q256_multiprobe_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == rows, "audit nondeterministic across runs")
     spark.catalog.clearCache()
   }
 
