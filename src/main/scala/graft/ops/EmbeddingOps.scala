@@ -3613,6 +3613,74 @@ object EmbeddingOps {
           / CAST(t.total AS DOUBLE) AS load_factor
       FROM dom d LEFT JOIN cntr c ON c.cell = d.cell CROSS JOIN tot t"""))
 
+  /** q260: the RETRAIN GO/NO-GO POLICY row — q231 measures cell load,
+    * q248 prices the payoff, q241/q255 actuate; this closes the loop
+    * with the DECISION, gated. Both arms' per-cell counts (drifted =
+    * centroids trained on the first shard generation only; retrained =
+    * trained on everything — q248's construction) reduce to two
+    * integer health stats: `hot` cells (load factor > 1.5, evaluated
+    * as the integer cross-product n·k·10 > total·15 — no float
+    * thresholds, so the decision is bit-deterministic in any engine)
+    * and the max−min `spread`. Policy: retrain iff drift added hot
+    * cells, or widened the spread by ≥ 30 % (spread_d·10 >
+    * spread_r·13). One row out: the operator's entire
+    * measurement → decision trail, auditable and hash-gated. */
+  val q260RetrainPolicy = OpSpec(
+    "q260_retrain_policy",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      def stats(cents: DataFrame): DataFrame = {
+        val counts = semAssign(e, cents)
+          .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("n"))
+        s.range(KmK).select(col("id").as("cell"))
+          .join(counts, Seq("cell"), "left")
+          .na.fill(0L, Seq("n"))
+          .agg(max(col("n")).as("max_n"), min(col("n")).as("min_n"),
+            sum(when(col("n") * KmK * 10 > lit(total) * 15, 1L)
+              .otherwise(0L)).as("hot"))
+      }
+      val drifted = coarseKmOfK(e.filter(col("vec_id") % 4 === 0), KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      val retrained = coarseKmOfK(e, KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      stats(drifted).select(col("hot").as("hot_d"),
+          (col("max_n") - col("min_n")).as("spread_d"))
+        .crossJoin(stats(retrained).select(col("hot").as("hot_r"),
+          (col("max_n") - col("min_n")).as("spread_r")))
+        .select(col("hot_d").as("hot_drifted"),
+          col("hot_r").as("hot_retrained"),
+          col("spread_d").as("spread_drifted"),
+          col("spread_r").as("spread_retrained"),
+          when(col("hot_d") > col("hot_r") ||
+            col("spread_d") * 10 > col("spread_r") * 13, lit("retrain"))
+            .otherwise(lit("hold")).as("decision"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      ${coarseArmSql("d", "vec_id % 4 = 0")},
+      ${coarseArmSql("r", "TRUE")},
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+      dom AS (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell),
+      fd AS (SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n
+             FROM dom d LEFT JOIN cntd c ON c.cell = d.cell),
+      fr AS (SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n
+             FROM dom d LEFT JOIN cntr c ON c.cell = d.cell),
+      sd AS (SELECT MAX(f.n) - MIN(f.n) AS spread,
+               CAST(SUM(CASE WHEN f.n * $KmK * 10 > t.total * 15
+                 THEN 1 ELSE 0 END) AS BIGINT) AS hot
+             FROM fd f CROSS JOIN tot t),
+      sr AS (SELECT MAX(f.n) - MIN(f.n) AS spread,
+               CAST(SUM(CASE WHEN f.n * $KmK * 10 > t.total * 15
+                 THEN 1 ELSE 0 END) AS BIGINT) AS hot
+             FROM fr f CROSS JOIN tot t)
+      SELECT sd.hot AS hot_drifted, sr.hot AS hot_retrained,
+        sd.spread AS spread_drifted, sr.spread AS spread_retrained,
+        CASE WHEN sd.hot > sr.hot OR sd.spread * 10 > sr.spread * 13
+             THEN 'retrain' ELSE 'hold' END AS decision
+      FROM sd CROSS JOIN sr"""))
+
   /** q255: SEMANTIC-INDEX RETRAIN under the bit-exact gate — the
     * maintenance actuator q242 was missing (the vector index got its
     * in q241). Trajectory: the q242 lifecycle runs first (base build
@@ -3958,5 +4026,6 @@ object EmbeddingOps {
     q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
     q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
-    q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit)
+    q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
+    q260RetrainPolicy)
 }

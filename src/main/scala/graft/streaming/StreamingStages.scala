@@ -1216,6 +1216,63 @@ object StreamingStages {
     },
     graft.ops.EmbeddingOps.q242IncrementalSemdedup.oracle)
 
+  /** q259: the EXACTLY-ONCE sharded-parquet sink under the bit-exact
+    * gate — [[runToShardedParquet]] (the K-class production sink) was
+    * the last streaming surface with only unit coverage. The events
+    * table is staged as four mtime-ordered stream files, but the sink
+    * runs TWICE against one checkpoint: the first run commits two
+    * files and stops (a planned shutdown mid-corpus), two more files
+    * land, and the restarted run must resume AFTER the committed
+    * offsets — the file sink's write-ahead log is what makes the
+    * readback exactly-once across the restart. The gated result is the
+    * full readback of the sink's output directory: any dropped or
+    * double-written micro-batch hash-mismatches the raw table oracle.
+    * (The torn-manifest/replay edge cases live in the spec; this gates
+    * the happy-path restart every production stream takes daily.) */
+  val q259StreamingShardSink: graft.OpSpec = graft.OpSpec(
+    "q259_streaming_shard_sink",
+    (s, dir) => {
+      val base = s"${graft.Tables.scratchDir}/shard_q259"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val ev = graft.Tables.table(s, dir, "events")
+      val streamDir = java.nio.file.Paths.get(s"$base/stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      def stage(p: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("shardstage")
+        ev.filter(p).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val ls = java.nio.file.Files.list(tmp)
+        val part = try ls.toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head finally ls.close()
+        val dst = streamDir.resolve(name)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(mtime); ()
+      }
+      def run(): Unit = runToShardedParquet(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/stream"),
+        s"$base/out", s"$base/ckpt", maxRecordsPerFile = 1000L).stop()
+      stage(col("event_id") % 4 === 0, "00_g0.parquet", 100000L)
+      stage(col("event_id") % 4 === 1, "01_g1.parquet", 200000L)
+      run() // commits the first two files, then shuts down
+      stage(col("event_id") % 4 === 2, "02_g2.parquet", 300000L)
+      stage(col("event_id") % 4 === 3, "03_g3.parquet", 400000L)
+      run() // restart: the WAL resumes AFTER the committed input
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"),
+          graft.Tables.fmtTs(col("ts")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    },
+    Some("""
+      SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        user_id, event_type, value, props
+      FROM events"""))
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -1225,5 +1282,6 @@ object StreamingStages {
       q158StreamingEnrichedRollup, q159StreamingEventSeq,
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
       q219StreamIndexIngest, q228StreamingRollup,
-      q230StreamingCorpusIngest, q247StreamingSemdedup)
+      q230StreamingCorpusIngest, q247StreamingSemdedup,
+      q259StreamingShardSink)
 }

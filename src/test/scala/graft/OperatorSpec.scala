@@ -1540,6 +1540,9 @@ class OperatorSpec extends AnyFunSuite {
                                // the top-2 probe assignment (same q98
                                // shape); pair scans and the audit's
                                // truth joins are equi-joins
+      "q260_retrain_policy", // q248's two broadcast-k trainings + two
+                             // 1-row health summaries cross-joined
+                             // (the q145 shape) into the decision row
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -2079,14 +2082,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("scratch reaper deletes dead drivers' dirs and spares live ones") {
+  test("scratch reaper deletes dead drivers' marked dirs, spares live " +
+    "ones and unmarked (foreign) same-named dirs") {
     val tmp = sys.props("java.io.tmpdir")
-    // a pid that cannot be running (beyond any realistic pid_max)
+    // a pid that cannot be running (beyond any realistic pid_max),
+    // carrying the engine's sentinel — reapable
     val dead = new java.io.File(s"$tmp/graft_99999999")
     val deadSub = new java.io.File(dead, "idx")
     deadSub.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(deadSub, "x").toPath, "stale")
+    java.nio.file.Files.writeString(
+      new java.io.File(dead, ".graft_scratch").toPath, "")
+    // a dead-pid dir WITHOUT the sentinel: some other process's data
+    // that merely matches the graft_<digits> name — must be spared
+    val foreign = new java.io.File(s"$tmp/graft_99999998")
+    foreign.mkdirs()
+    val fMarker = new java.io.File(foreign, "not_ours")
+    java.nio.file.Files.writeString(fMarker.toPath, "foreign")
     val live = new java.io.File(
       s"$tmp/graft_${ProcessHandle.current().pid()}")
     live.mkdirs()
@@ -2095,8 +2108,12 @@ class OperatorSpec extends AnyFunSuite {
     try {
       Tables.reapDeadScratch()
       assert(!dead.exists(), "dead driver's scratch survived the reap")
+      assert(fMarker.exists(),
+        "the reaper deleted a foreign dir it never marked")
       assert(marker.exists(), "the reaper touched a LIVE pid's scratch")
-    } finally { marker.delete(); () }
+    } finally {
+      marker.delete(); fMarker.delete(); foreign.delete(); ()
+    }
   }
 
   test("build-once guard self-validates: regenerating the corpus under " +
@@ -2350,6 +2367,19 @@ class OperatorSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(again == rows, "audit nondeterministic across runs")
+    spark.catalog.clearCache()
+  }
+
+  test("q260 retrain policy: one decision row, decision recomputable from " +
+    "its own integer stats") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q260_retrain_policy")(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.length == 1)
+    val (hd, hr, sd, sr, dec) = rows.head
+    assert(hd >= 0 && hr >= 0 && sd >= 0 && sr >= 0)
+    val want = if (hd > hr || sd * 10 > sr * 13) "retrain" else "hold"
+    assert(dec == want, s"decision $dec inconsistent with ($hd,$hr,$sd,$sr)")
     spark.catalog.clearCache()
   }
 

@@ -688,6 +688,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded-parquet sink: torn uncommitted output is invisible to the " +
+    "readback and a restart replays the batch exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sink").toString
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"))
+    val streamDir = java.nio.file.Paths.get(s"$base/stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def stage(p: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sinkstage")
+      ev.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head finally ls.close()
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    def run(): Unit = StreamingStages.runToShardedParquet(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream"),
+      s"$base/out", s"$base/ckpt").stop()
+    def readback = spark.read.parquet(s"$base/out")
+      .as[(Long, String)].collect().toSet
+    stage(col("event_id") % 2 === 0, "00_a.parquet", 100000L)
+    run() // batch A committed (data + manifest)
+    val afterA = readback
+    // TORN WRITE: the writer died processing batch B after its task
+    // wrote a data file but BEFORE the manifest (WAL) committed — on
+    // disk that is exactly an orphan parquet file in the output dir.
+    // The readback goes through the sink's _spark_metadata manifest,
+    // so the orphan must be invisible.
+    stage(col("event_id") % 2 =!= 0, "01_b.parquet", 200000L)
+    val outDir = java.nio.file.Paths.get(s"$base/out")
+    val ls0 = java.nio.file.Files.list(outDir)
+    val committed = try ls0.toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head finally ls0.close()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(committed),
+      outDir.resolve("part-99999-torn-attempt.snappy.parquet"))
+    assert(readback == afterA,
+      "uncommitted orphan file leaked into the readback")
+    // RESTART: the checkpoint replays batch B from its uncommitted
+    // offset; the readback must now be A ∪ B exactly once (B not
+    // doubled, the orphan still ignored)
+    run()
+    val want = ev.as[(Long, String)].collect().toSet
+    assert(readback == want,
+      "restart lost or double-wrote the torn batch")
+    spark.catalog.clearCache()
+  }
+
   test("torn mid-job commit: a replay heals a PARTIAL tagged file set " +
     "instead of skipping on tag presence") {
     import org.apache.spark.sql.functions._
