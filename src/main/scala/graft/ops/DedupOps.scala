@@ -2052,6 +2052,32 @@ object DedupOps {
       s.table(s"${prefix}_chars"), s.table(s"${prefix}_tiny"),
       s.table(s"${prefix}_bigramdf"))
 
+  /** Fold [[purgeGramIndex]] tombstones into the physical tables —
+    * [[vacuumCorpusIndex]]'s staged-swap discipline for the
+    * containment index. Each per-doc table is rewritten from its
+    * masked live view at `newPath` and re-pointed in ONE statement; a
+    * mid-vacuum crash leaves every not-yet-swapped table intact with
+    * the tombstone mask still in force. `gramdf` is untouched (the
+    * frozen order holds no per-doc rows), and the tombstones are
+    * dropped last. */
+  def vacuumGramIndex(s: SparkSession, prefix: String,
+      newPath: String, buckets: Int = 32): Unit = {
+    val live = readGramIndexLive(s, prefix)
+    def swap(df: DataFrame, suffix: String, key: String): Unit = {
+      val staging = s"${prefix}_${suffix}__vacuum"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      graft.io.Sinks.bucketedTable(
+        df.repartition(buckets, col(key)), staging, key, buckets,
+        s"$newPath/$suffix")
+      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
+        s"$newPath/$suffix")
+    }
+    swap(live.ranked, "ranked", "g")
+    swap(live.prefixes, "prefixes", "g")
+    swap(live.docGrams, "docgrams", "doc_id")
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
+  }
+
   /** Tombstone a takedown batch of names out of a persisted
     * [[NameIndex]] — [[purgeGramIndex]]'s discipline for the fuzzy
     * entity tier (an opted-out entity must stop matching immediately).
@@ -2152,6 +2178,28 @@ object DedupOps {
         levenshtein(col("name_new"), col("name_old"), EditCap)
           .cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= EditCap)
+  }
+
+  /** [[vacuumGramIndex]]'s twin for the fuzzy entity tier: rewrite the
+    * four per-name tables from their masked live views (staged swaps),
+    * keep `bigramdf` frozen, drop the tombstones. */
+  def vacuumNameIndex(s: SparkSession, prefix: String,
+      newPath: String, buckets: Int = 32): Unit = {
+    val live = readNameIndexLive(s, prefix)
+    def swap(df: DataFrame, suffix: String, key: String): Unit = {
+      val staging = s"${prefix}_${suffix}__vacuum"
+      s.sql(s"DROP TABLE IF EXISTS $staging")
+      graft.io.Sinks.bucketedTable(
+        df.repartition(buckets, col(key)), staging, key, buckets,
+        s"$newPath/$suffix")
+      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
+        s"$newPath/$suffix")
+    }
+    swap(live.grams, "grams", "bg")
+    swap(live.prefixes, "prefixes", "bg")
+    swap(live.chars, "chars", "ch")
+    swap(live.tiny, "tiny", "ln")
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
   /** q257: CONTAINMENT-INDEX PURGE under the bit-exact gate — the
@@ -2304,6 +2352,69 @@ object DedupOps {
         CAST(levenshtein(name_new, name_old) AS BIGINT) AS dist
       FROM cand
       WHERE levenshtein(name_new, name_old) <= $EditCap"""))
+
+  /** q262: CONTAINMENT-INDEX VACUUM under the bit-exact gate — q257's
+    * trajectory with [[vacuumGramIndex]] folding the tombstones into
+    * the physical tables BEFORE the ingest, which then reads the PLAIN
+    * (unmasked) index: the oracle is q257's verbatim, so the gate
+    * proves vacuum == mask == purged-scratch in one compare. */
+  val q262ContainmentVacuum = OpSpec(
+    "q262_containment_vacuum",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val isNew = col("doc_id") % 10 === 0
+      val isDead = col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 1
+      val prefix = "gix_q262"
+      val path = s"${graft.Tables.scratchDir}/gix_q262"
+      s.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(s"${prefix}_"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeGramIndex(buildGramIndex(docs.filter(!isNew)), prefix,
+        s"$path/idx", buckets = 8)
+      purgeGramIndex(s, docs.filter(isDead).select(col("doc_id")),
+        prefix, s"$path/idx")
+      vacuumGramIndex(s, prefix, s"$path/vac", buckets = 8)
+      incrementalContainment(docs.filter(isNew),
+        readGramIndex(s, prefix))
+    },
+    q257ContainmentPurge.oracle)
+
+  /** q263: FUZZY-ENTITY-INDEX VACUUM — [[q262ContainmentVacuum]]'s
+    * twin for the [[NameIndex]], against q258's oracle verbatim. */
+  val q263FuzzyVacuum = OpSpec(
+    "q263_fuzzy_vacuum",
+    (s, dir) => {
+      val bucket = expr(
+        s"${hexToLong("md5(cast(p_name as binary))", 1, 8)} % 10")
+      val names = table(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("b", bucket).persist()
+      val prefix = "nix_q263"
+      val path = s"${graft.Tables.scratchDir}/nix_q263"
+      s.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(s"${prefix}_"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeNameIndex(
+        buildNameIndex(names.filter(col("b") =!= 0).drop("b")),
+        prefix, s"$path/idx", buckets = 8)
+      purgeNameIndex(s,
+        names.filter(col("b") === 1 || col("b") === 2).drop("b"),
+        prefix, s"$path/idx")
+      vacuumNameIndex(s, prefix, s"$path/vac", buckets = 8)
+      incrementalFuzzyMatch(names.filter(col("b") === 0).drop("b"),
+        readNameIndex(s, prefix))
+    },
+    q258FuzzyPurge.oracle)
 
   /** GOLDEN-RECORD construction — the survivorship step that closes
     * the entity-resolution loop (q27 finds pairs, q51 clusters them;
@@ -3118,5 +3229,6 @@ object DedupOps {
     q163GoldenRecord, q170NormalizedDedup, q172MinhashError,
     q177BlockingAudit, q178SimhashSweep, q195LshRecallAudit,
     q201BbitMinhash, q209BandSweep, q211PurgedDedup,
-    q257ContainmentPurge, q258FuzzyPurge)
+    q257ContainmentPurge, q258FuzzyPurge,
+    q262ContainmentVacuum, q263FuzzyVacuum)
 }

@@ -3355,19 +3355,74 @@ object EmbeddingOps {
     }
     s.catalog.refreshTable(s"${phys}_members")
     // members now include the batch itself, so within-batch smaller-id
-    // pairs are covered by the same single equi-join
-    semPruneVerdicts(s.table(s"${phys}_members"), asgB)
+    // pairs are covered by the same single equi-join; the tombstone
+    // mask keeps purged vectors out of the witness set
+    semPruneVerdicts(liveSemanticMembers(s, prefix), asgB)
       .localCheckpoint()
   }
 
-  /** Serve the persisted semantic index's CURRENT verdicts: the
-    * smaller-id-wins prune over the live generation's stored members —
-    * pointer-resolved, zero training in the plan (the q212 trajectory
-    * answered entirely from stored tables). */
-  def semanticIndexVerdicts(s: SparkSession, prefix: String): DataFrame = {
+  /** The live generation's members with tombstones applied — the one
+    * view every semantic-index read path shares. The anti-join is a
+    * broadcast (takedown sets are small relative to a corpus); a
+    * purged vector disappears as BOTH a verdict subject and a prune
+    * WITNESS immediately — a doc that was only pruned because of a
+    * now-purged near-twin flips back to keep on the next serve, which
+    * is what right-to-be-forgotten means for a dedup verdict. */
+  private def liveSemanticMembers(s: SparkSession,
+      prefix: String): DataFrame = {
     val phys = livePrefix(s, prefix)
     val m = s.table(s"${phys}_members").drop("ingest_batch")
+    if (!s.catalog.tableExists(s"${prefix}_tombstones")) m
+    else m.join(broadcast(s.table(s"${prefix}_tombstones")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Tombstone a batch of vec_ids out of the persisted semantic
+    * index — the delete half q242 was missing (the vector index got
+    * tombstones in q210/q232; the corpus index in q211). Insert-only,
+    * cost ∝ takedown batch; the members table is not rewritten until
+    * the next [[retrainSemanticIndex]] folds the mask in (retrain
+    * trains on SURVIVORS and drops the tombstones — the vector-index
+    * retrain contract). Tombstones are LOGICAL at the prefix level, so
+    * they keep masking across generations until folded. */
+  def purgeSemanticIndex(s: SparkSession, delIds: DataFrame,
+      prefix: String, path: String): Unit =
+    graft.io.Sinks.appendBucketedTable(
+      delIds.select(col("vec_id")).distinct(), s"${prefix}_tombstones",
+      "vec_id", 1, s"$path/tombstones")
+
+  /** Serve the persisted semantic index's CURRENT verdicts: the
+    * smaller-id-wins prune over the live generation's stored members
+    * (tombstone-masked) — pointer-resolved, zero training in the plan
+    * (the q212 trajectory answered entirely from stored tables). */
+  def semanticIndexVerdicts(s: SparkSession, prefix: String): DataFrame = {
+    val m = liveSemanticMembers(s, prefix)
     semPruneVerdicts(m, m)
+  }
+
+  /** Fold [[purgeSemanticIndex]] tombstones into the members table
+    * WITHOUT a retrain — the cheap maintenance path when drift doesn't
+    * yet justify [[retrainSemanticIndex]]'s training passes (q260's
+    * 'hold' decision): the live generation's masked members are
+    * rewritten at `newPath` and swapped in with one SET LOCATION
+    * ([[graft.io.Sinks.repointTable]] — a crash leaves the old file
+    * set serving with the mask still in force), centroids stay frozen,
+    * tombstones retire. Serving results are unchanged by construction
+    * (the mask was already applied at read time); what vacuum buys is
+    * the masked rows' scan + anti-join cost back. */
+  def vacuumSemanticIndex(s: SparkSession, prefix: String,
+      newPath: String, buckets: Int = 8): Unit = {
+    val phys = livePrefix(s, prefix)
+    val live = liveSemanticMembers(s, prefix)
+    val staging = s"${phys}_members__vacuum"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.io.Sinks.bucketedTable(
+      live.withColumn("ingest_batch", lit(-1L))
+        .repartition(buckets, col("cid")),
+      staging, "cid", buckets, s"$newPath/members")
+    graft.io.Sinks.repointTable(s, s"${phys}_members", staging,
+      s"$newPath/members")
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
   /** Re-train the semantic index on its CURRENT stored corpus and flip
@@ -3404,8 +3459,10 @@ object EmbeddingOps {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
     // the stored member floats ARE the corpus snapshot — no source
     // rescan; parquet round-trips them bit-exactly, so training here
-    // equals training on the original vectors
-    val corpus = s.table(s"${cur}_members")
+    // equals training on the original vectors. SURVIVORS only: the
+    // tombstone mask is folded into the new generation and the
+    // tombstones dropped at publish (the vector-retrain contract).
+    val corpus = liveSemanticMembers(s, prefix)
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val cents = coarseKmOfK(corpus, k).select(col("cid"), col("cv"),
       col("cnrm"))
@@ -3427,6 +3484,9 @@ object EmbeddingOps {
     val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
     Seq("semcents", "members")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    // the staged generation snapshotted the survivors, so the mask is
+    // folded in — the tombstones retire with the old generation
+    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
   /** Idempotent pre-build reset for a semantic-index prefix. */
@@ -3714,6 +3774,112 @@ object EmbeddingOps {
       semanticIndexVerdicts(s, prefix)
     },
     q212SemDedup.oracle)
+
+  /** q261: SEMANTIC-INDEX PURGE under the bit-exact gate — the
+    * right-to-be-forgotten proof for the semantic-dedup index
+    * (tombstones + masked serve; retrain folds them — spec'd). The
+    * q242 lifecycle runs (base build, one ingest), then a fifth of the
+    * corpus is tombstoned and the serve re-asked. The oracle is the
+    * frozen-centroid SemDeDup computed over the SURVIVORS ONLY —
+    * training still on the full base half (the centroids were learned
+    * before the takedown; purge must not secretly retrain) — so the
+    * gate proves the subtle half: a doc that was pruned only because
+    * of a now-purged near-twin comes back KEEP. Forgotten means
+    * forgotten, including as evidence against others. */
+  val q261SemanticPurge = OpSpec(
+    "q261_semantic_purge",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      val prefix = "sem_q261"
+      val path = s"${graft.Tables.scratchDir}/sem_q261"
+      resetSemanticIndex(s, prefix, path)
+      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
+        prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total),
+        prefix, s"$path/idx")
+      purgeSemanticIndex(s,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        prefix, s"$path/idx")
+      semanticIndexVerdicts(s, prefix)
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      b AS (SELECT e.vec_id, e.embedding, e.nrm
+            FROM e, t WHERE 2 * e.vec_id < t.n),
+      seeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT em.vec_id, em.embedding,
+                md5('ivf:' || em.vec_id) AS rk
+              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
+        QUALIFY cid < $KmK),
+      c0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds)),
+      s1 AS (${kmIterDuck("c0", "b")}),
+      c1 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1)),
+      s2 AS (${kmIterDuck("c1", "b")}),
+      c2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2)),
+      asg AS (
+        SELECT cid, vec_id, embedding, nrm FROM (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+          FROM e, c2 c)
+        WHERE rn = 1),
+      lasg AS (SELECT * FROM asg WHERE vec_id % 5 <> 2),
+      pruned AS (
+        SELECT DISTINCT p.cid, p.vec_id
+        FROM lasg a JOIN lasg p
+          ON a.cid = p.cid AND a.vec_id < p.vec_id
+        WHERE ${dotDuck("a.embedding", "p.embedding")} / (a.nrm * p.nrm)
+          > $SemDedupTau)
+      SELECT g.cid, g.vec_id,
+        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+          AS verdict
+      FROM lasg g LEFT JOIN pruned p
+        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
+
+  /** q264: SEMANTIC-INDEX VACUUM — q261's trajectory with
+    * [[vacuumSemanticIndex]] folding the tombstones into the physical
+    * members table before the serve (centroids frozen, no retrain):
+    * the oracle is q261's verbatim, so the gate proves the fold
+    * changes nothing a reader can see while the masked rows' storage
+    * cost is reclaimed (physical-drop + post-vacuum ingest spec'd). */
+  val q264SemanticVacuum = OpSpec(
+    "q264_semantic_vacuum",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      val prefix = "sem_q264"
+      val path = s"${graft.Tables.scratchDir}/sem_q264"
+      resetSemanticIndex(s, prefix, path)
+      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
+        prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total),
+        prefix, s"$path/idx")
+      purgeSemanticIndex(s,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        prefix, s"$path/idx")
+      vacuumSemanticIndex(s, prefix, s"$path/vac")
+      semanticIndexVerdicts(s, prefix)
+    },
+    q261SemanticPurge.oracle)
 
   /** q256: MULTI-PROBE SemDeDup — the recovery knob for q220's
     * structural misses. q220 measures the near-dup pairs SemDeDup can
@@ -4027,5 +4193,5 @@ object EmbeddingOps {
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
     q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
-    q260RetrainPolicy)
+    q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum)
 }

@@ -1054,6 +1054,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("gram-index vacuum: tombstoned rows physically drop, tombstones " +
+    "retire, post-vacuum appends follow the moved tables") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val base = java.nio.file.Files.createTempDirectory("vacg").toString
+    val px = "ut_vgx"
+    try {
+      DedupOps.writeGramIndex(DedupOps.buildGramIndex(
+        Seq(1L -> long1, 2L -> other).toDF("doc_id", "text")),
+        px, s"$base/idx", buckets = 2)
+      DedupOps.purgeGramIndex(spark, Seq(1L).toDF("doc_id"), px,
+        s"$base/idx")
+      DedupOps.vacuumGramIndex(spark, px, s"$base/vac", buckets = 2)
+      assert(!spark.catalog.tableExists(s"${px}_tombstones"),
+        "vacuum left the folded tombstones behind")
+      assert(spark.table(s"${px}_ranked")
+        .filter(col("doc_id") === 1L).isEmpty,
+        "vacuum left tombstoned rows in the physical table")
+      assert(spark.table(s"${px}_docgrams").count() == 1L)
+      // appends keep working with the ORIGINAL path: the location is
+      // catalog-resolved, so the vacuum's move is invisible to callers
+      DedupOps.appendToGramIndex(spark,
+        Seq(3L -> ("beta gamma delta " + other)).toDF("doc_id", "text"),
+        px, s"$base/idx", buckets = 2)
+      val pairs = DedupOps.incrementalContainment(
+        Seq(10L -> other).toDF("doc_id", "text"),
+        DedupOps.readGramIndex(spark, px))
+        .select(col("doc_small"), col("doc_large"))
+        .as[(Long, Long)].collect().toSet
+      // (10,2): the batch doc repeats corpus doc 2 verbatim; (10,3):
+      // doc 3 arrived via the post-vacuum append — its presence proves
+      // the append landed in the moved table
+      assert(pairs == Set((10L, 2L), (10L, 3L)),
+        s"post-vacuum append not visible to ingest: $pairs")
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("incremental containment joins the persisted gram index, no corpus rescan") {
     import spark.implicits._
     import graft.ops.DedupOps
@@ -2263,6 +2307,110 @@ class OperatorSpec extends AnyFunSuite {
         "superseded generation was not dropped")
       assert(EmbeddingOps.semanticIndexVerdicts(spark, px).count()
         == total + 50)
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q261 semantic purge: purged ids vanish, their prune-witness role " +
+    "retires (victims flip to keep), retrain folds the tombstones") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+    val total = e.count()
+    val base = java.nio.file.Files.createTempDirectory("sem_pg").toString
+    val px = "ut_spg" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    def serve = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      .as[(Long, Long, String)].collect().map(r => r._2 -> r._3).toMap
+    try {
+      EmbeddingOps.buildSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
+      EmbeddingOps.ingestSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
+      val pre = serve
+      EmbeddingOps.purgeSemanticIndex(spark,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        px, s"$base/idx")
+      val post = serve
+      assert(post.keySet == pre.keySet.filterNot(_ % 5 == 2),
+        "purged ids still served (or live ids lost)")
+      // removing witnesses can only UN-prune, never prune
+      assert(post.forall { case (id, v) =>
+        !(v == "prune" && pre(id) == "keep") },
+        "purge invented a prune verdict")
+      val flipped = post.filter { case (id, v) =>
+        v == "keep" && pre(id) == "prune" }
+      assert(flipped.nonEmpty,
+        "no victim flipped to keep — the witness-retirement half of " +
+          "right-to-be-forgotten went unexercised")
+      // retrain folds the mask: survivors-only training, tombstones
+      // retire with the old generation
+      EmbeddingOps.retrainSemanticIndex(spark, px, s"$base/rt")
+      assert(!spark.catalog.tableExists(s"${px}_tombstones"),
+        "retrain left the folded tombstones behind")
+      assert(spark.table(s"${px}_r1_members").count() == post.size,
+        "retrained generation does not hold exactly the survivors")
+      val served = EmbeddingOps.semanticIndexVerdicts(spark, px)
+        .as[(Long, Long, String)].collect().toSet
+      val scratch = EmbeddingOps.semDedupVerdicts(
+        e.filter(col("vec_id") % 5 =!= 2), EmbeddingOps.KmK)
+        .as[(Long, Long, String)].collect().toSet
+      assert(served == scratch,
+        "post-purge retrain diverges from the survivors-only scratch train")
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("semantic vacuum: masked rows physically drop, serving is " +
+    "unchanged, post-vacuum ingest follows the moved members table") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+      .filter(col("vec_id") < 200)
+    val base = java.nio.file.Files.createTempDirectory("sem_vc").toString
+    val px = "ut_svc" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    def serve = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      .as[(Long, Long, String)].collect().toSet
+    try {
+      EmbeddingOps.buildSemanticIndex(spark,
+        e.filter(col("vec_id") < 100), px, s"$base/idx")
+      EmbeddingOps.ingestSemanticIndex(spark,
+        e.filter(col("vec_id") >= 100), px, s"$base/idx")
+      EmbeddingOps.purgeSemanticIndex(spark,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        px, s"$base/idx")
+      val pre = serve
+      EmbeddingOps.vacuumSemanticIndex(spark, px, s"$base/vac")
+      assert(!spark.catalog.tableExists(s"${px}_tombstones"),
+        "vacuum left the folded tombstones behind")
+      assert(spark.table(s"${px}_members")
+        .filter(col("vec_id") % 5 === 2).isEmpty,
+        "vacuum left tombstoned rows in the physical members table")
+      assert(serve == pre, "vacuum changed the served verdicts")
+      // the moved members table keeps accepting ingests (catalog-
+      // resolved location) and serves them
+      val newRows = e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      assert(EmbeddingOps.ingestSemanticIndex(spark, newRows, px,
+        s"$base/idx").count() == 20L)
+      assert(serve.size == pre.size + 20)
     } finally {
       spark.sessionState.catalog.listTables("default").map(_.table)
         .filter(_.startsWith(px))
