@@ -173,13 +173,15 @@ object Sinks {
     * converges to exactly-once contents: before any rename → replay
     * appends; mid job commit → replay heals; after → replay skips.
     *
-    * Cost: one extra batch-plan evaluation for the count (∝ batch) and
-    * a per-file tag count whose scan is pruned to the tag's row groups
-    * by parquet min/max stats (old -1/lower-id files are skipped on
-    * their footers); the collected per-file histogram is bounded by
-    * the batch's file count (≤ buckets). The heal's file surgery runs
-    * only in the torn-replay path, which — like the probe — assumes
-    * ingest is quiesced to one writer per table.
+    * Cost: the FIRST-attempt path (no stored tag — every batch but a
+    * replay) pays only the per-file tag probe, whose scan is pruned to
+    * the tag's row groups by parquet min/max stats (old -1/lower-id
+    * files are skipped on their footers; the collected histogram is
+    * bounded by the batch's file count ≤ buckets) — the batch plan is
+    * still evaluated exactly ONCE, by the write. Only the rare replay
+    * path re-evaluates the batch for the count compare, and only the
+    * torn-replay path runs the file surgery; both — like the probe —
+    * assume ingest is quiesced to one writer per table.
     *
     * Contract: batchIds must be unique over the TABLE's lifetime — one
     * streaming checkpoint per table (resetting the checkpoint restarts
@@ -190,37 +192,39 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       batchId: Long, tableName: String, key: String, buckets: Int,
       path: String): Boolean = {
-    val exists = spark.catalog.tableExists(tableName)
-    val expected = df.count()
-    val perFile: Array[(String, Long)] = if (!exists) Array.empty
-    else {
-      // re-list before probing: the crashed attempt's append may have
-      // committed through a DIFFERENT session clone, whose write only
-      // invalidated its own relation cache — a stale file listing here
-      // would miss the committed tag and double-append
-      spark.catalog.refreshTable(tableName)
-      spark.table(tableName)
-        .filter(col("ingest_batch") === batchId)
-        .select(input_file_name().as("f"))
-        .groupBy(col("f")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    }
-    val stored = perFile.map(_._2).sum
-    if (exists && stored == expected) false
-    else {
-      if (stored > 0) {
-        // torn mid-job commit: retract the partial file set, then
-        // re-append the whole batch
-        val conf = spark.sessionState.newHadoopConf()
-        perFile.foreach { case (uri, _) =>
-          val p = new org.apache.hadoop.fs.Path(uri)
-          p.getFileSystem(conf).delete(p, false); ()
-        }
+    val perFile: Array[(String, Long)] =
+      if (!spark.catalog.tableExists(tableName)) Array.empty
+      else {
+        // re-list before probing: the crashed attempt's append may have
+        // committed through a DIFFERENT session clone, whose write only
+        // invalidated its own relation cache — a stale file listing here
+        // would miss the committed tag and double-append
         spark.catalog.refreshTable(tableName)
+        spark.table(tableName)
+          .filter(col("ingest_batch") === batchId)
+          .select(input_file_name().as("f"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
       }
+    val stored = perFile.map(_._2).sum
+    def append(): Boolean = {
       appendBucketedTable(df.withColumn("ingest_batch", lit(batchId)),
         tableName, key, buckets, path)
       true
+    }
+    if (stored == 0) append() // first attempt — the overwhelmingly
+                              // common path: one batch evaluation
+    else if (stored == df.count()) false // complete replay — skip
+    else {
+      // torn mid-job commit: retract the partial file set, then
+      // re-append the whole batch
+      val conf = spark.sessionState.newHadoopConf()
+      perFile.foreach { case (uri, _) =>
+        val p = new org.apache.hadoop.fs.Path(uri)
+        p.getFileSystem(conf).delete(p, false); ()
+      }
+      spark.catalog.refreshTable(tableName)
+      append()
     }
   }
 
