@@ -392,8 +392,43 @@ object LayoutOps {
       FROM events
       GROUP BY 1"""))
 
+  /** q265: JSONL round-trip losslessness — the K2 edge format (the
+    * reference's primary metadata sink, utils/scenecut.py:105,119)
+    * under the bit-exact gate: document TEXT with its full character
+    * content must survive write-as-JSON-lines → parse-back exactly
+    * (JSON string escaping is the identity on content). The proof is a
+    * per-source content checksum — an order-free SUM of a per-row
+    * md5-fold over (doc_id, text) — computed on the ROUND-TRIPPED copy
+    * and compared against the oracle on the raw parquet: one flipped
+    * character anywhere shifts the sum. */
+  val q265JsonlRoundtrip = OpSpec(
+    "q265_jsonl_roundtrip",
+    (s, dir) => {
+      val path = s"${graft.Tables.scratchDir}/jsonl_q265"
+      rmTree(path)
+      graft.io.Sinks.jsonlAppend(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")), path)
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(path)
+        .withColumn("rh", expr(s"CAST(${graft.ops.DedupOps.hexToLong(
+          "md5(cast(concat(cast(doc_id as string), ':', text) as binary))",
+          1, 10)} AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(col("rh")).as("content_sum"))
+    },
+    Some(s"""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        CAST(SUM(${graft.ops.DedupOps.hexToLong(
+          "md5(CAST(doc_id AS VARCHAR) || ':' || text)", 1, 10)})
+          AS BIGINT) AS content_sum
+      FROM documents
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
     q110Log2Histogram, q176CompactionPlan, q179EpochShuffle,
     q236PartitionedLayout, q237SchemaEvolution, q238PartitionBackfill,
-    q239CsvRoundtrip)
+    q239CsvRoundtrip, q265JsonlRoundtrip)
 }
