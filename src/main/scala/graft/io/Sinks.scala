@@ -192,39 +192,44 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       batchId: Long, tableName: String, key: String, buckets: Int,
       path: String): Boolean = {
-    val perFile: Array[(String, Long)] =
-      if (!spark.catalog.tableExists(tableName)) Array.empty
-      else {
-        // re-list before probing: the crashed attempt's append may have
-        // committed through a DIFFERENT session clone, whose write only
-        // invalidated its own relation cache — a stale file listing here
-        // would miss the committed tag and double-append
-        spark.catalog.refreshTable(tableName)
-        spark.table(tableName)
-          .filter(col("ingest_batch") === batchId)
-          .select(input_file_name().as("f"))
-          .groupBy(col("f")).agg(count(lit(1)).as("n"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-      }
-    val stored = perFile.map(_._2).sum
+    def tagged() = spark.table(tableName)
+      .filter(col("ingest_batch") === batchId)
+    val clean = !spark.catalog.tableExists(tableName) || {
+      // re-list before probing: the crashed attempt's append may have
+      // committed through a DIFFERENT session clone, whose write only
+      // invalidated its own relation cache — a stale file listing here
+      // would miss the committed tag and double-append
+      spark.catalog.refreshTable(tableName)
+      // tier-1 probe: one early-exiting LIMIT-1 stage — the whole cost
+      // of the common first-attempt path (the per-file job below only
+      // runs when a replay actually found the tag)
+      tagged().isEmpty
+    }
     def append(): Boolean = {
       appendBucketedTable(df.withColumn("ingest_batch", lit(batchId)),
         tableName, key, buckets, path)
       true
     }
-    if (stored == 0) append() // first attempt — the overwhelmingly
-                              // common path: one batch evaluation
-    else if (stored == df.count()) false // complete replay — skip
+    if (clean) append()
     else {
-      // torn mid-job commit: retract the partial file set, then
-      // re-append the whole batch
-      val conf = spark.sessionState.newHadoopConf()
-      perFile.foreach { case (uri, _) =>
-        val p = new org.apache.hadoop.fs.Path(uri)
-        p.getFileSystem(conf).delete(p, false); ()
+      // tier-2 probe (replay path): per-file tag counts for the
+      // complete/torn distinction
+      val perFile = tagged()
+        .select(input_file_name().as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (perFile.map(_._2).sum == df.count()) false // complete — skip
+      else {
+        // torn mid-job commit: retract the partial file set, then
+        // re-append the whole batch
+        val conf = spark.sessionState.newHadoopConf()
+        perFile.foreach { case (uri, _) =>
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(conf).delete(p, false); ()
+        }
+        spark.catalog.refreshTable(tableName)
+        append()
       }
-      spark.catalog.refreshTable(tableName)
-      append()
     }
   }
 
