@@ -4026,6 +4026,111 @@ object EmbeddingOps {
         END AS structural_rate
       FROM aud_m"""))
 
+  /** Margin-mining neighborhood size (the k of the ratio-margin
+    * criterion). */
+  private val MarginK = 4
+
+  /** q266: MARGIN-BASED PAIR MINING — the bitext/parallel-data mining
+    * criterion of the LASER/CCMatrix line (Artetxe & Schwenk 2019):
+    * raw cosine is a poor mined-pair score because dense "hub" regions
+    * score high against EVERYTHING, so each candidate pair (x, y) is
+    * scored by its cosine RELATIVE to both endpoints' neighborhoods —
+    * margin = 2·cos(x,y) / (avgTop4_fwd(x) + avgTop4_bwd(y)) — and a
+    * pair is mined iff y is x's argmax-margin match with margin > 1
+    * (scores above its own neighborhood average). Sides here: the
+    * established probe set (vec_id < 20) against the rest of the
+    * corpus, standing in for the two language sides.
+    *
+    * Exactness: the top-4 averages are ORDERED left folds over
+    * rank-sorted lists (the q-family sort_array(collect_list(struct))
+    * == list(v ORDER BY k) identity), /4 and ·2 are exact binary ops,
+    * and the final margin is one division — bit-identical in both
+    * engines. Scale shape: one q30-style linear scan (20-row broadcast
+    * — never target×target), two rank windows partitioned by their
+    * side's key, and two bounded join sides (fwd is |queries| rows;
+    * bwd is per-target over 20 scores). The 100 TB variant swaps the
+    * exact scan for the q150/q205 index shortlist and keeps the margin
+    * arithmetic unchanged. */
+  val q266MarginMining = OpSpec(
+    "q266_margin_mining",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      val scored = e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", graft.functions.VectorFunctions
+          .dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cosine"))
+        .persist()
+      def avgTop(part: String, other: String): DataFrame = {
+        val w = Window.partitionBy(col(part))
+          .orderBy(col("cosine").desc, col(other).asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= MarginK)
+          .groupBy(col(part))
+          .agg((expr("""aggregate(
+              transform(sort_array(collect_list(struct(rn, cosine))),
+                x -> x.cosine),
+              0D, (a, y) -> a + y)""") / MarginK).as(s"avg_$part"))
+      }
+      val fwd = avgTop("query_id", "vec_id")
+        .withColumnRenamed("avg_query_id", "fwd")
+      val bwd = avgTop("vec_id", "query_id")
+        .withColumnRenamed("avg_vec_id", "bwd")
+      val wm = Window.partitionBy(col("query_id"))
+        .orderBy(col("margin").desc, col("vec_id").asc)
+      scored.join(fwd, "query_id").join(bwd, "vec_id")
+        .withColumn("margin",
+          col("cosine") * 2 / (col("fwd") + col("bwd")))
+        .withColumn("mr", row_number().over(wm))
+        .filter(col("mr") === 1 && col("margin") > 1.0)
+        .select(col("query_id"), col("vec_id").as("match_id"),
+          col("cosine"), col("margin"))
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+            FROM e WHERE vec_id < 20),
+      t AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id >= 20),
+      scored AS (
+        SELECT q.query_id, t.vec_id,
+          ${dotDuck("q.qv", "t.embedding")} / (q.qnrm * t.nrm) AS cosine
+        FROM t, q),
+      rf AS (
+        SELECT query_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored),
+      fwd AS (
+        SELECT query_id,
+          list_reduce(list(cosine ORDER BY rn), (a, b) -> a + b)
+            / $MarginK AS fwd
+        FROM rf WHERE rn <= $MarginK GROUP BY query_id),
+      rb AS (
+        SELECT vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, query_id ASC) AS rn
+        FROM scored),
+      bwd AS (
+        SELECT vec_id,
+          list_reduce(list(cosine ORDER BY rn), (a, b) -> a + b)
+            / $MarginK AS bwd
+        FROM rb WHERE rn <= $MarginK GROUP BY vec_id),
+      m AS (
+        SELECT s.query_id, s.vec_id, s.cosine,
+          s.cosine * 2 / (f.fwd + b.bwd) AS margin
+        FROM scored s
+        JOIN fwd f USING (query_id)
+        JOIN bwd b USING (vec_id)),
+      top AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY margin DESC, vec_id ASC) AS mr
+        FROM m)
+      SELECT query_id, vec_id AS match_id, cosine, margin
+      FROM top WHERE mr = 1 AND margin > 1e0"""))
+
   /** Swept SemDeDup cluster counts for the q220 miss audit. */
   private val SemDedupKs = Seq(4, 8, 16)
 
@@ -4193,5 +4298,6 @@ object EmbeddingOps {
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
     q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
-    q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum)
+    q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
+    q266MarginMining)
 }

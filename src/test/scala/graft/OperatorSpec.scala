@@ -1587,6 +1587,9 @@ class OperatorSpec extends AnyFunSuite {
       "q260_retrain_policy", // q248's two broadcast-k trainings + two
                              // 1-row health summaries cross-joined
                              // (the q145 shape) into the decision row
+      "q266_margin_mining", // the q30-shape bounded 20-query broadcast
+                            // scan; the margin joins are equi-joins on
+                            // the side keys
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -2515,6 +2518,26 @@ class OperatorSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(again == rows, "audit nondeterministic across runs")
+    spark.catalog.clearCache()
+  }
+
+  test("q266 margin mining: one mined pair per confident query, matches " +
+    "in the target side only, margins above the neighborhood bar") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q266_margin_mining")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20,
+      s"${rows.length} mined pairs for 20 queries")
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "a query mined more than one pair")
+    assert(rows.forall(_._2 >= 20L), "mined a match from the query side")
+    assert(rows.forall(_._4 > 1.0), "margin at or below the bar leaked")
+    // margin is a RATIO score: it can exceed 1 while the raw cosine is
+    // modest — assert the score actually normalizes (margin != cosine)
+    assert(rows.forall(r => r._4 != r._3))
+    val again = SparkEntry.queries("q266_margin_mining")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(again == rows.toSet, "mining nondeterministic")
     spark.catalog.clearCache()
   }
 
