@@ -3193,7 +3193,7 @@ object EmbeddingOps {
     * are bounded by the oversized-cell count ≤ n/cap. */
   private[graft] def splitOversizedCells(members: DataFrame,
       probe: DataFrame, cap: Int, maxRounds: Int = SemSplitRounds)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Boolean) = {
     // normalize to the pair-scan row shape (callers may carry extra
     // physical columns, e.g. the members table's ingest_batch tag)
     def shape(df: DataFrame): DataFrame =
@@ -3239,7 +3239,12 @@ object EmbeddingOps {
         round += 1
       }
     }
-    (m, p)
+    // third element: whether oversized cells may remain (the loop ran
+    // out of rounds before the count probe came back clean) — lets the
+    // caller skip its truncation re-probe on the clean path, so the
+    // common no-oversized-cell case costs exactly ONE bounded
+    // count-by-cell scan
+    (m, p, !done)
   }
 
   /** Within-cluster smaller-id-wins prune of `probe` against `members`
@@ -3256,10 +3261,10 @@ object EmbeddingOps {
     * construction). Verdicts reference the ORIGINAL cid. */
   private[graft] def semPruneVerdicts(members: DataFrame,
       probe: DataFrame, cellCap: Int = SemCellCap): DataFrame = {
-    val (m, p) = splitOversizedCells(members, probe, cellCap)
-    val residue = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
+    val (m, p, mayOverflow) = splitOversizedCells(members, probe, cellCap)
+    lazy val residue = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > cellCap).select(col("ckey"))
-    val scan = if (residue.isEmpty) m else {
+    val scan = if (!mayOverflow || residue.isEmpty) m else {
       val wt = Window.partitionBy(col("ckey")).orderBy(col("vec_id").asc)
       m.join(broadcast(residue), Seq("ckey"), "left_anti").unionByName(
         m.join(broadcast(residue), Seq("ckey"), "left_semi")

@@ -2443,7 +2443,7 @@ class OperatorSpec extends AnyFunSuite {
     }.toDF("cid", "vec_id", "embedding", "nrm")
     // bound: after split + scan-side truncation no scan cell exceeds
     // the cap, so the pair count is <= |probe| * cap
-    val (m, _) = EmbeddingOps.splitOversizedCells(rows, rows, cap)
+    val (m, _, _) = EmbeddingOps.splitOversizedCells(rows, rows, cap)
     val residue = m.groupBy(col("ckey")).count()
       .filter(col("count") > cap).count()
     assert(residue == 0,
