@@ -17,7 +17,7 @@ object SparkEntry {
       ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all ++
       ops.SampleOps.all ++ ops.Skew.all ++ ops.BloomPrune.all ++
       ops.LayoutOps.all ++ ops.AssembleOps.all ++ ops.SketchOps.all ++
-      ops.GraphOps.all ++ ops.ScoreStage.all ++
+      ops.GraphOps.all ++ ops.ScoreStage.all ++ ops.ClassifierOps.all ++
       streaming.StreamingStages.oracleOps
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2726,7 +2726,7 @@ class OperatorSpec extends AnyFunSuite {
     // running the gated query materializes the partitioned copy
     val df = SparkEntry.queries("q236_partitioned_layout")(spark, sf)
     assert(df.count() > 0)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_part_q236"
+    val path = s"${Tables.scratchDir}/part_q236"
     val sliced = spark.read.parquet(path)
       .filter(col("dt") >= "2024-01-08" && col("dt") <= "2024-01-14")
     val plan = sliced.queryExecution.executedPlan.toString
@@ -4578,6 +4578,46 @@ class OperatorSpec extends AnyFunSuite {
     val restMean = rest.map(_._2).sum.toDouble / rest.size
     assert(enMean > restMean,
       s"en mean $enMean not above non-target mean $restMean")
+  }
+
+  test("q267/q268/q269: the in-engine trained classifier actually learns " +
+    "(holdout AUC in the noisy-label band) and the evaluations cohere") {
+    val scored = SparkEntry.queries("q267_logistic_train")(spark, sf)
+      .collect()
+    val hold = scored.filter(_.getAs[String]("split") == "holdout")
+    assert(hold.nonEmpty && hold.length < scored.length)
+    // scores are probabilities; pred is the 0.5 threshold
+    scored.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getAs[Long]("pred") == (if (s >= 0.5) 1L else 0L))
+    }
+    // the 10% label flip bounds attainable AUC below 1; a failed
+    // training sits at 0.5 — assert the learning band between them
+    val auc = SparkEntry.queries("q268_auc_eval")(spark, sf).head()
+    assert(auc.getAs[Long]("n_pos") > 0 && auc.getAs[Long]("n_neg") > 0)
+    val a = auc.getAs[Double]("auc")
+    assert(a > 0.65 && a < 0.95, s"holdout AUC $a outside learning band")
+    // u2 is the exact integer Mann-Whitney numerator: recompute it
+    // pair-wise from the scored rows (holdout is small at spec scale)
+    val pos = hold.filter(_.getAs[Long]("y") == 1L).map(_.getAs[Double]("score"))
+    val neg = hold.filter(_.getAs[Long]("y") == 0L).map(_.getAs[Double]("score"))
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(auc.getAs[Long]("u2") == u2,
+      s"fold u2 ${auc.getAs[Long]("u2")} != pairwise $u2")
+    // calibration bins partition the holdout; per-bin stats are sane
+    val cal = SparkEntry.queries("q269_calibration")(spark, sf).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum == hold.length)
+    cal.foreach { r =>
+      val fp = r.getAs[Double]("frac_pos")
+      val ms = r.getAs[Double]("mean_score")
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 9)
+      assert(fp >= 0.0 && fp <= 1.0)
+      assert(ms >= b / 10.0 - 1e-9 && (b == 9 || ms < (b + 1) / 10.0 + 1e-9))
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(fp - ms)) < 1e-12)
+    }
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
