@@ -64,11 +64,13 @@ object ClassifierOps {
   private val Lr = 1e1
   private val Iters = 12
 
-  /** Spark-side feature/label/split frame: one row per document,
-    * (doc_id, split, y, f0..f3) with f's BIGINT fixed-point at [[Sx]].
-    * Mirrors [[featDuck]] exactly. */
-  private def featDf(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+  /** Spark-side feature/label/split frame over a raw documents frame:
+    * one row per document, (doc_id, split, y, f0..f3) with f's BIGINT
+    * fixed-point at [[Sx]]. Mirrors [[featDuck]] exactly. Every
+    * expression is ROW-LOCAL, so the same featurization runs unchanged
+    * over a streaming documents source (q271). */
+  private[graft] def featurize(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", expr(TextOps.wordsSpark))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
@@ -97,7 +99,10 @@ object ClassifierOps {
         expr(s"CASE WHEN n_words = 0 THEN 0L " +
           s"ELSE (n_stop * $Sx) DIV n_words END").as("f3"))
 
-  /** DuckDB twin of [[featDf]] as a CTE body. */
+  private def featDf(s: SparkSession, dir: String): DataFrame =
+    featurize(table(s, dir, "documents"))
+
+  /** DuckDB twin of [[featurize]] as a CTE body. */
   private val featDuck: String = s"""
     SELECT doc_id,
       CASE WHEN ${TextOps.hexToLong("hx_clf", 12)} % 10 < 8
@@ -180,15 +185,29 @@ object ClassifierOps {
       } finally { tr.unpersist(); () }
     })
 
-  /** Final scored frame (doc_id, split, y, score, pred) over ALL docs. */
-  private def scoredDf(s: SparkSession, dir: String): DataFrame = {
-    val (ws, _) = trainedWeights(s, dir)
-    featDf(s, dir)
+  /** Score a FEATURIZED frame with frozen weights — row-local literal
+    * arithmetic, so it runs identically over batch and streaming
+    * inputs: (doc_id, split, y, score, pred). */
+  private def scoreFrame(feat: DataFrame, ws: Seq[Double]): DataFrame =
+    feat
       .withColumn("score", sigCol(zCol(ws)))
       .select(col("doc_id"), col("split"), col("y"), col("score"),
         expr("CAST(CASE WHEN score >= 5e-1 THEN 1 ELSE 0 END AS BIGINT)")
           .as("pred"))
-  }
+
+  /** Final scored frame (doc_id, split, y, score, pred) over ALL docs. */
+  private def scoredDf(s: SparkSession, dir: String): DataFrame =
+    scoreFrame(featDf(s, dir), trainedWeights(s, dir)._1)
+
+  /** Train on the BATCH corpus, then score an incoming STREAMING
+    * documents frame with the frozen weights (q271) — the production
+    * deployment shape: the model is a handful of literals baked into a
+    * stateless row-local projection, so serving it in Structured
+    * Streaming costs nothing beyond the scan and is trivially
+    * arrival-insensitive (the batch oracle gates it verbatim). */
+  private[graft] def scoreStream(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    scoreFrame(featurize(docs), trainedWeights(s, dir)._1)
 
   /** The DuckDB training trajectory: w0 (zeros) then one CTE per
     * iteration over the train split — the oracle re-derives the
@@ -329,6 +348,107 @@ object ClassifierOps {
           CAST(SUM(CAST(floor(score * 1e9) AS BIGINT)) AS BIGINT) AS sfp
         FROM scored WHERE split = 'holdout' GROUP BY 1)"""))
 
+  /** q270: uncertainty sampling — the ACTIVE-LEARNING batch selector
+    * every classifier-curated pipeline runs next: the k pool documents
+    * the model is least sure about (|score - 1/2| smallest) are the
+    * ones worth human labels. Spark shape: orderBy + limit plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    * NO global window and no full sort at any scale; ties break on
+    * doc_id so the selected set is deterministic. */
+  val q270UncertaintySample = OpSpec(
+    "q270_uncertainty_sample",
+    (s, dir) => {
+      scoredDf(s, dir).filter(col("split") === "holdout")
+        .withColumn("uncertainty", abs(col("score") - lit(5e-1)))
+        .orderBy(col("uncertainty").asc, col("doc_id").asc)
+        .limit(40)
+        .select(col("doc_id"), col("score"), col("uncertainty"))
+    },
+    Some(s"""$oraclePrelude
+      SELECT doc_id, score, abs(score - 5e-1) AS uncertainty
+      FROM scored WHERE split = 'holdout'
+      ORDER BY abs(score - 5e-1) ASC, doc_id ASC LIMIT 40"""))
+
+  /** q275: PRECISION/RECALL THRESHOLD SWEEP — the operating-point
+    * table a deployed curation classifier is actually configured from
+    * (AUC ranks models; the sweep picks the threshold). Nine
+    * thresholds t = 0.1..0.9; per t the exact confusion counts over
+    * the holdout and single-division precision/recall/F1. Spark shape:
+    * each doc lands in ONE score decile bucket (row-local), the 10-row
+    * bucket table aggregates ONCE, and the 9 thresholds are cumulative
+    * sums over that bounded domain via a 9x10 triangle join (the q173
+    * decile-triangle shape — aggregate-sized, crossOk-documented), so
+    * the corpus is scanned exactly once however many thresholds the
+    * sweep has. F1 = 2*tp / (2*tp + fp + fn) — one division of exact
+    * integers (the textbook 2PR/(P+R) divides two already-rounded
+    * doubles and diverges cross-engine). */
+  val q275PrCurve = OpSpec(
+    "q275_pr_curve",
+    (s, dir) => {
+      val buckets = scoredDf(s, dir).filter(col("split") === "holdout")
+        .withColumn("bin",
+          least(floor(col("score") * lit(1e1)), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(sum(col("y")).cast("long").as("p"),
+          (count(lit(1)) - sum(col("y"))).cast("long").as("m"))
+      val ts = s.range(1, 10).select(col("id").as("t10"))
+      ts.join(broadcast(buckets), col("bin") >= col("t10"), "left")
+        .groupBy(col("t10"))
+        .agg(coalesce(sum(col("p")), lit(0L)).cast("long").as("tp"),
+          coalesce(sum(col("m")), lit(0L)).cast("long").as("fp"))
+        .join(broadcast(buckets.agg(
+          sum(col("p")).cast("long").as("pos_all"),
+          sum(col("m")).cast("long").as("neg_all"))))
+        .select(
+          (col("t10").cast("double") / lit(1e1)).as("threshold"),
+          col("tp"), col("fp"),
+          (col("pos_all") - col("tp")).as("fn"),
+          (col("neg_all") - col("fp")).as("tn"),
+          when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+            .otherwise(col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double")).as("prec"),
+          when(col("pos_all") === 0, lit(null).cast("double"))
+            .otherwise(col("tp").cast("double")
+              / col("pos_all").cast("double")).as("recall"),
+          when(lit(2L) * col("tp") + col("fp")
+              + (col("pos_all") - col("tp")) === 0,
+            lit(null).cast("double"))
+            .otherwise((lit(2L) * col("tp")).cast("double")
+              / (lit(2L) * col("tp") + col("fp")
+                + (col("pos_all") - col("tp"))).cast("double")).as("f1"))
+    },
+    Some(s"""$oraclePrelude,
+      buckets AS (
+        SELECT CAST(least(floor(score * 1e1), 9e0) AS BIGINT) AS bin,
+          CAST(SUM(y) AS BIGINT) AS p,
+          CAST(COUNT(*) - SUM(y) AS BIGINT) AS m
+        FROM scored WHERE split = 'holdout' GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS pos_all,
+          CAST(SUM(m) AS BIGINT) AS neg_all
+        FROM buckets),
+      cum AS (
+        SELECT t.t10,
+          CAST(COALESCE(SUM(b.p), 0) AS BIGINT) AS tp,
+          CAST(COALESCE(SUM(b.m), 0) AS BIGINT) AS fp
+        FROM (SELECT unnest(generate_series(1, 9)) AS t10) t
+        LEFT JOIN buckets b ON b.bin >= t.t10
+        GROUP BY 1)
+      SELECT CAST(t10 AS DOUBLE) / 1e1 AS threshold, tp, fp,
+        pos_all - tp AS fn, neg_all - fp AS tn,
+        CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        END AS prec,
+        CASE WHEN pos_all = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(pos_all AS DOUBLE)
+        END AS recall,
+        CASE WHEN 2 * tp + fp + (pos_all - tp) = 0 THEN NULL
+             ELSE CAST(2 * tp AS DOUBLE)
+               / CAST(2 * tp + fp + (pos_all - tp) AS DOUBLE)
+        END AS f1
+      FROM cum, tot"""))
+
   val all: Seq[OpSpec] =
-    Seq(q267LogisticTrain, q268AucEval, q269Calibration)
+    Seq(q267LogisticTrain, q268AucEval, q269Calibration,
+      q270UncertaintySample, q275PrCurve)
 }

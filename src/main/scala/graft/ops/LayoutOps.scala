@@ -427,8 +427,113 @@ object LayoutOps {
       FROM documents
       GROUP BY 1"""))
 
+  /** q272: PER-CLIP JSON round-trip — the K1 edge format (one JSON
+    * file per row, aesthetic_score.py:130-135) under the bit-exact
+    * gate, exercising the real [[graft.io.Sinks.perClipJson]] path
+    * (repartition-by-key + maxRecordsPerFile=1, so the commit protocol
+    * stays Spark's). A deterministic tenth of the corpus keeps the
+    * file count honest-but-bounded (one file per row is the FORMAT's
+    * cost, not a scale path — the spec separately proves file count ==
+    * row count). The readback checksum folds doc_id AND text, so a
+    * row lost to a broken per-file commit or a character mangled by
+    * JSON escaping flips the hash. */
+  val q272PerclipJsonRoundtrip = OpSpec(
+    "q272_perclip_json_roundtrip",
+    (s, dir) => {
+      val path = s"${graft.Tables.scratchDir}/pcjson_q272"
+      rmTree(path)
+      graft.io.Sinks.perClipJson(
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), col("text"), col("source")),
+        path, "doc_id")
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(path)
+        .withColumn("rh", expr(s"CAST(${graft.ops.DedupOps.hexToLong(
+          "md5(cast(concat(cast(doc_id as string), ':', text) as binary))",
+          1, 10)} AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("rh")).as("content_sum"))
+    },
+    Some(s"""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(${graft.ops.DedupOps.hexToLong(
+          "md5(CAST(doc_id AS VARCHAR) || ':' || text)", 1, 10)})
+          AS BIGINT) AS content_sum
+      FROM documents WHERE doc_id % 10 = 3
+      GROUP BY 1"""))
+
+  /** q273: TEXT-SCORES round-trip — the K5 edge format ("<score>
+    * <clip>" lines, run_extract_mvs.sh:8-16) under the gate via the
+    * real [[graft.io.Sinks.textScores]] path. The score is an exact
+    * BIGINT (n_chars) because a double would round-trip through
+    * engine-specific string formatting; the clip id is the F3
+    * convention (source:doc_id). The checksum is computed from the
+    * PARSED line halves, so the gate proves the parse inverts the
+    * format — a swapped field order or a lost line flips it. */
+  val q273TextSinkRoundtrip = OpSpec(
+    "q273_text_sink_roundtrip",
+    (s, dir) => {
+      val path = s"${graft.Tables.scratchDir}/txt_q273"
+      rmTree(path)
+      graft.io.Sinks.textScores(
+        table(s, dir, "documents")
+          .withColumn("score", length(col("text")).cast("long"))
+          .withColumn("clip",
+            concat(col("source"), lit(":"), col("doc_id"))),
+        "score", "clip", path)
+      s.read.text(path)
+        .withColumn("score",
+          expr("CAST(split(value, ' ')[0] AS BIGINT)"))
+        .withColumn("clip", expr("split(value, ' ')[1]"))
+        .withColumn("src", expr("split(clip, ':')[0]"))
+        .withColumn("rh", expr(s"CAST(${graft.ops.DedupOps.hexToLong(
+          "md5(cast(concat(cast(score as string), ' ', clip) as binary))",
+          1, 10)} AS BIGINT)"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score")).cast("long").as("sum_score"),
+          sum(col("rh")).as("content_sum"))
+    },
+    Some(s"""
+      SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_score,
+        CAST(SUM(${graft.ops.DedupOps.hexToLong(
+          "md5(CAST(length(text) AS VARCHAR) || ' ' || source || ':' || " +
+            "CAST(doc_id AS VARCHAR))", 1, 10)}) AS BIGINT) AS content_sum
+      FROM documents
+      GROUP BY 1"""))
+
+  /** q274: MERGED-JSON round-trip — the K3 edge format (the rank-0
+    * gather of coca_caption.py:107-121 as ONE json array file) under
+    * the gate via the real [[graft.io.Sinks.mergedJson]] path. The
+    * coalesce(1) is the format's contract (spec proves exactly one
+    * data file); the checksum proves the gather lost nothing. */
+  val q274MergedJsonRoundtrip = OpSpec(
+    "q274_merged_json_roundtrip",
+    (s, dir) => {
+      val path = s"${graft.Tables.scratchDir}/mjson_q274"
+      rmTree(path)
+      graft.io.Sinks.mergedJson(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang")), path)
+      s.read.schema("doc_id LONG, text STRING, lang STRING").json(path)
+        .withColumn("rh", expr(s"CAST(${graft.ops.DedupOps.hexToLong(
+          "md5(cast(concat(cast(doc_id as string), ':', text) as binary))",
+          1, 10)} AS BIGINT)"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("rh")).as("content_sum"))
+    },
+    Some(s"""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(${graft.ops.DedupOps.hexToLong(
+          "md5(CAST(doc_id AS VARCHAR) || ':' || text)", 1, 10)})
+          AS BIGINT) AS content_sum
+      FROM documents
+      GROUP BY 1"""))
+
   val all: Seq[OpSpec] = Seq(q71Zorder, q72PercentileProfile,
     q110Log2Histogram, q176CompactionPlan, q179EpochShuffle,
     q236PartitionedLayout, q237SchemaEvolution, q238PartitionBackfill,
-    q239CsvRoundtrip, q265JsonlRoundtrip)
+    q239CsvRoundtrip, q265JsonlRoundtrip, q272PerclipJsonRoundtrip,
+    q273TextSinkRoundtrip, q274MergedJsonRoundtrip)
 }

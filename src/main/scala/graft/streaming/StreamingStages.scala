@@ -1273,6 +1273,31 @@ object StreamingStages {
         user_id, event_type, value, props
       FROM events"""))
 
+  private val clfSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q271: STREAMING CLASSIFIER SERVING — train the q267 logistic
+    * model on the batch corpus, then score an unbounded documents
+    * stream with the frozen weights (file source → stateless row-local
+    * featurize+score → append memory sink). The deployment shape every
+    * classifier-curated ingest runs: the model is a handful of frozen
+    * literals, so serving adds NO state store and no shuffle — scoring
+    * rides the scan. Row-local maps are arrival-insensitive, so q267's
+    * batch oracle (which RE-TRAINS in DuckDB from zeros) gates the
+    * streamed output verbatim: the gate spans train → freeze → stream
+    * in one compare. */
+  val q271StreamingClassifier: graft.OpSpec = graft.OpSpec(
+    "q271_streaming_classifier",
+    (s, dir) => {
+      val id = clfSinkId.incrementAndGet()
+      if (id > 1) s.catalog.dropTempView(s"q271_mem_${id - 1}")
+      val name = s"q271_mem_$id"
+      val scored = graft.ops.ClassifierOps.scoreStream(s, dir,
+        documentsStream(s, s"$dir/documents.parquet").drop("ts"))
+      runToMemory(scored, name, "append").stop()
+      s.table(name)
+    },
+    graft.ops.ClassifierOps.q267LogisticTrain.oracle)
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -1283,5 +1308,5 @@ object StreamingStages {
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
       q219StreamIndexIngest, q228StreamingRollup,
       q230StreamingCorpusIngest, q247StreamingSemdedup,
-      q259StreamingShardSink)
+      q259StreamingShardSink, q271StreamingClassifier)
 }

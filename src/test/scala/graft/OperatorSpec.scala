@@ -1590,6 +1590,9 @@ class OperatorSpec extends AnyFunSuite {
       "q266_margin_mining", // the q30-shape bounded 20-query broadcast
                             // scan; the margin joins are equi-joins on
                             // the side keys
+      "q275_pr_curve", // 9-threshold × 10-bucket triangle join (the
+                       // q173 decile-triangle shape — both sides
+                       // aggregate-bounded) + the 1-row totals scalar
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -4618,6 +4621,76 @@ class OperatorSpec extends AnyFunSuite {
       assert(ms >= b / 10.0 - 1e-9 && (b == 9 || ms < (b + 1) / 10.0 + 1e-9))
       assert(math.abs(r.getAs[Double]("gap") - math.abs(fp - ms)) < 1e-12)
     }
+  }
+
+  test("q270 uncertainty sample: exactly the k least-confident holdout " +
+    "docs, deterministic under ties") {
+    val sel = SparkEntry.queries("q270_uncertainty_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("uncertainty")))
+    assert(sel.length == 40)
+    // every selected uncertainty <= every unselected one
+    val all = SparkEntry.queries("q267_logistic_train")(spark, sf)
+      .filter(col("split") === "holdout").collect()
+      .map(r => (r.getLong(0), math.abs(r.getAs[Double]("score") - 0.5)))
+    val selIds = sel.map(_._1).toSet
+    val maxSel = sel.map(_._2).max
+    val minUnsel = all.filterNot(r => selIds(r._1)).map(_._2).min
+    assert(maxSel <= minUnsel,
+      s"selected max $maxSel above unselected min $minUnsel")
+    // selection equals the brute-force (uncertainty, doc_id) prefix
+    assert(selIds == all.sortBy(r => (r._2, r._1)).take(40).map(_._1).toSet)
+  }
+
+  test("q271 streaming classifier serving equals the batch scoring " +
+    "row-for-row (frozen weights, stateless map)") {
+    val streamed = SparkEntry.queries("q271_streaming_classifier")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q267_logistic_train")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q272/q274 sink layouts: per-clip JSON writes one file per row; " +
+    "merged JSON writes exactly one data file") {
+    val n272 = SparkEntry.queries("q272_perclip_json_roundtrip")(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    val files272 = new java.io.File(s"${Tables.scratchDir}/pcjson_q272")
+      .listFiles().count(f => f.getName.endsWith(".json"))
+    assert(files272.toLong == n272,
+      s"per-clip layout: $files272 files for $n272 rows")
+    SparkEntry.queries("q274_merged_json_roundtrip")(spark, sf).collect()
+    val files274 = new java.io.File(s"${Tables.scratchDir}/mjson_q274")
+      .listFiles().count(f => f.getName.endsWith(".json"))
+    assert(files274 == 1, s"merged layout wrote $files274 data files")
+  }
+
+  test("q275 PR sweep: confusion counts are consistent, monotone in the " +
+    "threshold, and tie out against brute force at one threshold") {
+    val rows = SparkEntry.queries("q275_pr_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 9)
+    val hold = SparkEntry.queries("q267_logistic_train")(spark, sf)
+      .filter(col("split") === "holdout").collect()
+    val nPos = hold.count(_.getAs[Long]("y") == 1L)
+    val nNeg = hold.length - nPos
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos)
+      assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") == nNeg)
+    }
+    // raising the threshold never gains positives
+    val tps = rows.map(_.getAs[Long]("tp"))
+    val fps = rows.map(_.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    // brute-force tie-out at t = 0.5 (the q267 pred threshold)
+    val t5 = rows(4)
+    assert(t5.getAs[Double]("threshold") == 0.5)
+    val tp5 = hold.count(r => r.getAs[Long]("y") == 1L &&
+      r.getAs[Double]("score") >= 0.5)
+    val fp5 = hold.count(r => r.getAs[Long]("y") == 0L &&
+      r.getAs[Double]("score") >= 0.5)
+    assert(t5.getAs[Long]("tp") == tp5 && t5.getAs[Long]("fp") == fp5)
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
