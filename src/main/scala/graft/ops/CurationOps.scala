@@ -686,9 +686,165 @@ object CurationOps {
       FROM gated
       QUALIFY cum_tokens <= 600"""))
 
+  /** The q276/q277 funnel's stage predicates and per-doc first-kill
+    * attribution — ONE definition so the per-doc audit (q276) and the
+    * published waterfall (q277) cannot drift apart. Stage order is the
+    * funnel contract: (1) too_short (n_chars < 100), (2) quality (the
+    * q23 kernel < 0.5), (3) repetition (dup-word ratio > 2/3, pure
+    * integer cross-multiplication), (4) wordset_dup (non-keeper in the
+    * q26 canonical word-set group AMONG STAGE-3 SURVIVORS — dedup runs
+    * on what earlier stages let through, as a real pipeline does; the
+    * keeper is the min surviving doc_id, computed with a partitioned
+    * window over the fingerprint, no global window). Everything else
+    * is row-local column math. */
+  private def funnelAttrib(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents")
+      .withColumn("words", expr(TextOps.wordsSpark))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("n_dw",
+        expr("CAST(size(array_distinct(words)) AS BIGINT)"))
+      .withColumn("n_punct",
+        expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter(words, w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT)"))
+      .withColumn("quality", expr(TextOps.qualityFormula("n_chars")))
+      .withColumn("wsh", expr(
+        "md5(CAST(array_join(array_sort(array_distinct(words)), ' ') AS BINARY))"))
+      .withColumn("p1", col("n_chars") >= 100)
+      .withColumn("p2", col("quality") >= lit(5e-1))
+      .withColumn("p3", expr("3 * (n_words - n_dw) <= 2 * n_words"))
+      .withColumn("s3", col("p1") && col("p2") && col("p3"))
+      // ordered window with an explicit full frame (the q72 pattern):
+      // an ORDER-less partitioned Window prints only two bracket
+      // groups and the plan sweep's global-window detector keys on
+      // that shape; the full frame keeps min() group-wide either way
+      .withColumn("keeper",
+        min(when(col("s3"), col("doc_id")))
+          .over(Window.partitionBy(col("wsh")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+      .select(col("doc_id"),
+        expr("""CAST(CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
+                 WHEN NOT p3 THEN 3 WHEN doc_id <> keeper THEN 4
+                 ELSE 5 END AS BIGINT)""").as("stage_idx"),
+        expr("""CASE WHEN NOT p1 THEN 'too_short'
+                 WHEN NOT p2 THEN 'quality'
+                 WHEN NOT p3 THEN 'repetition'
+                 WHEN doc_id <> keeper THEN 'wordset_dup'
+                 ELSE 'kept' END""").as("kill_stage"))
+
+  /** Shared oracle text for the funnel attribution (doc_id, stage_idx,
+    * kill_stage). */
+  private val funnelAttribDuck: String = s"""
+    SELECT doc_id,
+      CAST(CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
+           WHEN NOT p3 THEN 3 WHEN doc_id <> keeper THEN 4
+           ELSE 5 END AS BIGINT) AS stage_idx,
+      CASE WHEN NOT p1 THEN 'too_short'
+           WHEN NOT p2 THEN 'quality'
+           WHEN NOT p3 THEN 'repetition'
+           WHEN doc_id <> keeper THEN 'wordset_dup'
+           ELSE 'kept' END AS kill_stage
+    FROM (
+      SELECT doc_id, p1, p2, p3,
+        min(CASE WHEN p1 AND p2 AND p3 THEN doc_id END)
+          OVER (PARTITION BY wsh) AS keeper
+      FROM (
+        SELECT doc_id,
+          (n_chars >= 100) AS p1,
+          (${TextOps.qualityFormula("n_chars")} >= 5e-1) AS p2,
+          (3 * (n_words - n_dw) <= 2 * n_words) AS p3,
+          md5(list_aggregate(list_sort(list_distinct(words)),
+            'string_agg', ' ')) AS wsh
+        FROM (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(words)) AS BIGINT) AS n_dw,
+            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+              AS BIGINT) AS n_punct,
+            CAST(len(list_filter(words,
+              w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
+            words
+          FROM (SELECT doc_id, text, ${TextOps.wordsDuck} AS words
+                FROM documents))))"""
+
+  /** q276: per-document FIRST-KILL ATTRIBUTION — the lineage record a
+    * production curation run keeps so any document's absence from the
+    * training set is explainable ("which stage dropped doc X, and
+    * why"): one row per document with the first funnel stage that
+    * rejected it (or 'kept'). The whole attribution is one pass +
+    * one fingerprint-partitioned window; no stage re-scans the
+    * corpus. */
+  val q276FilterAttribution = OpSpec(
+    "q276_filter_attribution",
+    (s, dir) => funnelAttrib(s, dir),
+    Some(funnelAttribDuck))
+
+  /** q277: the CURATION WATERFALL — the funnel table every pipeline
+    * run publishes (stage, n_in, n_kill, n_out, retention). Derived
+    * from q276's attribution in ONE aggregate row (four conditional
+    * sums), then four literal struct rows exploded from it — no
+    * window, no second scan, no per-stage jobs; retention is one
+    * division of exact counts. */
+  val q277FilterFunnel = OpSpec(
+    "q277_filter_funnel",
+    (s, dir) => {
+      funnelAttrib(s, dir)
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("stage_idx") === 1, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("stage_idx") === 2, 1L).otherwise(0L)).as("k2"),
+          sum(when(col("stage_idx") === 3, 1L).otherwise(0L)).as("k3"),
+          sum(when(col("stage_idx") === 4, 1L).otherwise(0L)).as("k4"))
+        .select(explode(array(
+          struct(lit(1L).as("stage_idx"), lit("too_short").as("stage"),
+            col("t").as("n_in"), col("k1").as("n_kill")),
+          struct(lit(2L).as("stage_idx"), lit("quality").as("stage"),
+            (col("t") - col("k1")).as("n_in"), col("k2").as("n_kill")),
+          struct(lit(3L).as("stage_idx"), lit("repetition").as("stage"),
+            (col("t") - col("k1") - col("k2")).as("n_in"),
+            col("k3").as("n_kill")),
+          struct(lit(4L).as("stage_idx"), lit("wordset_dup").as("stage"),
+            (col("t") - col("k1") - col("k2") - col("k3")).as("n_in"),
+            col("k4").as("n_kill")))).as("r"))
+        .select(col("r.stage_idx").as("stage_idx"),
+          col("r.stage").as("stage"),
+          col("r.n_in").cast("long").as("n_in"),
+          col("r.n_kill").cast("long").as("n_kill"),
+          (col("r.n_in") - col("r.n_kill")).cast("long").as("n_out"),
+          when(col("r.n_in") === 0, lit(null).cast("double"))
+            .otherwise((col("r.n_in") - col("r.n_kill")).cast("double")
+              / col("r.n_in").cast("double")).as("retention"))
+    },
+    Some(s"""
+      WITH attrib AS MATERIALIZED ($funnelAttribDuck),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+          CAST(SUM(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+          CAST(SUM(CASE WHEN stage_idx = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+          CAST(SUM(CASE WHEN stage_idx = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+          CAST(SUM(CASE WHEN stage_idx = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+        FROM attrib),
+      stages AS (
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'too_short' AS stage,
+          t AS n_in, k1 AS n_kill FROM agg
+        UNION ALL SELECT CAST(2 AS BIGINT), 'quality', t - k1, k2 FROM agg
+        UNION ALL SELECT CAST(3 AS BIGINT), 'repetition',
+          t - k1 - k2, k3 FROM agg
+        UNION ALL SELECT CAST(4 AS BIGINT), 'wordset_dup',
+          t - k1 - k2 - k3, k4 FROM agg)
+      SELECT stage_idx, stage, n_in, n_kill, n_in - n_kill AS n_out,
+        CASE WHEN n_in = 0 THEN NULL
+             ELSE CAST(n_in - n_kill AS DOUBLE) / CAST(n_in AS DOUBLE)
+        END AS retention
+      FROM stages"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
     q190DatasetCard, q200PipelineV3, q203SourceLeague,
-    q227IncrementalRollup, q229RollupCompaction, q253PipelineV5)
+    q227IncrementalRollup, q229RollupCompaction, q253PipelineV5,
+    q276FilterAttribution, q277FilterFunnel)
 }

@@ -4693,6 +4693,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(t5.getAs[Long]("tp") == tp5 && t5.getAs[Long]("fp") == fp5)
   }
 
+  test("q276/q277 curation funnel: attribution partitions the corpus, " +
+    "the waterfall conserves counts, and dedup only kills survivors") {
+    val attrib = SparkEntry.queries("q276_filter_attribution")(spark, sf)
+      .collect()
+    val total = Tables.table(spark, sf, "documents").count()
+    assert(attrib.length.toLong == total) // one verdict per doc
+    val byStage = attrib.groupBy(_.getAs[Long]("stage_idx"))
+      .view.mapValues(_.length.toLong).toMap
+    // every stage kills something at spec scale and some docs survive
+    (1L to 4L).foreach(i => assert(byStage.getOrElse(i, 0L) > 0,
+      s"stage $i killed nothing"))
+    assert(byStage.getOrElse(5L, 0L) > 0, "nothing survived")
+    val funnel = SparkEntry.queries("q277_filter_funnel")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("stage_idx"))
+    assert(funnel.length == 4)
+    // conservation: n_in(1) = corpus; n_out(i) = n_in(i+1);
+    // kills match the attribution; final n_out = kept count
+    assert(funnel.head.getAs[Long]("n_in") == total)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_kill") ==
+        byStage(r.getAs[Long]("stage_idx")))
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_kill"))
+    }
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"))
+    }
+    assert(funnel.last.getAs[Long]("n_out") == byStage(5L))
+  }
+
   test("q170 normalized dedup: keeper per group, canon never longer") {
     val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
     val nGroups = df.select(col("nk")).distinct().count()
