@@ -697,9 +697,14 @@ object CurationOps {
     * keeper is the min surviving doc_id, computed with a partitioned
     * window over the fingerprint, no global window). Everything else
     * is row-local column math. */
-  private def funnelAttrib(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    table(s, dir, "documents")
+  /** Row-local funnel predicates + wordset fingerprint over a raw
+    * (doc_id, text) frame — the shared front half of the batch funnel
+    * (q276/q277) and the incremental ingest (q278). Emits (doc_id,
+    * p1, p2, p3, s3, wsh); the keeper/attribution tail differs per
+    * caller (who the doc competes with for keeper). */
+  private def funnelFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("words", expr(TextOps.wordsSpark))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
@@ -716,6 +721,15 @@ object CurationOps {
       .withColumn("p2", col("quality") >= lit(5e-1))
       .withColumn("p3", expr("3 * (n_words - n_dw) <= 2 * n_words"))
       .withColumn("s3", col("p1") && col("p2") && col("p3"))
+      .select(col("doc_id"), col("p1"), col("p2"), col("p3"),
+        col("s3"), col("wsh"))
+
+  /** The q276 attribution tail over [[funnelFlags]]: the keeper is
+    * the min surviving doc_id within the SAME frame — all docs
+    * compete. */
+  private def funnelAttrib(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    funnelFlags(table(s, dir, "documents"))
       // ordered window with an explicit full frame (the q72 pattern):
       // an ORDER-less partitioned Window prints only two bracket
       // groups and the plan sweep's global-window detector keys on
@@ -735,8 +749,77 @@ object CurationOps {
                  WHEN doc_id <> keeper THEN 'wordset_dup'
                  ELSE 'kept' END""").as("kill_stage"))
 
+  /** Persist a corpus's funnel-survivor wordset fingerprints as the
+    * bucketed dedup index an INCREMENTAL ingest joins against (q278):
+    * one row per kept fingerprint — no text, no per-doc state, so the
+    * index is hashes-sized and the ingest never touches corpus
+    * text. */
+  def writeFunnelIndex(docs: org.apache.spark.sql.DataFrame,
+      prefix: String, path: String): Unit =
+    graft.io.Sinks.bucketedTable(
+      funnelFlags(docs)
+        .withColumn("keeper",
+          min(when(col("s3"), col("doc_id")))
+            .over(Window.partitionBy(col("wsh")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+        .filter(col("s3") && col("doc_id") === col("keeper"))
+        .select(col("wsh")),
+      s"${prefix}_wsh", "wsh", 8, path)
+
+  /** Incremental funnel attribution of a BATCH against a persisted
+    * [[writeFunnelIndex]] index — first-ingested-wins semantics (the
+    * q55/CorpusIndex contract): a batch survivor whose fingerprint
+    * already has a kept corpus doc is a dup regardless of id; within
+    * the batch, min surviving doc_id wins. Stages 1-3 are row-local;
+    * stage 4 is one equi-join on the fingerprint (index is
+    * hash-sized) + one batch-partitioned window. Cost ∝ batch. */
+  def incrementalFunnel(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, prefix: String)
+      : org.apache.spark.sql.DataFrame =
+    funnelFlags(batch)
+      .join(s.table(s"${prefix}_wsh")
+        .select(col("wsh"), lit(true).as("in_corpus")), Seq("wsh"), "left")
+      .withColumn("keeper",
+        min(when(col("s3"), col("doc_id")))
+          .over(Window.partitionBy(col("wsh")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+      .select(col("doc_id"),
+        expr("""CAST(CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
+                 WHEN NOT p3 THEN 3
+                 WHEN in_corpus OR doc_id <> keeper THEN 4
+                 ELSE 5 END AS BIGINT)""").as("stage_idx"),
+        expr("""CASE WHEN NOT p1 THEN 'too_short'
+                 WHEN NOT p2 THEN 'quality'
+                 WHEN NOT p3 THEN 'repetition'
+                 WHEN in_corpus OR doc_id <> keeper THEN 'wordset_dup'
+                 ELSE 'kept' END""").as("kill_stage"))
+
   /** Shared oracle text for the funnel attribution (doc_id, stage_idx,
     * kill_stage). */
+  /** DuckDB twin of [[funnelFlags]] over the documents table:
+    * (doc_id, p1, p2, p3, wsh). */
+  private val funnelFlagsDuck: String = s"""
+    SELECT doc_id,
+      (n_chars >= 100) AS p1,
+      (${TextOps.qualityFormula("n_chars")} >= 5e-1) AS p2,
+      (3 * (n_words - n_dw) <= 2 * n_words) AS p3,
+      md5(list_aggregate(list_sort(list_distinct(words)),
+        'string_agg', ' ')) AS wsh
+    FROM (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(words)) AS BIGINT) AS n_dw,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+          AS BIGINT) AS n_punct,
+        CAST(len(list_filter(words,
+          w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
+        words
+      FROM (SELECT doc_id, text, ${TextOps.wordsDuck} AS words
+            FROM documents))"""
+
   private val funnelAttribDuck: String = s"""
     SELECT doc_id,
       CAST(CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
@@ -751,25 +834,7 @@ object CurationOps {
       SELECT doc_id, p1, p2, p3,
         min(CASE WHEN p1 AND p2 AND p3 THEN doc_id END)
           OVER (PARTITION BY wsh) AS keeper
-      FROM (
-        SELECT doc_id,
-          (n_chars >= 100) AS p1,
-          (${TextOps.qualityFormula("n_chars")} >= 5e-1) AS p2,
-          (3 * (n_words - n_dw) <= 2 * n_words) AS p3,
-          md5(list_aggregate(list_sort(list_distinct(words)),
-            'string_agg', ' ')) AS wsh
-        FROM (
-          SELECT doc_id,
-            CAST(length(text) AS BIGINT) AS n_chars,
-            CAST(len(words) AS BIGINT) AS n_words,
-            CAST(len(list_distinct(words)) AS BIGINT) AS n_dw,
-            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-              AS BIGINT) AS n_punct,
-            CAST(len(list_filter(words,
-              w -> w IN (${TextOps.stopwordsSql}))) AS BIGINT) AS n_stop,
-            words
-          FROM (SELECT doc_id, text, ${TextOps.wordsDuck} AS words
-                FROM documents))))"""
+      FROM ($funnelFlagsDuck))"""
 
   /** q276: per-document FIRST-KILL ATTRIBUTION — the lineage record a
     * production curation run keeps so any document's absence from the
@@ -841,10 +906,64 @@ object CurationOps {
         END AS retention
       FROM stages"""))
 
+  /** q278: INCREMENTAL FUNNEL INGEST — the q55/CorpusIndex discipline
+    * applied to the curation funnel: the corpus (doc_id % 10 <> 0)
+    * funnels once and persists ONLY its kept-survivor wordset
+    * fingerprints ([[writeFunnelIndex]] — hash-sized, no text); a new
+    * batch (% 10 = 0) is then attributed by [[incrementalFunnel]]
+    * without re-scanning corpus text (spec plan-audited): stages 1-3
+    * row-local, dedup = one fingerprint equi-join + one batch-local
+    * window. Semantics are FIRST-INGESTED-WINS (the only contract an
+    * incremental dedup can keep): a batch survivor whose fingerprint
+    * already has a kept corpus doc is a dup even if its id is
+    * smaller. The oracle re-derives the same verdicts from scratch
+    * with the corpus/batch roles explicit, so the gate proves the
+    * index path equals the scratch bipartite rule. */
+  val q278IncrementalFunnel = OpSpec(
+    "q278_incremental_funnel",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val isNew = col("doc_id") % 10 === 0
+      val prefix = "fix_q278"
+      val path = s"${graft.Tables.scratchDir}/fix_q278"
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_wsh")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeFunnelIndex(docs.filter(!isNew), prefix, path)
+      incrementalFunnel(s, docs.filter(isNew), prefix)
+    },
+    Some(s"""
+      WITH flags AS MATERIALIZED (
+        SELECT doc_id, (doc_id % 10 = 0) AS is_new, p1, p2, p3,
+          (p1 AND p2 AND p3) AS s3, wsh
+        FROM ($funnelFlagsDuck)),
+      w AS (
+        SELECT *,
+          MAX(CASE WHEN NOT is_new AND s3 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY wsh) AS c_surv,
+          MIN(CASE WHEN is_new AND s3 THEN doc_id END)
+            OVER (PARTITION BY wsh) AS b_keeper
+        FROM flags)
+      SELECT doc_id,
+        CAST(CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
+             WHEN NOT p3 THEN 3
+             WHEN c_surv = 1 OR doc_id <> b_keeper THEN 4
+             ELSE 5 END AS BIGINT) AS stage_idx,
+        CASE WHEN NOT p1 THEN 'too_short'
+             WHEN NOT p2 THEN 'quality'
+             WHEN NOT p3 THEN 'repetition'
+             WHEN c_surv = 1 OR doc_id <> b_keeper THEN 'wordset_dup'
+             ELSE 'kept' END AS kill_stage
+      FROM w WHERE is_new"""))
+
   val all: Seq[OpSpec] = Seq(
     q37QuantileCuration, q38ShardUnion, q39Cube, q40GlobalTopk,
     q41JsonExtract, q49CurationPipeline, q173CurriculumSchedule,
     q190DatasetCard, q200PipelineV3, q203SourceLeague,
     q227IncrementalRollup, q229RollupCompaction, q253PipelineV5,
-    q276FilterAttribution, q277FilterFunnel)
+    q276FilterAttribution, q277FilterFunnel, q278IncrementalFunnel)
 }

@@ -179,4 +179,41 @@ object KernelProps extends Properties("kernels") {
           agg.merge(fold(b), fold(a)).toSeq == expected &&
           agg.merge(fold(xs), fold(xs)).toSeq == expected // self-merge
     }
+
+  // q268's AUC identity: the score-group running fold's integer
+  // numerator (u2 = Σ_groups p·(2·negs_below + m)) must equal the
+  // pairwise Mann-Whitney count (2 per win, 1 per tie) for ANY label
+  // assignment and ANY tie structure — coarse integer scores force
+  // heavy ties, the case midrank handling exists for. The fold here
+  // restates the algebra the q268 SQL aggregate encodes; the SQL
+  // itself is pinned by the DuckDB gate on real data.
+  private val scoredRows =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0, 12), Gen.oneOf(0, 1)))
+  property("AUC group-fold u2 == pairwise midrank count under any ties") =
+    forAll(scoredRows) { rows =>
+      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, g) =>
+          (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong)
+        }
+      var negs = 0L; var u2 = 0L
+      groups.foreach { case (p, m) => u2 += p * (2 * negs + m); negs += m }
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val brute = (for (a <- pos; b <- neg)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      u2 == brute
+    }
+
+  // q267's rational sigmoid 1/2 + z/(2(1+|z|)): bounded strictly in
+  // (0,1) (so q269's fixed-width bins 0..9 are total) and monotone
+  // (so q270's uncertainty order and q275's threshold cuts are
+  // well-defined) for any finite double
+  private val zs = Gen.chooseNum(-1e6, 1e6)
+  property("rational sigmoid is in (0,1), centered, and monotone") =
+    forAll(zs, zs) { (a, b) =>
+      def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      sig(a) > 0.0 && sig(a) < 1.0 && sig(0.0) == 0.5 &&
+        sig(lo) <= sig(hi)
+    }
 }

@@ -4723,6 +4723,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(funnel.last.getAs[Long]("n_out") == byStage(5L))
   }
 
+  test("q278 incremental funnel: ingest joins the persisted fingerprint " +
+    "index, never corpus text; corpus-first keeper semantics hold") {
+    import spark.implicits._
+    import graft.ops.CurationOps
+    // corpus doc 7 and batch doc 2 share a wordset; batch doc 2 has the
+    // SMALLER id but corpus was ingested first, so first-ingested-wins
+    // must kill doc 2. Batch docs 4/6 duplicate each other (min id 4
+    // keeps). Doc 8 is novel. All pass stages 1-3 (>=100 chars, wordy).
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct words
+    val corpusDir = java.nio.file.Files.createTempDirectory("fixc").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("fixb").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("fixi").toString
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    write(Seq(7L -> base), corpusDir)
+    write(Seq(
+      2L -> (base + " "),             // same wordset as corpus doc 7
+      4L -> (base.replace("w1 ", "x1 ")), // novel set, = doc 6's
+      6L -> (base.replace("w1 ", "x1 ")),
+      8L -> (base.replace("w1 ", "z9 "))), batchDir)
+    try {
+      spark.sql("DROP TABLE IF EXISTS utfix_wsh")
+      CurationOps.writeFunnelIndex(
+        spark.read.parquet(s"$corpusDir/documents.parquet"),
+        "utfix", idxDir)
+      val out = CurationOps.incrementalFunnel(spark,
+        spark.read.parquet(s"$batchDir/documents.parquet"), "utfix")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains(corpusDir),
+        s"incremental funnel re-scans corpus text:\n$plan")
+      assert(plan.contains(idxDir), s"ingest plan misses the index:\n$plan")
+      val got = out.collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("kill_stage")).toMap
+      assert(got == Map(2L -> "wordset_dup", 4L -> "kept",
+        6L -> "wordset_dup", 8L -> "kept"), got.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS utfix_wsh")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q170 normalized dedup: keeper per group, canon never longer") {
     val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
     val nGroups = df.select(col("nk")).distinct().count()
