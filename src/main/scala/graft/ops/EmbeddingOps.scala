@@ -4291,6 +4291,349 @@ object EmbeddingOps {
             AS BIGINT) AS k) d
       LEFT JOIN agg a ON a.k = d.k"""))
 
+  /** Hubness-audit geometry: [[HubQ]] sampled query points × top-[[HubK]]
+    * neighbor lists (constant-bounded at any corpus size — the sampled
+    * k-occurrence estimator; production raises HubQ, the shape is
+    * unchanged). */
+  private val HubQ = 64
+  private val HubK = 5
+
+  /** q279: HUBNESS AUDIT of the embedding space — the k-occurrence
+    * distribution N_k(x): how many of a fixed sample of query points
+    * list x in their cosine top-[[HubK]]. High-dimensional embedding
+    * spaces concentrate: a few "hub" vectors appear in a large fraction
+    * of neighbor lists (N_k ≫ E[N_k] = k·|Q|/n) while "antihubs" appear
+    * in none — and a hubby space silently degrades every consumer this
+    * engine ships (ANN recall audits q195/q218, SemDeDup verdicts q212,
+    * margin mining q266), so the audit belongs beside them as the QC
+    * gate a pipeline runs BEFORE trusting neighbor lists (the CLIP-
+    * embedding shape of aesthetic_score.py:100-105). Per-vector row:
+    * k-occurrence plus a three-way role under integer-exact thresholds
+    * (antihub: N_k = 0; hub: n·N_k > 2·k·|Q|, i.e. ≥2× the expected
+    * occupancy, cross-multiplied so no division ever happens; else
+    * normal). Queries are a deterministic md5-rank sample ('hub:' tag,
+    * seeded exactly like the q98 k-means init), so the audit is
+    * reproducible run-to-run and engine-to-engine.
+    *
+    * Scale: the query side is a CONSTANT [[HubQ]]-row broadcast — the
+    * corpus is scanned once (q30's linear-scan shape), the ranking
+    * window partitions by query_id over per-query streams, and the
+    * k-occurrence count + zero-fill left join shuffle only (vec_id,
+    * count) pairs. No all-pairs table at any size. */
+  val q279HubnessAudit = OpSpec(
+    "q279_hubness_audit",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val n = table(s, dir, "embeddings").count()
+      val nq = math.min(HubQ.toLong, n)
+      val qs = e
+        .withColumn("rk",
+          md5(concat_ws(":", lit("hub"), col("vec_id")).cast("binary")))
+        .orderBy(col("rk"), col("vec_id")).limit(HubQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val occ = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= HubK)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("k_occ"))
+      e.select(col("vec_id"))
+        .join(occ, Seq("vec_id"), "left")
+        .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+        .withColumn("role",
+          when(col("k_occ") === 0L, lit("antihub"))
+            .when(lit(n) * col("k_occ") > lit(2L * HubK * nq), lit("hub"))
+            .otherwise(lit("normal")))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, nrm FROM ($normedDuck)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+        FROM (SELECT vec_id, embedding, nrm,
+                md5('hub:' || vec_id) AS rk
+              FROM e ORDER BY rk, vec_id LIMIT $HubQ)),
+      edges AS (
+        SELECT vec_id FROM (
+          SELECT q.query_id, d.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${dotDuck("q.qv", "d.embedding")} / (q.qnrm * d.nrm) DESC,
+              d.vec_id ASC) AS rn
+          FROM e d, q WHERE d.vec_id <> q.query_id)
+        WHERE rn <= $HubK),
+      occ AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM edges GROUP BY 1),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(LEAST($HubQ, COUNT(*)) AS BIGINT) AS nq
+        FROM e)
+      SELECT e.vec_id,
+        COALESCE(o.k_occ, CAST(0 AS BIGINT)) AS k_occ,
+        CASE WHEN COALESCE(o.k_occ, 0) = 0 THEN 'antihub'
+             WHEN t.n * COALESCE(o.k_occ, 0) > 2 * $HubK * t.nq
+               THEN 'hub'
+             ELSE 'normal' END AS role
+      FROM e LEFT JOIN occ o ON o.vec_id = e.vec_id, tot t"""))
+
+  /** q281: kNN-GRAPH RECIPROCITY — the directional twin of the q279
+    * hubness audit, over the SAME 'hub:'-seeded query sample so the two
+    * QC gates share one scan discipline: of the directed top-[[HubK]]
+    * edges whose BOTH endpoints are sampled queries, what fraction are
+    * reciprocated (p in q's top-k AND q in p's top-k)? Symmetric
+    * neighborhoods are what similarity semantics promise; a low rate
+    * means rankings are dominated by hubs (q279's finding, seen from
+    * the edge side) and any mutual-kNN consumer — agreement clustering
+    * (q174), margin mining's bidirectional criterion (q266) — will
+    * silently starve. One decision row of exact integer counts; the
+    * rate is a single division (zero-guarded).
+    *
+    * Scale: the SAME constant-[[HubQ]] broadcast corpus scan as q279
+    * (rankings need the full corpus — restricting the scan to Q×Q
+    * would change top-k membership and overstate reciprocity); the
+    * within-sample edge set is ≤ \|Q\|·k rows, persisted so the
+    * reverse-edge self-join never re-derives it. Estimator note: only
+    * edges LANDING in the sample are checkable, which is the standard
+    * sampled-reciprocity trade — unbiased under the md5 sample,
+    * documented rather than hidden. */
+  val q281KnnReciprocity = OpSpec(
+    "q281_knn_reciprocity",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val qs = e
+        .withColumn("rk",
+          md5(concat_ws(":", lit("hub"), col("vec_id")).cast("binary")))
+        .orderBy(col("rk"), col("vec_id")).limit(HubQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val edges = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= HubK)
+        .join(qs.select(col("query_id").as("vec_id")), Seq("vec_id"))
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+        .persist()
+      val mutual = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(mutual.agg(count(lit(1)).as("n_mutual")))
+        .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"), col("n_edges"), col("n_mutual"),
+          when(col("n_edges") === 0L, lit(0.0))
+            .otherwise(col("n_mutual").cast("double")
+              / col("n_edges").cast("double")).as("reciprocity"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, nrm FROM ($normedDuck)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+        FROM (SELECT vec_id, embedding, nrm,
+                md5('hub:' || vec_id) AS rk
+              FROM e ORDER BY rk, vec_id LIMIT $HubQ)),
+      topk AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, d.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${dotDuck("q.qv", "d.embedding")} / (q.qnrm * d.nrm) DESC,
+              d.vec_id ASC) AS rn
+          FROM e d, q WHERE d.vec_id <> q.query_id)
+        WHERE rn <= $HubK),
+      edges AS (
+        SELECT t.query_id AS src, t.vec_id AS dst
+        FROM topk t JOIN q ON q.query_id = t.vec_id),
+      agg AS (
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM edges a JOIN edges b
+             ON a.src = b.dst AND a.dst = b.src) AS n_mutual)
+      SELECT n_queries, n_edges, n_mutual,
+        CASE WHEN n_edges = 0 THEN 0e0
+             ELSE CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        END AS reciprocity
+      FROM agg"""))
+
+  /** q280: RETRAIN DRIFT — the measurement half the retrain go/no-go
+    * policy (q260) was missing: BEFORE paying for a generation flip
+    * (q241/q255), quantify how far the frozen generation's partition
+    * has drifted from what a fresh training would produce. Gen 0
+    * trains on the old half of the corpus (the index's build-time
+    * world, `vec_id·2 < n`); the candidate generation trains on the
+    * full corpus; BOTH assign the full corpus (cosine argmax), and the
+    * two partitions are compared from one contingency table with
+    * q174's integer-exact pair-counting discipline: Rand index and
+    * ADJUSTED Rand index (doubled x(x−1) forms, DECIMAL(18)×DECIMAL(18)
+    * cross products, decimal→string→double final rounding), plus
+    * `retention` — the fraction of vectors whose gen-0 cohort majority
+    * survives into one new cell (the q174 purity formula applied
+    * between generations). Low ARI = the frozen centroids no longer
+    * describe the corpus → retrain pays (q248 then measures the payoff
+    * realized, q260 gates the actuator).
+    *
+    * Scale: two q98-shape trainings (k-row centroid broadcasts, argmax
+    * windows keyed by vec_id, k-group folds), one (cid0, cid1) ≤ k²-row
+    * contingency, three metadata-sized aggregate scans. The corpus is
+    * never paired with itself. */
+  val q280RetrainDrift = OpSpec(
+    "q280_retrain_drift",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm")).persist()
+      val total = e.count()
+      val gen0 = coarseKmOfK(e.filter(col("vec_id") * 2 < total), KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      val gen1 = coarseKmOfK(e, KmK)
+        .select(col("cid"), col("cv"), col("cnrm"))
+      val a0 = semAssign(e, gen0)
+        .select(col("vec_id"), col("cid").as("cid0"))
+      val a1 = semAssign(e, gen1)
+        .select(col("vec_id"), col("cid").as("cid1"))
+      val cont = a0.join(a1, "vec_id")
+        .groupBy(col("cid0"), col("cid1"))
+        .agg(count(lit(1)).as("nij"))
+        .persist()
+      val tot = cont.agg(sum(col("nij")).as("n"),
+        expr("CAST(SUM(nij * (nij - 1)) AS BIGINT)").as("a2"),
+        countDistinct(col("cid0")).as("c_gen0"),
+        countDistinct(col("cid1")).as("c_gen1"))
+      val by0 = cont.groupBy(col("cid0"))
+        .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+        .agg(expr("CAST(SUM(ai * (ai - 1)) AS BIGINT)").as("b1_2"),
+          sum(col("mx")).as("pure"))
+      val by1 = cont.groupBy(col("cid1")).agg(sum(col("nij")).as("bj"))
+        .agg(expr("CAST(SUM(bj * (bj - 1)) AS BIGINT)").as("b2_2"))
+      tot.crossJoin(by0).crossJoin(by1)
+        .withColumn("t2", expr("n * (n - 1)"))
+        .withColumn("ari_num", expr("""
+          CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+        .withColumn("ari_den", expr("""
+          CAST(t2 AS DECIMAL(18,0))
+            * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+        .select(col("n"), col("c_gen0"), col("c_gen1"),
+          (col("pure").cast("double") / col("n").cast("double"))
+            .as("retention"),
+          expr("""CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE)
+                  / CAST(t2 AS DOUBLE)""").as("rand_index"),
+          expr("""CAST(CAST(ari_num AS STRING) AS DOUBLE) * 2
+                  / CAST(CAST(ari_den AS STRING) AS DOUBLE)""").as("ari"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding, nrm FROM ($normedDuck)),
+      eh AS (
+        SELECT * FROM e WHERE vec_id * 2 < (SELECT COUNT(*) FROM e)),
+      seeds0 AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM eh)
+        QUALIFY cid < $KmK),
+      g00 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds0)),
+      t01 AS (${kmIterDuck("g00", "eh")}),
+      g01 AS (
+        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
+              FROM t01)),
+      t02 AS (${kmIterDuck("g01", "eh")}),
+      g02 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM t02)),
+      seeds1 AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
+              FROM e)
+        QUALIFY cid < $KmK),
+      g10 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds1)),
+      t11 AS (${kmIterDuck("g10", "e")}),
+      g11 AS (
+        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
+              FROM t11)),
+      t12 AS (${kmIterDuck("g11", "e")}),
+      g12 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM t12)),
+      a0 AS (
+        SELECT vec_id, cid AS cid0 FROM (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC,
+              c.cid ASC) AS rn
+          FROM e, g02 c)
+        WHERE rn = 1),
+      a1 AS (
+        SELECT vec_id, cid AS cid1 FROM (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC,
+              c.cid ASC) AS rn
+          FROM e, g12 c)
+        WHERE rn = 1),
+      cont AS (
+        SELECT cid0, cid1, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM a0 JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(SUM(nij) AS BIGINT) AS n,
+          CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a2,
+          CAST(COUNT(DISTINCT cid0) AS BIGINT) AS c_gen0,
+          CAST(COUNT(DISTINCT cid1) AS BIGINT) AS c_gen1
+        FROM cont),
+      by0 AS (
+        SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS b1_2,
+          CAST(SUM(mx) AS BIGINT) AS pure
+        FROM (SELECT cid0, SUM(nij) AS ai, MAX(nij) AS mx
+              FROM cont GROUP BY 1)),
+      by1 AS (
+        SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS b2_2
+        FROM (SELECT cid1, SUM(nij) AS bj FROM cont GROUP BY 1)),
+      f AS (
+        SELECT n, a2, c_gen0, c_gen1, b1_2, pure, b2_2,
+          n * (n - 1) AS t2
+        FROM tot, by0, by1)
+      SELECT n, c_gen0, c_gen1,
+        CAST(pure AS DOUBLE) / CAST(n AS DOUBLE) AS retention,
+        CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+          AS rand_index,
+        CAST(CAST(CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
+             - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+             AS VARCHAR) AS DOUBLE) * 2
+          / CAST(CAST(CAST(t2 AS DECIMAL(18,0))
+                   * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
+                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+                 AS VARCHAR) AS DOUBLE) AS ari
+      FROM f"""))
+
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
     q48RplshNeardup, q54IvfSearchNprobe2, q73Int8Quant, q81ClusterReps,
@@ -4304,5 +4647,6 @@ object EmbeddingOps {
     q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
     q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
-    q266MarginMining)
+    q266MarginMining, q279HubnessAudit, q280RetrainDrift,
+    q281KnnReciprocity)
 }

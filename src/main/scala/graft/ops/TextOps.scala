@@ -1754,6 +1754,100 @@ object TextOps {
       FROM u"""
     })
 
+  /** q282: PER-DOCUMENT GRAM NOVELTY — the memorization-risk / boiler-
+    * plate score per doc, complementary to the pairwise views this
+    * engine already gates: containment (q107) asks "which PAIR shares
+    * content", winnowing (q80/q151) asks "WHERE are the shared spans";
+    * this asks the per-doc curation question "how much of THIS doc
+    * exists nowhere else?" — the fraction of its distinct 5-gram hashes
+    * with corpus document-frequency 1 (utils/scenecut.py-era pipelines
+    * curate clips; text twins curate docs by exactly this signal).
+    * Verdict by cross-multiplied integers (2·n_novel < n_grams →
+    * 'boilerplate'; gram-less short docs → 'short').
+    *
+    * Shape, tuned for corpus scale: grams are hashed ROW-LOCALLY to
+    * 60-bit ints (md5 evaluated once per gram via a two-stage lambda —
+    * the hex fold references the digest lambda variable, never
+    * re-computing md5 per digit) and deduped row-locally on the HASHED
+    * key (array_distinct over ints — so a within-doc collision cannot
+    * diverge from the oracle, and n_grams needs NO shuffle at all).
+    * The only corpus-scale shuffle is the partial-aggregated df count
+    * on the 8-byte gram hash; a df = 1 gram's sole owner IS its
+    * min(doc_id), so novel counts come straight off the df table with
+    * no join-back of the exploded grams (the first cut paid a
+    * grams⋈df shuffle join and ran 10.5 s at sf0.1 — this shape holds
+    * the same gate in about half that). Same-doc repeats are collapsed
+    * BEFORE the df count, so df counts documents — a doc repeating its
+    * own boilerplate 100× cannot vote itself non-novel. */
+  val q282GramNovelty = OpSpec(
+    "q282_gram_novelty",
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .withColumn("gsh", expr(
+          s"""CASE WHEN size(words) >= 5
+             THEN array_distinct(transform(
+               transform(sequence(0, size(words) - 5),
+                 i -> md5(array_join(slice(words, i + 1, 5), ' '))),
+               h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
+             ELSE array(CAST(NULL AS BIGINT)) END"""))
+        .select(col("doc_id"), expr("filter(gsh, x -> x IS NOT NULL)")
+          .as("gsh"))
+        .persist()
+      val novel = base
+        .select(col("doc_id"), explode(col("gsh")).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      base
+        .select(col("doc_id"),
+          expr("CAST(size(gsh) AS BIGINT)").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty", expr(
+          """CASE WHEN n_grams = 0 THEN 0e0
+             ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             END"""))
+        .withColumn("verdict", expr(
+          """CASE WHEN n_grams = 0 THEN 'short'
+             WHEN 2 * n_novel < n_grams THEN 'boilerplate'
+             ELSE 'novel' END"""))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+          CASE WHEN len(words) >= 5
+          THEN list_distinct(list_transform(
+            list_transform(generate_series(1, len(words) - 4),
+              i -> md5(words[i] || ' ' || words[i + 1] || ' '
+                || words[i + 2] || ' ' || words[i + 3] || ' '
+                || words[i + 4])),
+            h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
+          ELSE [] END AS gsh
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents)),
+      novel AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM (
+          SELECT g, COUNT(*) AS df, MIN(doc_id) AS doc_id
+          FROM (SELECT doc_id, unnest(gsh) AS g FROM base)
+          GROUP BY 1)
+        WHERE df = 1 GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(len(b.gsh) AS BIGINT) AS n_grams,
+        COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        CASE WHEN len(b.gsh) = 0 THEN 0e0
+             ELSE CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                  / CAST(len(b.gsh) AS DOUBLE)
+        END AS novelty,
+        CASE WHEN len(b.gsh) = 0 THEN 'short'
+             WHEN 2 * COALESCE(n.n_novel, 0) < len(b.gsh)
+               THEN 'boilerplate'
+             ELSE 'novel' END AS verdict
+      FROM base b LEFT JOIN novel n ON n.doc_id = b.doc_id"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
@@ -1762,5 +1856,5 @@ object TextOps {
     q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain,
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
     q182PrfExpansion, q185SentenceStats, q194LangidConfusion,
-    q214LmSurprise, q215PaddingAudit)
+    q214LmSurprise, q215PaddingAudit, q282GramNovelty)
 }

@@ -1593,6 +1593,17 @@ class OperatorSpec extends AnyFunSuite {
       "q275_pr_curve", // 9-threshold × 10-bucket triangle join (the
                        // q173 decile-triangle shape — both sides
                        // aggregate-bounded) + the 1-row totals scalar
+      "q279_hubness_audit", // bounded 64-query broadcast scan (q30
+                            // shape; the sample is constant-sized at
+                            // any corpus scale)
+      "q280_retrain_drift", // two broadcast-k centroid trainings + two
+                            // broadcast-k argmax assignment passes
+                            // (q248's shape) + the 1-row metric-total
+                            // scalars (q174 shape)
+      "q281_knn_reciprocity", // the same bounded 64-query broadcast
+                              // scan as q279 + 1-row count scalars;
+                              // the reverse-edge join is an equi-join
+                              // on the ≤320-row edge set
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -4763,6 +4774,100 @@ class OperatorSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS utfix_wsh")
       spark.catalog.clearCache()
     }
+  }
+
+  test("q279 hubness audit: one row per vector, edge mass conserved, " +
+    "roles follow the integer thresholds, deterministic") {
+    val df = SparkEntry.queries("q279_hubness_audit")(spark, sf)
+      .persist()
+    val n = Tables.table(spark, sf, "embeddings").count()
+    assert(df.count() == n, "audit must cover every vector")
+    // each of the 64 sampled queries lists exactly 5 neighbors (n > 6),
+    // so total k-occurrence mass is fixed by construction
+    val nq = math.min(64L, n)
+    val mass = df.agg(sum(col("k_occ"))).head.getLong(0)
+    assert(mass == nq * 5, s"edge mass $mass != ${nq * 5}")
+    // role is a pure function of (k_occ, n, nq) under the cross-
+    // multiplied thresholds — no row may disagree
+    val misroled = df.filter(
+      (col("k_occ") === 0L && col("role") =!= "antihub") ||
+      (col("k_occ") > 0L && lit(n) * col("k_occ") > lit(2L * 5 * nq) &&
+        col("role") =!= "hub") ||
+      (col("k_occ") > 0L && lit(n) * col("k_occ") <= lit(2L * 5 * nq) &&
+        col("role") =!= "normal")).count()
+    assert(misroled == 0)
+    // 320 edges over 500 vectors forces antihubs to exist — the class
+    // the audit is there to surface
+    assert(df.filter(col("role") === "antihub").count() > 0)
+    val again = SparkEntry.queries("q279_hubness_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSet ==
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet, "hubness audit is nondeterministic")
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("q281 knn reciprocity: counts bounded by the sample geometry, " +
+    "mutual edges conserved under direction reversal") {
+    val r = SparkEntry.queries("q281_knn_reciprocity")(spark, sf)
+      .collect().head
+    val nq = r.getAs[Long]("n_queries")
+    val ne = r.getAs[Long]("n_edges")
+    val nm = r.getAs[Long]("n_mutual")
+    assert(nq == 64, s"n_queries $nq")
+    // within-sample edges are a subset of all directed top-5 edges
+    assert(ne >= 0 && ne <= nq * 5, s"n_edges $ne")
+    // every reciprocated edge's reverse is also reciprocated, so the
+    // count is even; and mutual edges are a subset of edges
+    assert(nm % 2 == 0 && nm <= ne, s"n_mutual $nm of $ne")
+    val rate = r.getAs[Double]("reciprocity")
+    assert((ne == 0 && rate == 0.0) ||
+      rate == nm.toDouble / ne.toDouble, s"rate $rate")
+    spark.catalog.clearCache()
+  }
+
+  test("q280 retrain drift: one decision row with metrics inside their " +
+    "algebraic ranges and the full corpus accounted for") {
+    val rows = SparkEntry.queries("q280_retrain_drift")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = Tables.table(spark, sf, "embeddings").count()
+    assert(r.getAs[Long]("n") == n, "contingency lost vectors")
+    val c0 = r.getAs[Long]("c_gen0"); val c1 = r.getAs[Long]("c_gen1")
+    assert(c0 >= 1 && c0 <= 8 && c1 >= 1 && c1 <= 8, s"($c0, $c1)")
+    val ret = r.getAs[Double]("retention")
+    // majority retention can never fall below 1/k (uniform smear) nor
+    // exceed 1 (perfect alignment)
+    assert(ret >= 1.0 / 8 && ret <= 1.0, s"retention $ret")
+    val ri = r.getAs[Double]("rand_index")
+    assert(ri >= 0.0 && ri <= 1.0, s"rand_index $ri")
+    val ari = r.getAs[Double]("ari")
+    assert(ari <= 1.0 && ari >= -1.0, s"ari $ari")
+    spark.catalog.clearCache()
+  }
+
+  test("q282 gram novelty: every doc reported once, novel mass bounded, " +
+    "verdict a pure function of the counts") {
+    val df = SparkEntry.queries("q282_gram_novelty")(spark, sf).persist()
+    assert(df.count() == Tables.table(spark, sf, "documents").count())
+    assert(df.filter(col("n_novel") > col("n_grams")).count() == 0)
+    val misverdict = df.filter(
+      (col("n_grams") === 0L && col("verdict") =!= "short") ||
+      (col("n_grams") > 0L && lit(2) * col("n_novel") < col("n_grams") &&
+        col("verdict") =!= "boilerplate") ||
+      (col("n_grams") > 0L && lit(2) * col("n_novel") >= col("n_grams") &&
+        col("verdict") =!= "novel")).count()
+    assert(misverdict == 0)
+    // a doc's novelty is 1 iff every one of its grams is unique to it;
+    // at least one such doc exists in the synthetic corpus (and the
+    // column is the exact division of the two integer columns)
+    val offGrid = df.filter(col("n_grams") > 0L &&
+      col("novelty") =!= col("n_novel").cast("double")
+        / col("n_grams").cast("double")).count()
+    assert(offGrid == 0)
+    df.unpersist(); spark.catalog.clearCache()
   }
 
   test("q170 normalized dedup: keeper per group, canon never longer") {
