@@ -4467,6 +4467,72 @@ object EmbeddingOps {
         END AS reciprocity
       FROM agg"""))
 
+  /** The q280 metric row from two (vec_id, cid0)/(vec_id, cid1)
+    * assignments: ONE ≤k² contingency → Rand, Adjusted Rand, and
+    * majority retention under q174's integer-exact pair-counting
+    * discipline (doubled x(x−1) forms, DECIMAL(18)×DECIMAL(18) cross
+    * products, decimal→string→double final rounding). Shared by the
+    * gated q280 and the persisted-index [[semanticRetrainDrift]] so
+    * the two can never drift apart. */
+  private def generationDriftRow(a0: DataFrame,
+      a1: DataFrame): DataFrame = {
+    val cont = a0.join(a1, "vec_id")
+      .groupBy(col("cid0"), col("cid1"))
+      .agg(count(lit(1)).as("nij"))
+      .persist()
+    val tot = cont.agg(sum(col("nij")).as("n"),
+      expr("CAST(SUM(nij * (nij - 1)) AS BIGINT)").as("a2"),
+      countDistinct(col("cid0")).as("c_gen0"),
+      countDistinct(col("cid1")).as("c_gen1"))
+    val by0 = cont.groupBy(col("cid0"))
+      .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+      .agg(expr("CAST(SUM(ai * (ai - 1)) AS BIGINT)").as("b1_2"),
+        sum(col("mx")).as("pure"))
+    val by1 = cont.groupBy(col("cid1")).agg(sum(col("nij")).as("bj"))
+      .agg(expr("CAST(SUM(bj * (bj - 1)) AS BIGINT)").as("b2_2"))
+    tot.crossJoin(by0).crossJoin(by1)
+      .withColumn("t2", expr("n * (n - 1)"))
+      .withColumn("ari_num", expr("""
+        CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
+        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+      .withColumn("ari_den", expr("""
+        CAST(t2 AS DECIMAL(18,0))
+          * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
+        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
+        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
+      .select(col("n"), col("c_gen0"), col("c_gen1"),
+        (col("pure").cast("double") / col("n").cast("double"))
+          .as("retention"),
+        expr("""CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE)
+                / CAST(t2 AS DOUBLE)""").as("rand_index"),
+        expr("""CAST(CAST(ari_num AS STRING) AS DOUBLE) * 2
+                / CAST(CAST(ari_den AS STRING) AS DOUBLE)""").as("ari"))
+  }
+
+  /** q280's measurement applied to a LIVE persisted semantic index —
+    * the pre-flip decision readout a maintenance scheduler runs before
+    * paying for [[retrainSemanticIndex]]: cid0 is the STORED cell
+    * assignment the frozen generation actually serves (tombstone-
+    * masked, pointer-resolved); the candidate generation trains on the
+    * stored member floats exactly as the retrain would (no source
+    * rescan — parquet round-trips the vectors bit-exactly, so this IS
+    * the partition a flip would publish). Returns the one-row
+    * n / c_gen0 / c_gen1 / retention / rand_index / ari frame; spec'd
+    * bit-identical to the q280 gated row on the same build+ingest
+    * trajectory, so the API answer inherits q280's oracle. */
+  def semanticRetrainDrift(s: SparkSession, prefix: String,
+      k: Int = KmK): DataFrame = {
+    val m = liveSemanticMembers(s, prefix)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+      .persist()
+    val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
+    val cand = coarseKmOfK(vecs, k)
+      .select(col("cid"), col("cv"), col("cnrm"))
+    generationDriftRow(
+      m.select(col("vec_id"), col("cid").as("cid0")),
+      semAssign(vecs, cand).select(col("vec_id"), col("cid").as("cid1")))
+  }
+
   /** q280: RETRAIN DRIFT — the measurement half the retrain go/no-go
     * policy (q260) was missing: BEFORE paying for a generation flip
     * (q241/q255), quantify how far the frozen generation's partition
@@ -4502,37 +4568,7 @@ object EmbeddingOps {
         .select(col("vec_id"), col("cid").as("cid0"))
       val a1 = semAssign(e, gen1)
         .select(col("vec_id"), col("cid").as("cid1"))
-      val cont = a0.join(a1, "vec_id")
-        .groupBy(col("cid0"), col("cid1"))
-        .agg(count(lit(1)).as("nij"))
-        .persist()
-      val tot = cont.agg(sum(col("nij")).as("n"),
-        expr("CAST(SUM(nij * (nij - 1)) AS BIGINT)").as("a2"),
-        countDistinct(col("cid0")).as("c_gen0"),
-        countDistinct(col("cid1")).as("c_gen1"))
-      val by0 = cont.groupBy(col("cid0"))
-        .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
-        .agg(expr("CAST(SUM(ai * (ai - 1)) AS BIGINT)").as("b1_2"),
-          sum(col("mx")).as("pure"))
-      val by1 = cont.groupBy(col("cid1")).agg(sum(col("nij")).as("bj"))
-        .agg(expr("CAST(SUM(bj * (bj - 1)) AS BIGINT)").as("b2_2"))
-      tot.crossJoin(by0).crossJoin(by1)
-        .withColumn("t2", expr("n * (n - 1)"))
-        .withColumn("ari_num", expr("""
-          CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
-          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
-        .withColumn("ari_den", expr("""
-          CAST(t2 AS DECIMAL(18,0))
-            * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
-          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
-          - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
-        .select(col("n"), col("c_gen0"), col("c_gen1"),
-          (col("pure").cast("double") / col("n").cast("double"))
-            .as("retention"),
-          expr("""CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE)
-                  / CAST(t2 AS DOUBLE)""").as("rand_index"),
-          expr("""CAST(CAST(ari_num AS STRING) AS DOUBLE) * 2
-                  / CAST(CAST(ari_den AS STRING) AS DOUBLE)""").as("ari"))
+      generationDriftRow(a0, a1)
     },
     Some(s"""
       WITH e AS (

@@ -4827,6 +4827,42 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semanticRetrainDrift: the live-index measurement equals the " +
+    "gated q280 row bit-for-bit on the same build+ingest trajectory") {
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+    val total = e.count()
+    val base = java.nio.file.Files.createTempDirectory("sem_dr").toString
+    val px = "ut_sdr" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    try {
+      // the index's frozen generation IS q280's gen 0 world: centroids
+      // trained on the old half, the full corpus assigned against them
+      // (base members at build, the new half at ingest)
+      EmbeddingOps.buildSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
+      EmbeddingOps.ingestSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
+      def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("n"), r.getAs[Long]("c_gen0"),
+          r.getAs[Long]("c_gen1"), r.getAs[Double]("retention"),
+          r.getAs[Double]("rand_index"), r.getAs[Double]("ari"))).toSeq
+      val fromIndex = row(EmbeddingOps.semanticRetrainDrift(spark, px))
+      val gated = row(SparkEntry.queries("q280_retrain_drift")(spark, sf))
+      assert(fromIndex == gated,
+        s"index drift $fromIndex != gated q280 $gated")
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(_.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q280 retrain drift: one decision row with metrics inside their " +
     "algebraic ranges and the full corpus accounted for") {
     val rows = SparkEntry.queries("q280_retrain_drift")(spark, sf)
