@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{OpSpec, Tables}
 import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1779,21 +1780,56 @@ object TextOps {
     * the same gate in about half that). Same-doc repeats are collapsed
     * BEFORE the df count, so df counts documents — a doc repeating its
     * own boilerplate 100× cannot vote itself non-novel. */
+  /** Row-local distinct 5-gram 60-bit hashes — THE gram definition of
+    * the novelty family (q282, the persisted novelty index, q283), one
+    * text each side so scorer and index can never drift. References a
+    * precomputed `words` column. */
+  private val gramHashSpark: String =
+    s"""CASE WHEN size(words) >= 5
+       THEN array_distinct(transform(
+         transform(sequence(0, size(words) - 5),
+           i -> md5(array_join(slice(words, i + 1, 5), ' '))),
+         h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
+       ELSE array(CAST(NULL AS BIGINT)) END"""
+  private val gramHashDuck: String =
+    s"""CASE WHEN len(words) >= 5
+       THEN list_distinct(list_transform(
+         list_transform(generate_series(1, len(words) - 4),
+           i -> md5(words[i] || ' ' || words[i + 1] || ' '
+             || words[i + 2] || ' ' || words[i + 3] || ' '
+             || words[i + 4])),
+         h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
+       ELSE [] END"""
+
+  /** (doc_id, gsh) with [[gramHashSpark]] applied — gsh is the row-
+    * local distinct hashed gram array (empty for gram-less docs). */
+  private def gramHashed(docs: DataFrame): DataFrame =
+    docs.withColumn("words", expr(wordsSpark))
+      .withColumn("gsh", expr(gramHashSpark))
+      .select(col("doc_id"), expr("filter(gsh, x -> x IS NOT NULL)")
+        .as("gsh"))
+
+  /** The novelty report tail shared by q282 and [[ingestNovelty]]:
+    * zero-fill the per-doc novel counts and derive the exact ratio +
+    * cross-multiplied integer verdict. */
+  private def noveltyVerdicts(perDoc: DataFrame,
+      novel: DataFrame): DataFrame =
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty", expr(
+        """CASE WHEN n_grams = 0 THEN 0e0
+           ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           END"""))
+      .withColumn("verdict", expr(
+        """CASE WHEN n_grams = 0 THEN 'short'
+           WHEN 2 * n_novel < n_grams THEN 'boilerplate'
+           ELSE 'novel' END"""))
+
   val q282GramNovelty = OpSpec(
     "q282_gram_novelty",
     (s, dir) => {
-      val base = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .withColumn("gsh", expr(
-          s"""CASE WHEN size(words) >= 5
-             THEN array_distinct(transform(
-               transform(sequence(0, size(words) - 5),
-                 i -> md5(array_join(slice(words, i + 1, 5), ' '))),
-               h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
-             ELSE array(CAST(NULL AS BIGINT)) END"""))
-        .select(col("doc_id"), expr("filter(gsh, x -> x IS NOT NULL)")
-          .as("gsh"))
-        .persist()
+      val base = gramHashed(table(s, dir, "documents")).persist()
       val novel = base
         .select(col("doc_id"), explode(col("gsh")).as("g"))
         .groupBy(col("g"))
@@ -1801,32 +1837,14 @@ object TextOps {
         .filter(col("df") === 1L)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_novel"))
-      base
-        .select(col("doc_id"),
-          expr("CAST(size(gsh) AS BIGINT)").as("n_grams"))
-        .join(novel, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-        .withColumn("novelty", expr(
-          """CASE WHEN n_grams = 0 THEN 0e0
-             ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
-             END"""))
-        .withColumn("verdict", expr(
-          """CASE WHEN n_grams = 0 THEN 'short'
-             WHEN 2 * n_novel < n_grams THEN 'boilerplate'
-             ELSE 'novel' END"""))
+      noveltyVerdicts(
+        base.select(col("doc_id"),
+          expr("CAST(size(gsh) AS BIGINT)").as("n_grams")),
+        novel)
     },
     Some(s"""
       WITH base AS (
-        SELECT doc_id,
-          CASE WHEN len(words) >= 5
-          THEN list_distinct(list_transform(
-            list_transform(generate_series(1, len(words) - 4),
-              i -> md5(words[i] || ' ' || words[i + 1] || ' '
-                || words[i + 2] || ' ' || words[i + 3] || ' '
-                || words[i + 4])),
-            h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
-          ELSE [] END AS gsh
+        SELECT doc_id, $gramHashDuck AS gsh
         FROM (SELECT doc_id, $wordsDuck AS words FROM documents)),
       novel AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
@@ -1848,6 +1866,116 @@ object TextOps {
              ELSE 'novel' END AS verdict
       FROM base b LEFT JOIN novel n ON n.doc_id = b.doc_id"""))
 
+  /** Build the persisted NOVELTY INDEX from the corpus: one row per
+    * distinct gram hash with its document frequency, bucketed on the
+    * hash (the ingest join key). The corpus text is scanned ONCE, here;
+    * every later batch scores against these 16-byte rows. */
+  def writeNoveltyIndex(docs: DataFrame, prefix: String, path: String,
+      buckets: Int = 8): Unit = {
+    val g = gramHashed(docs)
+      .select(col("doc_id"), explode(col("gsh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    graft.io.Sinks.bucketedTable(g.repartition(buckets, col("g")),
+      s"${prefix}_gramdf", "g", buckets, s"$path/gramdf")
+  }
+
+  /** Score one arriving batch against the persisted novelty index and
+    * fold the batch in — q282's per-doc novelty with cost ∝ batch
+    * (q55/q278's incremental discipline): a batch gram is novel iff it
+    * is unique WITHIN the batch (count 1, its owner = its min doc_id)
+    * and ABSENT from the index (left_anti on the bucketed hash — an
+    * EXISTS check, so appended duplicate hash rows can never fan out).
+    * n_grams stays row-local; the verdicts are checkpointed BEFORE the
+    * batch's grams are appended, so the report reflects the index
+    * state AT ingest (first-ingested-wins: a later twin batch scores
+    * non-novel against these rows, while this batch's verdicts are
+    * already sealed — the q278 contract). The corpus text is never
+    * rescanned; the only corpus-sized touch is the bucketed index side
+    * of one equi-join. */
+  /** The LAZY scoring half of [[ingestNovelty]] — exposed within the
+    * library so the plan audit can prove the batch is scored from the
+    * persisted index alone (no corpus-text lineage). Returns
+    * (report, batchGramDf); the report must be materialized BEFORE the
+    * batch's grams are appended. */
+  private[graft] def scoreNoveltyBatch(s: SparkSession, batch: DataFrame,
+      prefix: String): (DataFrame, DataFrame) = {
+    val b = gramHashed(batch).persist()
+    val bdf = b.select(col("doc_id"), explode(col("gsh")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+    val stored = s.table(s"${prefix}_gramdf")
+    val novel = bdf.filter(col("df") === 1L)
+      .join(stored.select(col("g")), Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    (noveltyVerdicts(
+      b.select(col("doc_id"),
+        expr("CAST(size(gsh) AS BIGINT)").as("n_grams")),
+      novel), bdf)
+  }
+
+  def ingestNovelty(s: SparkSession, batch: DataFrame, prefix: String,
+      buckets: Int = 8): DataFrame = {
+    val (report, bdf) = scoreNoveltyBatch(s, batch, prefix)
+    // seal the verdicts, THEN append — a lazily-evaluated report would
+    // otherwise see the batch's own grams in the index and zero itself
+    val out = report.localCheckpoint()
+    graft.io.Sinks.appendBucketedTable(bdf.select(col("g"), col("df")),
+      s"${prefix}_gramdf", "g", buckets,
+      "") // location resolved from the catalog (table must exist)
+    out
+  }
+
+  /** q283: INCREMENTAL NOVELTY under the bit-exact gate — q282's
+    * per-doc novelty score run the way a 100 TB pipeline actually runs
+    * it: the corpus (doc_id % 10 ≠ 0) funnels once into the persisted
+    * [[writeNoveltyIndex]] gram-df table; the arriving batch
+    * (% 10 = 0) is scored by [[ingestNovelty]] with cost ∝ batch. The
+    * oracle is the NAIVE-GLOBAL rule — q282's df over corpus ∪ batch,
+    * reported for batch docs — so the gate proves the incremental
+    * decomposition (batch-unique ∧ index-absent ⟺ global df = 1)
+    * exactly, the same bipartite proof obligation as q55/q242/q278. */
+  val q283IncrementalNovelty = OpSpec(
+    "q283_incremental_novelty",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val prefix = "nvx_q283"
+      val path = s"${graft.Tables.scratchDir}/nvx_q283"
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_gramdf")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeNoveltyIndex(docs.filter(!isNew), prefix, path)
+      ingestNovelty(s, docs.filter(isNew), prefix)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, $gramHashDuck AS gsh
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents)),
+      counts AS (
+        SELECT g, COUNT(*) AS df, MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, unnest(gsh) AS g FROM base)
+        GROUP BY 1),
+      novel AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM counts WHERE df = 1 AND doc_id % 10 = 0
+        GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(len(b.gsh) AS BIGINT) AS n_grams,
+        COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        CASE WHEN len(b.gsh) = 0 THEN 0e0
+             ELSE CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                  / CAST(len(b.gsh) AS DOUBLE)
+        END AS novelty,
+        CASE WHEN len(b.gsh) = 0 THEN 'short'
+             WHEN 2 * COALESCE(n.n_novel, 0) < len(b.gsh)
+               THEN 'boilerplate'
+             ELSE 'novel' END AS verdict
+      FROM base b LEFT JOIN novel n ON n.doc_id = b.doc_id
+      WHERE b.doc_id % 10 = 0"""))
+
   val all: Seq[OpSpec] = Seq(
     q21TextStats, q22LangId, q23QualityScore, q24Fingerprint,
     q57Repetition, q59SequencePacking, q60PackMaterialize, q66VocabMining,
@@ -1856,5 +1984,6 @@ object TextOps {
     q106Collocations, q117CosineTfJoin, q124Bm25, q132BpeTrain,
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
     q182PrfExpansion, q185SentenceStats, q194LangidConfusion,
-    q214LmSurprise, q215PaddingAudit, q282GramNovelty)
+    q214LmSurprise, q215PaddingAudit, q282GramNovelty,
+    q283IncrementalNovelty)
 }

@@ -4906,6 +4906,62 @@ class OperatorSpec extends AnyFunSuite {
     df.unpersist(); spark.catalog.clearCache()
   }
 
+  test("q283 incremental novelty: ingest joins the persisted gram-df " +
+    "index, never corpus text; first-ingested-wins across batches") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val corpusDir = java.nio.file.Files.createTempDirectory("nvc").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("nvb").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("nvi").toString
+    val px = "utnvx" + idxDir.replaceAll("[^A-Za-z0-9]", "").takeRight(6)
+    def write(rows: Seq[(Long, String)], dir: String): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    // corpus doc 7 owns grams [w1..w5] and [w2..w6]; batch doc 10
+    // repeats the first corpus gram + one fresh gram, docs 20/30 are
+    // batch-internal twins, doc 40 is wholly novel
+    write(Seq(7L -> "w1 w2 w3 w4 w5 w6"), corpusDir)
+    write(Seq(
+      10L -> "w1 w2 w3 w4 w5 x9",
+      20L -> "a1 a2 a3 a4 a5",
+      30L -> "a1 a2 a3 a4 a5",
+      40L -> "b1 b2 b3 b4 b5"), batchDir)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${px}_gramdf")
+      TextOps.writeNoveltyIndex(
+        spark.read.parquet(s"$corpusDir/documents.parquet"), px, idxDir)
+      val out = TextOps.ingestNovelty(spark,
+        spark.read.parquet(s"$batchDir/documents.parquet"), px)
+      val got = out.collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[String]("verdict")))).toMap
+      assert(got == Map(
+        10L -> ((2L, 1L, "novel")),       // corpus gram seen, x9 fresh
+        20L -> ((1L, 0L, "boilerplate")), // batch twin (min id owns)
+        30L -> ((1L, 0L, "boilerplate")),
+        40L -> ((1L, 1L, "novel"))), got.toString)
+      // the checkpointed report can't expose its plan, so audit the
+      // UNSEALED scoring half: batch + persisted index lineage only
+      val probe = TextOps.scoreNoveltyBatch(spark,
+        spark.read.parquet(s"$batchDir/documents.parquet"), px)
+        ._1.queryExecution.executedPlan.toString
+      assert(probe.contains(idxDir), probe)
+      assert(!probe.contains(corpusDir),
+        s"novelty scoring re-scans corpus text:\n$probe")
+      // first-ingested-wins: doc 40's gram was folded in at ingest, so
+      // a later twin scores zero novelty against the index
+      write(Seq(50L -> "b1 b2 b3 b4 b5"), batchDir)
+      val again = TextOps.ingestNovelty(spark,
+        spark.read.parquet(s"$batchDir/documents.parquet"), px)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_novel"))
+        .toMap
+      assert(again == Map(50L -> 0L), again.toString)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${px}_gramdf")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q170 normalized dedup: keeper per group, canon never longer") {
     val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
     val nGroups = df.select(col("nk")).distinct().count()
