@@ -23,8 +23,9 @@ object TextOps {
 
   /** Spark-side word array (non-empty tokens). */
   private[ops] val wordsSpark = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
-  /** DuckDB-side word array. */
-  private[ops] val wordsDuck =
+  /** DuckDB-side word array (graft-visible: the q284 streaming oracle
+    * reuses it verbatim). */
+  private[graft] val wordsDuck =
     "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
 
   /** Portable numeric hash: first `n` hex digits of an md5 string column
@@ -1791,7 +1792,7 @@ object TextOps {
            i -> md5(array_join(slice(words, i + 1, 5), ' '))),
          h -> CAST(${DedupOps.hexToLong("h", 1, 15)} AS BIGINT)))
        ELSE array(CAST(NULL AS BIGINT)) END"""
-  private val gramHashDuck: String =
+  private[graft] val gramHashDuck: String =
     s"""CASE WHEN len(words) >= 5
        THEN list_distinct(list_transform(
          list_transform(generate_series(1, len(words) - 4),
@@ -1875,6 +1876,7 @@ object TextOps {
     val g = gramHashed(docs)
       .select(col("doc_id"), explode(col("gsh")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("ingest_batch", lit(-1L))
     graft.io.Sinks.bucketedTable(g.repartition(buckets, col("g")),
       s"${prefix}_gramdf", "g", buckets, s"$path/gramdf")
   }
@@ -1898,12 +1900,20 @@ object TextOps {
     * (report, batchGramDf); the report must be materialized BEFORE the
     * batch's grams are appended. */
   private[graft] def scoreNoveltyBatch(s: SparkSession, batch: DataFrame,
-      prefix: String): (DataFrame, DataFrame) = {
+      prefix: String, batchId: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
     val b = gramHashed(batch).persist()
     val bdf = b.select(col("doc_id"), explode(col("gsh")).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
-    val stored = s.table(s"${prefix}_gramdf")
+    // a streaming replay excludes its OWN batch's already-committed
+    // rows, so re-scoring is deterministic whether or not the crashed
+    // attempt's gram append survived
+    val storedAll = s.table(s"${prefix}_gramdf")
+    val stored = batchId match {
+      case Some(id) => storedAll.filter(col("ingest_batch") =!= id)
+      case None => storedAll
+    }
     val novel = bdf.filter(col("df") === 1L)
       .join(stored.select(col("g")), Seq("g"), "left_anti")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
@@ -1914,14 +1924,24 @@ object TextOps {
   }
 
   def ingestNovelty(s: SparkSession, batch: DataFrame, prefix: String,
-      buckets: Int = 8): DataFrame = {
-    val (report, bdf) = scoreNoveltyBatch(s, batch, prefix)
+      buckets: Int = 8, batchId: Option[Long] = None): DataFrame = {
+    val (report, bdf) = scoreNoveltyBatch(s, batch, prefix, batchId)
     // seal the verdicts, THEN append — a lazily-evaluated report would
     // otherwise see the batch's own grams in the index and zero itself
     val out = report.localCheckpoint()
-    graft.io.Sinks.appendBucketedTable(bdf.select(col("g"), col("df")),
-      s"${prefix}_gramdf", "g", buckets,
-      "") // location resolved from the catalog (table must exist)
+    val rows = bdf.select(col("g"), col("df"))
+    // location resolved from the catalog (the table must exist);
+    // streaming callers get the replay-skip/heal append keyed on their
+    // micro-batch id
+    batchId match {
+      case Some(id) =>
+        graft.io.Sinks.appendBucketedTableIdempotent(s, rows, id,
+          s"${prefix}_gramdf", "g", buckets, ""); ()
+      case None =>
+        graft.io.Sinks.appendBucketedTable(
+          rows.withColumn("ingest_batch", lit(-2L)),
+          s"${prefix}_gramdf", "g", buckets, "")
+    }
     out
   }
 

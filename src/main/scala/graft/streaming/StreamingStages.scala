@@ -1298,6 +1298,132 @@ object StreamingStages {
     },
     graft.ops.ClassifierOps.q267LogisticTrain.oracle)
 
+  /** foreachBatch ingest into the persisted NOVELTY INDEX
+    * ([[graft.ops.TextOps.ingestNovelty]]): each arriving micro-batch
+    * of documents is scored against the gram-df table AT its ingest
+    * point (verdicts sealed before the batch's grams fold in — the
+    * first-ingested-wins contract), its per-doc report lands in
+    * `<prefix>_verdicts`, and both appends are replay-safe per
+    * micro-batch id: the gram append is skip/heal idempotent, and a
+    * replay's re-score EXCLUDES its own batch's already-committed
+    * gram rows, so the recomputed verdicts are identical whether or
+    * not the crashed attempt's append survived. */
+  def streamIntoNoveltyIndex(s: SparkSession, docs: DataFrame,
+      prefix: String, buckets: Int,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.ops.TextOps.ingestNovelty(
+            s, batch, prefix, buckets, batchId = Some(batchId))
+          graft.io.Sinks.appendBucketedTableIdempotent(s, report,
+            batchId, s"${prefix}_verdicts", "doc_id", buckets,
+            s"${graft.Tables.scratchDir}/${prefix}_verdicts")
+          Seq("gramdf", "verdicts").foreach(t =>
+            if (s.catalog.tableExists(s"${prefix}_$t"))
+              s.catalog.refreshTable(s"${prefix}_$t"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** q284: incremental novelty fed by a STREAM — q283's trajectory
+    * with the batch docs arriving as TWO mtime-ordered generations
+    * (doc_id % 20 = 0, then % 20 = 10), one micro-batch each, so the
+    * gate also proves the CROSS-GENERATION contract q283's single
+    * batch cannot: a gram novel at generation 1's ingest stays novel
+    * for its gen-1 owner even after generation 2 repeats it, and the
+    * gen-2 twin scores non-novel. The oracle says exactly that in
+    * arrival terms: per (gram, generation) counts, a gram is novel for
+    * a gen-k doc iff its in-generation count is 1 and the cumulative
+    * count over generations < k is 0 (one partitioned window over the
+    * 3-value generation domain). This is the 21st gated streaming
+    * query and gives the novelty index the streaming half the corpus
+    * (q230) and semantic (q247) indexes have. */
+  val q284StreamingNovelty: graft.OpSpec = graft.OpSpec(
+    "q284_streaming_novelty",
+    (s, dir) => {
+      import graft.ops.TextOps
+      val prefix = "nvx_q284"
+      val base = s"${graft.Tables.scratchDir}/nvx_q284"
+      Seq("gramdf", "verdicts")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = graft.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      TextOps.writeNoveltyIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        prefix, s"$base/idx")
+      val streamDir = java.nio.file.Paths.get(s"$base/stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("nvstage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = java.nio.file.Files.list(tmp)
+        val part = try ls.toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head finally ls.close()
+        val dst = streamDir.resolve(name)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(mtime); ()
+      }
+      stage(docs.filter(col("doc_id") % 20 === 0), "00_g1.parquet",
+        100000L)
+      stage(docs.filter(col("doc_id") % 20 === 10), "01_g2.parquet",
+        200000L)
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream")
+      streamIntoNoveltyIndex(s, stream, prefix, 8, s"$base/ckpt").stop()
+      s.table(s"${prefix}_verdicts")
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          col("novelty"), col("verdict"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, ${graft.ops.TextOps.gramHashDuck} AS gsh
+        FROM (SELECT doc_id, ${graft.ops.TextOps.wordsDuck} AS words
+              FROM documents)),
+      gl AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 <> 0 THEN 0
+               WHEN doc_id % 20 = 0 THEN 1 ELSE 2 END AS gen, gsh
+        FROM base),
+      grows AS (SELECT doc_id, gen, unnest(gsh) AS g FROM gl),
+      pg AS (
+        SELECT g, gen, COUNT(*) AS c, MIN(doc_id) AS doc_id
+        FROM grows GROUP BY 1, 2),
+      cum AS (
+        SELECT g, gen, c, doc_id,
+          COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY gen
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS prior
+        FROM pg),
+      novel AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM cum WHERE gen >= 1 AND c = 1 AND prior = 0
+        GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(len(b.gsh) AS BIGINT) AS n_grams,
+        COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        CASE WHEN len(b.gsh) = 0 THEN 0e0
+             ELSE CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                  / CAST(len(b.gsh) AS DOUBLE)
+        END AS novelty,
+        CASE WHEN len(b.gsh) = 0 THEN 'short'
+             WHEN 2 * COALESCE(n.n_novel, 0) < len(b.gsh)
+               THEN 'boilerplate'
+             ELSE 'novel' END AS verdict
+      FROM gl b LEFT JOIN novel n ON n.doc_id = b.doc_id
+      WHERE b.gen >= 1"""))
+
   val oracleOps: Seq[graft.OpSpec] =
     Seq(q56StreamingTumbling, q65StreamingDedup,
       q113StreamingFunnel, q114StreamingRangeJoin,
@@ -1308,5 +1434,6 @@ object StreamingStages {
       q206StreamingBandDedup, q213StreamingCountmin, q216StreamingHll,
       q219StreamIndexIngest, q228StreamingRollup,
       q230StreamingCorpusIngest, q247StreamingSemdedup,
-      q259StreamingShardSink, q271StreamingClassifier)
+      q259StreamingShardSink, q271StreamingClassifier,
+      q284StreamingNovelty)
 }

@@ -643,6 +643,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("replayed novelty ingest converges: verdicts identical, gram-df " +
+    "rows exactly-once, and a later twin batch scores non-novel") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("nvrp").toString
+    val px = "ut_nvrp" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    try {
+      TextOps.writeNoveltyIndex(
+        docs(Seq(7L -> "w1 w2 w3 w4 w5 w6")), px, s"$base/idx")
+      val batch = docs(Seq(
+        10L -> "w1 w2 w3 w4 w5 x9", // one corpus gram + one fresh
+        40L -> "b1 b2 b3 b4 b5"))   // wholly novel
+      // the same micro-batch "arrives" three times under one id — a
+      // foreachBatch replay after a crash between the gram append and
+      // the checkpoint commit. Verdicts must be identical every time
+      // (the re-score excludes the batch's own committed rows) and the
+      // gram table must hold exactly one copy of the batch.
+      val runs = (1 to 3).map(_ => TextOps.ingestNovelty(spark, batch,
+        px, batchId = Some(0L))
+        .select(col("doc_id"), col("n_novel"), col("verdict"))
+        .as[(Long, Long, String)].collect().toSet)
+      assert(runs.forall(_ == runs.head),
+        s"replayed novelty verdicts drifted: $runs")
+      assert(runs.head == Set((10L, 1L, "novel"), (40L, 1L, "novel")),
+        runs.head.toString)
+      val tagRows = spark.table(s"${px}_gramdf")
+        .filter(col("ingest_batch") === 0L).count()
+      assert(tagRows == 3L, // x9-gram, w1..w5 (dup of corpus), b-gram
+        s"gram append not exactly-once: $tagRows rows under the tag")
+      // a LATER batch with a fresh id still appends, and first-
+      // ingested-wins holds against the replayed batch's grams
+      val twin = TextOps.ingestNovelty(spark,
+        docs(Seq(50L -> "b1 b2 b3 b4 b5")), px, batchId = Some(1L))
+        .select(col("doc_id"), col("n_novel")).as[(Long, Long)]
+        .collect().toSet
+      assert(twin == Set((50L, 0L)), twin.toString)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${px}_gramdf")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("torn corpus-index append: a replay fills only the missing tables " +
     "(per-table idempotence) and converges to the batch build") {
     import org.apache.spark.sql.functions._
