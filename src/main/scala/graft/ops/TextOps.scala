@@ -1885,8 +1885,10 @@ object TextOps {
     * fold the batch in — q282's per-doc novelty with cost ∝ batch
     * (q55/q278's incremental discipline): a batch gram is novel iff it
     * is unique WITHIN the batch (count 1, its owner = its min doc_id)
-    * and ABSENT from the index (left_anti on the bucketed hash — an
-    * EXISTS check, so appended duplicate hash rows can never fan out).
+    * and ABSENT from the live index — absence = the signed df sum over
+    * its matched rows ≤ 0 (appends positive, [[purgeNoveltyIndex]]
+    * negations subtract; the sum folds AFTER the bucketed equi-join so
+    * appended duplicate rows aggregate instead of fanning out).
     * n_grams stays row-local; the verdicts are checkpointed BEFORE the
     * batch's grams are appended, so the report reflects the index
     * state AT ingest (first-ingested-wins: a later twin batch scores
@@ -1914,8 +1916,17 @@ object TextOps {
       case Some(id) => storedAll.filter(col("ingest_batch") =!= id)
       case None => storedAll
     }
+    // presence is the SIGNED df sum over the matched index rows > 0
+    // (purges append negated counts), folded AFTER the bucketed
+    // equi-join so only batch-matched grams are ever aggregated — the
+    // index is never shuffled whole; a gram with no index rows sums
+    // NULL → 0 → novel
     val novel = bdf.filter(col("df") === 1L)
-      .join(stored.select(col("g")), Seq("g"), "left_anti")
+      .join(stored.select(col("g"), col("df").as("sdf")), Seq("g"),
+        "left")
+      .groupBy(col("g"), col("doc_id"))
+      .agg(sum(col("sdf")).as("seen"))
+      .filter(coalesce(col("seen"), lit(0L)) <= 0L)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
     (noveltyVerdicts(
       b.select(col("doc_id"),
@@ -1944,6 +1955,134 @@ object TextOps {
     }
     out
   }
+
+  /** Right-to-be-forgotten for the novelty index — the purge half the
+    * other four persisted indexes already have (q211/q232/q257/q258/
+    * q261). The index deliberately stores NO per-doc ownership (8-byte
+    * gram rows), so the takedown docs arrive WITH their text: their
+    * gram counts are appended NEGATED under the reserved -3 tag, and
+    * scoring treats presence as the signed df sum > 0. A gram wholly
+    * owned by forgotten docs sums to zero and stops witnessing —
+    * a later twin scores novel again, which is what forgetting means
+    * here. Cost ∝ takedown batch (insert-only; the physical fold is
+    * [[vacuumNoveltyIndex]]'s job). Contract: purge each doc at most
+    * once — a double purge double-subtracts (the caller owns takedown
+    * dedup, same as every tombstone path owns id uniqueness). */
+  def purgeNoveltyIndex(s: SparkSession, docs: DataFrame,
+      prefix: String, buckets: Int = 8): Unit = {
+    val neg = gramHashed(docs)
+      .select(col("doc_id"), explode(col("gsh")).as("g"))
+      .groupBy(col("g"))
+      .agg((count(lit(1)) * lit(-1L)).as("df"))
+      .withColumn("ingest_batch", lit(-3L))
+    graft.io.Sinks.appendBucketedTable(neg, s"${prefix}_gramdf", "g",
+      buckets, "") // location resolved from the catalog
+  }
+
+  /** Fold the novelty index's appended generations and purge negations
+    * into one physical row per surviving gram (signed sum > 0), via
+    * the staged-swap discipline (write staging at the new path, ONE
+    * SET LOCATION re-point, drop staging) — readers never see an
+    * unregistered instant, and the reclaimed rows are invisible to
+    * scoring by construction since scoring already sums. Re-tags
+    * everything -1, so it must run with any feeding stream stopped at
+    * a committed offset (the maintenance contract every compaction in
+    * this engine shares). */
+  def vacuumNoveltyIndex(s: SparkSession, prefix: String,
+      newPath: String, buckets: Int = 8): Unit = {
+    val live = s.table(s"${prefix}_gramdf")
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0L)
+      .withColumn("ingest_batch", lit(-1L))
+    val staging = s"${prefix}_gramdf__vacuum"
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.io.Sinks.bucketedTable(live.repartition(buckets, col("g")),
+      staging, "g", buckets, newPath)
+    graft.io.Sinks.repointTable(s, s"${prefix}_gramdf", staging,
+      newPath)
+  }
+
+  /** q285: NOVELTY-INDEX PURGE under the bit-exact gate — the
+    * takedown quarter of the corpus (% 4 = 1 among non-batch docs) is
+    * purged via [[purgeNoveltyIndex]]'s negated counts, then the batch
+    * (% 10 = 0) ingests against the live signed view. The oracle is
+    * the naive-global novelty rule with the purged docs ABSENT
+    * everywhere, so one hash compare proves both halves: the signed
+    * sum equals a scratch build on the purged corpus, and a batch doc
+    * whose only gram-twin was forgotten comes back novel. */
+  val q285NoveltyPurge = OpSpec(
+    "q285_novelty_purge",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val isDead = col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 1
+      val prefix = "nvx_q285"
+      val path = s"${graft.Tables.scratchDir}/nvx_q285"
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_gramdf")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeNoveltyIndex(docs.filter(!isNew), prefix, path)
+      purgeNoveltyIndex(s, docs.filter(isDead), prefix)
+      ingestNovelty(s, docs.filter(isNew), prefix)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, $gramHashDuck AS gsh
+        FROM (SELECT doc_id, $wordsDuck AS words FROM documents)
+        WHERE NOT (doc_id % 10 <> 0 AND doc_id % 4 = 1)),
+      counts AS (
+        SELECT g, COUNT(*) AS df, MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, unnest(gsh) AS g FROM base)
+        GROUP BY 1),
+      novel AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM counts WHERE df = 1 AND doc_id % 10 = 0
+        GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(len(b.gsh) AS BIGINT) AS n_grams,
+        COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        CASE WHEN len(b.gsh) = 0 THEN 0e0
+             ELSE CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                  / CAST(len(b.gsh) AS DOUBLE)
+        END AS novelty,
+        CASE WHEN len(b.gsh) = 0 THEN 'short'
+             WHEN 2 * COALESCE(n.n_novel, 0) < len(b.gsh)
+               THEN 'boilerplate'
+             ELSE 'novel' END AS verdict
+      FROM base b LEFT JOIN novel n ON n.doc_id = b.doc_id
+      WHERE b.doc_id % 10 = 0"""))
+
+  /** q286: NOVELTY-INDEX VACUUM — q285's trajectory with
+    * [[vacuumNoveltyIndex]] physically folding the purge negations
+    * before the ingest. The oracle is q285's VERBATIM, so the gate
+    * proves the fold changes nothing a reader can see while the
+    * negated and superseded rows' storage is reclaimed (the fold
+    * itself is spec'd: one row per surviving gram, all sums
+    * positive). */
+  val q286NoveltyVacuum = OpSpec(
+    "q286_novelty_vacuum",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val isDead = col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 1
+      val prefix = "nvx_q286"
+      val path = s"${graft.Tables.scratchDir}/nvx_q286"
+      Seq("gramdf", "gramdf__vacuum")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      writeNoveltyIndex(docs.filter(!isNew), prefix, s"$path/idx")
+      purgeNoveltyIndex(s, docs.filter(isDead), prefix)
+      vacuumNoveltyIndex(s, prefix, s"$path/vac")
+      ingestNovelty(s, docs.filter(isNew), prefix)
+    },
+    q285NoveltyPurge.oracle)
 
   /** q283: INCREMENTAL NOVELTY under the bit-exact gate — q282's
     * per-doc novelty score run the way a 100 TB pipeline actually runs
@@ -2005,5 +2144,5 @@ object TextOps {
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
     q182PrfExpansion, q185SentenceStats, q194LangidConfusion,
     q214LmSurprise, q215PaddingAudit, q282GramNovelty,
-    q283IncrementalNovelty)
+    q283IncrementalNovelty, q285NoveltyPurge, q286NoveltyVacuum)
 }

@@ -4962,6 +4962,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty purge/vacuum: a forgotten doc stops witnessing, shared " +
+    "grams keep witnessing, and the vacuum folds to positive singletons") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val base = java.nio.file.Files.createTempDirectory("nvpg").toString
+    val px = "ut_nvpg" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def score(b: org.apache.spark.sql.DataFrame) =
+      TextOps.scoreNoveltyBatch(spark, b, px)._1
+        .select(col("doc_id"), col("n_novel")).as[(Long, Long)]
+        .collect().toMap
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${px}_gramdf")
+      // docs 1 and 2 share gram [s1..s5]; doc 1 alone owns [u1..u5]
+      TextOps.writeNoveltyIndex(docs(Seq(
+        1L -> "s1 s2 s3 s4 s5 zz u1 u2 u3 u4 u5",
+        2L -> "s1 s2 s3 s4 s5")), px, s"$base/idx")
+      val probes = docs(Seq(
+        100L -> "s1 s2 s3 s4 s5",   // twin of the SHARED gram
+        200L -> "u1 u2 u3 u4 u5"))  // twin of doc 1's sole gram
+      assert(score(probes) == Map(100L -> 0L, 200L -> 0L))
+      // forget doc 1: its solely-owned gram must stop witnessing
+      // (signed sum 0) while the shared gram still has doc 2's count
+      TextOps.purgeNoveltyIndex(spark,
+        docs(Seq(1L -> "s1 s2 s3 s4 s5 zz u1 u2 u3 u4 u5")), px)
+      assert(score(probes) == Map(100L -> 0L, 200L -> 1L),
+        "purge did not flip the solely-owned gram back to novel")
+      // vacuum: physically one row per SURVIVING gram, all sums
+      // positive, verdicts unchanged
+      TextOps.vacuumNoveltyIndex(spark, px, s"$base/vac")
+      val t = spark.table(s"${px}_gramdf")
+      assert(t.count() == t.select(col("g")).distinct().count(),
+        "vacuum left multiple rows per gram")
+      assert(t.filter(col("df") <= 0L).count() == 0,
+        "vacuum kept non-positive rows")
+      assert(score(probes) == Map(100L -> 0L, 200L -> 1L),
+        "vacuum changed scoring")
+      // post-vacuum ingest still appends and first-ingested-wins holds
+      TextOps.ingestNovelty(spark,
+        docs(Seq(300L -> "f1 f2 f3 f4 f5")), px)
+      assert(score(docs(Seq(400L -> "f1 f2 f3 f4 f5")))
+        == Map(400L -> 0L), "post-vacuum append not visible")
+    } finally {
+      Seq(s"${px}_gramdf", s"${px}_gramdf__vacuum")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q170 normalized dedup: keeper per group, canon never longer") {
     val df = SparkEntry.queries("q170_normalized_dedup")(spark, sf)
     val nGroups = df.select(col("nk")).distinct().count()
