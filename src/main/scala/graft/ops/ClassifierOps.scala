@@ -257,37 +257,81 @@ object ClassifierOps {
         CAST(CASE WHEN score >= 5e-1 THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM scored"""))
 
+  /** Coarse-bucket count for the two-level AUC fold: scores land in
+    * `floor(score·1024)` row-locally, so the FINAL fold's input is
+    * ≤ 1024 bucket partials no matter how many distinct scores the
+    * holdout produces. */
+  private[graft] val AucBuckets = 1024
+
+  /** Level 1 of the exact two-level Mann-Whitney fold: per coarse
+    * score bucket (row-local `floor(score·1024)` — scores are
+    * sigmoid outputs in (0,1)), the bucket's positive/negative totals
+    * plus its WITHIN-bucket u2 partial (the ordered fold over the
+    * bucket's own score groups). Fully distributed: one hash
+    * aggregate keyed on bkt, per-group state bounded by one bucket's
+    * distinct scores (≈ 1/1024 of the domain), never the whole
+    * holdout. */
+  private[graft] def aucBucketPartials(grp: DataFrame): DataFrame =
+    grp.withColumn("bkt",
+        least(floor(col("score") * lit(AucBuckets.toDouble)),
+          lit((AucBuckets - 1).toDouble)).cast("long"))
+      .groupBy(col("bkt"))
+      .agg(sum(col("p")).cast("long").as("bp"),
+        sum(col("m")).cast("long").as("bm"),
+        expr("""aggregate(
+            sort_array(collect_list(struct(score, p, m))),
+            named_struct('negs', 0L, 'u2', 0L),
+            (acc, g) -> named_struct(
+              'negs', acc.negs + g.m,
+              'u2', acc.u2 + g.p * (2L * acc.negs + g.m)),
+            acc -> acc.u2)""").as("bu2"))
+
+  /** Level 2: merge the ≤ [[AucBuckets]] bucket partials. Exact by the
+    * split identity negs_below(g) = negs_below(bucket) +
+    * negs_below_within_bucket(g), so
+    * u2 = Σ_buckets [u2_within + 2·bp·negs_below(bucket)] — every term
+    * integer, order fixed by the bkt sort. The final collect_list is
+    * bucket-bounded BY CONSTRUCTION (state O(1024), not O(distinct
+    * scores)): an adversarial all-distinct-score holdout costs the
+    * same bounded final state as a heavily tied one. */
+  private[graft] def aucFromScoreGroups(grp: DataFrame): DataFrame =
+    aucBucketPartials(grp)
+      .agg(
+        sum(col("bp")).cast("long").as("n_pos"),
+        sum(col("bm")).cast("long").as("n_neg"),
+        expr("""aggregate(
+            sort_array(collect_list(struct(bkt, bp, bm, bu2))),
+            named_struct('negs', 0L, 'u2', 0L),
+            (acc, b) -> named_struct(
+              'negs', acc.negs + b.bm,
+              'u2', acc.u2 + b.bu2 + 2L * b.bp * acc.negs),
+            acc -> acc.u2)""").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double")
+            / (lit(2e0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double"))).as("auc"))
+
   /** q268: exact ROC-AUC of the holdout scores — the Mann-Whitney
     * rank-sum with midrank ties, kept in INTEGER arithmetic: u2 =
     * sum over score groups of p * (2*negs_below + m), auc = u2/(2PN).
-    * Spark shape: one groupBy(score) then a single ordered fold (the
-    * q214 recipe — sort_array + aggregate with a struct accumulator),
-    * NO global window (the plan sweep forbids those) and no pos x neg
-    * pair join. At scale the group domain is bounded by distinct
-    * scores; the fold is one reduce over it. */
+    * Spark shape: one groupBy(score), then the TWO-LEVEL fold
+    * ([[aucBucketPartials]] → [[aucFromScoreGroups]]) — distributed
+    * within-bucket partials merged over a ≤ 1024-bucket domain. NO
+    * global window (the plan sweep forbids those), no pos×neg pair
+    * join, and — unlike a single ordered fold over ALL distinct
+    * scores — no aggregate whose state can grow to one entry per
+    * holdout row when the rational-sigmoid scores of integerized
+    * features approach all-distinct. */
   val q268AucEval = OpSpec(
     "q268_auc_eval",
     (s, dir) => {
-      scoredDf(s, dir).filter(col("split") === "holdout")
+      aucFromScoreGroups(scoredDf(s, dir)
+        .filter(col("split") === "holdout")
         .groupBy(col("score"))
         .agg(sum(col("y")).cast("long").as("p"),
-          (count(lit(1)) - sum(col("y"))).cast("long").as("m"))
-        .agg(
-          sum(col("p")).cast("long").as("n_pos"),
-          sum(col("m")).cast("long").as("n_neg"),
-          expr("""aggregate(
-              sort_array(collect_list(struct(score, p, m))),
-              named_struct('negs', 0L, 'u2', 0L),
-              (acc, g) -> named_struct(
-                'negs', acc.negs + g.m,
-                'u2', acc.u2 + g.p * (2L * acc.negs + g.m)),
-              acc -> acc.u2)""").as("u2"))
-        .select(col("n_pos"), col("n_neg"), col("u2"),
-          when(col("n_pos") === 0 || col("n_neg") === 0,
-            lit(null).cast("double"))
-            .otherwise(col("u2").cast("double")
-              / (lit(2e0) * col("n_pos").cast("double")
-                * col("n_neg").cast("double"))).as("auc"))
+          (count(lit(1)) - sum(col("y"))).cast("long").as("m")))
     },
     Some(s"""$oraclePrelude,
       grp AS (

@@ -3260,8 +3260,26 @@ object EmbeddingOps {
     * all-identical cell, whose min id survives truncation by
     * construction). Verdicts reference the ORIGINAL cid. */
   private[graft] def semPruneVerdicts(members: DataFrame,
-      probe: DataFrame, cellCap: Int = SemCellCap): DataFrame = {
-    val (m, p, mayOverflow) = splitOversizedCells(members, probe, cellCap)
+      probe: DataFrame, cellCap: Int = SemCellCap,
+      maxRounds: Int = SemSplitRounds): DataFrame =
+    semPruneVerdictsProbed(members, probe, probe, cellCap, maxRounds)
+
+  /** The multi-probe generalization [[semPruneVerdicts]] delegates to:
+    * `probeAll` may carry SEVERAL rows per vec_id (one per probed
+    * cell — the nprobe > 1 path assigns the probe side to its top-n
+    * cells while members stay single-assigned, so storage is
+    * unchanged and the scan cost scales by nprobe, the IVF trade
+    * applied to dedup); a vector is `prune` iff ANY probed cell holds
+    * a smaller-id member over [[SemDedupTau]]. `probePrimary` (one
+    * row per vec_id) fixes the OUTPUT keying — verdicts always
+    * reference the primary (argmax) cid, so nprobe changes recall,
+    * never the result shape. */
+  private[graft] def semPruneVerdictsProbed(members: DataFrame,
+      probeAll: DataFrame, probePrimary: DataFrame,
+      cellCap: Int = SemCellCap,
+      maxRounds: Int = SemSplitRounds): DataFrame = {
+    val (m, p, mayOverflow) =
+      splitOversizedCells(members, probeAll, cellCap, maxRounds)
     lazy val residue = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > cellCap).select(col("ckey"))
     val scan = if (!mayOverflow || residue.isEmpty) m else {
@@ -3273,16 +3291,15 @@ object EmbeddingOps {
     }
     val a = scan.select(col("ckey"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
-    val b = p.select(col("ckey"), col("cid"), col("vec_id").as("vec_b"),
+    val b = p.select(col("ckey"), col("vec_id").as("vec_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
     val pruned = a.join(b, Seq("ckey"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
         / (col("na") * col("nb")) > expr(SemDedupTau))
-      .select(col("cid"), col("vec_b").as("vec_id")).distinct()
-    probe.select(col("cid"), col("vec_id"))
-      .join(pruned.withColumn("hit", lit(1)), Seq("cid", "vec_id"),
-        "left")
+      .select(col("vec_b").as("vec_id")).distinct()
+    probePrimary.select(col("cid"), col("vec_id"))
+      .join(pruned.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .select(col("cid"), col("vec_id"),
         when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
           .as("verdict"))
@@ -3301,7 +3318,7 @@ object EmbeddingOps {
     * re-train + corpus re-scan. */
   def buildSemanticIndex(s: SparkSession, base: DataFrame,
       prefix: String, path: String, k: Int = KmK,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8, nprobe: Int = 1): DataFrame = {
     val cents = coarseKmOfK(base, k).select(col("cid"), col("cv"),
       col("cnrm"))
     graft.io.Sinks.bucketedTable(cents, s"${prefix}_semcents", "cid", 1,
@@ -3314,7 +3331,17 @@ object EmbeddingOps {
         .repartition(buckets, col("cid")),
       s"${prefix}_members", "cid", buckets, s"$path/members")
     val m = s.table(s"${prefix}_members")
-    semPruneVerdicts(m, m).localCheckpoint()
+    if (nprobe <= 1) semPruneVerdicts(m, m).localCheckpoint()
+    else {
+      // multi-probe (q256 promoted into the persisted path): members
+      // stay single-assigned — only the PROBE side fans out to its
+      // top-nprobe cells against the same frozen centroids, so the
+      // stored layout is identical to nprobe=1 and the knob can be
+      // turned per build/ingest without a rebuild
+      val probeAll = semAssignTop(base, frozen, nprobe).drop("pr")
+        .localCheckpoint()
+      semPruneVerdictsProbed(m, probeAll, m).localCheckpoint()
+    }
   }
 
   /** Ingest one arriving batch into the persisted semantic index:
@@ -3336,14 +3363,19 @@ object EmbeddingOps {
     * retroactively flip an already-emitted verdict. */
   def ingestSemanticIndex(s: SparkSession, batch: DataFrame,
       prefix: String, path: String, buckets: Int = 8,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
     // pointer-resolved: after retrainSemanticIndex flipped the live
     // generation, ingests code against ITS frozen centroids and append
     // to ITS members table (appendBucketedTable resolves the table's
     // registered location; `path` only seeds a first-build table)
     val phys = livePrefix(s, prefix)
     val frozen = s.table(s"${phys}_semcents")
-    val asgB = semAssign(batch, frozen).localCheckpoint()
+    // one assignment pass covers both halves: pr=1 is the stored
+    // (primary) assignment, pr<=nprobe the probe fan-out — members
+    // stay single-assigned whatever the knob, so the append below is
+    // byte-identical across nprobe settings
+    val asgAll = semAssignTop(batch, frozen, nprobe).localCheckpoint()
+    val asgB = asgAll.filter(col("pr") === 1).drop("pr")
     val parted = asgB.repartition(buckets, col("cid"))
     // streaming callers pass their micro-batch id: the member append
     // then commits the id atomically with the rows and an at-least-
@@ -3362,8 +3394,12 @@ object EmbeddingOps {
     // members now include the batch itself, so within-batch smaller-id
     // pairs are covered by the same single equi-join; the tombstone
     // mask keeps purged vectors out of the witness set
-    semPruneVerdicts(liveSemanticMembers(s, prefix), asgB)
-      .localCheckpoint()
+    val out =
+      if (nprobe <= 1)
+        semPruneVerdicts(liveSemanticMembers(s, prefix), asgB)
+      else semPruneVerdictsProbed(liveSemanticMembers(s, prefix),
+        asgAll.drop("pr"), asgB)
+    out.localCheckpoint()
   }
 
   /** The live generation's members with tombstones applied — the one
@@ -3584,6 +3620,89 @@ object EmbeddingOps {
           AS verdict
       FROM asg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
+
+  /** q287: MULTI-PROBE INCREMENTAL SemDeDup under the bit-exact
+    * gate — q256's audit promoted into the PERSISTED path. q242's
+    * exact trajectory (base build + two vec_id-ordered batch ingests
+    * against the frozen base-trained centroids) runs at nprobe = 2,
+    * so the production incremental path stops inheriting the
+    * structural cross-cluster misses q256 proved recoverable. Members
+    * stay single-assigned — the stored index layout is identical to
+    * nprobe = 1 and the knob turns per build/ingest without a
+    * rebuild; only the probe side fans out to its top-2 cells, ~2x
+    * scan cost (the IVF nprobe trade applied to dedup). Oracle: the
+    * scratch frozen-centroid MULTI-PROBE rule — a vector is pruned
+    * iff ANY of its top-2 probed cells holds a smaller-id PRIMARY
+    * member over tau (q242's oracle with q256's asg2 reachability);
+    * verdicts keyed by the primary cid, so the output shape equals
+    * q242's and the single-probe gates stay untouched. */
+  val q287MultiprobeSemdedup = OpSpec(
+    "q287_multiprobe_semdedup",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      // bounded 1-row scalar: the id-range split threshold
+      val total = e.count()
+      val base = e.filter(col("vec_id") * 2 < total)
+      val b1 = e.filter(col("vec_id") * 2 >= total &&
+        col("vec_id") * 4 < total * 3)
+      val b2 = e.filter(col("vec_id") * 4 >= total * 3)
+      val prefix = "sem_q287"
+      val path = s"${graft.Tables.scratchDir}/sem_q287"
+      resetSemanticIndex(s, prefix, path)
+      val v0 = buildSemanticIndex(s, base, prefix, path, nprobe = 2)
+      val v1 = ingestSemanticIndex(s, b1, prefix, path, nprobe = 2)
+      val v2 = ingestSemanticIndex(s, b2, prefix, path, nprobe = 2)
+      v0.unionByName(v1).unionByName(v2)
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      b AS (SELECT e.vec_id, e.embedding, e.nrm
+            FROM e, t WHERE 2 * e.vec_id < t.n),
+      seeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT em.vec_id, em.embedding,
+                md5('ivf:' || em.vec_id) AS rk
+              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
+        QUALIFY cid < $KmK),
+      c0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds)),
+      s1 AS (${kmIterDuck("c0", "b")}),
+      c1 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1)),
+      s2 AS (${kmIterDuck("c1", "b")}),
+      c2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2)),
+      rnk AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_reduce(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+        FROM e, c2 c),
+      asg AS (SELECT cid, vec_id, embedding, nrm FROM rnk WHERE rn = 1),
+      asg2 AS (SELECT cid, vec_id FROM rnk WHERE rn <= 2),
+      pruned AS (
+        SELECT DISTINCT p.vec_id
+        FROM asg a
+        JOIN asg2 p ON p.cid = a.cid AND a.vec_id < p.vec_id
+        JOIN asg q ON q.vec_id = p.vec_id
+        WHERE ${dotDuck("a.embedding", "q.embedding")} / (a.nrm * q.nrm)
+          > $SemDedupTau)
+      SELECT g.cid, g.vec_id,
+        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+          AS verdict
+      FROM asg g LEFT JOIN pruned p ON p.vec_id = g.vec_id"""))
 
   /** DuckDB CTE chain for one coarse-training arm: seeds + two Lloyd
     * rounds trained on `trainPred`'s rows, full-corpus assignment,
@@ -4684,5 +4803,5 @@ object EmbeddingOps {
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
     q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
     q266MarginMining, q279HubnessAudit, q280RetrainDrift,
-    q281KnnReciprocity)
+    q281KnnReciprocity, q287MultiprobeSemdedup)
 }

@@ -1899,11 +1899,15 @@ object TextOps {
   /** The LAZY scoring half of [[ingestNovelty]] — exposed within the
     * library so the plan audit can prove the batch is scored from the
     * persisted index alone (no corpus-text lineage). Returns
-    * (report, batchGramDf); the report must be materialized BEFORE the
-    * batch's grams are appended. */
+    * (report, batchGramDf, cachedGrams); the report must be
+    * materialized BEFORE the batch's grams are appended, and the
+    * caller owns unpersisting `cachedGrams` once both consumers
+    * (report checkpoint + gram append) have run — a streaming caller
+    * otherwise accretes one cached frame per micro-batch for the life
+    * of the stream. */
   private[graft] def scoreNoveltyBatch(s: SparkSession, batch: DataFrame,
       prefix: String, batchId: Option[Long] = None)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val b = gramHashed(batch).persist()
     val bdf = b.select(col("doc_id"), explode(col("gsh")).as("g"))
       .groupBy(col("g"))
@@ -1931,12 +1935,13 @@ object TextOps {
     (noveltyVerdicts(
       b.select(col("doc_id"),
         expr("CAST(size(gsh) AS BIGINT)").as("n_grams")),
-      novel), bdf)
+      novel), bdf, b)
   }
 
   def ingestNovelty(s: SparkSession, batch: DataFrame, prefix: String,
       buckets: Int = 8, batchId: Option[Long] = None): DataFrame = {
-    val (report, bdf) = scoreNoveltyBatch(s, batch, prefix, batchId)
+    val (report, bdf, cached) = scoreNoveltyBatch(s, batch, prefix,
+      batchId)
     // seal the verdicts, THEN append — a lazily-evaluated report would
     // otherwise see the batch's own grams in the index and zero itself
     val out = report.localCheckpoint()
@@ -1953,30 +1958,56 @@ object TextOps {
           rows.withColumn("ingest_batch", lit(-2L)),
           s"${prefix}_gramdf", "g", buckets, "")
     }
+    // both consumers of the cached batch grams have run (verdicts
+    // checkpointed, gram rows appended) — release the executor blocks
+    // NOW instead of leaning on GC-driven ContextCleaner, which in
+    // streamIntoNoveltyIndex would accrete one frame per micro-batch
+    // (the asg0.unpersist() discipline of ingestSemanticIndex)
+    cached.unpersist()
     out
   }
+
+  /** Tag-space encoding for novelty takedowns: takedown `t ≥ 0` lands
+    * in the `ingest_batch` column as `-4 - t` — disjoint by
+    * construction from the build/vacuum tag (-1), the non-stream
+    * ingest tag (-2), the legacy purge tag (-3) and streaming batch
+    * ids (≥ 0), so the skip/heal replay probe can key on it. */
+  private[graft] def noveltyTakedownTag(takedownId: Long): Long =
+    -4L - takedownId
 
   /** Right-to-be-forgotten for the novelty index — the purge half the
     * other four persisted indexes already have (q211/q232/q257/q258/
     * q261). The index deliberately stores NO per-doc ownership (8-byte
     * gram rows), so the takedown docs arrive WITH their text: their
-    * gram counts are appended NEGATED under the reserved -3 tag, and
-    * scoring treats presence as the signed df sum > 0. A gram wholly
-    * owned by forgotten docs sums to zero and stops witnessing —
-    * a later twin scores novel again, which is what forgetting means
-    * here. Cost ∝ takedown batch (insert-only; the physical fold is
-    * [[vacuumNoveltyIndex]]'s job). Contract: purge each doc at most
-    * once — a double purge double-subtracts (the caller owns takedown
-    * dedup, same as every tombstone path owns id uniqueness). */
+    * gram counts are appended NEGATED, and scoring treats presence as
+    * the signed df sum > 0. A gram wholly owned by forgotten docs sums
+    * to zero and stops witnessing — a later twin scores novel again,
+    * which is what forgetting means here. Cost ∝ takedown batch
+    * (insert-only; the physical fold is [[vacuumNoveltyIndex]]'s job).
+    *
+    * REPLAY-SAFE, like every other purge path in the engine: the
+    * negation batch rides [[graft.io.Sinks.appendBucketedTableIdempotent]]
+    * under the [[noveltyTakedownTag]] tag, so a crashed-and-retried
+    * takedown SKIPS when its rows already landed complete and HEALS a
+    * torn file set — a double purge of the same `takedownId` can never
+    * double-subtract df. Contract: takedown ids are unique per index
+    * over the generations between vacuums (takedownId ≥ 0; the id
+    * names the takedown BATCH, so replays must carry the identical doc
+    * set — the per-table uniqueness rule streaming ingest already
+    * lives by), and [[vacuumNoveltyIndex]] — which folds tags away and
+    * re-tags -1 — runs only once in-flight takedowns are durably
+    * committed (the shared maintenance-quiesce contract). */
   def purgeNoveltyIndex(s: SparkSession, docs: DataFrame,
-      prefix: String, buckets: Int = 8): Unit = {
+      prefix: String, takedownId: Long, buckets: Int = 8): Unit = {
+    require(takedownId >= 0L, s"takedownId must be >= 0: $takedownId")
     val neg = gramHashed(docs)
       .select(col("doc_id"), explode(col("gsh")).as("g"))
       .groupBy(col("g"))
       .agg((count(lit(1)) * lit(-1L)).as("df"))
-      .withColumn("ingest_batch", lit(-3L))
-    graft.io.Sinks.appendBucketedTable(neg, s"${prefix}_gramdf", "g",
+    graft.io.Sinks.appendBucketedTableIdempotent(s, neg,
+      noveltyTakedownTag(takedownId), s"${prefix}_gramdf", "g",
       buckets, "") // location resolved from the catalog
+    ()
   }
 
   /** Fold the novelty index's appended generations and purge negations
@@ -2025,7 +2056,7 @@ object TextOps {
       }
       rm(new java.io.File(path))
       writeNoveltyIndex(docs.filter(!isNew), prefix, path)
-      purgeNoveltyIndex(s, docs.filter(isDead), prefix)
+      purgeNoveltyIndex(s, docs.filter(isDead), prefix, takedownId = 0L)
       ingestNovelty(s, docs.filter(isNew), prefix)
     },
     Some(s"""
@@ -2078,7 +2109,7 @@ object TextOps {
       }
       rm(new java.io.File(path))
       writeNoveltyIndex(docs.filter(!isNew), prefix, s"$path/idx")
-      purgeNoveltyIndex(s, docs.filter(isDead), prefix)
+      purgeNoveltyIndex(s, docs.filter(isDead), prefix, takedownId = 0L)
       vacuumNoveltyIndex(s, prefix, s"$path/vac")
       ingestNovelty(s, docs.filter(isNew), prefix)
     },

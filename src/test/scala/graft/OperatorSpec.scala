@@ -2507,6 +2507,46 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semPrune residue truncation: the false-keep edge is exactly the " +
+    "planted above-bound witness, keep-direction only, and vanishes " +
+    "when splitting is allowed") {
+    import spark.implicits._
+    import graft.ops.EmbeddingOps
+    // one cid-0 cell of 6 DISTINCT vectors forced into the residue arm
+    // (maxRounds = 0 disables splitting, standing in for a cell still
+    // oversized after SemSplitRounds): ids 1..4 mutually orthogonal
+    // fill the cap-4 scan prefix; the ONLY >tau pair is (5, 6) — and 5
+    // sits ABOVE the truncation bound, so its witness role is lost
+    def basis(i: Int): Seq[Float] =
+      (0 until 8).map(j => if (j == i) 1f else 0f)
+    val rows = ((1 to 4).map(i => (0L, i.toLong, basis(i - 1), 1.0)) ++
+      Seq((0L, 5L, basis(5), 1.0), (0L, 6L, basis(5), 1.0)))
+      .toDF("cid", "vec_id", "embedding", "nrm")
+    def verdicts(cap: Int, rounds: Int) =
+      EmbeddingOps.semPruneVerdicts(rows, rows, cap, rounds)
+        .as[(Long, Long, String)].collect()
+        .map(v => v._2 -> v._3).toMap
+    val exact = verdicts(10, 0) // cell under cap: no truncation
+    assert(exact == Map(1L -> "keep", 2L -> "keep", 3L -> "keep",
+      4L -> "keep", 5L -> "keep", 6L -> "prune"),
+      s"exact rule wrong: $exact")
+    // residue arm: the would-be pruner 5 is truncated out of the scan
+    // side — QUANTIFIED loss: exactly ONE verdict flips, and only in
+    // the keep direction (a false keep, never a false prune — the
+    // bounded-cost trade documented at semPruneVerdicts)
+    val truncated = verdicts(4, 0)
+    assert(truncated == exact.updated(6L, "keep"),
+      s"residue loss not exactly the planted false keep: $truncated")
+    assert(exact.keySet.count(k => exact(k) != truncated(k)) == 1)
+    // distinct-vector cells split below the cap within bounded rounds
+    // (each round strictly peels at least the second seed off), so
+    // with splitting allowed the edge never fires here — the residue
+    // arm is reachable only past cap * 2^SemSplitRounds
+    assert(verdicts(4, EmbeddingOps.SemSplitRounds) == exact,
+      "split rounds did not recover the truncated witness")
+    spark.catalog.clearCache()
+  }
+
   test("q256 multi-probe semdedup: structural misses fall vs single-probe, " +
     "counts consistent, verdicts deterministic") {
     import spark.implicits._
@@ -4634,6 +4674,52 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q268 two-level AUC fold: exact on an adversarial all-distinct-" +
+    "score holdout, with the final aggregate input bucket-bounded") {
+    import spark.implicits._
+    import graft.ops.ClassifierOps
+    // 5000 rows, EVERY score distinct — the shape that made the old
+    // single ordered fold's state O(n) in one task: here the final
+    // fold must still only see <= AucBuckets bucket partials
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val score = (i + 0.5) / n.toDouble
+      val y = if (((i * 2654435761L) >>> 7) % 10 < 3) 1L else 0L
+      (score, y)
+    }
+    val grp = rows.toDF("score", "y")
+      .groupBy(col("score"))
+      .agg(sum(col("y")).cast("long").as("p"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("m"))
+    // level-1 output is the final fold's entire input: bucket-bounded
+    val partials = ClassifierOps.aucBucketPartials(grp)
+    val nPart = partials.count()
+    assert(nPart <= ClassifierOps.AucBuckets,
+      s"final-fold input $nPart exceeds the ${ClassifierOps.AucBuckets}" +
+        " bucket bound")
+    assert(nPart > 1, "fixture degenerated to one bucket — not a " +
+      "two-level test")
+    // and the merged result is EXACT vs the brute-force pairwise count
+    val out = ClassifierOps.aucFromScoreGroups(grp).head()
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val u2 = (for (p <- pos; m <- neg) yield
+      if (p > m) 2L else if (p == m) 1L else 0L).sum
+    assert(out.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(out.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(out.getAs[Long]("u2") == u2,
+      s"two-level u2 ${out.getAs[Long]("u2")} != pairwise $u2")
+    assert(math.abs(out.getAs[Double]("auc") -
+      u2.toDouble / (2.0 * pos.length * neg.length)) == 0.0)
+    // plan hygiene: two aggregate tiers (bkt keyed then global), no
+    // window anywhere
+    val plan = ClassifierOps.aucFromScoreGroups(grp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"AUC fold plans a window:\n$plan")
+    assert(plan.contains("bkt"),
+      s"AUC fold lost its bucket tier:\n$plan")
+  }
+
   test("q270 uncertainty sample: exactly the k least-confident holdout " +
     "docs, deterministic under ties") {
     val sel = SparkEntry.queries("q270_uncertainty_sample")(spark, sf)
@@ -4986,9 +5072,39 @@ class OperatorSpec extends AnyFunSuite {
       // forget doc 1: its solely-owned gram must stop witnessing
       // (signed sum 0) while the shared gram still has doc 2's count
       TextOps.purgeNoveltyIndex(spark,
-        docs(Seq(1L -> "s1 s2 s3 s4 s5 zz u1 u2 u3 u4 u5")), px)
+        docs(Seq(1L -> "s1 s2 s3 s4 s5 zz u1 u2 u3 u4 u5")), px,
+        takedownId = 0L)
       assert(score(probes) == Map(100L -> 0L, 200L -> 1L),
         "purge did not flip the solely-owned gram back to novel")
+      // REPLAY SAFETY: a retried takedown (same id, same docs) is a
+      // no-op — verdicts identical, signed df sums identical, no
+      // double subtraction (the skip/heal contract every other purge
+      // path already has)
+      val sumsBefore = spark.table(s"${px}_gramdf")
+        .groupBy(col("g")).agg(sum(col("df")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      TextOps.purgeNoveltyIndex(spark,
+        docs(Seq(1L -> "s1 s2 s3 s4 s5 zz u1 u2 u3 u4 u5")), px,
+        takedownId = 0L)
+      val sumsAfter = spark.table(s"${px}_gramdf")
+        .groupBy(col("g")).agg(sum(col("df")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sumsAfter == sumsBefore,
+        "double purge changed signed df sums (not idempotent)")
+      assert(score(probes) == Map(100L -> 0L, 200L -> 1L),
+        "double purge changed verdicts")
+      // a DISTINCT takedown id still purges (the id names the batch,
+      // not a global once-only latch): forget doc 2 → the shared gram
+      // loses its last witness and flips novel for a later twin
+      TextOps.purgeNoveltyIndex(spark,
+        docs(Seq(2L -> "s1 s2 s3 s4 s5")), px, takedownId = 1L)
+      assert(score(probes) == Map(100L -> 1L, 200L -> 1L),
+        "second takedown under a fresh id did not purge")
+      // and ITS replay is a no-op too
+      TextOps.purgeNoveltyIndex(spark,
+        docs(Seq(2L -> "s1 s2 s3 s4 s5")), px, takedownId = 1L)
+      assert(score(probes) == Map(100L -> 1L, 200L -> 1L),
+        "replay of the second takedown double-subtracted")
       // vacuum: physically one row per SURVIVING gram, all sums
       // positive, verdicts unchanged
       TextOps.vacuumNoveltyIndex(spark, px, s"$base/vac")
@@ -4997,7 +5113,7 @@ class OperatorSpec extends AnyFunSuite {
         "vacuum left multiple rows per gram")
       assert(t.filter(col("df") <= 0L).count() == 0,
         "vacuum kept non-positive rows")
-      assert(score(probes) == Map(100L -> 0L, 200L -> 1L),
+      assert(score(probes) == Map(100L -> 1L, 200L -> 1L),
         "vacuum changed scoring")
       // post-vacuum ingest still appends and first-ingested-wins holds
       TextOps.ingestNovelty(spark,
