@@ -104,12 +104,25 @@ object Bench {
     // other; -1 means it never succeeded.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query shuffle rows/bytes for the plan-regression gate
+    // (tools/plan_gate.py): snapshots bracket the timed section but the
+    // bus drain runs outside it, so metrics cost no timed seconds. The
+    // LAST successful pass wins — shuffle rows are deterministic per
+    // query+SF, so the passes agree anyway.
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val shufRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val shufBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     for (_ <- 1 to 2) names.foreach { name =>
+      val (r0, b0) = tally.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       try {
         materialize(name, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
         if (!best.get(name).exists(_ <= t)) best(name) = t
+        val (r1, b1) = tally.snapshot(spark.sparkContext)
+        shufRows(name) = r1 - r0
+        shufBytes(name) = b1 - b0
         errors.remove(name)
       } catch { case e: Throwable =>
         if (!best.contains(name))
@@ -125,8 +138,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def longMap(m: scala.collection.Map[String, Long]): String =
+      names.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + v))
+        .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"drift_probe_sec":$probe,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_rows":${longMap(shufRows)},"shuffle_bytes":${longMap(shufBytes)},"drift_probe_sec":$probe,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout's tail, which has been observed
     // truncated — also persist the full record in-repo so every round's

@@ -4674,6 +4674,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bench plan gate: the shuffle tally records exchange rows and " +
+    "the gate trips on an intentional regression") {
+    val tally = new graft.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val df = spark.range(0L, 100000L, 1L, 8)
+        .select((col("id") % 100).as("k"), col("id").as("v"))
+      def shuffleRowsOf(d: org.apache.spark.sql.DataFrame): Long = {
+        val (r0, _) = tally.snapshot(spark.sparkContext)
+        d.groupBy(col("k")).agg(sum(col("v")).as("s"))
+          .write.mode("overwrite").format("noop").save()
+        val (r1, _) = tally.snapshot(spark.sparkContext)
+        r1 - r0
+      }
+      // clean plan: map-side partial aggregation shuffles ~100 keys
+      // per task, never the 100k input rows
+      val clean = shuffleRowsOf(df)
+      assert(clean > 0, "tally recorded no shuffle for a groupBy")
+      assert(clean < 10000L,
+        s"partial aggregation missing — $clean rows shuffled")
+      // intentional regression: a full-width repartition upstream of
+      // the same aggregate shuffles every input row
+      val regressed = shuffleRowsOf(df.repartition(32, col("v")))
+      assert(regressed >= 100000L,
+        s"regression fixture did not shuffle the input: $regressed")
+      // the gate trips on the regression and stays quiet on identity
+      val base = Map("q" -> clean)
+      assert(BenchMetrics.gate(base, Map("q" -> regressed),
+        tol = 1.25, slack = 0L).nonEmpty, "gate missed the regression")
+      assert(BenchMetrics.gate(base, Map("q" -> clean),
+        tol = 1.25, slack = 0L).isEmpty, "gate false-positived")
+      // a new query (no baseline) passes; a retired one is skipped
+      assert(BenchMetrics.gate(base,
+        Map("q_new" -> 999999999L), tol = 1.25, slack = 0L).isEmpty)
+      assert(BenchMetrics.gate(Map("q_old" -> 1L),
+        Map.empty[String, Long], tol = 1.25, slack = 0L).isEmpty)
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   test("q268 two-level AUC fold: exact on an adversarial all-distinct-" +
     "score holdout, with the final aggregate input bucket-bounded") {
     import spark.implicits._
