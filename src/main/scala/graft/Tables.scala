@@ -85,10 +85,8 @@ object Tables {
     * so a foreign process's same-named dir survives. Runs once per
     * JVM, at first scratchDir use. */
   private[graft] def reapDeadScratch(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit =
+      graft.io.IndexLifecycle.rmDir(f.getPath)
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&

@@ -530,11 +530,7 @@ object CurationOps {
       val tableName = "roll_q227"
       val path = s"${graft.Tables.scratchDir}/roll_q227"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       val ev = table(s, dir, "events")
       (0 to 2).foreach(i => graft.io.Sinks.appendRollup(
         ev.filter(col("event_id") % 3 === i), Seq("event_type"),
@@ -567,11 +563,7 @@ object CurationOps {
       val path = s"${graft.Tables.scratchDir}/roll_q229"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
       s.sql(s"DROP TABLE IF EXISTS ${tableName}__compacting")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       val ev = table(s, dir, "events")
       (0 to 2).foreach(i => graft.io.Sinks.appendRollup(
         ev.filter(col("event_id") % 4 === i), Seq("event_type"),
@@ -928,11 +920,7 @@ object CurationOps {
       val prefix = "fix_q278"
       val path = s"${graft.Tables.scratchDir}/fix_q278"
       s.sql(s"DROP TABLE IF EXISTS ${prefix}_wsh")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeFunnelIndex(docs.filter(!isNew), prefix, path)
       incrementalFunnel(s, docs.filter(isNew), prefix)
     },

@@ -978,14 +978,10 @@ object DedupOps {
     * to match what a scratch build would contain). */
   def readCorpusIndexLive(s: SparkSession, prefix: String): CorpusIndex = {
     val idx = readCorpusIndex(s, prefix)
-    if (!s.catalog.tableExists(s"${prefix}_tombstones"))
-      idx.copy(bandCounts = idx.bandCounts.filter(col("ccnt") > 0))
-    else {
-      val d = broadcast(s.table(s"${prefix}_tombstones"))
-      def mask(df: DataFrame) = df.join(d, Seq("doc_id"), "left_anti")
-      CorpusIndex(mask(idx.hashes), mask(idx.shingles), mask(idx.bands),
-        mask(idx.sizes), idx.bandCounts.filter(col("ccnt") > 0))
-    }
+    def mask(df: DataFrame) = graft.io.IndexLifecycle.maskTombstones(
+      s, df, s"${prefix}_tombstones", "doc_id")
+    CorpusIndex(mask(idx.hashes), mask(idx.shingles), mask(idx.bands),
+      mask(idx.sizes), idx.bandCounts.filter(col("ccnt") > 0))
   }
 
   /** Fold tombstones into the physical tables: each table is staged
@@ -1002,18 +998,12 @@ object DedupOps {
   def vacuumCorpusIndex(s: SparkSession, prefix: String,
       newPath: String, buckets: Int = 32): Unit = {
     val live = readCorpusIndexLive(s, prefix)
-    def swap(df: DataFrame, suffix: String, key: String): Unit = {
-      val staging = s"${prefix}_${suffix}__vacuum"
-      s.sql(s"DROP TABLE IF EXISTS $staging")
-      // the live view drops the physical ingest_batch tag; rewrite
-      // with the maintenance tag so later tagged appends still match
-      graft.io.Sinks.bucketedTable(
-        df.withColumn("ingest_batch", lit(-1L))
-          .repartition(buckets, col(key)),
-        staging, key, buckets, s"$newPath/$suffix")
-      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
+    // the live view drops the physical ingest_batch tag; rewrite
+    // with the maintenance tag so later tagged appends still match
+    def swap(df: DataFrame, suffix: String, key: String): Unit =
+      graft.io.IndexLifecycle.stagedSwap(s, s"${prefix}_$suffix",
+        df.withColumn("ingest_batch", lit(-1L)), key, buckets,
         s"$newPath/$suffix")
-    }
     swap(live.hashes, "hashes", "h")
     swap(live.shingles, "shingles", "doc_id")
     swap(live.bands, "bands", "band_val")
@@ -1888,13 +1878,10 @@ object DedupOps {
     * prefix probe, or a verify array. */
   def readGramIndexLive(s: SparkSession, prefix: String): GramIndex = {
     val idx = readGramIndex(s, prefix)
-    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
-    else {
-      val d = broadcast(s.table(s"${prefix}_tombstones"))
-      def mask(df: DataFrame) = df.join(d, Seq("doc_id"), "left_anti")
-      GramIndex(mask(idx.ranked), mask(idx.prefixes), mask(idx.docGrams),
-        idx.gramDf)
-    }
+    def mask(df: DataFrame) = graft.io.IndexLifecycle.maskTombstones(
+      s, df, s"${prefix}_tombstones", "doc_id")
+    GramIndex(mask(idx.ranked), mask(idx.prefixes), mask(idx.docGrams),
+      idx.gramDf)
   }
 
   /** Fold an accepted batch into a persisted [[GramIndex]] without
@@ -2063,15 +2050,9 @@ object DedupOps {
   def vacuumGramIndex(s: SparkSession, prefix: String,
       newPath: String, buckets: Int = 32): Unit = {
     val live = readGramIndexLive(s, prefix)
-    def swap(df: DataFrame, suffix: String, key: String): Unit = {
-      val staging = s"${prefix}_${suffix}__vacuum"
-      s.sql(s"DROP TABLE IF EXISTS $staging")
-      graft.io.Sinks.bucketedTable(
-        df.repartition(buckets, col(key)), staging, key, buckets,
-        s"$newPath/$suffix")
-      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
-        s"$newPath/$suffix")
-    }
+    def swap(df: DataFrame, suffix: String, key: String): Unit =
+      graft.io.IndexLifecycle.stagedSwap(s, s"${prefix}_$suffix", df,
+        key, buckets, s"$newPath/$suffix")
     swap(live.ranked, "ranked", "g")
     swap(live.prefixes, "prefixes", "g")
     swap(live.docGrams, "docgrams", "doc_id")
@@ -2094,13 +2075,10 @@ object DedupOps {
     * anti-join on every per-name table). */
   def readNameIndexLive(s: SparkSession, prefix: String): NameIndex = {
     val idx = readNameIndex(s, prefix)
-    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
-    else {
-      val d = broadcast(s.table(s"${prefix}_tombstones"))
-      def mask(df: DataFrame) = df.join(d, Seq("p_name"), "left_anti")
-      NameIndex(mask(idx.grams), mask(idx.prefixes), mask(idx.chars),
-        mask(idx.tiny), idx.bigramDf)
-    }
+    def mask(df: DataFrame) = graft.io.IndexLifecycle.maskTombstones(
+      s, df, s"${prefix}_tombstones", "p_name")
+    NameIndex(mask(idx.grams), mask(idx.prefixes), mask(idx.chars),
+      mask(idx.tiny), idx.bigramDf)
   }
 
   /** Fold an accepted name batch into a persisted [[NameIndex]]
@@ -2186,15 +2164,9 @@ object DedupOps {
   def vacuumNameIndex(s: SparkSession, prefix: String,
       newPath: String, buckets: Int = 32): Unit = {
     val live = readNameIndexLive(s, prefix)
-    def swap(df: DataFrame, suffix: String, key: String): Unit = {
-      val staging = s"${prefix}_${suffix}__vacuum"
-      s.sql(s"DROP TABLE IF EXISTS $staging")
-      graft.io.Sinks.bucketedTable(
-        df.repartition(buckets, col(key)), staging, key, buckets,
-        s"$newPath/$suffix")
-      graft.io.Sinks.repointTable(s, s"${prefix}_$suffix", staging,
-        s"$newPath/$suffix")
-    }
+    def swap(df: DataFrame, suffix: String, key: String): Unit =
+      graft.io.IndexLifecycle.stagedSwap(s, s"${prefix}_$suffix", df,
+        key, buckets, s"$newPath/$suffix")
     swap(live.grams, "grams", "bg")
     swap(live.prefixes, "prefixes", "bg")
     swap(live.chars, "chars", "ch")
@@ -2227,11 +2199,7 @@ object DedupOps {
       val path = s"${graft.Tables.scratchDir}/gix_q257"
       Seq("ranked", "prefixes", "docgrams", "gramdf", "tombstones")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeGramIndex(buildGramIndex(docs.filter(!isNew)), prefix, path,
         buckets = 8)
       purgeGramIndex(s, docs.filter(isDead).select(col("doc_id")),
@@ -2291,11 +2259,7 @@ object DedupOps {
       val path = s"${graft.Tables.scratchDir}/nix_q258"
       Seq("grams", "prefixes", "chars", "tiny", "bigramdf", "tombstones")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeNameIndex(
         buildNameIndex(names.filter(col("b") =!= 0).drop("b")),
         prefix, path, buckets = 8)
@@ -2367,14 +2331,7 @@ object DedupOps {
       val isDead = col("doc_id") % 10 =!= 0 && col("doc_id") % 4 === 1
       val prefix = "gix_q262"
       val path = s"${graft.Tables.scratchDir}/gix_q262"
-      s.sessionState.catalog.listTables("default").map(_.table)
-        .filter(_.startsWith(s"${prefix}_"))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
       writeGramIndex(buildGramIndex(docs.filter(!isNew)), prefix,
         s"$path/idx", buckets = 8)
       purgeGramIndex(s, docs.filter(isDead).select(col("doc_id")),
@@ -2396,14 +2353,7 @@ object DedupOps {
         .withColumn("b", bucket).persist()
       val prefix = "nix_q263"
       val path = s"${graft.Tables.scratchDir}/nix_q263"
-      s.sessionState.catalog.listTables("default").map(_.table)
-        .filter(_.startsWith(s"${prefix}_"))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
       writeNameIndex(
         buildNameIndex(names.filter(col("b") =!= 0).drop("b")),
         prefix, s"$path/idx", buckets = 8)

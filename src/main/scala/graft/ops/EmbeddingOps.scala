@@ -1559,18 +1559,13 @@ object EmbeddingOps {
     * not a stale one). The pointer read is a 1-row collect at plan-
     * construction time — driver-bounded by construction. */
   private def livePrefix(s: SparkSession, prefix: String): String =
-    if (!s.catalog.tableExists(s"${prefix}_ptr")) prefix
-    else {
-      val gen = s.table(s"${prefix}_ptr").collect()(0).getLong(0)
-      if (gen == 0L) prefix else s"${prefix}_r$gen"
-    }
+    graft.io.IndexLifecycle.livePrefix(s, prefix)
 
   /** Registered location of a catalog table — appends target it so a
     * re-pointed (vacuumed/compacted/retrained) table keeps accepting
     * batches without the caller tracking path moves. */
   private def tableLocation(s: SparkSession, name: String): String =
-    s.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(name)).location.getPath
+    graft.io.Sinks.tableLocation(s, name)
 
   /** Re-open a persisted [[VectorIndex]] by logical prefix (pointer-
     * resolved — see [[livePrefix]]). The physical `ingest_batch`
@@ -1635,10 +1630,8 @@ object EmbeddingOps {
     * cost of one broadcast anti-join on the probe path. */
   def readVectorIndexLive(s: SparkSession, prefix: String): VectorIndex = {
     val idx = readVectorIndex(s, prefix)
-    if (!s.catalog.tableExists(s"${prefix}_tombstones")) idx
-    else idx.copy(codes = idx.codes.join(
-      broadcast(s.table(s"${prefix}_tombstones")), Seq("vec_id"),
-      "left_anti"))
+    idx.copy(codes = graft.io.IndexLifecycle.maskTombstones(s,
+      idx.codes, s"${prefix}_tombstones", "vec_id"))
   }
 
   /** Physically drop tombstoned rows: rewrite the codes table without
@@ -1654,19 +1647,14 @@ object EmbeddingOps {
   def vacuumVectorIndex(s: SparkSession, prefix: String,
       newCodesPath: String, buckets: Int = 8): Unit = {
     val phys = livePrefix(s, prefix)
-    val staging = s"${phys}_codes__vacuum"
-    s.sql(s"DROP TABLE IF EXISTS $staging")
-    graft.io.Sinks.bucketedTable(
+    graft.io.IndexLifecycle.stagedSwap(s, s"${phys}_codes",
       readVectorIndexLive(s, prefix).codes
         // the live view drops the physical ingest_batch tag; rewrite
         // with the maintenance tag so later tagged appends still match
         // the table schema (vacuum only runs with ingest quiesced —
         // appendBucketedTableIdempotent's contract)
-        .withColumn("ingest_batch", lit(-1L))
-        .repartition(buckets, col("cell")),
-      staging, "cell", buckets, newCodesPath)
-    graft.io.Sinks.repointTable(s, s"${phys}_codes", staging,
-      newCodesPath)
+        .withColumn("ingest_batch", lit(-1L)),
+      "cell", buckets, newCodesPath)
     // a crash between the re-point and this drop leaves the tombstones
     // registered against an already-vacuumed codes table — harmless:
     // the live view's anti-join then masks ids that no longer exist
@@ -1682,19 +1670,8 @@ object EmbeddingOps {
     * correctness driver, specs) never accrete catalog tables or index
     * files. */
   def resetVectorIndex(s: SparkSession, prefix: String,
-      path: String): Unit = {
-    // prefix-scan the catalog instead of a fixed suffix list: retrain
-    // generations (`<prefix>_rN_*`), the pointer, and every staging
-    // name a crashed maintenance pass can leave must all go
-    s.sessionState.catalog.listTables("default").map(_.table)
-      .filter(_.startsWith(s"${prefix}_"))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+      path: String): Unit =
+    graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
 
   /** Compact the codes table's append-accreted file sets back to one
     * file per bucket — the periodic maintenance pass after N daily
@@ -1758,17 +1735,12 @@ object EmbeddingOps {
   private[graft] def stageRetrainVectorIndex(s: SparkSession,
       corpus: DataFrame, prefix: String, newPath: String,
       buckets: Int = 8): Long = {
-    val cur = livePrefix(s, prefix)
-    val gen = if (cur == prefix) 1L
-      else cur.stripPrefix(s"${prefix}_r").toLong + 1L
+    val gen = graft.io.IndexLifecycle.nextGeneration(s, prefix)
     val phys = s"${prefix}_r$gen"
     Seq("coarse", "codebooks", "codes") // crashed-run leftovers
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
-    val survivors =
-      if (s.catalog.tableExists(s"${prefix}_tombstones"))
-        corpus.join(broadcast(s.table(s"${prefix}_tombstones")),
-          Seq("vec_id"), "left_anti")
-      else corpus
+    val survivors = graft.io.IndexLifecycle.maskTombstones(s, corpus,
+      s"${prefix}_tombstones", "vec_id")
     val (coarse, books) = trainVectorCodebooks(survivors)
     graft.io.Sinks.bucketedTable(coarse, s"${phys}_coarse", "cid", 1,
       s"$newPath/g$gen/coarse")
@@ -1782,28 +1754,13 @@ object EmbeddingOps {
     gen
   }
 
-  /** Flip the `<prefix>_ptr` generation pointer to `gen` in ONE
-    * visibility-critical statement (table creation on first flip, a
-    * single SET LOCATION re-point after) — the shared publication
-    * primitive of every generational index ([[retrainVectorIndex]],
-    * [[retrainSemanticIndex]]). */
+  /** Flip the `<prefix>_ptr` generation pointer to `gen` — the shared
+    * publication primitive of every generational index
+    * ([[retrainVectorIndex]], [[retrainSemanticIndex]]), now ONE copy
+    * in [[graft.io.IndexLifecycle.flipGenerationPtr]]. */
   private def flipGenerationPtr(s: SparkSession, prefix: String,
-      gen: Long, newPath: String): Unit = {
-    val ptr = s"${prefix}_ptr"
-    val row = s.range(1).select(lit(gen).as("gen"))
-    if (!s.catalog.tableExists(ptr))
-      // first retrain: the pointer table's creation IS the flip —
-      // the catalog entry appears only after its single row is durable
-      graft.io.Sinks.bucketedTable(row, ptr, "gen", 1,
-        s"$newPath/ptr_g$gen")
-    else {
-      val staging = s"${ptr}__retrain"
-      s.sql(s"DROP TABLE IF EXISTS $staging")
-      graft.io.Sinks.bucketedTable(row, staging, "gen", 1,
-        s"$newPath/ptr_g$gen")
-      graft.io.Sinks.repointTable(s, ptr, staging, s"$newPath/ptr_g$gen")
-    }
-  }
+      gen: Long, newPath: String): Unit =
+    graft.io.IndexLifecycle.flipGenerationPtr(s, prefix, gen, newPath)
 
   /** The publication half of [[retrainVectorIndex]]: flip the pointer
     * to `gen` in one statement, then clean up the superseded
@@ -3412,10 +3369,9 @@ object EmbeddingOps {
   private def liveSemanticMembers(s: SparkSession,
       prefix: String): DataFrame = {
     val phys = livePrefix(s, prefix)
-    val m = s.table(s"${phys}_members").drop("ingest_batch")
-    if (!s.catalog.tableExists(s"${prefix}_tombstones")) m
-    else m.join(broadcast(s.table(s"${prefix}_tombstones")),
-      Seq("vec_id"), "left_anti")
+    graft.io.IndexLifecycle.maskTombstones(s,
+      s.table(s"${phys}_members").drop("ingest_batch"),
+      s"${prefix}_tombstones", "vec_id")
   }
 
   /** Tombstone a batch of vec_ids out of the persisted semantic
@@ -3454,15 +3410,10 @@ object EmbeddingOps {
   def vacuumSemanticIndex(s: SparkSession, prefix: String,
       newPath: String, buckets: Int = 8): Unit = {
     val phys = livePrefix(s, prefix)
-    val live = liveSemanticMembers(s, prefix)
-    val staging = s"${phys}_members__vacuum"
-    s.sql(s"DROP TABLE IF EXISTS $staging")
-    graft.io.Sinks.bucketedTable(
-      live.withColumn("ingest_batch", lit(-1L))
-        .repartition(buckets, col("cid")),
-      staging, "cid", buckets, s"$newPath/members")
-    graft.io.Sinks.repointTable(s, s"${phys}_members", staging,
-      s"$newPath/members")
+    graft.io.IndexLifecycle.stagedSwap(s, s"${phys}_members",
+      liveSemanticMembers(s, prefix)
+        .withColumn("ingest_batch", lit(-1L)),
+      "cid", buckets, s"$newPath/members")
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
@@ -3492,9 +3443,7 @@ object EmbeddingOps {
   private[graft] def stageRetrainSemanticIndex(s: SparkSession,
       prefix: String, newPath: String, k: Int = KmK,
       buckets: Int = 8): Long = {
-    val cur = livePrefix(s, prefix)
-    val gen = if (cur == prefix) 1L
-      else cur.stripPrefix(s"${prefix}_r").toLong + 1L
+    val gen = graft.io.IndexLifecycle.nextGeneration(s, prefix)
     val phys = s"${prefix}_r$gen"
     Seq("semcents", "members") // crashed-run leftovers
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
@@ -3532,16 +3481,8 @@ object EmbeddingOps {
 
   /** Idempotent pre-build reset for a semantic-index prefix. */
   def resetSemanticIndex(s: SparkSession, prefix: String,
-      path: String): Unit = {
-    s.sessionState.catalog.listTables("default").map(_.table)
-      .filter(_.startsWith(s"${prefix}_"))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+      path: String): Unit =
+    graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
 
   /** q242: INCREMENTAL SemDeDup under the bit-exact gate. The corpus
     * arrives as three vec_id-ordered generations (base = first half by

@@ -243,11 +243,7 @@ object LayoutOps {
 
   /** Shared recursive temp-dir reset for the layout lifecycle gates. */
   private def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
+    graft.io.IndexLifecycle.rmDir(path)
   }
 
   /** q236: Hive-partitioned table layout + PARTITION PRUNING — the

@@ -2020,18 +2020,13 @@ object TextOps {
     * a committed offset (the maintenance contract every compaction in
     * this engine shares). */
   def vacuumNoveltyIndex(s: SparkSession, prefix: String,
-      newPath: String, buckets: Int = 8): Unit = {
-    val live = s.table(s"${prefix}_gramdf")
-      .groupBy(col("g")).agg(sum(col("df")).as("df"))
-      .filter(col("df") > 0L)
-      .withColumn("ingest_batch", lit(-1L))
-    val staging = s"${prefix}_gramdf__vacuum"
-    s.sql(s"DROP TABLE IF EXISTS $staging")
-    graft.io.Sinks.bucketedTable(live.repartition(buckets, col("g")),
-      staging, "g", buckets, newPath)
-    graft.io.Sinks.repointTable(s, s"${prefix}_gramdf", staging,
-      newPath)
-  }
+      newPath: String, buckets: Int = 8): Unit =
+    graft.io.IndexLifecycle.stagedSwap(s, s"${prefix}_gramdf",
+      s.table(s"${prefix}_gramdf")
+        .groupBy(col("g")).agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0L)
+        .withColumn("ingest_batch", lit(-1L)),
+      "g", buckets, newPath)
 
   /** q285: NOVELTY-INDEX PURGE under the bit-exact gate — the
     * takedown quarter of the corpus (% 4 = 1 among non-batch docs) is
@@ -2050,11 +2045,7 @@ object TextOps {
       val prefix = "nvx_q285"
       val path = s"${graft.Tables.scratchDir}/nvx_q285"
       s.sql(s"DROP TABLE IF EXISTS ${prefix}_gramdf")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeNoveltyIndex(docs.filter(!isNew), prefix, path)
       purgeNoveltyIndex(s, docs.filter(isDead), prefix, takedownId = 0L)
       ingestNovelty(s, docs.filter(isNew), prefix)
@@ -2103,11 +2094,7 @@ object TextOps {
       val path = s"${graft.Tables.scratchDir}/nvx_q286"
       Seq("gramdf", "gramdf__vacuum")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeNoveltyIndex(docs.filter(!isNew), prefix, s"$path/idx")
       purgeNoveltyIndex(s, docs.filter(isDead), prefix, takedownId = 0L)
       vacuumNoveltyIndex(s, prefix, s"$path/vac")
@@ -2132,11 +2119,7 @@ object TextOps {
       val prefix = "nvx_q283"
       val path = s"${graft.Tables.scratchDir}/nvx_q283"
       s.sql(s"DROP TABLE IF EXISTS ${prefix}_gramdf")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.io.IndexLifecycle.rmDir(path)
       writeNoveltyIndex(docs.filter(!isNew), prefix, path)
       ingestNovelty(s, docs.filter(isNew), prefix)
     },

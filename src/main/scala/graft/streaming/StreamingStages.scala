@@ -1025,11 +1025,7 @@ object StreamingStages {
       val tableName = "roll_q228"
       val base = s"${graft.Tables.scratchDir}/roll_q228"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      graft.io.IndexLifecycle.rmDir(base)
       graft.Tables.table(s, dir, "events")
         .repartition(4, col("event_id"))
         .write.parquet(s"$base/stream")
@@ -1105,11 +1101,7 @@ object StreamingStages {
       Seq("hashes", "shingles", "bands", "sizes", "bandcounts",
         "tombstones").foreach(t =>
         s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      graft.io.IndexLifecycle.rmDir(base)
       val docs = graft.Tables.table(s, dir, "documents")
       docs.filter(col("doc_id") % 10 =!= 0)
         .repartition(4, col("doc_id"))
@@ -1233,11 +1225,7 @@ object StreamingStages {
     "q259_streaming_shard_sink",
     (s, dir) => {
       val base = s"${graft.Tables.scratchDir}/shard_q259"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      graft.io.IndexLifecycle.rmDir(base)
       val ev = graft.Tables.table(s, dir, "events")
       val streamDir = java.nio.file.Paths.get(s"$base/stream")
       java.nio.file.Files.createDirectories(streamDir)
@@ -1351,11 +1339,7 @@ object StreamingStages {
       val base = s"${graft.Tables.scratchDir}/nvx_q284"
       Seq("gramdf", "verdicts")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      graft.io.IndexLifecycle.rmDir(base)
       val docs = graft.Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
       TextOps.writeNoveltyIndex(docs.filter(col("doc_id") % 10 =!= 0),

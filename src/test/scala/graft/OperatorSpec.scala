@@ -4674,6 +4674,69 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IndexLifecycle: pointer resolution, staged swap, tombstone " +
+    "mask, and reset — the shared discipline all six index families " +
+    "delegate to") {
+    import spark.implicits._
+    import graft.io.{IndexLifecycle, Sinks}
+    val base = java.nio.file.Files.createTempDirectory("lcy").toString
+    val px = "ut_lcy" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val t = s"${px}_data"
+    try {
+      // no pointer yet: the logical prefix IS the live prefix and the
+      // first retrain stages generation 1
+      IndexLifecycle.resetPrefix(spark, px, s"$base/none") // no-op ok
+      assert(IndexLifecycle.livePrefix(spark, px) == px)
+      assert(IndexLifecycle.nextGeneration(spark, px) == 1L)
+      // staged swap: rewrite lands at the new path, rows are exactly
+      // the rewrite, staging is dropped, the public name never
+      // unregisters (tableExists holds throughout)
+      Sinks.bucketedTable(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("id", "v"), t, "id", 2, s"$base/d0")
+      IndexLifecycle.stagedSwap(spark, t,
+        spark.table(t).filter(col("id") =!= 2L), "id", 2, s"$base/d1")
+      assert(spark.catalog.tableExists(t))
+      assert(spark.table(t).collect().map(_.getLong(0)).toSet
+        == Set(1L, 3L), "staged swap changed contents")
+      assert(Sinks.tableLocation(spark, t).endsWith("/d1"),
+        "staged swap did not move the registered location")
+      assert(!spark.catalog.tableExists(s"${t}__vacuum"),
+        "staging registration leaked")
+      // generation pointer: create-on-first-flip, then single-row
+      // re-points; livePrefix/nextGeneration follow each flip,
+      // including the flip back to generation 0
+      IndexLifecycle.flipGenerationPtr(spark, px, 1L, s"$base/g1")
+      assert(IndexLifecycle.livePrefix(spark, px) == s"${px}_r1")
+      assert(IndexLifecycle.nextGeneration(spark, px) == 2L)
+      IndexLifecycle.flipGenerationPtr(spark, px, 2L, s"$base/g2")
+      assert(IndexLifecycle.livePrefix(spark, px) == s"${px}_r2")
+      IndexLifecycle.flipGenerationPtr(spark, px, 0L, s"$base/g0")
+      assert(IndexLifecycle.livePrefix(spark, px) == px)
+      // tombstone mask: identity while no tombstone table exists,
+      // broadcast anti-join once it does
+      val df = Seq(1L, 2L, 3L).toDF("id")
+      assert(IndexLifecycle.maskTombstones(spark, df,
+        s"${px}_tombstones", "id").count() == 3L)
+      Sinks.bucketedTable(Seq(2L).toDF("id"), s"${px}_tombstones",
+        "id", 1, s"$base/tomb")
+      assert(IndexLifecycle.maskTombstones(spark, df,
+        s"${px}_tombstones", "id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 3L))
+      // reset: every <prefix>_* table goes (data, ptr, tombstones,
+      // any staging) and the path is cleared
+      IndexLifecycle.resetPrefix(spark, px, base)
+      assert(!spark.catalog.tableExists(t))
+      assert(!spark.catalog.tableExists(s"${px}_ptr"))
+      assert(!spark.catalog.tableExists(s"${px}_tombstones"))
+      assert(!new java.io.File(base).exists())
+    } finally {
+      Seq(t, s"${t}__vacuum", s"${px}_ptr", s"${px}_ptr__retrain",
+        s"${px}_tombstones")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bench plan gate: the shuffle tally records exchange rows and " +
     "the gate trips on an intentional regression") {
     val tally = new graft.ShuffleTally
