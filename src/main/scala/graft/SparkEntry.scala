@@ -14,6 +14,7 @@ object SparkEntry {
   val registry: Seq[OpSpec] =
     ops.Relational.all ++ ops.PipelineOps.all ++ ops.EventOps.all ++
       ops.TextOps.all ++ ops.DedupOps.all ++ ops.EmbeddingOps.all ++
+      ops.SemanticDedupOps.all ++ ops.VectorIndexOps.all ++
       ops.CaptionOps.all ++ ops.CurationOps.all ++ ops.QualityOps.all ++
       ops.SampleOps.all ++ ops.Skew.all ++ ops.BloomPrune.all ++
       ops.LayoutOps.all ++ ops.AssembleOps.all ++ ops.SketchOps.all ++

@@ -601,7 +601,7 @@ object CurationOps {
     *   per-source budget fill (cum tokens ≤ 600, n_chars-desc order).
     *
     * Plan: the text stages are one hash group-by + row-local scoring;
-    * the semantic verdicts come from [[EmbeddingOps.semDedupVerdicts]]
+    * the semantic verdicts come from [[SemanticDedupOps.semDedupVerdicts]]
     * (materialized — its training never enters this plan) and join as
     * a semi join on doc_id; the pack is one partitioned window. The
     * oracle composes q200's CTEs with q212's full training arm. */
@@ -620,7 +620,7 @@ object CurationOps {
               (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
             ELSE sqrt(aggregate(embedding, 0e0,
               (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
-      val semKeep = EmbeddingOps.semDedupVerdicts(e, EmbeddingOps.KmK)
+      val semKeep = SemanticDedupOps.semDedupVerdicts(e, EmbeddingOps.KmK)
         .filter(col("verdict") === "keep")
         .select(col("vec_id").as("doc_id"))
       val wc = Window.partitionBy(col("source"))
@@ -645,7 +645,7 @@ object CurationOps {
     },
     Some(s"""
       WITH e AS (${EmbeddingOps.normedDuck}),
-      ${EmbeddingOps.semDedupArmSql(EmbeddingOps.KmK)},
+      ${SemanticDedupOps.semDedupArmSql(EmbeddingOps.KmK)},
       semkeep AS (
         SELECT vec_id FROM verd_${EmbeddingOps.KmK}
         WHERE verdict = 'keep'),

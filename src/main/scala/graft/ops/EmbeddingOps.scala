@@ -28,7 +28,7 @@ object EmbeddingOps {
     * [[graft.functions.DotProduct]] — the same left-to-right fold as the
     * DuckDB oracle (bit-identical; asserted by OperatorSpec), without
     * the per-row array materialization of aggregate(zip_with(...)). */
-  private def dotDuck(a: String, b: String): String =
+  private[ops] def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
           CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
@@ -37,14 +37,14 @@ object EmbeddingOps {
     * failed-extraction artifact, normalizes by 1 instead of feeding a
     * 0 denominator into every cosine, which throws DIVIDE_BY_ZERO under
     * Spark 4's default ANSI mode and NULL-diverges with ANSI off). */
-  private def normedDf(s: SparkSession, dir: String): DataFrame =
+  private[ops] def normedDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
       .withColumn("ss", graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
       .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
       .drop("ss")
 
   /** [[normedDf]] over any (vec_id, embedding) frame. */
-  private def normedOf(df: DataFrame): DataFrame =
+  private[ops] def normedOf(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"))
       .withColumn("ss", graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
       .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
@@ -961,7 +961,7 @@ object EmbeddingOps {
   private def dnrm(v: String): String =
     s"""CASE WHEN aggregate($v, 0e0, (a, x) -> a + x * x) = 0e0 THEN 1e0
         ELSE sqrt(aggregate($v, 0e0, (a, x) -> a + x * x)) END"""
-  private def dnrmDuck(v: String): String =
+  private[ops] def dnrmDuck(v: String): String =
     s"""CASE WHEN list_reduce(list_transform($v, x -> x * x),
           (a, b) -> a + b) = 0e0 THEN 1e0
         ELSE sqrt(list_reduce(list_transform($v, x -> x * x),
@@ -996,7 +996,7 @@ object EmbeddingOps {
 
   /** DuckDB twin of one [[kmIter]] over centroid CTE `prev` and
     * vector CTE `eTab`. */
-  private def kmIterDuck(prev: String, eTab: String = "e"): String = s"""
+  private[ops] def kmIterDuck(prev: String, eTab: String = "e"): String = s"""
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
       list_reduce(
         list(list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -1035,12 +1035,12 @@ object EmbeddingOps {
   /** [[coarseKm]] over any (vec_id, embedding, nrm) frame — the
     * df-parameterized trainer the persisted [[VectorIndex]] shares
     * with the gated q98/q150 trajectory. */
-  private def coarseKmOf(e: DataFrame): DataFrame = coarseKmOfK(e, KmK)
+  private[ops] def coarseKmOf(e: DataFrame): DataFrame = coarseKmOfK(e, KmK)
 
   /** [[coarseKmOf]] at an arbitrary k — q220 sweeps the SemDeDup
     * cluster count; the seed ORDER is k-independent (same md5 rank),
     * so k=4's seeds are a prefix of k=16's. */
-  private def coarseKmOfK(e: DataFrame, k: Int): DataFrame = {
+  private[ops] def coarseKmOfK(e: DataFrame, k: Int): DataFrame = {
     val seeds = e
       .withColumn("rk",
         md5(concat_ws(":", lit("ivf"), col("vec_id")).cast("binary")))
@@ -1102,8 +1102,8 @@ object EmbeddingOps {
   /** PQ geometry: 64 dims → [[PqM]] subspaces × 16, [[PqK]] codes
     * each (tiny so the whole trajectory stays oracle-able; production
     * uses m=8..16, k=256 through the identical plan shape). */
-  private val PqM = 4
-  private val PqK = 4
+  private[ops] val PqM = 4
+  private[ops] val PqK = 4
 
   /** Product-quantization codebook training + corpus quantization
     * under the bit-exact gate — the memory-side half of large-scale
@@ -1122,7 +1122,7 @@ object EmbeddingOps {
     pqSliceOf(table(s, dir, "embeddings"), j)
 
   /** [[pqSlice]] over any (vec_id, embedding) frame. */
-  private def pqSliceOf(emb: DataFrame, j: Int): DataFrame = {
+  private[ops] def pqSliceOf(emb: DataFrame, j: Int): DataFrame = {
     val subLen = 64 / PqM
     emb
       .select(col("vec_id"),
@@ -1143,7 +1143,7 @@ object EmbeddingOps {
 
   /** Train subspace j's codebook on a sliced+normed frame — shared by
     * the gated trajectory and [[trainVectorCodebooks]]. */
-  private def pqCodebookOf(e: DataFrame, j: Int): DataFrame = {
+  private[ops] def pqCodebookOf(e: DataFrame, j: Int): DataFrame = {
     val seeds = e
       .withColumn("rk",
         md5(concat_ws(":", lit(s"pq$j"), col("vec_id")).cast("binary")))
@@ -1162,7 +1162,7 @@ object EmbeddingOps {
     * codebook: cosine-argmax, total tie-break — the coding step both
     * build and append share, so "append == rebuild" is arithmetic
     * identity, not coincidence. */
-  private def codeAgainst(e: DataFrame, cb: DataFrame, j: Int)
+  private[ops] def codeAgainst(e: DataFrame, cb: DataFrame, j: Int)
       : DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("cid").asc)
@@ -1378,7 +1378,7 @@ object EmbeddingOps {
     * (query_id, vec_id, score), parameterized by a survivor predicate —
     * shared by [[ivfPqOracleSql]] (rank-10 readout) and q218's staged
     * rerank oracle (wide-shortlist readout + exact rerank). */
-  private def ivfPqScoredCtes(survivor: String): String = s"""
+  private[ops] def ivfPqScoredCtes(survivor: String): String = s"""
       ${(0 until PqM).map(pqSubSql).mkString(",")},
       e AS ($normedDuck),
       kseeds AS (
@@ -1446,7 +1446,7 @@ object EmbeddingOps {
     * deleted-then-vacuumed index must reproduce the SAME trajectory
     * restricted to surviving vectors — deletion changes which rows
     * score, never how anything was trained or coded. */
-  private def ivfPqOracleSql(survivor: String): String = s"""
+  private[ops] def ivfPqOracleSql(survivor: String): String = s"""
       WITH ${ivfPqScoredCtes(survivor)}
       SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
@@ -1458,761 +1458,6 @@ object EmbeddingOps {
     "q150_ivfpq_search",
     (s, dir) => ivfPqSearch(s, dir, IvfPqNprobe),
     Some(ivfPqOracleSql("TRUE")))
-
-  // ---- Persisted IVF-PQ vector index (build / append / search) -------
-
-  /** The serving production half of q150 — IVF-PQ artifacts persisted ONCE
-    * so the query path never trains:
-    *  - `coarse`    (cid, cv, cnrm): the [[KmK]] trained coarse
-    *    centroids (q98's exact two-Lloyd recipe);
-    *  - `codebooks` (sub, cid, cv, cnrm): the [[PqM]] sub-codebooks
-    *    (q137's one-Lloyd recipe);
-    *  - `codes`     (vec_id, cell, sub, code): the quantized corpus in
-    *    inverted-list layout, keyed (and bucketed on disk) by coarse
-    *    cell — the equi-join key every probe hits.
-    * Mirrors [[graft.ops.DedupOps.CorpusIndex]]: at 100 TB the corpus
-    * is trained + coded once, daily batches APPEND against the frozen
-    * codebooks (assignment is deterministic per row, so append ==
-    * rebuild, spec-proven), and a search scans PqM small-int codes per
-    * probed vector — never corpus floats. Reference tie: repeatedly
-    * serving the aesthetic-embedding index (aesthetic_score.py:100-105)
-    * instead of re-deriving it per scoring run. */
-  final case class VectorIndex(coarse: DataFrame, codebooks: DataFrame,
-      codes: DataFrame)
-
-  /** Train both codebook families from a (vec_id, embedding) training
-    * frame. Training happens HERE and only here — build persists the
-    * result, append and search treat it as frozen. */
-  def trainVectorCodebooks(train: DataFrame): (DataFrame, DataFrame) = {
-    val coarse = coarseKmOf(normedOf(train))
-      .select(col("cid"), col("cv"), col("cnrm"))
-    val books = (0 until PqM).map { j =>
-      pqCodebookOf(pqSliceOf(train, j), j)
-        .select(lit(j.toLong).as("sub"), col("cid"), col("cv"),
-          col("cnrm"))
-    }.reduce(_ unionByName _)
-    (coarse, books)
-  }
-
-  /** Code a (vec_id, embedding) frame against FROZEN artifacts:
-    * coarse-cell assignment (cosine argmax over the broadcast
-    * centroids, total tie-break) plus the [[PqM]] sub-codes — PqM rows
-    * per vector, (vec_id, cell, sub, code). Used identically by build
-    * and append, which is what makes "append == rebuild" an arithmetic
-    * identity rather than a coincidence. */
-  def codeVectors(df: DataFrame, coarse: DataFrame,
-      codebooks: DataFrame): DataFrame = {
-    val e = normedOf(df)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    val assign = e.crossJoin(broadcast(coarse))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val codes = (0 until PqM).map { j =>
-      codeAgainst(pqSliceOf(df, j),
-        codebooks.filter(col("sub") === j)
-          .select(col("cid"), col("cv"), col("cnrm")), j)
-    }.reduce(_ unionByName _)
-    codes.join(assign, "vec_id")
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
-  }
-
-  /** Build + persist a [[VectorIndex]]: train on `train`, code
-    * `corpus`, write `<prefix>_coarse` / `<prefix>_codebooks` (a
-    * handful of rows each) and `<prefix>_codes` bucketed on `cell` —
-    * the probe join key, so every search's inverted-list restriction
-    * is pre-shuffled on disk. The corpus is coded against the
-    * PERSISTED codebooks (re-read after their write), the same frozen
-    * bytes every later append codes against. */
-  def buildVectorIndex(s: SparkSession, train: DataFrame,
-      corpus: DataFrame, prefix: String, path: String,
-      buckets: Int = 8): Unit = {
-    val (coarse, books) = trainVectorCodebooks(train)
-    graft.io.Sinks.bucketedTable(coarse, s"${prefix}_coarse", "cid",
-      1, s"$path/coarse")
-    graft.io.Sinks.bucketedTable(books, s"${prefix}_codebooks", "sub",
-      1, s"$path/codebooks")
-    val frozen = readVectorIndexHead(s, prefix)
-    graft.io.Sinks.bucketedTable(
-      codeVectors(corpus, frozen._1, frozen._2)
-        .withColumn("ingest_batch", lit(-1L)), s"${prefix}_codes",
-      "cell", buckets, s"$path/codes")
-  }
-
-  private def readVectorIndexHead(s: SparkSession, prefix: String)
-      : (DataFrame, DataFrame) =
-    (s.table(s"${prefix}_coarse"), s.table(s"${prefix}_codebooks"))
-
-  /** Resolve a logical index prefix to its LIVE physical table prefix.
-    * An index that has never been retrained has no pointer table and
-    * resolves to itself (generation 0 — the plain `<prefix>_coarse` /
-    * `_codebooks` / `_codes` names [[buildVectorIndex]] writes).
-    * [[retrainVectorIndex]] writes each new generation under
-    * `<prefix>_rN_*` names and flips the single-row `<prefix>_ptr`
-    * table — ONE atomic publication for all three tables, which three
-    * per-table location swaps could never give (a crash between them
-    * would leave new centroids over old codes: a silently WRONG index,
-    * not a stale one). The pointer read is a 1-row collect at plan-
-    * construction time — driver-bounded by construction. */
-  private def livePrefix(s: SparkSession, prefix: String): String =
-    graft.io.IndexLifecycle.livePrefix(s, prefix)
-
-  /** Registered location of a catalog table — appends target it so a
-    * re-pointed (vacuumed/compacted/retrained) table keeps accepting
-    * batches without the caller tracking path moves. */
-  private def tableLocation(s: SparkSession, name: String): String =
-    graft.io.Sinks.tableLocation(s, name)
-
-  /** Re-open a persisted [[VectorIndex]] by logical prefix (pointer-
-    * resolved — see [[livePrefix]]). The physical `ingest_batch`
-    * maintenance tag (idempotent streaming appends key on it) is
-    * dropped on open — index consumers see the logical
-    * (vec_id, cell, sub, code) schema only. */
-  def readVectorIndex(s: SparkSession, prefix: String): VectorIndex = {
-    val phys = livePrefix(s, prefix)
-    val (coarse, books) = readVectorIndexHead(s, phys)
-    VectorIndex(coarse, books,
-      s.table(s"${phys}_codes").drop("ingest_batch"))
-  }
-
-  /** Fold a new vector batch into a persisted index: assign + code
-    * against the FROZEN stored codebooks (zero training anywhere in
-    * the plan) and append to the codes table — insert-only, cost
-    * scales with the batch, never the corpus. A streaming caller
-    * passes its micro-batch id in `batchId`: the append then commits
-    * the id atomically with the rows and an at-least-once replay of
-    * the same batch is skipped
-    * ([[graft.io.Sinks.appendBucketedTableIdempotent]]). */
-  def appendToVectorIndex(s: SparkSession, newVecs: DataFrame,
-      prefix: String, path: String, buckets: Int = 8,
-      batchId: Option[Long] = None): Unit = {
-    val idx = readVectorIndex(s, prefix)
-    val coded = codeVectors(newVecs, idx.coarse, idx.codebooks)
-    // resolve the live codes table and ITS registered location: after
-    // a vacuum/retrain moved the table, appends must follow it (a
-    // caller-tracked path would hit mismatchedTableLocation); `path`
-    // only seeds a first append against a not-yet-existing table
-    val codesTable = s"${livePrefix(s, prefix)}_codes"
-    val loc = if (s.catalog.tableExists(codesTable))
-      tableLocation(s, codesTable) else s"$path/codes"
-    batchId match {
-      case Some(id) =>
-        graft.io.Sinks.appendBucketedTableIdempotent(s, coded, id,
-          codesTable, "cell", buckets, loc); ()
-      case None =>
-        graft.io.Sinks.appendBucketedTable(
-          coded.withColumn("ingest_batch", lit(-1L)),
-          codesTable, "cell", buckets, loc)
-    }
-  }
-
-  /** Tombstone a batch of vec_ids out of a persisted index — the
-    * delete half of the serving lifecycle (takedowns, opt-outs,
-    * quality recalls). Deletes are LOGICAL: the batch of ids lands in
-    * `<prefix>_tombstones` (insert-only, cost = |batch|) and
-    * [[readVectorIndexLive]] masks them at read time; the 100 TB
-    * codes table is not rewritten until [[vacuumVectorIndex]] folds
-    * the mask in. This is the same append-now/compact-later
-    * discipline as [[appendToVectorIndex]], applied to removal. */
-  def deleteFromVectorIndex(s: SparkSession, delIds: DataFrame,
-      prefix: String, path: String): Unit =
-    graft.io.Sinks.appendBucketedTable(
-      delIds.select(col("vec_id")), s"${prefix}_tombstones", "vec_id",
-      1, s"$path/tombstones")
-
-  /** Open an index with tombstones applied: the codes table anti-joined
-    * against the (small, broadcast) tombstone set. Searches over the
-    * live view see deletions immediately — before any vacuum — at the
-    * cost of one broadcast anti-join on the probe path. */
-  def readVectorIndexLive(s: SparkSession, prefix: String): VectorIndex = {
-    val idx = readVectorIndex(s, prefix)
-    idx.copy(codes = graft.io.IndexLifecycle.maskTombstones(s,
-      idx.codes, s"${prefix}_tombstones", "vec_id"))
-  }
-
-  /** Physically drop tombstoned rows: rewrite the codes table without
-    * them (bucketed on `cell`, one file per bucket) and clear the
-    * tombstone set. Follows [[graft.io.Sinks.compactBucketedTable]]'s
-    * swap discipline — the rewrite lands under a staging name at
-    * `newCodesPath` and the public name is re-pointed only after the
-    * write commits, so a mid-vacuum crash leaves the old registration
-    * (with its tombstone mask) fully intact. After a vacuum,
-    * [[readVectorIndex]] and [[readVectorIndexLive]] agree, and the
-    * spec proves the rewrite equals a from-scratch rebuild on the
-    * surviving corpus. */
-  def vacuumVectorIndex(s: SparkSession, prefix: String,
-      newCodesPath: String, buckets: Int = 8): Unit = {
-    val phys = livePrefix(s, prefix)
-    graft.io.IndexLifecycle.stagedSwap(s, s"${phys}_codes",
-      readVectorIndexLive(s, prefix).codes
-        // the live view drops the physical ingest_batch tag; rewrite
-        // with the maintenance tag so later tagged appends still match
-        // the table schema (vacuum only runs with ingest quiesced —
-        // appendBucketedTableIdempotent's contract)
-        .withColumn("ingest_batch", lit(-1L)),
-      "cell", buckets, newCodesPath)
-    // a crash between the re-point and this drop leaves the tombstones
-    // registered against an already-vacuumed codes table — harmless:
-    // the live view's anti-join then masks ids that no longer exist
-    // (an idempotent no-op) until the next maintenance run drops them
-    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
-  }
-
-  /** Idempotent pre-build reset for a persisted index prefix: drop
-    * every catalog table the lifecycle can leave behind (including a
-    * crashed vacuum's staging name) and clear the on-disk directory.
-    * The gated lifecycle queries run under a FIXED prefix + path and
-    * call this first, so repeated invocations (Bench's min-of-2, the
-    * correctness driver, specs) never accrete catalog tables or index
-    * files. */
-  def resetVectorIndex(s: SparkSession, prefix: String,
-      path: String): Unit =
-    graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
-
-  /** Compact the codes table's append-accreted file sets back to one
-    * file per bucket — the periodic maintenance pass after N daily
-    * [[appendToVectorIndex]] batches (each append lands its own file
-    * set per bucket; reads stay correct but open N files and re-merge
-    * N sorted runs per bucket). Delegates to
-    * [[graft.io.Sinks.compactBucketedTable]]'s staged-swap discipline:
-    * a mid-compaction crash leaves the old registration live. Contents,
-    * bucket spec, and serving are unchanged (spec-proven); only the
-    * file count drops. */
-  def compactVectorIndex(s: SparkSession, prefix: String,
-      oldCodesPath: String, newCodesPath: String,
-      buckets: Int = 8): Unit =
-    graft.io.Sinks.compactBucketedTable(s,
-      s"${livePrefix(s, prefix)}_codes", "cell",
-      buckets, oldCodesPath, newCodesPath)
-
-  /** RE-TRAIN a persisted [[VectorIndex]] from the CURRENT corpus —
-    * the actuator for q231's cell-balance dashboard. Appends code
-    * against FROZEN codebooks forever, so a corpus that grows in
-    * generations (the reference's 20M-clip dataset did,
-    * /root/reference/README.md:7,89) drifts away from centroids
-    * trained on generation zero: cells unbalance (probe amplification)
-    * and ADC quantization error grows, with no recovery short of a
-    * manual scratch rebuild — until this.
-    *
-    * `corpus` is the authoritative CURRENT vector source (the index
-    * stores codes, not floats — re-training needs the floats back);
-    * live tombstones are subtracted, so the retrained index is exactly
-    * base + appends − deletions. New coarse centroids and codebooks
-    * are trained from those survivors (the q98 recipe through
-    * [[trainVectorCodebooks]]), the survivors re-coded against the
-    * re-read staged artifacts (the same persisted-bytes discipline as
-    * [[buildVectorIndex]], so retrain == scratch build is an
-    * arithmetic identity, oracle-gated by q241), everything written
-    * under next-generation `<prefix>_rN_*` names at `newPath` — and
-    * published by ONE single-row pointer flip ([[livePrefix]]). A
-    * crash anywhere before the flip leaves the OLD generation serving
-    * untouched (spec-proven); after it, the superseded generation's
-    * registrations and the folded tombstones are dropped (external
-    * tables — files retire separately; a crash here leaks catalog
-    * names that the next retrain/reset clears). Cost: two training
-    * passes + one corpus re-code — a scheduled maintenance job priced
-    * by q231's dashboard, never an ingest-path cost. Like vacuum and
-    * compaction, retrain runs with INGEST QUIESCED: a batch appended
-    * to the old generation between staging and the flip would vanish
-    * from the new one (the staged re-code snapshots `corpus`), so the
-    * maintenance window must drain appends first — the
-    * appendBucketedTableIdempotent contract extended to generations. */
-  def retrainVectorIndex(s: SparkSession, corpus: DataFrame,
-      prefix: String, newPath: String, buckets: Int = 8): Unit = {
-    val gen = stageRetrainVectorIndex(s, corpus, prefix, newPath,
-      buckets)
-    publishRetrainVectorIndex(s, prefix, gen, newPath)
-  }
-
-  /** The staging half of [[retrainVectorIndex]]: train + re-code into
-    * `<prefix>_r<gen>_*` tables that nothing references yet. Exposed
-    * within the library so the crash spec can kill the writer between
-    * staging and publication. */
-  private[graft] def stageRetrainVectorIndex(s: SparkSession,
-      corpus: DataFrame, prefix: String, newPath: String,
-      buckets: Int = 8): Long = {
-    val gen = graft.io.IndexLifecycle.nextGeneration(s, prefix)
-    val phys = s"${prefix}_r$gen"
-    Seq("coarse", "codebooks", "codes") // crashed-run leftovers
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
-    val survivors = graft.io.IndexLifecycle.maskTombstones(s, corpus,
-      s"${prefix}_tombstones", "vec_id")
-    val (coarse, books) = trainVectorCodebooks(survivors)
-    graft.io.Sinks.bucketedTable(coarse, s"${phys}_coarse", "cid", 1,
-      s"$newPath/g$gen/coarse")
-    graft.io.Sinks.bucketedTable(books, s"${phys}_codebooks", "sub", 1,
-      s"$newPath/g$gen/codebooks")
-    val frozen = readVectorIndexHead(s, phys)
-    graft.io.Sinks.bucketedTable(
-      codeVectors(survivors, frozen._1, frozen._2)
-        .withColumn("ingest_batch", lit(-1L)),
-      s"${phys}_codes", "cell", buckets, s"$newPath/g$gen/codes")
-    gen
-  }
-
-  /** Flip the `<prefix>_ptr` generation pointer to `gen` — the shared
-    * publication primitive of every generational index
-    * ([[retrainVectorIndex]], [[retrainSemanticIndex]]), now ONE copy
-    * in [[graft.io.IndexLifecycle.flipGenerationPtr]]. */
-  private def flipGenerationPtr(s: SparkSession, prefix: String,
-      gen: Long, newPath: String): Unit =
-    graft.io.IndexLifecycle.flipGenerationPtr(s, prefix, gen, newPath)
-
-  /** The publication half of [[retrainVectorIndex]]: flip the pointer
-    * to `gen` in one statement, then clean up the superseded
-    * generation and the folded tombstones. */
-  private[graft] def publishRetrainVectorIndex(s: SparkSession,
-      prefix: String, gen: Long, newPath: String): Unit = {
-    flipGenerationPtr(s, prefix, gen, newPath)
-    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
-    Seq("coarse", "codebooks", "codes")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
-    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
-  }
-
-  /** ADC search over a persisted [[VectorIndex]] — q150's query path
-    * with every training stage gone: probe cells (argmax over the
-    * stored coarse rows), per-query LUT (dot of query slices against
-    * the stored sub-codebooks — |queries|·M·K rows, broadcast), then
-    * cell-equi-join → LUT lookup → ordered ADC fold → per-query
-    * top-k. The only corpus-sized input in the plan is the codes
-    * table, already bucketed on the probe key; corpus floats are
-    * never touched (plan-audited in the spec). */
-  def searchVectorIndex(queries: DataFrame, idx: VectorIndex,
-      nprobe: Int, k: Int = 10): DataFrame = {
-    val wp = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    val probe = normedOf(queries).crossJoin(broadcast(idx.coarse))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-    val lut = (0 until PqM).map { j =>
-      pqSliceOf(queries, j)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        .crossJoin(broadcast(idx.codebooks.filter(col("sub") === j)))
-        .select(col("query_id"), col("sub"), col("cid").as("code"),
-          expr("""aggregate(zip_with(qv, cv,
-              (x, c) -> CAST(x AS DOUBLE) * c),
-              0e0, (a, y) -> a + y)""").as("term"))
-    }.reduce(_ unionByName _)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    probe.join(idx.codes, "cell")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(expr("""aggregate(
-          transform(sort_array(collect_list(struct(sub, term))),
-            s -> s.term),
-          0D, (acc, x) -> acc + x)""").as("score"))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
-  }
-
-  /** q205: the persisted-index serving path under the bit-exact gate.
-    * The query function is build-then-search: the index lands on disk
-    * (bucketed tables under a temp path), and the RETURNED plan is
-    * [[searchVectorIndex]] over those stored tables only — zero
-    * k-means or codebook-training stages survive into the query path
-    * (plan-audited). The oracle is q150's full-trajectory SQL
-    * verbatim: a persisted-then-served index must reproduce the
-    * inline trajectory's result exactly, which is precisely the
-    * "train once, serve forever" contract. */
-  val q205VectorIndex = OpSpec(
-    "q205_vector_index",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      // FIXED prefix + path, reset first: a fresh name per run would
-      // leak one set of catalog tables and index files per invocation
-      val path = s"${graft.Tables.scratchDir}/vidx_q205"
-      val prefix = "vidx_q205"
-      resetVectorIndex(s, prefix, path)
-      buildVectorIndex(s, e, e, prefix, path)
-      searchVectorIndex(
-        table(s, dir, "embeddings").filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("embedding")),
-        readVectorIndex(s, prefix), IvfPqNprobe)
-    },
-    q150IvfPqSearch.oracle)
-
-  /** q210: the DELETE half of the serving lifecycle under the gate.
-    * Build the q205 index, tombstone every seventh vector
-    * ([[deleteFromVectorIndex]]), fold the tombstones in
-    * ([[vacuumVectorIndex]]), and serve from the vacuumed tables. The
-    * oracle is q150's trajectory with the scored corpus restricted to
-    * survivors — deletion must change WHICH rows score and nothing
-    * else (codebooks stay frozen; a deleted vector's id may still
-    * arrive as a QUERY, which the lifecycle must serve fine). The
-    * spec additionally proves the pre-vacuum live view, the vacuumed
-    * table, and a from-scratch survivor rebuild are code-identical. */
-  val q210VectorVacuum = OpSpec(
-    "q210_vector_vacuum",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val path = s"${graft.Tables.scratchDir}/vvac_q210"
-      val prefix = "vvac_q210"
-      resetVectorIndex(s, prefix, path)
-      buildVectorIndex(s, e, e, prefix, path)
-      deleteFromVectorIndex(s,
-        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        prefix, path)
-      vacuumVectorIndex(s, prefix, s"$path/codes_vacuumed")
-      searchVectorIndex(
-        table(s, dir, "embeddings").filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("embedding")),
-        readVectorIndex(s, prefix), IvfPqNprobe)
-    },
-    Some(ivfPqOracleSql("c.vec_id % 7 <> 3")))
-
-  /** q221: COMPACTION exercised on a real append-accreted index under
-    * the gate. The corpus lands as build + three appends (four file
-    * sets per bucket — a month of weekly ingests in miniature), then
-    * [[compactVectorIndex]] rewrites the codes table to one file per
-    * bucket through the staged swap, and serving reads the COMPACTED
-    * table. The oracle is q150's inline trajectory: compaction must be
-    * invisible to every query — same rows, same bucket layout, fewer
-    * files. The spec additionally proves the file-count drop and that
-    * the bucket spec survives the rewrite. */
-  val q221CompactedServe = OpSpec(
-    "q221_compacted_serve",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val base = s"${graft.Tables.scratchDir}/vcp_q221"
-      val prefix = "vcp_q221"
-      resetVectorIndex(s, prefix, base)
-      buildVectorIndex(s, e, e.filter(col("vec_id") % 4 === 0), prefix,
-        s"$base/idx")
-      (1 to 3).foreach(i => appendToVectorIndex(s,
-        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
-      compactVectorIndex(s, prefix, s"$base/idx/codes",
-        s"$base/codes_compact")
-      searchVectorIndex(
-        table(s, dir, "embeddings").filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("embedding")),
-        readVectorIndex(s, prefix), IvfPqNprobe)
-    },
-    q150IvfPqSearch.oracle)
-
-  /** Build-once guard for gated SERVING queries: the fixed
-    * (prefix, path) for `tag` over this scale-factor dir, building the
-    * persisted index only when the catalog + files don't already hold
-    * it. The key hashes the data dir, the CORPUS FINGERPRINT (file
-    * listing with sizes/mtimes — regenerated data under the same dir
-    * changes the key and forces a rebuild instead of silently serving
-    * a stale index; the superseded key's tables/files are orphaned
-    * until the JVM exits, a bounded leak the self-validation buys),
-    * and the index geometry, so a guard hit can never serve another
-    * scale factor's index or a stale recipe. The path lives under the
-    * per-JVM [[graft.Tables.scratchDir]], so concurrent drivers on one
-    * host cannot reset each other's live files. Under Bench's min-of-2
-    * the second run takes the guard hit and measures the SERVE path
-    * alone — the latency the index exists to deliver — while the first
-    * invocation in any fresh environment still drives the full build
-    * lifecycle. */
-  private def ensureVectorIndex(s: SparkSession, dir: String,
-      tag: String): String = {
-    val fp = graft.Tables.dataFingerprint(dir, "embeddings")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$tag:$dir:$fp:v1:$KmK:$PqM:$PqK".getBytes("UTF-8"))
-      .take(6).map(x => f"$x%02x").mkString
-    val prefix = s"${tag}_$key"
-    val path = s"${graft.Tables.scratchDir}/$prefix"
-    val built = s.catalog.tableExists(s"${prefix}_codes") &&
-      new java.io.File(s"$path/codes").isDirectory
-    if (!built) {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      resetVectorIndex(s, prefix, path)
-      buildVectorIndex(s, e, e, prefix, path)
-    }
-    prefix
-  }
-
-  /** Swept shortlist sizes for the staged-serving recall audit. */
-  private val RerankSs = Seq(10L, 25L, 50L)
-
-  /** STAGED serving over a persisted [[VectorIndex]] — the production
-    * composition q162 proved for the Hamming family, applied to the
-    * stored IVF-PQ index: [[searchVectorIndex]] produces a `shortlist`-
-    * sized ADC candidate set per query from STORED TABLES ONLY, and
-    * only those candidates pay the exact float cosine for the final
-    * top-k. Corpus floats enter the plan through exactly ONE join —
-    * the corpus scan equi-joined against the broadcast candidate set
-    * (|queries|·shortlist rows), never a full-corpus scoring pass —
-    * so the expensive scorer touches s·k rows per query while ADC
-    * ranks the inverted lists. This is the serving shape for the 20M-
-    * clip aesthetic-embedding index (aesthetic_score.py:100-105):
-    * ship exact-cosine order, pay PQ prices. */
-  def rerankVectorIndex(queries: DataFrame, corpus: DataFrame,
-      idx: VectorIndex, nprobe: Int, shortlist: Int,
-      k: Int = 10): DataFrame = {
-    val cand = searchVectorIndex(queries, idx, nprobe, shortlist)
-      .select(col("query_id"), col("vec_id"), col("rank").as("adc_rank"))
-    val qv = normedOf(queries).select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    normedOf(corpus).join(broadcast(cand), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .withColumn("cosine",
-        graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
-          / (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("cosine"), col("adc_rank"))
-  }
-
-  /** q218: the staged-serving RECALL AUDIT under the bit-exact gate —
-    * the number that tells an operator what a shortlist size buys.
-    * One wide ADC search (shortlist = max) over the persisted index;
-    * every candidate is exact-cosine-reranked through ONE bounded
-    * float join; each swept shortlist size S is a prefix of that
-    * candidate set (adc_rank ≤ S, so narrower arms cost nothing
-    * extra); recall@10 compares each arm's reranked top-10 against
-    * the brute-force exact truth (q30's arithmetic, self included to
-    * match the ADC candidate universe). Recall is provably MONOTONE
-    * in S — a truth hit in an S-arm's top-10 survives every wider
-    * arm (spec-asserted) — so the curve is a clean knob readout.
-    * The index is built once per (dir, geometry) via the catalog
-    * guard; warm invocations measure the serve path alone. */
-  val q218StagedServeRecall = OpSpec(
-    "q218_staged_serve_recall",
-    (s, dir) => {
-      val prefix = ensureVectorIndex(s, dir, "vidx218")
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val queries = e.filter(col("vec_id") < 20)
-      val rr = rerankVectorIndex(queries, e, readVectorIndex(s, prefix),
-        IvfPqNprobe, RerankSs.max.toInt, k = RerankSs.max.toInt)
-        .select(col("query_id"), col("vec_id"), col("adc_rank"),
-          col("cosine"))
-      val qv = normedOf(queries).select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"), col("nrm").as("qnrm"))
-      val wT = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      val truth = normedOf(e).crossJoin(broadcast(qv))
-        .withColumn("cosine",
-          graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
-            / (col("qnrm") * col("nrm")))
-        .withColumn("trn", row_number().over(wT))
-        .filter(col("trn") <= 10)
-        .select(col("query_id"), col("vec_id"))
-      val sDom = s.range(1).select(
-        explode(array(RerankSs.map(lit): _*)).as("shortlist_s"))
-      val wS = Window.partitionBy(col("shortlist_s"), col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      val top = rr.crossJoin(broadcast(sDom))
-        .filter(col("adc_rank") <= col("shortlist_s"))
-        .withColumn("rnk", row_number().over(wS))
-        .filter(col("rnk") <= 10)
-        .select(col("shortlist_s"), col("query_id"), col("vec_id"))
-      val hits = top.join(truth, Seq("query_id", "vec_id"))
-        .groupBy(col("shortlist_s"), col("query_id"))
-        .agg(count(lit(1)).as("hits"))
-      sDom.crossJoin(broadcast(qv.select(col("query_id"))))
-        .join(hits, Seq("shortlist_s", "query_id"), "left")
-        .na.fill(0L, Seq("hits"))
-        .select(col("shortlist_s"), col("query_id"), col("hits"),
-          (col("hits").cast("double") / 1e1).as("recall_at_10"))
-    },
-    Some(s"""
-      WITH ${ivfPqScoredCtes("TRUE")},
-      adc AS (
-        SELECT query_id, vec_id,
-          ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, vec_id ASC) AS adc_rank
-        FROM scored
-        QUALIFY adc_rank <= ${RerankSs.max}),
-      rr AS (
-        SELECT a.query_id, a.vec_id, a.adc_rank,
-          ${dotDuck("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
-            AS cosine
-        FROM adc a
-        JOIN e v ON v.vec_id = a.vec_id
-        JOIN e q ON q.vec_id = a.query_id),
-      truth AS (
-        SELECT query_id, vec_id FROM (
-          SELECT q.vec_id AS query_id, v.vec_id,
-            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              ${dotDuck("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
-                DESC, v.vec_id ASC) AS trn
-          FROM e v, e q WHERE q.vec_id < 20)
-        WHERE trn <= 10),
-      sdom AS (SELECT CAST(unnest([${RerankSs.mkString(", ")}])
-          AS BIGINT) AS shortlist_s),
-      top AS (
-        SELECT shortlist_s, query_id, vec_id FROM (
-          SELECT s.shortlist_s, r.query_id, r.vec_id,
-            ROW_NUMBER() OVER (PARTITION BY s.shortlist_s, r.query_id
-              ORDER BY r.cosine DESC, r.vec_id ASC) AS rnk
-          FROM sdom s JOIN rr r ON r.adc_rank <= s.shortlist_s)
-        WHERE rnk <= 10),
-      hitcnt AS (
-        SELECT t.shortlist_s, t.query_id,
-          CAST(COUNT(*) AS BIGINT) AS hits
-        FROM top t JOIN truth u
-          ON u.query_id = t.query_id AND u.vec_id = t.vec_id
-        GROUP BY 1, 2)
-      SELECT d.shortlist_s, d.query_id,
-        COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
-        CAST(COALESCE(h.hits, 0) AS DOUBLE) / 1e1 AS recall_at_10
-      FROM (SELECT s.shortlist_s, q.vec_id AS query_id
-            FROM sdom s, e q WHERE q.vec_id < 20) d
-      LEFT JOIN hitcnt h
-        ON h.shortlist_s = d.shortlist_s AND h.query_id = d.query_id"""))
-
-  /** q231: IVF inverted-list balance readout over the PERSISTED index —
-    * the ops dashboard number that decides re-training: a hot cell
-    * makes every probe touching it scan |hot list| codes, so the
-    * load factor (cell size ÷ mean) IS the worst-case probe
-    * amplification. When the readout degrades, the actuator is
-    * [[retrainVectorIndex]] (gated q241) — the scheduled maintenance
-    * job this dashboard prices. Reads ONLY the stored codes table (one
-    * bucketed scan, sub=0 rows so each vector counts once); the
-    * explicit 0..k-1 cell domain keeps empty cells visible (a dead
-    * cell is exactly what an operator must see). Oracle re-derives the
-    * coarse assignment trajectory. */
-  val q231CellBalance = OpSpec(
-    "q231_cell_balance",
-    (s, dir) => {
-      val prefix = ensureVectorIndex(s, dir, "vidx218")
-      val counts = s.table(s"${prefix}_codes")
-        .filter(col("sub") === 0)
-        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-      val total = counts.agg(sum(col("n_vecs")).as("total"))
-      s.range(KmK).select(col("id").as("cell"))
-        .join(counts, Seq("cell"), "left")
-        .na.fill(0L, Seq("n_vecs"))
-        .crossJoin(broadcast(total))
-        .select(col("cell"), col("n_vecs"),
-          (col("n_vecs").cast("double") / col("total").cast("double"))
-            .as("share"),
-          (col("n_vecs").cast("double") * lit(KmK.toDouble)
-            / col("total").cast("double")).as("load_factor"))
-    },
-    Some(s"""
-      WITH ${ivfPqScoredCtes("TRUE")},
-      cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
-              FROM assign GROUP BY cell),
-      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cnt)
-      SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
-        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
-          AS share,
-        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
-          / CAST(t.total AS DOUBLE) AS load_factor
-      FROM (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell) d
-      LEFT JOIN cnt c ON c.cell = d.cell
-      CROSS JOIN tot t"""))
-
-  /** q232: TOMBSTONE-MASKED live serving — the lifecycle point q210
-    * vacuums past: a takedown lands as an insert-only tombstone batch
-    * and searches must stop matching IMMEDIATELY, while the 100 TB
-    * codes table stays untouched until the next maintenance window.
-    * [[readVectorIndexLive]] anti-joins the broadcast tombstone set on
-    * the probe path; the oracle is the survivor-restricted trajectory
-    * — identical to a physical rewrite, which is the whole point. */
-  val q232LiveMaskedServe = OpSpec(
-    "q232_live_masked_serve",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val path = s"${graft.Tables.scratchDir}/vlm_q232"
-      val prefix = "vlm_q232"
-      resetVectorIndex(s, prefix, path)
-      buildVectorIndex(s, e, e, prefix, path)
-      deleteFromVectorIndex(s,
-        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
-        prefix, path)
-      searchVectorIndex(
-        table(s, dir, "embeddings").filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("embedding")),
-        readVectorIndexLive(s, prefix), IvfPqNprobe)
-    },
-    Some(ivfPqOracleSql("c.vec_id % 5 <> 2")))
-
-  /** q240: the production SERVING call — [[rerankVectorIndex]] top-10
-    * over the guarded persisted index, no audit attached: ADC
-    * shortlist (50) from stored tables, one bounded float join, exact
-    * cosine order shipped. q218 measures what the shortlist buys;
-    * THIS entry is what a caller runs per query batch, and under the
-    * build-once guard its bench time is the end-to-end serve latency
-    * (shortlist + rerank), nothing else. */
-  val q240RerankedServe = OpSpec(
-    "q240_reranked_serve",
-    (s, dir) => {
-      val prefix = ensureVectorIndex(s, dir, "vidx218")
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      rerankVectorIndex(e.filter(col("vec_id") < 20), e,
-        readVectorIndex(s, prefix), IvfPqNprobe,
-        RerankSs.max.toInt, k = 10)
-    },
-    Some(s"""
-      WITH ${ivfPqScoredCtes("TRUE")},
-      adc AS (
-        SELECT query_id, vec_id,
-          ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, vec_id ASC) AS adc_rank
-        FROM scored
-        QUALIFY adc_rank <= ${RerankSs.max}),
-      rr AS (
-        SELECT a.query_id, a.vec_id, a.adc_rank,
-          ${dotDuck("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
-            AS cosine
-        FROM adc a
-        JOIN e v ON v.vec_id = a.vec_id
-        JOIN e q ON q.vec_id = a.query_id)
-      SELECT query_id,
-        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
-        vec_id, cosine, adc_rank
-      FROM rr
-      QUALIFY rank <= 10"""))
-
-  /** q241: the RETRAIN half of the index lifecycle under the bit-exact
-    * gate — the actuator q231's dashboard was missing. Generation 0
-    * trains on a quarter of the corpus (a first shard generation);
-    * three appends accrete the rest against those frozen codebooks
-    * (exactly how drift accumulates in production); then
-    * [[retrainVectorIndex]] re-trains from the CURRENT corpus and
-    * atomically re-points. The oracle is q150's inline trajectory over
-    * the FULL corpus verbatim: a retrained index must serve exactly
-    * what a scratch build on the final corpus serves — bit-exact, not
-    * approximately — which is what makes retraining a safe scheduled
-    * maintenance job rather than a migration. The crash spec proves a
-    * kill between staging and the pointer flip leaves generation 0
-    * serving; the balance spec proves the load factors return to the
-    * scratch-build profile. */
-  val q241RetrainedServe = OpSpec(
-    "q241_retrained_serve",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val base = s"${graft.Tables.scratchDir}/vrt_q241"
-      val prefix = "vrt_q241"
-      resetVectorIndex(s, prefix, base)
-      val g0 = e.filter(col("vec_id") % 4 === 0)
-      buildVectorIndex(s, g0, g0, prefix, s"$base/idx")
-      (1 to 3).foreach(i => appendToVectorIndex(s,
-        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
-      retrainVectorIndex(s, e, prefix, s"$base/retrain")
-      searchVectorIndex(
-        table(s, dir, "embeddings").filter(col("vec_id") < 20)
-          .select(col("vec_id"), col("embedding")),
-        readVectorIndex(s, prefix), IvfPqNprobe)
-    },
-    q150IvfPqSearch.oracle)
 
   /** BINARY sign quantization + Hamming top-k — the most compact code
     * family (64 dims → 64 BITS, a 256× cut vs float32; the memory
@@ -2973,1123 +2218,6 @@ object EmbeddingOps {
       FROM ranked
       GROUP BY query_id"""))
 
-  /** SemDeDup prune threshold: same-cluster pairs with cosine above
-    * this are duplicates (Abbas et al. 2023, "SemDeDup" — cluster
-    * first so the quadratic pair scan is bounded per cluster, then
-    * prune within clusters only). 4e-1 sits in the synthetic corpus's
-    * upper tail (~0.2 % of all pairs), the paper's "high but not
-    * vacuous" regime. */
-  private val SemDedupTau = "4e-1"
-
-  /** Semantic dedup (SemDeDup): k-means-cluster the corpus with the
-    * gated q98 trainer, assign every vector to its trained centroid,
-    * then prune any vector that has a same-cluster neighbor with
-    * SMALLER vec_id and cosine > [[SemDedupTau]] (first-writer-wins —
-    * the q31 keep rule, no connected components needed: the kept set
-    * is exactly the ids with no earlier near-twin, which is
-    * arrival-order-free and retry-stable). Cross-cluster near-twins
-    * are by-design NOT pruned — that recall loss is the knob the
-    * paper trades for tractability, and q31/q48 cover the unblocked
-    * pair search.
-    *
-    * Scale shape: training is q98's (broadcast-k assignment passes);
-    * the pair scan is an equi-join on cid, so cost is Σ|cluster|² —
-    * bounded by choosing k ∝ n/target-cluster-size (k is the ONLY
-    * knob; the join itself shuffles each cluster to one stream and
-    * never materializes cross-cluster pairs). Output: every vector
-    * with its cluster and keep/prune verdict. */
-  /** SemDeDup train→assign→within-cluster-prune at cluster count k
-    * over a normed (vec_id, embedding, nrm) frame — q212's gated
-    * trajectory factored out so the q220 miss audit can sweep k.
-    * Returns (cid, vec_id, verdict).
-    *
-    * `onlyFor`: optional (vec_id) frame restricting WHOSE verdicts are
-    * computed. A vector's verdict depends only on SMALLER-id vectors
-    * in its own cluster, so restricting the pair scan's pruned-
-    * candidate side (and the output) to the requested ids is exact —
-    * and turns the cost from Σ|cluster|² into
-    * Σ|cluster|·|requested ∩ cluster|: the difference between
-    * re-running the dedup and answering a bounded audit at 100 TB. */
-  def semDedupVerdicts(e: DataFrame, k: Int,
-      onlyFor: Option[DataFrame] = None): DataFrame = {
-      val cents = coarseKmOfK(e, k)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("cid").asc)
-      val asg0 = e.crossJoin(broadcast(cents))
-        .withColumn("cosine", expr(
-          """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-             0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-        .persist()
-      val asg = onlyFor.fold(asg0)(ids => asg0.join(
-        broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
-        "left_semi"))
-      // eager localCheckpoint: the verdict frame is one bounded row per
-      // (requested) vector, so materializing it here lets asg0's cached
-      // assignment blocks be released BEFORE returning — a library
-      // caller (q220 sweeps three k's per invocation) must not
-      // accrete one persisted frame per call
-      val out = semPruneVerdicts(asg0, asg).localCheckpoint()
-      asg0.unpersist()
-      out
-  }
-
-  val q212SemDedup = OpSpec(
-    "q212_semdedup",
-    (s, dir) => semDedupVerdicts(
-      normedDf(s, dir).select(col("vec_id"), col("embedding"),
-        col("nrm")), KmK),
-    Some(s"""
-      WITH e AS ($normedDuck),
-      seeds AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM embeddings)
-        QUALIFY cid < $KmK),
-      c0 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds)),
-      s1 AS (${kmIterDuck("c0")}),
-      c1 AS (
-        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
-              FROM s1)),
-      s2 AS (${kmIterDuck("c1")}),
-      c2 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2)),
-      asg AS (
-        SELECT cid, vec_id, embedding, nrm FROM (
-          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-          FROM e, c2 c)
-        WHERE rn = 1),
-      pruned AS (
-        SELECT DISTINCT b.cid, b.vec_id
-        FROM asg a JOIN asg b
-          ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-          > $SemDedupTau)
-      SELECT g.cid, g.vec_id,
-        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-          AS verdict
-      FROM asg g LEFT JOIN pruned p
-        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
-
-  /** Cosine top-`nprobe` cell assignment of a normed (vec_id,
-    * embedding, nrm) frame against a broadcast (cid, cv, cnrm)
-    * centroid table — one row per (vector, probed cell) with the probe
-    * rank `pr` (1 = the argmax/primary cell; ties to the lower cid,
-    * fully deterministic). */
-  private[graft] def semAssignTop(e: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= nprobe)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"),
-        col("pr"))
-  }
-
-  /** Cosine-argmax cell assignment of a normed (vec_id, embedding,
-    * nrm) frame against a broadcast (cid, cv, cnrm) centroid table —
-    * the row shape the semantic index stores per member. */
-  private[graft] def semAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    semAssignTop(e, cents, 1).drop("pr")
-
-  /** Per-cell scan bound for the SemDeDup pair scan: a cell whose
-    * member count exceeds this is first recursively SPLIT
-    * ([[splitOversizedCells]]) and, if still oversized, its SCAN side
-    * truncated to the cap smallest vec_ids — so the pair count is
-    * ≤ |probe|·cap per cell no matter how badly embedding drift
-    * inflates one cell (the Σ|cluster|² quadratic cliff the k knob
-    * alone can't prevent once centroids are frozen). Never reached by
-    * the gated flows at test scale (cells there are thousands of rows,
-    * so q212/q242/q247/q253 stay bit-exact vs the uncapped oracle);
-    * at 100 TB it is the backstop that keeps one drifted mega-cell
-    * from going quadratic between retrains. */
-  private[graft] val SemCellCap = 65536
-
-  /** Split bound: each round 2-way splits every oversized cell, so
-    * maxRounds = r handles cells up to cap·2^r (≈ 16M at the default)
-    * before the truncation backstop takes over. */
-  private[graft] val SemSplitRounds = 8
-
-  /** Recursively split cells larger than `cap` into sub-cells keyed by
-    * a refined `ckey` string (original `cid` column preserved): per
-    * oversized cell, the 2 smallest-md5-rank members become frozen
-    * sub-centroids and every row (member AND probe side, same seeds)
-    * re-assigns by cosine argmax (ties to the lower sub — fully
-    * deterministic, so identical vectors always co-locate and a retry
-    * re-derives the same refinement). Near-twins sit on the same side
-    * of any bisector almost surely, which is SemDeDup's own
-    * cluster-then-prune argument applied one level down — the q81
-    * best-first discipline for the semantic tier. A cell of mostly
-    * IDENTICAL vectors may refuse to split (both seeds equal → all
-    * rows tie to sub 0); rounds are bounded and the caller's
-    * truncation backstop is EXACT for that shape (every row matches
-    * the cell's min id, which truncation always keeps). Each round is
-    * localCheckpoint-ed (lineage per round, the q51 discipline); the
-    * common no-oversized-cell case returns after ONE bounded
-    * count-by-cell probe and never checkpoints. The broadcast sides
-    * are bounded by the oversized-cell count ≤ n/cap. */
-  private[graft] def splitOversizedCells(members: DataFrame,
-      probe: DataFrame, cap: Int, maxRounds: Int = SemSplitRounds)
-      : (DataFrame, DataFrame, Boolean) = {
-    // normalize to the pair-scan row shape (callers may carry extra
-    // physical columns, e.g. the members table's ingest_batch tag)
-    def shape(df: DataFrame): DataFrame =
-      df.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-        .withColumn("ckey", col("cid").cast("string"))
-    var m = shape(members)
-    var p = shape(probe)
-    var round = 0
-    var done = false
-    while (round < maxRounds && !done) {
-      val over = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > cap).select(col("ckey"))
-      if (over.isEmpty) done = true
-      else {
-        val ws = Window.partitionBy(col("ckey"))
-          .orderBy(col("rk").asc, col("vec_id").asc)
-        val seeds = m.join(broadcast(over), Seq("ckey"), "left_semi")
-          .withColumn("rk",
-            md5(concat(lit("split:"), col("vec_id").cast("string"))))
-          .withColumn("srn", row_number().over(ws))
-          .filter(col("srn") <= 2)
-          .select(col("ckey"), (col("srn") - 1).cast("long").as("sub"),
-            col("embedding").as("sv"), col("nrm").as("snrm"))
-        def reassign(df: DataFrame): DataFrame = {
-          val keep = df.join(broadcast(over), Seq("ckey"), "left_anti")
-          val wr = Window.partitionBy(col("ckey"), col("vec_id"))
-            .orderBy(col("cossub").desc, col("sub").asc)
-          val moved = df.join(broadcast(over), Seq("ckey"), "left_semi")
-            .join(broadcast(seeds), Seq("ckey"))
-            .withColumn("cossub",
-              graft.functions.VectorFunctions.dot(col("embedding"),
-                col("sv")) / (col("nrm") * col("snrm")))
-            .withColumn("rn", row_number().over(wr))
-            .filter(col("rn") === 1)
-            .withColumn("ckey",
-              concat(col("ckey"), lit(":"), col("sub")))
-            .select(col("cid"), col("vec_id"), col("embedding"),
-              col("nrm"), col("ckey"))
-          keep.unionByName(moved).localCheckpoint()
-        }
-        m = reassign(m)
-        p = reassign(p)
-        round += 1
-      }
-    }
-    // third element: whether oversized cells may remain (the loop ran
-    // out of rounds before the count probe came back clean) — lets the
-    // caller skip its truncation re-probe on the clean path, so the
-    // common no-oversized-cell case costs exactly ONE bounded
-    // count-by-cell scan
-    (m, p, !done)
-  }
-
-  /** Within-cluster smaller-id-wins prune of `probe` against `members`
-    * (both (cid, vec_id, embedding, nrm)): a probe row is `prune` iff
-    * some member in ITS cell has a smaller vec_id and cosine >
-    * [[SemDedupTau]]. Equi-join on the (cap-refined) cell key — never
-    * an all-pairs product; cost ∝ Σ_touched-cells |cell|·|probe ∩
-    * cell|, and `cellCap` bounds the member factor: oversized cells
-    * are recursively split ([[splitOversizedCells]]) and any residue
-    * has its SCAN side truncated to the cap smallest vec_ids (sound
-    * to truncate high ids only — a verdict can only come from a
-    * SMALLER-id partner, and smaller ids prune the most; exact for an
-    * all-identical cell, whose min id survives truncation by
-    * construction). Verdicts reference the ORIGINAL cid. */
-  private[graft] def semPruneVerdicts(members: DataFrame,
-      probe: DataFrame, cellCap: Int = SemCellCap,
-      maxRounds: Int = SemSplitRounds): DataFrame =
-    semPruneVerdictsProbed(members, probe, probe, cellCap, maxRounds)
-
-  /** The multi-probe generalization [[semPruneVerdicts]] delegates to:
-    * `probeAll` may carry SEVERAL rows per vec_id (one per probed
-    * cell — the nprobe > 1 path assigns the probe side to its top-n
-    * cells while members stay single-assigned, so storage is
-    * unchanged and the scan cost scales by nprobe, the IVF trade
-    * applied to dedup); a vector is `prune` iff ANY probed cell holds
-    * a smaller-id member over [[SemDedupTau]]. `probePrimary` (one
-    * row per vec_id) fixes the OUTPUT keying — verdicts always
-    * reference the primary (argmax) cid, so nprobe changes recall,
-    * never the result shape. */
-  private[graft] def semPruneVerdictsProbed(members: DataFrame,
-      probeAll: DataFrame, probePrimary: DataFrame,
-      cellCap: Int = SemCellCap,
-      maxRounds: Int = SemSplitRounds): DataFrame = {
-    val (m, p, mayOverflow) =
-      splitOversizedCells(members, probeAll, cellCap, maxRounds)
-    lazy val residue = m.groupBy(col("ckey")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > cellCap).select(col("ckey"))
-    val scan = if (!mayOverflow || residue.isEmpty) m else {
-      val wt = Window.partitionBy(col("ckey")).orderBy(col("vec_id").asc)
-      m.join(broadcast(residue), Seq("ckey"), "left_anti").unionByName(
-        m.join(broadcast(residue), Seq("ckey"), "left_semi")
-          .withColumn("trn", row_number().over(wt))
-          .filter(col("trn") <= cellCap).drop("trn"))
-    }
-    val a = scan.select(col("ckey"), col("vec_id").as("vec_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = p.select(col("ckey"), col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val pruned = a.join(b, Seq("ckey"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
-        / (col("na") * col("nb")) > expr(SemDedupTau))
-      .select(col("vec_b").as("vec_id")).distinct()
-    probePrimary.select(col("cid"), col("vec_id"))
-      .join(pruned.withColumn("hit", lit(1)), Seq("vec_id"), "left")
-      .select(col("cid"), col("vec_id"),
-        when(col("hit").isNotNull, lit("prune")).otherwise(lit("keep"))
-          .as("verdict"))
-  }
-
-  /** Build a persisted SEMANTIC-DEDUP index from the base corpus — the
-    * incremental story q212 was missing (n-gram dedup has had it since
-    * q55): centroids are trained ONCE on the base (the q98 recipe,
-    * then FROZEN — q205's discipline applied to SemDeDup), written as
-    * `<prefix>_semcents`, and every base vector's cell assignment plus
-    * the floats the pair scan needs land in `<prefix>_members`,
-    * bucketed on cid (the probe join key). Returns the base corpus's
-    * own verdicts (q212's smaller-id-wins rule under the frozen
-    * centroids). After this, each arriving generation pays
-    * [[ingestSemanticIndex]]'s batch-sized cost instead of q212's full
-    * re-train + corpus re-scan. */
-  def buildSemanticIndex(s: SparkSession, base: DataFrame,
-      prefix: String, path: String, k: Int = KmK,
-      buckets: Int = 8, nprobe: Int = 1): DataFrame = {
-    val cents = coarseKmOfK(base, k).select(col("cid"), col("cv"),
-      col("cnrm"))
-    graft.io.Sinks.bucketedTable(cents, s"${prefix}_semcents", "cid", 1,
-      s"$path/semcents")
-    // assign against the RE-READ stored centroids — the same frozen
-    // bytes every later ingest codes against
-    val frozen = s.table(s"${prefix}_semcents")
-    graft.io.Sinks.bucketedTable(
-      semAssign(base, frozen).withColumn("ingest_batch", lit(-1L))
-        .repartition(buckets, col("cid")),
-      s"${prefix}_members", "cid", buckets, s"$path/members")
-    val m = s.table(s"${prefix}_members")
-    if (nprobe <= 1) semPruneVerdicts(m, m).localCheckpoint()
-    else {
-      // multi-probe (q256 promoted into the persisted path): members
-      // stay single-assigned — only the PROBE side fans out to its
-      // top-nprobe cells against the same frozen centroids, so the
-      // stored layout is identical to nprobe=1 and the knob can be
-      // turned per build/ingest without a rebuild
-      val probeAll = semAssignTop(base, frozen, nprobe).drop("pr")
-        .localCheckpoint()
-      semPruneVerdictsProbed(m, probeAll, m).localCheckpoint()
-    }
-  }
-
-  /** Ingest one arriving batch into the persisted semantic index:
-    * assign the batch to cells against the FROZEN stored centroids
-    * (zero training in the plan), append its members (insert-only,
-    * cost ∝ batch), and return the batch's verdicts from ONE
-    * cid-equi-join pair scan of the stored members — only the batch's
-    * touched cells' members ever pair up, and prior docs' verdicts are
-    * never recomputed (q55's bipartite discipline applied to q212's
-    * trajectory). A 100 TB curation loop runs THIS per shard
-    * generation, not a corpus-wide SemDeDup.
-    *
-    * Ordering contract (mirrors q212's arrival-free smaller-id rule):
-    * when generations arrive in vec_id order — the reference's shard
-    * convention, README.md:66-89 — ingest verdicts equal a scratch
-    * frozen-centroid SemDeDup over the unioned corpus EXACTLY
-    * (q242's oracle). Out-of-order arrival degrades gracefully to
-    * first-arrival-wins: a later batch carrying a smaller id does not
-    * retroactively flip an already-emitted verdict. */
-  def ingestSemanticIndex(s: SparkSession, batch: DataFrame,
-      prefix: String, path: String, buckets: Int = 8,
-      batchId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
-    // pointer-resolved: after retrainSemanticIndex flipped the live
-    // generation, ingests code against ITS frozen centroids and append
-    // to ITS members table (appendBucketedTable resolves the table's
-    // registered location; `path` only seeds a first-build table)
-    val phys = livePrefix(s, prefix)
-    val frozen = s.table(s"${phys}_semcents")
-    // one assignment pass covers both halves: pr=1 is the stored
-    // (primary) assignment, pr<=nprobe the probe fan-out — members
-    // stay single-assigned whatever the knob, so the append below is
-    // byte-identical across nprobe settings
-    val asgAll = semAssignTop(batch, frozen, nprobe).localCheckpoint()
-    val asgB = asgAll.filter(col("pr") === 1).drop("pr")
-    val parted = asgB.repartition(buckets, col("cid"))
-    // streaming callers pass their micro-batch id: the member append
-    // then commits the id atomically with the rows and an at-least-
-    // once replay is skipped (a replay's verdicts recompute fine from
-    // the already-stored members — assignment is deterministic)
-    batchId match {
-      case Some(id) =>
-        graft.io.Sinks.appendBucketedTableIdempotent(s, parted, id,
-          s"${phys}_members", "cid", buckets, s"$path/members"); ()
-      case None =>
-        graft.io.Sinks.appendBucketedTable(
-          parted.withColumn("ingest_batch", lit(-1L)),
-          s"${phys}_members", "cid", buckets, s"$path/members")
-    }
-    s.catalog.refreshTable(s"${phys}_members")
-    // members now include the batch itself, so within-batch smaller-id
-    // pairs are covered by the same single equi-join; the tombstone
-    // mask keeps purged vectors out of the witness set
-    val out =
-      if (nprobe <= 1)
-        semPruneVerdicts(liveSemanticMembers(s, prefix), asgB)
-      else semPruneVerdictsProbed(liveSemanticMembers(s, prefix),
-        asgAll.drop("pr"), asgB)
-    out.localCheckpoint()
-  }
-
-  /** The live generation's members with tombstones applied — the one
-    * view every semantic-index read path shares. The anti-join is a
-    * broadcast (takedown sets are small relative to a corpus); a
-    * purged vector disappears as BOTH a verdict subject and a prune
-    * WITNESS immediately — a doc that was only pruned because of a
-    * now-purged near-twin flips back to keep on the next serve, which
-    * is what right-to-be-forgotten means for a dedup verdict. */
-  private def liveSemanticMembers(s: SparkSession,
-      prefix: String): DataFrame = {
-    val phys = livePrefix(s, prefix)
-    graft.io.IndexLifecycle.maskTombstones(s,
-      s.table(s"${phys}_members").drop("ingest_batch"),
-      s"${prefix}_tombstones", "vec_id")
-  }
-
-  /** Tombstone a batch of vec_ids out of the persisted semantic
-    * index — the delete half q242 was missing (the vector index got
-    * tombstones in q210/q232; the corpus index in q211). Insert-only,
-    * cost ∝ takedown batch; the members table is not rewritten until
-    * the next [[retrainSemanticIndex]] folds the mask in (retrain
-    * trains on SURVIVORS and drops the tombstones — the vector-index
-    * retrain contract). Tombstones are LOGICAL at the prefix level, so
-    * they keep masking across generations until folded. */
-  def purgeSemanticIndex(s: SparkSession, delIds: DataFrame,
-      prefix: String, path: String): Unit =
-    graft.io.Sinks.appendBucketedTable(
-      delIds.select(col("vec_id")).distinct(), s"${prefix}_tombstones",
-      "vec_id", 1, s"$path/tombstones")
-
-  /** Serve the persisted semantic index's CURRENT verdicts: the
-    * smaller-id-wins prune over the live generation's stored members
-    * (tombstone-masked) — pointer-resolved, zero training in the plan
-    * (the q212 trajectory answered entirely from stored tables). */
-  def semanticIndexVerdicts(s: SparkSession, prefix: String): DataFrame = {
-    val m = liveSemanticMembers(s, prefix)
-    semPruneVerdicts(m, m)
-  }
-
-  /** Fold [[purgeSemanticIndex]] tombstones into the members table
-    * WITHOUT a retrain — the cheap maintenance path when drift doesn't
-    * yet justify [[retrainSemanticIndex]]'s training passes (q260's
-    * 'hold' decision): the live generation's masked members are
-    * rewritten at `newPath` and swapped in with one SET LOCATION
-    * ([[graft.io.Sinks.repointTable]] — a crash leaves the old file
-    * set serving with the mask still in force), centroids stay frozen,
-    * tombstones retire. Serving results are unchanged by construction
-    * (the mask was already applied at read time); what vacuum buys is
-    * the masked rows' scan + anti-join cost back. */
-  def vacuumSemanticIndex(s: SparkSession, prefix: String,
-      newPath: String, buckets: Int = 8): Unit = {
-    val phys = livePrefix(s, prefix)
-    graft.io.IndexLifecycle.stagedSwap(s, s"${phys}_members",
-      liveSemanticMembers(s, prefix)
-        .withColumn("ingest_batch", lit(-1L)),
-      "cid", buckets, s"$newPath/members")
-    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
-  }
-
-  /** Re-train the semantic index on its CURRENT stored corpus and flip
-    * the generation pointer — the [[retrainVectorIndex]] maintenance
-    * actuator applied to SemDeDup: q242 freezes centroids at build
-    * time (ingest cost ∝ batch), so embedding drift degrades cell
-    * balance exactly as it does for the vector index, and the same
-    * answer applies — periodically re-train OFFLINE into
-    * `<prefix>_r<gen>_*` tables nothing references, then publish with
-    * ONE pointer flip ([[flipGenerationPtr]]). A crash anywhere before
-    * the flip leaves the old generation serving, bit-identical; a
-    * crash after merely leaks droppable staging. Runs with ingest
-    * quiesced (the snapshot-then-flip contract shared with vacuum /
-    * compaction / vector retrain). Cost: one k-means train + one
-    * corpus re-assign — a scheduled maintenance job priced by the
-    * q231/q248 dashboards, never an ingest-path cost. */
-  def retrainSemanticIndex(s: SparkSession, prefix: String,
-      newPath: String, k: Int = KmK, buckets: Int = 8): Unit = {
-    val gen = stageRetrainSemanticIndex(s, prefix, newPath, k, buckets)
-    publishRetrainSemanticIndex(s, prefix, gen, newPath)
-  }
-
-  /** The staging half of [[retrainSemanticIndex]] — exposed within the
-    * library so the crash spec can kill the writer between staging and
-    * publication. */
-  private[graft] def stageRetrainSemanticIndex(s: SparkSession,
-      prefix: String, newPath: String, k: Int = KmK,
-      buckets: Int = 8): Long = {
-    val gen = graft.io.IndexLifecycle.nextGeneration(s, prefix)
-    val phys = s"${prefix}_r$gen"
-    Seq("semcents", "members") // crashed-run leftovers
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${phys}_$t"))
-    // the stored member floats ARE the corpus snapshot — no source
-    // rescan; parquet round-trips them bit-exactly, so training here
-    // equals training on the original vectors. SURVIVORS only: the
-    // tombstone mask is folded into the new generation and the
-    // tombstones dropped at publish (the vector-retrain contract).
-    val corpus = liveSemanticMembers(s, prefix)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val cents = coarseKmOfK(corpus, k).select(col("cid"), col("cv"),
-      col("cnrm"))
-    graft.io.Sinks.bucketedTable(cents, s"${phys}_semcents", "cid", 1,
-      s"$newPath/g$gen/semcents")
-    val frozen = s.table(s"${phys}_semcents")
-    graft.io.Sinks.bucketedTable(
-      semAssign(corpus, frozen).withColumn("ingest_batch", lit(-1L))
-        .repartition(buckets, col("cid")),
-      s"${phys}_members", "cid", buckets, s"$newPath/g$gen/members")
-    gen
-  }
-
-  /** The publication half of [[retrainSemanticIndex]]: one pointer
-    * flip, then drop the superseded generation's tables. */
-  private[graft] def publishRetrainSemanticIndex(s: SparkSession,
-      prefix: String, gen: Long, newPath: String): Unit = {
-    flipGenerationPtr(s, prefix, gen, s"$newPath/g$gen")
-    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
-    Seq("semcents", "members")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
-    // the staged generation snapshotted the survivors, so the mask is
-    // folded in — the tombstones retire with the old generation
-    s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
-  }
-
-  /** Idempotent pre-build reset for a semantic-index prefix. */
-  def resetSemanticIndex(s: SparkSession, prefix: String,
-      path: String): Unit =
-    graft.io.IndexLifecycle.resetPrefix(s, prefix, path)
-
-  /** q242: INCREMENTAL SemDeDup under the bit-exact gate. The corpus
-    * arrives as three vec_id-ordered generations (base = first half by
-    * a count-scalar range split, then two quarter batches — the
-    * reference's shard-generation pattern); the base builds the
-    * persisted index, each batch pays only its ingest, and the unioned
-    * verdicts must equal a SCRATCH frozen-centroid SemDeDup over the
-    * full corpus (the oracle re-derives q212's trajectory with
-    * training restricted to the base subset). Training happens exactly
-    * once, in the build — the ingest plans contain no k-means stage
-    * (spec-audited) and never rescan prior members as probes. */
-  val q242IncrementalSemdedup = OpSpec(
-    "q242_incremental_semdedup",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      // bounded 1-row scalar: the id-range split threshold
-      val total = e.count()
-      val base = e.filter(col("vec_id") * 2 < total)
-      val b1 = e.filter(col("vec_id") * 2 >= total &&
-        col("vec_id") * 4 < total * 3)
-      val b2 = e.filter(col("vec_id") * 4 >= total * 3)
-      val prefix = "sem_q242"
-      val path = s"${graft.Tables.scratchDir}/sem_q242"
-      resetSemanticIndex(s, prefix, path)
-      val v0 = buildSemanticIndex(s, base, prefix, path)
-      val v1 = ingestSemanticIndex(s, b1, prefix, path)
-      val v2 = ingestSemanticIndex(s, b2, prefix, path)
-      v0.unionByName(v1).unionByName(v2)
-    },
-    Some(s"""
-      WITH e AS ($normedDuck),
-      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-      b AS (SELECT e.vec_id, e.embedding, e.nrm
-            FROM e, t WHERE 2 * e.vec_id < t.n),
-      seeds AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT em.vec_id, em.embedding,
-                md5('ivf:' || em.vec_id) AS rk
-              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
-        QUALIFY cid < $KmK),
-      c0 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds)),
-      s1 AS (${kmIterDuck("c0", "b")}),
-      c1 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s1)),
-      s2 AS (${kmIterDuck("c1", "b")}),
-      c2 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2)),
-      asg AS (
-        SELECT cid, vec_id, embedding, nrm FROM (
-          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-          FROM e, c2 c)
-        WHERE rn = 1),
-      pruned AS (
-        SELECT DISTINCT p.cid, p.vec_id
-        FROM asg a JOIN asg p
-          ON a.cid = p.cid AND a.vec_id < p.vec_id
-        WHERE ${dotDuck("a.embedding", "p.embedding")} / (a.nrm * p.nrm)
-          > $SemDedupTau)
-      SELECT g.cid, g.vec_id,
-        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-          AS verdict
-      FROM asg g LEFT JOIN pruned p
-        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
-
-  /** q287: MULTI-PROBE INCREMENTAL SemDeDup under the bit-exact
-    * gate — q256's audit promoted into the PERSISTED path. q242's
-    * exact trajectory (base build + two vec_id-ordered batch ingests
-    * against the frozen base-trained centroids) runs at nprobe = 2,
-    * so the production incremental path stops inheriting the
-    * structural cross-cluster misses q256 proved recoverable. Members
-    * stay single-assigned — the stored index layout is identical to
-    * nprobe = 1 and the knob turns per build/ingest without a
-    * rebuild; only the probe side fans out to its top-2 cells, ~2x
-    * scan cost (the IVF nprobe trade applied to dedup). Oracle: the
-    * scratch frozen-centroid MULTI-PROBE rule — a vector is pruned
-    * iff ANY of its top-2 probed cells holds a smaller-id PRIMARY
-    * member over tau (q242's oracle with q256's asg2 reachability);
-    * verdicts keyed by the primary cid, so the output shape equals
-    * q242's and the single-probe gates stay untouched. */
-  val q287MultiprobeSemdedup = OpSpec(
-    "q287_multiprobe_semdedup",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      // bounded 1-row scalar: the id-range split threshold
-      val total = e.count()
-      val base = e.filter(col("vec_id") * 2 < total)
-      val b1 = e.filter(col("vec_id") * 2 >= total &&
-        col("vec_id") * 4 < total * 3)
-      val b2 = e.filter(col("vec_id") * 4 >= total * 3)
-      val prefix = "sem_q287"
-      val path = s"${graft.Tables.scratchDir}/sem_q287"
-      resetSemanticIndex(s, prefix, path)
-      val v0 = buildSemanticIndex(s, base, prefix, path, nprobe = 2)
-      val v1 = ingestSemanticIndex(s, b1, prefix, path, nprobe = 2)
-      val v2 = ingestSemanticIndex(s, b2, prefix, path, nprobe = 2)
-      v0.unionByName(v1).unionByName(v2)
-    },
-    Some(s"""
-      WITH e AS ($normedDuck),
-      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-      b AS (SELECT e.vec_id, e.embedding, e.nrm
-            FROM e, t WHERE 2 * e.vec_id < t.n),
-      seeds AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT em.vec_id, em.embedding,
-                md5('ivf:' || em.vec_id) AS rk
-              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
-        QUALIFY cid < $KmK),
-      c0 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds)),
-      s1 AS (${kmIterDuck("c0", "b")}),
-      c1 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s1)),
-      s2 AS (${kmIterDuck("c1", "b")}),
-      c2 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2)),
-      rnk AS (
-        SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-            list_reduce(list_transform(generate_series(1, len(e.embedding)),
-              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-        FROM e, c2 c),
-      asg AS (SELECT cid, vec_id, embedding, nrm FROM rnk WHERE rn = 1),
-      asg2 AS (SELECT cid, vec_id FROM rnk WHERE rn <= 2),
-      pruned AS (
-        SELECT DISTINCT p.vec_id
-        FROM asg a
-        JOIN asg2 p ON p.cid = a.cid AND a.vec_id < p.vec_id
-        JOIN asg q ON q.vec_id = p.vec_id
-        WHERE ${dotDuck("a.embedding", "q.embedding")} / (a.nrm * q.nrm)
-          > $SemDedupTau)
-      SELECT g.cid, g.vec_id,
-        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-          AS verdict
-      FROM asg g LEFT JOIN pruned p ON p.vec_id = g.vec_id"""))
-
-  /** DuckDB CTE chain for one coarse-training arm: seeds + two Lloyd
-    * rounds trained on `trainPred`'s rows, full-corpus assignment,
-    * per-cell counts — suffixed so q248 can run two arms in one
-    * query. */
-  private def coarseArmSql(sfx: String, trainPred: String): String = s"""
-      b$sfx AS (SELECT vec_id, embedding, nrm FROM e WHERE $trainPred),
-      seeds$sfx AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM embeddings WHERE $trainPred)
-        QUALIFY cid < $KmK),
-      c0$sfx AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds$sfx)),
-      s1$sfx AS (${kmIterDuck(s"c0$sfx", s"b$sfx")}),
-      c1$sfx AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s1$sfx)),
-      s2$sfx AS (${kmIterDuck(s"c1$sfx", s"b$sfx")}),
-      c2$sfx AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2$sfx)),
-      asg$sfx AS (
-        SELECT cid FROM (
-          SELECT e.vec_id, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-          FROM e, c2$sfx c)
-        WHERE rn = 1),
-      cnt$sfx AS (SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
-                  FROM asg$sfx GROUP BY 1)"""
-
-  /** q248: the RETRAIN PAYOFF readout — q231's load-factor dashboard
-    * evaluated on BOTH sides of the actuator in one gated query: the
-    * full corpus assigned to DRIFTED centroids (trained on the first
-    * shard generation only, vec_id % 4 = 0 — exactly the state an
-    * append-only index reaches) versus the same corpus assigned to
-    * RETRAINED centroids (trained on everything). An operator reads
-    * the per-cell load-factor deltas to decide whether q241's
-    * maintenance run is worth its two training passes — the number
-    * that connects the q231 dashboard to the q241 actuator. Pure
-    * assignment arithmetic (no index tables needed): two broadcast-k
-    * trainings + two argmax passes, one scan family. */
-  val q248RetrainPayoff = OpSpec(
-    "q248_retrain_payoff",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val total = e.count()
-      def balance(cents: DataFrame, phase: String): DataFrame = {
-        val counts = semAssign(e, cents)
-          .groupBy(col("cid").as("cell"))
-          .agg(count(lit(1)).as("n_vecs"))
-        s.range(KmK).select(col("id").as("cell"))
-          .join(counts, Seq("cell"), "left")
-          .na.fill(0L, Seq("n_vecs"))
-          .select(lit(phase).as("phase"), col("cell"), col("n_vecs"),
-            (col("n_vecs").cast("double") * lit(KmK.toDouble)
-              / lit(total.toDouble)).as("load_factor"))
-      }
-      val drifted = coarseKmOfK(e.filter(col("vec_id") % 4 === 0), KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val retrained = coarseKmOfK(e, KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      balance(drifted, "drifted")
-        .unionByName(balance(retrained, "retrained"))
-    },
-    Some(s"""
-      WITH e AS ($normedDuck),
-      ${coarseArmSql("d", "vec_id % 4 = 0")},
-      ${coarseArmSql("r", "TRUE")},
-      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
-      dom AS (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell)
-      SELECT 'drifted' AS phase, d.cell,
-        COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
-        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
-          / CAST(t.total AS DOUBLE) AS load_factor
-      FROM dom d LEFT JOIN cntd c ON c.cell = d.cell CROSS JOIN tot t
-      UNION ALL
-      SELECT 'retrained' AS phase, d.cell,
-        COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
-        CAST(COALESCE(c.n_vecs, 0) AS DOUBLE) * ${KmK}e0
-          / CAST(t.total AS DOUBLE) AS load_factor
-      FROM dom d LEFT JOIN cntr c ON c.cell = d.cell CROSS JOIN tot t"""))
-
-  /** q260: the RETRAIN GO/NO-GO POLICY row — q231 measures cell load,
-    * q248 prices the payoff, q241/q255 actuate; this closes the loop
-    * with the DECISION, gated. Both arms' per-cell counts (drifted =
-    * centroids trained on the first shard generation only; retrained =
-    * trained on everything — q248's construction) reduce to two
-    * integer health stats: `hot` cells (load factor > 1.5, evaluated
-    * as the integer cross-product n·k·10 > total·15 — no float
-    * thresholds, so the decision is bit-deterministic in any engine)
-    * and the max−min `spread`. Policy: retrain iff drift added hot
-    * cells, or widened the spread by ≥ 30 % (spread_d·10 >
-    * spread_r·13). One row out: the operator's entire
-    * measurement → decision trail, auditable and hash-gated. */
-  val q260RetrainPolicy = OpSpec(
-    "q260_retrain_policy",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val total = e.count()
-      def stats(cents: DataFrame): DataFrame = {
-        val counts = semAssign(e, cents)
-          .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("n"))
-        s.range(KmK).select(col("id").as("cell"))
-          .join(counts, Seq("cell"), "left")
-          .na.fill(0L, Seq("n"))
-          .agg(max(col("n")).as("max_n"), min(col("n")).as("min_n"),
-            sum(when(col("n") * KmK * 10 > lit(total) * 15, 1L)
-              .otherwise(0L)).as("hot"))
-      }
-      val drifted = coarseKmOfK(e.filter(col("vec_id") % 4 === 0), KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val retrained = coarseKmOfK(e, KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      stats(drifted).select(col("hot").as("hot_d"),
-          (col("max_n") - col("min_n")).as("spread_d"))
-        .crossJoin(stats(retrained).select(col("hot").as("hot_r"),
-          (col("max_n") - col("min_n")).as("spread_r")))
-        .select(col("hot_d").as("hot_drifted"),
-          col("hot_r").as("hot_retrained"),
-          col("spread_d").as("spread_drifted"),
-          col("spread_r").as("spread_retrained"),
-          when(col("hot_d") > col("hot_r") ||
-            col("spread_d") * 10 > col("spread_r") * 13, lit("retrain"))
-            .otherwise(lit("hold")).as("decision"))
-    },
-    Some(s"""
-      WITH e AS ($normedDuck),
-      ${coarseArmSql("d", "vec_id % 4 = 0")},
-      ${coarseArmSql("r", "TRUE")},
-      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
-      dom AS (SELECT CAST(unnest(range(0, $KmK)) AS BIGINT) AS cell),
-      fd AS (SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n
-             FROM dom d LEFT JOIN cntd c ON c.cell = d.cell),
-      fr AS (SELECT d.cell, COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n
-             FROM dom d LEFT JOIN cntr c ON c.cell = d.cell),
-      sd AS (SELECT MAX(f.n) - MIN(f.n) AS spread,
-               CAST(SUM(CASE WHEN f.n * $KmK * 10 > t.total * 15
-                 THEN 1 ELSE 0 END) AS BIGINT) AS hot
-             FROM fd f CROSS JOIN tot t),
-      sr AS (SELECT MAX(f.n) - MIN(f.n) AS spread,
-               CAST(SUM(CASE WHEN f.n * $KmK * 10 > t.total * 15
-                 THEN 1 ELSE 0 END) AS BIGINT) AS hot
-             FROM fr f CROSS JOIN tot t)
-      SELECT sd.hot AS hot_drifted, sr.hot AS hot_retrained,
-        sd.spread AS spread_drifted, sr.spread AS spread_retrained,
-        CASE WHEN sd.hot > sr.hot OR sd.spread * 10 > sr.spread * 13
-             THEN 'retrain' ELSE 'hold' END AS decision
-      FROM sd CROSS JOIN sr"""))
-
-  /** q255: SEMANTIC-INDEX RETRAIN under the bit-exact gate — the
-    * maintenance actuator q242 was missing (the vector index got its
-    * in q241). Trajectory: the q242 lifecycle runs first (base build
-    * on the first half, two frozen-centroid ingests — exactly the
-    * drifted append-only state a long-lived index reaches), then
-    * [[retrainSemanticIndex]] re-trains on the stored members and
-    * flips the generation pointer, and the RETURNED plan is
-    * [[semanticIndexVerdicts]] — the smaller-id prune served from the
-    * retrained generation's stored tables only. The oracle is q212's
-    * full-corpus trajectory verbatim: a retrained index must serve
-    * exactly what a scratch full-train SemDeDup computes, which is the
-    * whole point of the retrain (the frozen base-half centroids it
-    * replaces would NOT match it — the spec proves that separation,
-    * plus crash-before-flip leaving gen 0 serving). */
-  val q255SemanticRetrain = OpSpec(
-    "q255_semantic_retrain",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val total = e.count()
-      val prefix = "sem_q255"
-      val path = s"${graft.Tables.scratchDir}/sem_q255"
-      resetSemanticIndex(s, prefix, path)
-      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
-        prefix, s"$path/idx")
-      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total &&
-        col("vec_id") * 4 < total * 3), prefix, s"$path/idx")
-      ingestSemanticIndex(s, e.filter(col("vec_id") * 4 >= total * 3),
-        prefix, s"$path/idx")
-      retrainSemanticIndex(s, prefix, s"$path/retrain")
-      semanticIndexVerdicts(s, prefix)
-    },
-    q212SemDedup.oracle)
-
-  /** q261: SEMANTIC-INDEX PURGE under the bit-exact gate — the
-    * right-to-be-forgotten proof for the semantic-dedup index
-    * (tombstones + masked serve; retrain folds them — spec'd). The
-    * q242 lifecycle runs (base build, one ingest), then a fifth of the
-    * corpus is tombstoned and the serve re-asked. The oracle is the
-    * frozen-centroid SemDeDup computed over the SURVIVORS ONLY —
-    * training still on the full base half (the centroids were learned
-    * before the takedown; purge must not secretly retrain) — so the
-    * gate proves the subtle half: a doc that was pruned only because
-    * of a now-purged near-twin comes back KEEP. Forgotten means
-    * forgotten, including as evidence against others. */
-  val q261SemanticPurge = OpSpec(
-    "q261_semantic_purge",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val total = e.count()
-      val prefix = "sem_q261"
-      val path = s"${graft.Tables.scratchDir}/sem_q261"
-      resetSemanticIndex(s, prefix, path)
-      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
-        prefix, s"$path/idx")
-      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total),
-        prefix, s"$path/idx")
-      purgeSemanticIndex(s,
-        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
-        prefix, s"$path/idx")
-      semanticIndexVerdicts(s, prefix)
-    },
-    Some(s"""
-      WITH e AS ($normedDuck),
-      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-      b AS (SELECT e.vec_id, e.embedding, e.nrm
-            FROM e, t WHERE 2 * e.vec_id < t.n),
-      seeds AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT em.vec_id, em.embedding,
-                md5('ivf:' || em.vec_id) AS rk
-              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
-        QUALIFY cid < $KmK),
-      c0 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds)),
-      s1 AS (${kmIterDuck("c0", "b")}),
-      c1 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s1)),
-      s2 AS (${kmIterDuck("c1", "b")}),
-      c2 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2)),
-      asg AS (
-        SELECT cid, vec_id, embedding, nrm FROM (
-          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-          FROM e, c2 c)
-        WHERE rn = 1),
-      lasg AS (SELECT * FROM asg WHERE vec_id % 5 <> 2),
-      pruned AS (
-        SELECT DISTINCT p.cid, p.vec_id
-        FROM lasg a JOIN lasg p
-          ON a.cid = p.cid AND a.vec_id < p.vec_id
-        WHERE ${dotDuck("a.embedding", "p.embedding")} / (a.nrm * p.nrm)
-          > $SemDedupTau)
-      SELECT g.cid, g.vec_id,
-        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-          AS verdict
-      FROM lasg g LEFT JOIN pruned p
-        ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
-
-  /** q264: SEMANTIC-INDEX VACUUM — q261's trajectory with
-    * [[vacuumSemanticIndex]] folding the tombstones into the physical
-    * members table before the serve (centroids frozen, no retrain):
-    * the oracle is q261's verbatim, so the gate proves the fold
-    * changes nothing a reader can see while the masked rows' storage
-    * cost is reclaimed (physical-drop + post-vacuum ingest spec'd). */
-  val q264SemanticVacuum = OpSpec(
-    "q264_semantic_vacuum",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val total = e.count()
-      val prefix = "sem_q264"
-      val path = s"${graft.Tables.scratchDir}/sem_q264"
-      resetSemanticIndex(s, prefix, path)
-      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
-        prefix, s"$path/idx")
-      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total),
-        prefix, s"$path/idx")
-      purgeSemanticIndex(s,
-        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
-        prefix, s"$path/idx")
-      vacuumSemanticIndex(s, prefix, s"$path/vac")
-      semanticIndexVerdicts(s, prefix)
-    },
-    q261SemanticPurge.oracle)
-
-  /** q256: MULTI-PROBE SemDeDup — the recovery knob for q220's
-    * structural misses. q220 measures the near-dup pairs SemDeDup can
-    * NEVER catch at any tau because their endpoints land in different
-    * cells; assigning the PROBE side to its top-2 cells (members stay
-    * single-assigned — storage unchanged) makes a pair comparable
-    * whenever the smaller id's primary cell appears anywhere in the
-    * larger id's top-2, for ~2× scan cost (the IVF nprobe trade
-    * applied to dedup). Gated as the side-by-side audit: one row per
-    * phase (single / multiprobe) with the truth-pair counts under that
-    * phase's OWN verdicts and its OWN reachability rule — n_structural
-    * must fall (spec-asserted), which is the whole point. Scale: one
-    * broadcast-k training + the cid-equi-join pair scan at ≤2× q212's
-    * volume; the audit joins are truth-pair-sized. */
-  val q256MultiprobeAudit = OpSpec(
-    "q256_multiprobe_audit",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
-        .select(least(col("doc_a"), col("doc_b")).as("doc_s"),
-          greatest(col("doc_a"), col("doc_b")).as("doc_l")).persist()
-      val cents = coarseKmOfK(e, KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val asg2 = semAssignTop(e, cents, 2).persist()
-      val asg1 = asg2.filter(col("pr") === 1).drop("pr")
-      def prunedIds(probe: DataFrame): DataFrame =
-        asg1.select(col("cid"), col("vec_id").as("vec_a"),
-            col("embedding").as("va"), col("nrm").as("na"))
-          .join(probe.select(col("cid"), col("vec_id").as("vec_b"),
-            col("embedding").as("vb"), col("nrm").as("nb")), Seq("cid"))
-          .filter(col("vec_a") < col("vec_b"))
-          .filter(graft.functions.VectorFunctions.dot(col("va"),
-            col("vb")) / (col("na") * col("nb")) > expr(SemDedupTau))
-          .select(col("vec_b").as("vec_id")).distinct()
-      def verdicts(pruned: DataFrame): DataFrame =
-        asg1.select(col("vec_id"))
-          .join(pruned.withColumn("hit", lit(1)), Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            when(col("hit").isNotNull, lit("prune"))
-              .otherwise(lit("keep")).as("verdict"))
-      // reachability: the pair is comparable iff the smaller id's
-      // PRIMARY cell is among the larger id's probed cells
-      def reach(probe: DataFrame): DataFrame = truth
-        .join(asg1.select(col("vec_id").as("doc_s"),
-          col("cid").as("c_s")), "doc_s")
-        .join(probe.select(col("vec_id").as("doc_l"),
-          col("cid").as("c_s")), Seq("doc_l", "c_s"))
-        .select(col("doc_s"), col("doc_l")).distinct()
-      def audit(v: DataFrame, r: DataFrame, phase: String): DataFrame = {
-        val kept = col("v_s") === "keep" && col("v_l") === "keep"
-        truth
-          .join(v.select(col("vec_id").as("doc_s"),
-            col("verdict").as("v_s")), "doc_s")
-          .join(v.select(col("vec_id").as("doc_l"),
-            col("verdict").as("v_l")), "doc_l")
-          .join(r.withColumn("rch", lit(1)), Seq("doc_s", "doc_l"),
-            "left")
-          .agg(count(lit(1)).as("n_truth"),
-            sum(when(kept, 1L).otherwise(0L)).as("n_both_kept"),
-            sum(when(kept && col("rch").isNull, 1L).otherwise(0L))
-              .as("n_structural"))
-          .select(lit(phase).as("phase"), col("n_truth"),
-            col("n_both_kept"), col("n_structural"),
-            when(col("n_truth") === 0L, lit(0.0))
-              .otherwise(col("n_structural").cast("double")
-                / col("n_truth").cast("double")).as("structural_rate"))
-      }
-      audit(verdicts(prunedIds(asg1)), reach(asg1), "single")
-        .unionByName(
-          audit(verdicts(prunedIds(asg2)), reach(asg2), "multiprobe"))
-    },
-    Some(s"""
-      WITH ${graft.ops.DedupOps.q50OracleCtes},
-      truth AS (
-        SELECT LEAST(i.doc_a, i.doc_b) AS doc_s,
-               GREATEST(i.doc_a, i.doc_b) AS doc_l
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE 7 * i.n_inter >= 3 * (sa.sz + sb.sz)),
-      e AS ($normedDuck),
-      ${semDedupArmSql(KmK)},
-      rnk AS (
-        SELECT e.vec_id, c.cid,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-            list_reduce(list_transform(generate_series(1, len(e.embedding)),
-              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-        FROM e, c2_$KmK c),
-      asg2 AS (SELECT vec_id, cid FROM rnk WHERE rn <= 2),
-      mprune AS (
-        SELECT DISTINCT b.vec_id
-        FROM asg_$KmK a
-        JOIN asg2 p ON p.cid = a.cid
-        JOIN asg_$KmK b ON b.vec_id = p.vec_id AND a.vec_id < b.vec_id
-        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-          > $SemDedupTau),
-      sverd AS (SELECT vec_id, verdict FROM verd_$KmK),
-      mverd AS (
-        SELECT g.vec_id,
-          CASE WHEN m.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-            AS verdict
-        FROM asg_$KmK g LEFT JOIN mprune m ON m.vec_id = g.vec_id),
-      reach_s AS (
-        SELECT DISTINCT t.doc_s, t.doc_l FROM truth t
-        JOIN asg_$KmK x ON x.vec_id = t.doc_s
-        JOIN asg_$KmK y ON y.vec_id = t.doc_l AND y.cid = x.cid),
-      reach_m AS (
-        SELECT DISTINCT t.doc_s, t.doc_l FROM truth t
-        JOIN asg_$KmK x ON x.vec_id = t.doc_s
-        JOIN asg2 p ON p.vec_id = t.doc_l AND p.cid = x.cid),
-      aud_s AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
-          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
-            AND r.doc_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_structural
-        FROM truth t
-        JOIN sverd a ON a.vec_id = t.doc_s
-        JOIN sverd b ON b.vec_id = t.doc_l
-        LEFT JOIN reach_s r ON r.doc_s = t.doc_s AND r.doc_l = t.doc_l),
-      aud_m AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
-          CAST(SUM(CASE WHEN a.verdict = 'keep' AND b.verdict = 'keep'
-            AND r.doc_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_structural
-        FROM truth t
-        JOIN mverd a ON a.vec_id = t.doc_s
-        JOIN mverd b ON b.vec_id = t.doc_l
-        LEFT JOIN reach_m r ON r.doc_s = t.doc_s AND r.doc_l = t.doc_l)
-      SELECT 'single' AS phase, n_truth, n_both_kept, n_structural,
-        CASE WHEN n_truth = 0 THEN 0e0
-             ELSE CAST(n_structural AS DOUBLE) / CAST(n_truth AS DOUBLE)
-        END AS structural_rate
-      FROM aud_s
-      UNION ALL
-      SELECT 'multiprobe' AS phase, n_truth, n_both_kept, n_structural,
-        CASE WHEN n_truth = 0 THEN 0e0
-             ELSE CAST(n_structural AS DOUBLE) / CAST(n_truth AS DOUBLE)
-        END AS structural_rate
-      FROM aud_m"""))
 
   /** Margin-mining neighborhood size (the k of the ratio-margin
     * criterion). */
@@ -4196,160 +2324,6 @@ object EmbeddingOps {
       SELECT query_id, vec_id AS match_id, cosine, margin
       FROM top WHERE mr = 1 AND margin > 1e0"""))
 
-  /** Swept SemDeDup cluster counts for the q220 miss audit. */
-  private val SemDedupKs = Seq(4, 8, 16)
-
-  /** DuckDB CTE chain for one SemDeDup arm at cluster count k: q212's
-    * full train→assign→prune trajectory with `_k`-suffixed names,
-    * ending in verd_k (vec_id, cid, verdict). */
-  private[graft] def semDedupArmSql(k: Int): String = s"""
-      seeds_$k AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM embeddings)
-        QUALIFY cid < $k),
-      c0_$k AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds_$k)),
-      s1_$k AS (${kmIterDuck(s"c0_$k")}),
-      c1_$k AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s1_$k)),
-      s2_$k AS (${kmIterDuck(s"c1_$k")}),
-      c2_$k AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM s2_$k)),
-      asg_$k AS (
-        SELECT cid, vec_id, embedding, nrm FROM (
-          SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
-                (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
-          FROM e, c2_$k c)
-        WHERE rn = 1),
-      pruned_$k AS (
-        SELECT DISTINCT b.cid, b.vec_id
-        FROM asg_$k a JOIN asg_$k b
-          ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-          > $SemDedupTau),
-      verd_$k AS (
-        SELECT g.vec_id, g.cid,
-          CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
-            AS verdict
-        FROM asg_$k g LEFT JOIN pruned_$k p
-          ON p.cid = g.cid AND p.vec_id = g.vec_id)"""
-
-  /** q220: the SemDeDup CROSS-CLUSTER MISS audit — the recall price of
-    * the paper's tractability trade, measured instead of footnoted.
-    * Ground truth: q50's lossless n-gram near-dup pairs (doc_id ==
-    * vec_id in this corpus). For each swept k, SemDeDup's kept set is
-    * recomputed (q212's exact trajectory) and every truth pair is
-    * classified: both ends kept AND different clusters = a pair the
-    * within-cluster prune could NEVER have caught at any tau (the
-    * structural miss the audit exists to price); both kept and same
-    * cluster = a threshold miss (tau knob, not k). One shared join:
-    * truth built once, the three arms' verdicts stacked into a single
-    * frame joined on each pair end. A 100 TB operator reads the
-    * cross-miss column against k's Σ|cluster|² scan cost to choose the
-    * cluster count. Scale: three broadcast-k trainings + three
-    * cid-equi-join pair scans (q212's shape); the audit join is
-    * truth-pair-sized.
-    *
-    * AUDIT ONLY: the lossless ppjoin truth plus three trainings ARE the
-    * measurement (the suite's most expensive query by construction) —
-    * never lift this into a production dedup path; q212 remains the
-    * operator and this prices its k knob offline. */
-  val q220SemdedupMissAudit = OpSpec(
-    "q220_semdedup_miss_audit",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      // truth feeds the three arms' verdict restriction AND the final
-      // join — persist so the lossless ppjoin runs once
-      val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
-        .select(col("doc_a"), col("doc_b")).persist()
-      val endpoints = truth.select(col("doc_a").as("vec_id"))
-        .union(truth.select(col("doc_b").as("vec_id"))).distinct()
-      val verdicts = SemDedupKs.map(k =>
-          semDedupVerdicts(e, k, Some(endpoints))
-            .withColumn("k", lit(k.toLong)))
-        .reduce(_ unionByName _)
-      val joined = truth
-        .join(verdicts.select(col("k"), col("vec_id").as("doc_a"),
-          col("cid").as("cid_a"), col("verdict").as("v_a")), "doc_a")
-        .join(verdicts.select(col("k"), col("vec_id").as("doc_b"),
-          col("cid").as("cid_b"), col("verdict").as("v_b")),
-          Seq("k", "doc_b"))
-      val kept = col("v_a") === "keep" && col("v_b") === "keep"
-      val agg = joined.groupBy(col("k")).agg(
-        count(lit(1)).as("n_truth"),
-        sum(when(kept, 1L).otherwise(0L)).as("n_both_kept"),
-        sum(when(kept && col("cid_a") =!= col("cid_b"), 1L).otherwise(0L))
-          .as("n_cross_missed"),
-        sum(when(kept && col("cid_a") === col("cid_b"), 1L).otherwise(0L))
-          .as("n_same_kept"))
-      // explicit k domain + left join: an arm with zero joined truth
-      // pairs must still emit its row (the q178 empty-set lesson)
-      s.range(1).select(explode(array(
-          SemDedupKs.map(k => lit(k.toLong)): _*)).as("k"))
-        .join(agg, Seq("k"), "left")
-        .na.fill(0L, Seq("n_truth", "n_both_kept", "n_cross_missed",
-          "n_same_kept"))
-        .select(col("k"), col("n_truth"), col("n_both_kept"),
-          col("n_cross_missed"), col("n_same_kept"),
-          when(col("n_truth") === 0L, lit(0.0))
-            .otherwise(col("n_cross_missed").cast("double")
-              / col("n_truth").cast("double")).as("cross_miss_rate"))
-    },
-    Some(s"""
-      WITH ${graft.ops.DedupOps.q50OracleCtes},
-      truth AS (
-        SELECT i.doc_a, i.doc_b
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE 7 * i.n_inter >= 3 * (sa.sz + sb.sz)),
-      e AS ($normedDuck),
-      ${SemDedupKs.map(semDedupArmSql).mkString(",")},
-      verd AS (${SemDedupKs.map(k =>
-        s"""SELECT CAST($k AS BIGINT) AS k, vec_id, cid, verdict
-        FROM verd_$k""").mkString("\n        UNION ALL\n        ")}),
-      j AS (
-        SELECT va.k, va.verdict AS v_a, vb.verdict AS v_b,
-          va.cid AS cid_a, vb.cid AS cid_b
-        FROM truth t
-        JOIN verd va ON va.vec_id = t.doc_a
-        JOIN verd vb ON vb.vec_id = t.doc_b AND vb.k = va.k),
-      agg AS (
-        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_truth,
-          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_kept,
-          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
-            AND cid_a <> cid_b THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_cross_missed,
-          CAST(SUM(CASE WHEN v_a = 'keep' AND v_b = 'keep'
-            AND cid_a = cid_b THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_same_kept
-        FROM j GROUP BY k)
-      SELECT d.k,
-        COALESCE(a.n_truth, CAST(0 AS BIGINT)) AS n_truth,
-        COALESCE(a.n_both_kept, CAST(0 AS BIGINT)) AS n_both_kept,
-        COALESCE(a.n_cross_missed, CAST(0 AS BIGINT)) AS n_cross_missed,
-        COALESCE(a.n_same_kept, CAST(0 AS BIGINT)) AS n_same_kept,
-        CASE WHEN COALESCE(a.n_truth, 0) = 0 THEN 0e0
-             ELSE CAST(a.n_cross_missed AS DOUBLE)
-                  / CAST(a.n_truth AS DOUBLE) END AS cross_miss_rate
-      FROM (SELECT CAST(unnest([${SemDedupKs.mkString(", ")}])
-            AS BIGINT) AS k) d
-      LEFT JOIN agg a ON a.k = d.k"""))
 
   /** Hubness-audit geometry: [[HubQ]] sampled query points × top-[[HubK]]
     * neighbor lists (constant-bounded at any corpus size — the sampled
@@ -4527,208 +2501,6 @@ object EmbeddingOps {
         END AS reciprocity
       FROM agg"""))
 
-  /** The q280 metric row from two (vec_id, cid0)/(vec_id, cid1)
-    * assignments: ONE ≤k² contingency → Rand, Adjusted Rand, and
-    * majority retention under q174's integer-exact pair-counting
-    * discipline (doubled x(x−1) forms, DECIMAL(18)×DECIMAL(18) cross
-    * products, decimal→string→double final rounding). Shared by the
-    * gated q280 and the persisted-index [[semanticRetrainDrift]] so
-    * the two can never drift apart. */
-  private def generationDriftRow(a0: DataFrame,
-      a1: DataFrame): DataFrame = {
-    val cont = a0.join(a1, "vec_id")
-      .groupBy(col("cid0"), col("cid1"))
-      .agg(count(lit(1)).as("nij"))
-      .persist()
-    val tot = cont.agg(sum(col("nij")).as("n"),
-      expr("CAST(SUM(nij * (nij - 1)) AS BIGINT)").as("a2"),
-      countDistinct(col("cid0")).as("c_gen0"),
-      countDistinct(col("cid1")).as("c_gen1"))
-    val by0 = cont.groupBy(col("cid0"))
-      .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
-      .agg(expr("CAST(SUM(ai * (ai - 1)) AS BIGINT)").as("b1_2"),
-        sum(col("mx")).as("pure"))
-    val by1 = cont.groupBy(col("cid1")).agg(sum(col("nij")).as("bj"))
-      .agg(expr("CAST(SUM(bj * (bj - 1)) AS BIGINT)").as("b2_2"))
-    tot.crossJoin(by0).crossJoin(by1)
-      .withColumn("t2", expr("n * (n - 1)"))
-      .withColumn("ari_num", expr("""
-        CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
-        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
-      .withColumn("ari_den", expr("""
-        CAST(t2 AS DECIMAL(18,0))
-          * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
-        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
-        - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))"""))
-      .select(col("n"), col("c_gen0"), col("c_gen1"),
-        (col("pure").cast("double") / col("n").cast("double"))
-          .as("retention"),
-        expr("""CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE)
-                / CAST(t2 AS DOUBLE)""").as("rand_index"),
-        expr("""CAST(CAST(ari_num AS STRING) AS DOUBLE) * 2
-                / CAST(CAST(ari_den AS STRING) AS DOUBLE)""").as("ari"))
-  }
-
-  /** q280's measurement applied to a LIVE persisted semantic index —
-    * the pre-flip decision readout a maintenance scheduler runs before
-    * paying for [[retrainSemanticIndex]]: cid0 is the STORED cell
-    * assignment the frozen generation actually serves (tombstone-
-    * masked, pointer-resolved); the candidate generation trains on the
-    * stored member floats exactly as the retrain would (no source
-    * rescan — parquet round-trips the vectors bit-exactly, so this IS
-    * the partition a flip would publish). Returns the one-row
-    * n / c_gen0 / c_gen1 / retention / rand_index / ari frame; spec'd
-    * bit-identical to the q280 gated row on the same build+ingest
-    * trajectory, so the API answer inherits q280's oracle. */
-  def semanticRetrainDrift(s: SparkSession, prefix: String,
-      k: Int = KmK): DataFrame = {
-    val m = liveSemanticMembers(s, prefix)
-      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
-      .persist()
-    val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
-    val cand = coarseKmOfK(vecs, k)
-      .select(col("cid"), col("cv"), col("cnrm"))
-    generationDriftRow(
-      m.select(col("vec_id"), col("cid").as("cid0")),
-      semAssign(vecs, cand).select(col("vec_id"), col("cid").as("cid1")))
-  }
-
-  /** q280: RETRAIN DRIFT — the measurement half the retrain go/no-go
-    * policy (q260) was missing: BEFORE paying for a generation flip
-    * (q241/q255), quantify how far the frozen generation's partition
-    * has drifted from what a fresh training would produce. Gen 0
-    * trains on the old half of the corpus (the index's build-time
-    * world, `vec_id·2 < n`); the candidate generation trains on the
-    * full corpus; BOTH assign the full corpus (cosine argmax), and the
-    * two partitions are compared from one contingency table with
-    * q174's integer-exact pair-counting discipline: Rand index and
-    * ADJUSTED Rand index (doubled x(x−1) forms, DECIMAL(18)×DECIMAL(18)
-    * cross products, decimal→string→double final rounding), plus
-    * `retention` — the fraction of vectors whose gen-0 cohort majority
-    * survives into one new cell (the q174 purity formula applied
-    * between generations). Low ARI = the frozen centroids no longer
-    * describe the corpus → retrain pays (q248 then measures the payoff
-    * realized, q260 gates the actuator).
-    *
-    * Scale: two q98-shape trainings (k-row centroid broadcasts, argmax
-    * windows keyed by vec_id, k-group folds), one (cid0, cid1) ≤ k²-row
-    * contingency, three metadata-sized aggregate scans. The corpus is
-    * never paired with itself. */
-  val q280RetrainDrift = OpSpec(
-    "q280_retrain_drift",
-    (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm")).persist()
-      val total = e.count()
-      val gen0 = coarseKmOfK(e.filter(col("vec_id") * 2 < total), KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val gen1 = coarseKmOfK(e, KmK)
-        .select(col("cid"), col("cv"), col("cnrm"))
-      val a0 = semAssign(e, gen0)
-        .select(col("vec_id"), col("cid").as("cid0"))
-      val a1 = semAssign(e, gen1)
-        .select(col("vec_id"), col("cid").as("cid1"))
-      generationDriftRow(a0, a1)
-    },
-    Some(s"""
-      WITH e AS (
-        SELECT vec_id, embedding, nrm FROM ($normedDuck)),
-      eh AS (
-        SELECT * FROM e WHERE vec_id * 2 < (SELECT COUNT(*) FROM e)),
-      seeds0 AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM eh)
-        QUALIFY cid < $KmK),
-      g00 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds0)),
-      t01 AS (${kmIterDuck("g00", "eh")}),
-      g01 AS (
-        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
-              FROM t01)),
-      t02 AS (${kmIterDuck("g01", "eh")}),
-      g02 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM t02)),
-      seeds1 AS (
-        SELECT vec_id, embedding,
-          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
-            AS cid
-        FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM e)
-        QUALIFY cid < $KmK),
-      g10 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-              FROM seeds1)),
-      t11 AS (${kmIterDuck("g10", "e")}),
-      g11 AS (
-        SELECT cid, n, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, n, list_transform(sumv, x -> x / n) AS cv
-              FROM t11)),
-      t12 AS (${kmIterDuck("g11", "e")}),
-      g12 AS (
-        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
-        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
-              FROM t12)),
-      a0 AS (
-        SELECT vec_id, cid AS cid0 FROM (
-          SELECT e.vec_id, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              ${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC,
-              c.cid ASC) AS rn
-          FROM e, g02 c)
-        WHERE rn = 1),
-      a1 AS (
-        SELECT vec_id, cid AS cid1 FROM (
-          SELECT e.vec_id, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              ${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm) DESC,
-              c.cid ASC) AS rn
-          FROM e, g12 c)
-        WHERE rn = 1),
-      cont AS (
-        SELECT cid0, cid1, CAST(COUNT(*) AS BIGINT) AS nij
-        FROM a0 JOIN a1 USING (vec_id) GROUP BY 1, 2),
-      tot AS (
-        SELECT CAST(SUM(nij) AS BIGINT) AS n,
-          CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a2,
-          CAST(COUNT(DISTINCT cid0) AS BIGINT) AS c_gen0,
-          CAST(COUNT(DISTINCT cid1) AS BIGINT) AS c_gen1
-        FROM cont),
-      by0 AS (
-        SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS b1_2,
-          CAST(SUM(mx) AS BIGINT) AS pure
-        FROM (SELECT cid0, SUM(nij) AS ai, MAX(nij) AS mx
-              FROM cont GROUP BY 1)),
-      by1 AS (
-        SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS b2_2
-        FROM (SELECT cid1, SUM(nij) AS bj FROM cont GROUP BY 1)),
-      f AS (
-        SELECT n, a2, c_gen0, c_gen1, b1_2, pure, b2_2,
-          n * (n - 1) AS t2
-        FROM tot, by0, by1)
-      SELECT n, c_gen0, c_gen1,
-        CAST(pure AS DOUBLE) / CAST(n AS DOUBLE) AS retention,
-        CAST(t2 + 2 * a2 - b1_2 - b2_2 AS DOUBLE) / CAST(t2 AS DOUBLE)
-          AS rand_index,
-        CAST(CAST(CAST(a2 AS DECIMAL(18,0)) * CAST(t2 AS DECIMAL(18,0))
-             - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
-             AS VARCHAR) AS DOUBLE) * 2
-          / CAST(CAST(CAST(t2 AS DECIMAL(18,0))
-                   * CAST(b1_2 + b2_2 AS DECIMAL(18,0))
-                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
-                 - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
-                 AS VARCHAR) AS DOUBLE) AS ari
-      FROM f"""))
 
   val all: Seq[OpSpec] = Seq(
     q30CosineTopk, q31CosineNeardup, q32IvfAssign, q33IvfSearch,
@@ -4737,12 +2509,6 @@ object EmbeddingOps {
     q137PqCodes, q138PqAdcSearch, q150IvfPqSearch, q160HammingSearch,
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
-    q191MrrEval, q192SpearmanEval, q205VectorIndex, q210VectorVacuum,
-    q212SemDedup, q218StagedServeRecall, q220SemdedupMissAudit,
-    q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
-    q240RerankedServe, q241RetrainedServe, q242IncrementalSemdedup,
-    q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
-    q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
-    q266MarginMining, q279HubnessAudit, q280RetrainDrift,
-    q281KnnReciprocity, q287MultiprobeSemdedup)
+    q191MrrEval, q192SpearmanEval, q266MarginMining, q279HubnessAudit,
+    q281KnnReciprocity)
 }

@@ -910,7 +910,7 @@ object StreamingStages {
 
   /** The oracle-checked streaming ops (SparkEntry registry hook). */
   /** foreachBatch ingest into a persisted
-    * [[graft.ops.EmbeddingOps.VectorIndex]]: each arriving micro-batch
+    * [[graft.ops.VectorIndexOps.VectorIndex]]: each arriving micro-batch
     * of (vec_id, embedding) rows is coded against the FROZEN stored
     * codebooks and appended to the codes table — the streaming half of
     * the index lifecycle (q206 dedups a document stream; this indexes
@@ -931,7 +931,7 @@ object StreamingStages {
     val q = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.EmbeddingOps.appendToVectorIndex(s, batch, prefix,
+          graft.ops.VectorIndexOps.appendToVectorIndex(s, batch, prefix,
             path, batchId = Some(batchId))
           // the append's write runs through the micro-batch's CLONED
           // session, which invalidates only its own relation cache —
@@ -962,23 +962,23 @@ object StreamingStages {
         .select(col("vec_id"), col("embedding"))
       val base = s"${graft.Tables.scratchDir}/vsi_q219"
       val prefix = "vsi_q219"
-      EmbeddingOps.resetVectorIndex(s, prefix, base)
+      graft.ops.VectorIndexOps.resetVectorIndex(s, prefix, base)
       val (streamDir, idxPath, ckpt) =
         (s"$base/stream", s"$base/idx", s"$base/ckpt")
       // train on the full corpus, start with ZERO codes — ingest is
       // the stream's job
-      EmbeddingOps.buildVectorIndex(s, e, e.limit(0), prefix, idxPath)
+      graft.ops.VectorIndexOps.buildVectorIndex(s, e, e.limit(0), prefix, idxPath)
       e.repartition(4, col("vec_id")).write.parquet(streamDir)
       val stream = s.readStream
         .schema(s.read.parquet(streamDir).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(streamDir)
       streamIntoVectorIndex(s, stream, prefix, idxPath, ckpt).stop()
-      EmbeddingOps.searchVectorIndex(
+      graft.ops.VectorIndexOps.searchVectorIndex(
         graft.Tables.table(s, dir, "embeddings")
           .filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding")),
-        EmbeddingOps.readVectorIndex(s, prefix),
+        graft.ops.VectorIndexOps.readVectorIndex(s, prefix),
         EmbeddingOps.IvfPqNprobe)
     },
     graft.ops.EmbeddingOps.q150IvfPqSearch.oracle)
@@ -1119,7 +1119,7 @@ object StreamingStages {
     graft.ops.DedupOps.q55IncrementalDedup.oracle)
 
   /** foreachBatch ingest into a persisted SEMANTIC-DEDUP index
-    * ([[graft.ops.EmbeddingOps.ingestSemanticIndex]]): each arriving
+    * ([[graft.ops.SemanticDedupOps.ingestSemanticIndex]]): each arriving
     * micro-batch of (vec_id, embedding, nrm) rows is assigned against
     * the FROZEN stored centroids, appended to the members table, and
     * its verdicts land in `<prefix>_verdicts` — both appends
@@ -1136,7 +1136,7 @@ object StreamingStages {
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val verdicts = graft.ops.EmbeddingOps.ingestSemanticIndex(
+          val verdicts = graft.ops.SemanticDedupOps.ingestSemanticIndex(
             s, batch, prefix, path, buckets, batchId = Some(batchId))
           graft.io.Sinks.appendBucketedTableIdempotent(s, verdicts,
             batchId, s"${prefix}_verdicts", "vec_id", buckets,
@@ -1168,7 +1168,7 @@ object StreamingStages {
       import graft.ops.EmbeddingOps
       val prefix = "sem_q247"
       val base = s"${graft.Tables.scratchDir}/sem_q247"
-      EmbeddingOps.resetSemanticIndex(s, prefix, base)
+      graft.ops.SemanticDedupOps.resetSemanticIndex(s, prefix, base)
       val e = graft.Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           expr("""CASE WHEN aggregate(embedding, 0e0,
@@ -1176,7 +1176,7 @@ object StreamingStages {
             ELSE sqrt(aggregate(embedding, 0e0,
               (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
       val total = e.count()
-      val v0 = EmbeddingOps.buildSemanticIndex(s,
+      val v0 = graft.ops.SemanticDedupOps.buildSemanticIndex(s,
         e.filter(col("vec_id") * 2 < total), prefix, s"$base/idx")
       // stage the two generations as files whose MTIME order is their
       // id order — the arrival-order contract the ingest needs
@@ -1206,7 +1206,7 @@ object StreamingStages {
       v0.unionByName(s.table(s"${prefix}_verdicts")
         .select(col("cid"), col("vec_id"), col("verdict")))
     },
-    graft.ops.EmbeddingOps.q242IncrementalSemdedup.oracle)
+    graft.ops.SemanticDedupOps.q242IncrementalSemdedup.oracle)
 
   /** q259: the EXACTLY-ONCE sharded-parquet sink under the bit-exact
     * gate — [[runToShardedParquet]] (the K-class production sink) was

@@ -1213,7 +1213,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("k-means IVF centroids: partitioning-stable, beats the id-slice") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
     val a = EmbeddingOps.kmeansCentroids(e.repartition(7), k = 8, iters = 3)
     val b = EmbeddingOps.kmeansCentroids(e.repartition(3), k = 8, iters = 3)
@@ -1274,7 +1274,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("IVF near-dup: finds a planted pair, caps oversized clusters") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
     val cents = EmbeddingOps.kmeansCentroids(e, k = 8, iters = 2)
     // a planted near-identical pair must surface within its cluster
@@ -1298,7 +1298,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("trained IVF search: recall monotone in nprobe, exact at full probe") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val cents = EmbeddingOps.kmeansCentroids(
@@ -1759,7 +1759,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q150 IVF-PQ: cell-pruned equi-join, recall monotone in nprobe, " +
     "flat-ADC-exact at full probe") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     // (1) plan: the probed-cell restriction must be an equi-join (the
     // whole point — only matching inverted lists are scanned), with no
     // cartesian anywhere
@@ -1794,7 +1794,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q205 vector index: append == rebuild, search reads only stored " +
     "tables, serving equals the inline q150 trajectory") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val first = e.filter(col("vec_id") % 2 === 0)
@@ -1808,24 +1808,24 @@ class OperatorSpec extends AnyFunSuite {
     // must equal build(train=first, corpus=all) table-for-table
     val (pA, pB) = (tmp(), tmp())
     val (pxA, pxB) = (pfx(pA), pfx(pB))
-    EmbeddingOps.buildVectorIndex(spark, first, first, pxA, pA)
-    EmbeddingOps.appendToVectorIndex(spark, second, pxA, pA)
-    EmbeddingOps.buildVectorIndex(spark, first, e, pxB, pB)
-    def codesOf(px: String) = EmbeddingOps.readVectorIndex(spark, px)
+    VectorIndexOps.buildVectorIndex(spark, first, first, pxA, pA)
+    VectorIndexOps.appendToVectorIndex(spark, second, pxA, pA)
+    VectorIndexOps.buildVectorIndex(spark, first, e, pxB, pB)
+    def codesOf(px: String) = VectorIndexOps.readVectorIndex(spark, px)
       .codes.as[(Long, Long, Long, Long)].collect().toSet
     assert(codesOf(pxA) == codesOf(pxB),
       "appended codes diverge from a from-scratch rebuild")
     // appended index serves identically to the rebuilt one
     val q = e.filter(col("vec_id") < 20)
-    def served(px: String) = EmbeddingOps.searchVectorIndex(
-      q, EmbeddingOps.readVectorIndex(spark, px), 2)
+    def served(px: String) = VectorIndexOps.searchVectorIndex(
+      q, VectorIndexOps.readVectorIndex(spark, px), 2)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(served(pxA) == served(pxB))
     // (2) plan audit: the search plan reads the stored index tables
     // and touches embeddings ONLY through the vec_id<20 query-side
     // scan — no corpus-float scan, no k-means/codebook training stage
-    val search = EmbeddingOps.searchVectorIndex(
-      q, EmbeddingOps.readVectorIndex(spark, pxB), 2)
+    val search = VectorIndexOps.searchVectorIndex(
+      q, VectorIndexOps.readVectorIndex(spark, pxB), 2)
     val plan = search.queryExecution.executedPlan.toString
     assert(plan.contains(pB) || plan.contains(s"${pxB}_codes"),
       s"search plan does not read the stored index:\n$plan")
@@ -1853,7 +1853,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q210 vector delete/vacuum: live view == vacuumed table == " +
     "survivor rebuild; crash-safe swap leaves the old registration") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
     def tmp() = java.nio.file.Files.createTempDirectory("vvac_spec")
@@ -1864,43 +1864,43 @@ class OperatorSpec extends AnyFunSuite {
     val (pxA, pxB) = (pfx(pA), pfx(pB))
     val dead = e.filter(col("vec_id") % 5 === 1).select(col("vec_id"))
     // index A: full build, tombstone every fifth vector
-    EmbeddingOps.buildVectorIndex(spark, e, e, pxA, pA)
-    EmbeddingOps.deleteFromVectorIndex(spark, dead, pxA, pA)
+    VectorIndexOps.buildVectorIndex(spark, e, e, pxA, pA)
+    VectorIndexOps.deleteFromVectorIndex(spark, dead, pxA, pA)
     def codeSet(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Long, Long)].collect().toSet
     val liveBefore = codeSet(
-      EmbeddingOps.readVectorIndexLive(spark, pxA).codes)
+      VectorIndexOps.readVectorIndexLive(spark, pxA).codes)
     // tombstoned rows are masked, survivors intact
     assert(liveBefore.forall(_._1 % 5 != 1), "tombstoned row served")
-    val raw = codeSet(EmbeddingOps.readVectorIndex(spark, pxA).codes)
+    val raw = codeSet(VectorIndexOps.readVectorIndex(spark, pxA).codes)
     assert(raw.exists(_._1 % 5 == 1),
       "delete rewrote the codes table before vacuum")
     // the live search masks deletions BEFORE any vacuum
     val q = e.filter(col("vec_id") < 20)
-    val servedLive = EmbeddingOps.searchVectorIndex(
-      q, EmbeddingOps.readVectorIndexLive(spark, pxA), 2)
+    val servedLive = VectorIndexOps.searchVectorIndex(
+      q, VectorIndexOps.readVectorIndexLive(spark, pxA), 2)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(servedLive.forall(_._3 % 5 != 1))
     // vacuum: physical rewrite equals the live view row-for-row, the
     // tombstone table is gone, and serving is unchanged
-    EmbeddingOps.vacuumVectorIndex(spark, pxA, s"$pA/codes_v")
-    assert(codeSet(EmbeddingOps.readVectorIndex(spark, pxA).codes)
+    VectorIndexOps.vacuumVectorIndex(spark, pxA, s"$pA/codes_v")
+    assert(codeSet(VectorIndexOps.readVectorIndex(spark, pxA).codes)
       == liveBefore, "vacuum diverged from the tombstone-masked view")
     assert(!spark.catalog.tableExists(s"${pxA}_tombstones"))
-    val servedAfter = EmbeddingOps.searchVectorIndex(
-      q, EmbeddingOps.readVectorIndex(spark, pxA), 2)
+    val servedAfter = VectorIndexOps.searchVectorIndex(
+      q, VectorIndexOps.readVectorIndex(spark, pxA), 2)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(servedAfter == servedLive,
       "vacuum changed what the index serves")
     // with no tombstone table, live == raw (the mask is a no-op)
-    assert(codeSet(EmbeddingOps.readVectorIndexLive(spark, pxA).codes)
+    assert(codeSet(VectorIndexOps.readVectorIndexLive(spark, pxA).codes)
       == liveBefore)
     // index B: from-scratch build coding only survivors against the
     // SAME training set — must equal the vacuumed table (codebooks are
     // trained on the full corpus in both, coding is deterministic)
     val survivors = e.join(broadcast(dead), Seq("vec_id"), "left_anti")
-    EmbeddingOps.buildVectorIndex(spark, e, survivors, pxB, pB)
-    assert(codeSet(EmbeddingOps.readVectorIndex(spark, pxB).codes)
+    VectorIndexOps.buildVectorIndex(spark, e, survivors, pxB, pB)
+    assert(codeSet(VectorIndexOps.readVectorIndex(spark, pxB).codes)
       == liveBefore, "vacuum diverged from a survivor rebuild")
     spark.catalog.clearCache()
   }
@@ -1908,7 +1908,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q218 staged serving: recall monotone in shortlist size, corpus " +
     "floats enter through one bounded hash join, guard reuses the index") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     // (1) the gated audit: 3 arms × 20 queries, every recall holds the
     // self-hit floor, and recall is non-decreasing in shortlist size
     val rows = SparkEntry.queries("q218_staged_serve_recall")(spark, sf)
@@ -1931,10 +1931,10 @@ class OperatorSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("rrk_spec").toString
     val px = "rr" + p.replaceAll("[^A-Za-z0-9]", "").takeRight(10)
     try {
-      EmbeddingOps.buildVectorIndex(spark, e, e, px, p)
-      val serve = EmbeddingOps.rerankVectorIndex(
+      VectorIndexOps.buildVectorIndex(spark, e, e, px, p)
+      val serve = VectorIndexOps.rerankVectorIndex(
         e.filter(col("vec_id") < 20), e,
-        EmbeddingOps.readVectorIndex(spark, px), 2, 50)
+        VectorIndexOps.readVectorIndex(spark, px), 2, 50)
       val plan = serve.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan)
       assert(plan.contains("BroadcastHashJoin"), plan)
@@ -2056,19 +2056,19 @@ class OperatorSpec extends AnyFunSuite {
     "serving; the flip restores scratch-build balance; appends follow " +
     "the new generation") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val base = java.nio.file.Files.createTempDirectory("vrt_spec").toString
     val px = "ut_vrt" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
     val pxScr = px + "scr"
     val queries = e.filter(col("vec_id") < 20)
-    def serve(prefix: String) = EmbeddingOps.searchVectorIndex(queries,
-      EmbeddingOps.readVectorIndex(spark, prefix), 2)
+    def serve(prefix: String) = VectorIndexOps.searchVectorIndex(queries,
+      VectorIndexOps.readVectorIndex(spark, prefix), 2)
       .as[(Long, Long, Long, Double)].collect().toSet
     // per-cell populations → max load factor (cell count ÷ mean)
     def maxLoad(prefix: String): Double = {
-      val counts = EmbeddingOps.readVectorIndex(spark, prefix).codes
+      val counts = VectorIndexOps.readVectorIndex(spark, prefix).codes
         .filter(col("sub") === 0)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().map(_._2.toDouble)
@@ -2080,23 +2080,23 @@ class OperatorSpec extends AnyFunSuite {
       // centroids lands unbalanced — the drift q231 measures
       val g0 = e.orderBy(md5(concat_ws(":", lit("ivf"), col("vec_id"))
         .cast("binary")), col("vec_id")).limit(16)
-      EmbeddingOps.buildVectorIndex(spark, g0, g0, px, s"$base/idx")
-      EmbeddingOps.appendToVectorIndex(spark,
+      VectorIndexOps.buildVectorIndex(spark, g0, g0, px, s"$base/idx")
+      VectorIndexOps.appendToVectorIndex(spark,
         e.join(g0.select(col("vec_id")), Seq("vec_id"), "left_anti"),
         px, s"$base/idx")
       val served0 = serve(px)
       val loadBefore = maxLoad(px)
       // CRASH: stage the full new generation, die before the flip —
       // the old index must keep serving byte-identical results
-      val gen = EmbeddingOps.stageRetrainVectorIndex(spark, e, px,
+      val gen = VectorIndexOps.stageRetrainVectorIndex(spark, e, px,
         s"$base/retrain")
       assert(serve(px) == served0,
         "staging a retrain disturbed the live index")
       // RECOVERY/PUBLISH: flip the pointer; serving must now equal a
       // scratch build on the current corpus, bit for bit
-      EmbeddingOps.publishRetrainVectorIndex(spark, px, gen,
+      VectorIndexOps.publishRetrainVectorIndex(spark, px, gen,
         s"$base/retrain")
-      EmbeddingOps.buildVectorIndex(spark, e, e, pxScr, s"$base/scr")
+      VectorIndexOps.buildVectorIndex(spark, e, e, pxScr, s"$base/scr")
       assert(serve(px) == serve(pxScr),
         "retrained index diverges from the scratch build")
       // balance restored: the retrained profile is the scratch
@@ -2109,27 +2109,27 @@ class OperatorSpec extends AnyFunSuite {
           s"($loadBefore -> $loadAfter)")
       // appends keep working after the generation move (the codes
       // table's location is resolved from the catalog, not the caller)
-      val nBefore = EmbeddingOps.readVectorIndex(spark, px).codes.count()
-      EmbeddingOps.appendToVectorIndex(spark,
+      val nBefore = VectorIndexOps.readVectorIndex(spark, px).codes.count()
+      VectorIndexOps.appendToVectorIndex(spark,
         e.filter(col("vec_id") < 8)
           .select((col("vec_id") + 100000L).as("vec_id"),
             col("embedding")),
         px, s"$base/idx")
-      assert(EmbeddingOps.readVectorIndex(spark, px).codes.count()
+      assert(VectorIndexOps.readVectorIndex(spark, px).codes.count()
         > nBefore, "post-retrain append was lost")
       // retrain FOLDS TOMBSTONES: delete a slice (ids >= 20 so the
       // query set survives), retrain again — the second generation
       // must equal a scratch build on the survivors (training AND
       // coding both restricted), and the tombstone set must be gone
-      EmbeddingOps.deleteFromVectorIndex(spark,
+      VectorIndexOps.deleteFromVectorIndex(spark,
         e.filter(col("vec_id") >= 20 && col("vec_id") % 7 === 3)
           .select(col("vec_id")),
         px, s"$base/idx")
       val survivors = e.filter(col("vec_id") < 20 ||
         col("vec_id") % 7 =!= 3)
-      EmbeddingOps.retrainVectorIndex(spark, e, px, s"$base/retrain2")
+      VectorIndexOps.retrainVectorIndex(spark, e, px, s"$base/retrain2")
       val pxSur = px + "sur"
-      EmbeddingOps.buildVectorIndex(spark, survivors, survivors, pxSur,
+      VectorIndexOps.buildVectorIndex(spark, survivors, survivors, pxSur,
         s"$base/sur")
       assert(serve(px) == serve(pxSur),
         "tombstone-folding retrain diverges from the survivor build")
@@ -2206,7 +2206,7 @@ class OperatorSpec extends AnyFunSuite {
   test("incremental semdedup: verdicts are split-invariant across batch " +
     "boundaries and the ingest plan contains no training stage") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val rows = SparkEntry.queries("q242_incremental_semdedup")(spark, sf)
       .as[(Long, Long, String)].collect().toSet
     assert(rows.nonEmpty && rows.exists(_._3 == "prune"),
@@ -2225,8 +2225,8 @@ class OperatorSpec extends AnyFunSuite {
     val base2 = java.nio.file.Files.createTempDirectory("sem_spec").toString
     val px = "ut_sem" + base2.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
     try {
-      val v0 = EmbeddingOps.buildSemanticIndex(spark, base, px, base2)
-      val ing = EmbeddingOps.ingestSemanticIndex(spark, rest, px, base2)
+      val v0 = SemanticDedupOps.buildSemanticIndex(spark, base, px, base2)
+      val ing = SemanticDedupOps.ingestSemanticIndex(spark, rest, px, base2)
       val oneShot = v0.unionByName(ing)
         .as[(Long, Long, String)].collect().toSet
       assert(oneShot == rows,
@@ -2237,9 +2237,9 @@ class OperatorSpec extends AnyFunSuite {
       // against the stored members. The k-means seeding (md5 rank) and
       // the Lloyd fold (collect_list) must be absent, and the members
       // probe must be a hash join on cid, not a product.
-      val lazyVerdicts = EmbeddingOps.semPruneVerdicts(
+      val lazyVerdicts = SemanticDedupOps.semPruneVerdicts(
         spark.table(s"${px}_members"),
-        EmbeddingOps.semAssign(rest.limit(50),
+        SemanticDedupOps.semAssign(rest.limit(50),
           spark.table(s"${px}_semcents")))
       val p = lazyVerdicts.queryExecution.executedPlan.toString
       assert(!p.contains("md5"), s"training seed hash in ingest plan:\n$p")
@@ -2250,9 +2250,9 @@ class OperatorSpec extends AnyFunSuite {
       // members nor changes the verdicts (the torn-batch recompute is
       // deterministic against the stored members)
       val nMembers = spark.table(s"${px}_members").count()
-      val r1 = EmbeddingOps.ingestSemanticIndex(spark, rest.limit(50),
+      val r1 = SemanticDedupOps.ingestSemanticIndex(spark, rest.limit(50),
         px, base2, batchId = Some(9L)).collect().toSet
-      val r2 = EmbeddingOps.ingestSemanticIndex(spark, rest.limit(50),
+      val r2 = SemanticDedupOps.ingestSemanticIndex(spark, rest.limit(50),
         px, base2, batchId = Some(9L)).collect().toSet
       assert(spark.table(s"${px}_members").count() == nMembers + 50,
         "replayed semantic ingest duplicated members")
@@ -2268,7 +2268,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q255 semantic retrain: crash-before-flip leaves gen 0 serving, " +
     "the flip serves the full-train trajectory, ingest follows the pointer") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("""CASE WHEN aggregate(embedding, 0e0,
@@ -2279,28 +2279,28 @@ class OperatorSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("sem_rt").toString
     val px = "ut_srt" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
     try {
-      EmbeddingOps.buildSemanticIndex(spark,
+      SemanticDedupOps.buildSemanticIndex(spark,
         e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
-      EmbeddingOps.ingestSemanticIndex(spark,
+      SemanticDedupOps.ingestSemanticIndex(spark,
         e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
-      val pre = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      val pre = SemanticDedupOps.semanticIndexVerdicts(spark, px)
         .as[(Long, Long, String)].collect().toSet
       // CRASH POINT: the writer dies after staging gen 1 but before
       // the pointer flip — the index must keep serving gen 0 verbatim
-      val gen = EmbeddingOps.stageRetrainSemanticIndex(spark, px,
+      val gen = SemanticDedupOps.stageRetrainSemanticIndex(spark, px,
         s"$base/retrain")
       assert(gen == 1L)
-      val during = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      val during = SemanticDedupOps.semanticIndexVerdicts(spark, px)
         .as[(Long, Long, String)].collect().toSet
       assert(during == pre, "staged retrain disturbed the live index")
       // publication: one pointer flip; the served verdicts must now
       // equal the scratch FULL-train SemDeDup (and differ from the
       // drifted base-half-centroid state it replaces)
-      EmbeddingOps.publishRetrainSemanticIndex(spark, px, gen,
+      SemanticDedupOps.publishRetrainSemanticIndex(spark, px, gen,
         s"$base/retrain")
-      val post = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      val post = SemanticDedupOps.semanticIndexVerdicts(spark, px)
         .as[(Long, Long, String)].collect().toSet
-      val scratch = EmbeddingOps.semDedupVerdicts(e, EmbeddingOps.KmK)
+      val scratch = SemanticDedupOps.semDedupVerdicts(e, EmbeddingOps.KmK)
         .as[(Long, Long, String)].collect().toSet
       assert(post == scratch,
         "retrained index diverges from the scratch full-train trajectory")
@@ -2312,17 +2312,17 @@ class OperatorSpec extends AnyFunSuite {
       val nM = spark.table(s"${px}_r1_members").count()
       val newRows = e.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + lit(1000000L))
-      val v = EmbeddingOps.ingestSemanticIndex(spark, newRows, px,
+      val v = SemanticDedupOps.ingestSemanticIndex(spark, newRows, px,
         s"$base/idx").collect()
       assert(v.length == 50, s"${v.length} post-retrain ingest verdicts")
       assert(spark.table(s"${px}_r1_members").count() == nM + 50,
         "post-retrain ingest missed the live generation's members table")
       // a SECOND retrain flips to gen 2 and folds the ingest in
-      EmbeddingOps.retrainSemanticIndex(spark, px, s"$base/retrain2")
+      SemanticDedupOps.retrainSemanticIndex(spark, px, s"$base/retrain2")
       assert(spark.table(s"${px}_r2_members").count() == total + 50)
       assert(!spark.catalog.tableExists(s"${px}_r1_members"),
         "superseded generation was not dropped")
-      assert(EmbeddingOps.semanticIndexVerdicts(spark, px).count()
+      assert(SemanticDedupOps.semanticIndexVerdicts(spark, px).count()
         == total + 50)
     } finally {
       spark.sessionState.catalog.listTables("default").map(_.table)
@@ -2335,7 +2335,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q261 semantic purge: purged ids vanish, their prune-witness role " +
     "retires (victims flip to keep), retrain folds the tombstones") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("""CASE WHEN aggregate(embedding, 0e0,
@@ -2345,15 +2345,15 @@ class OperatorSpec extends AnyFunSuite {
     val total = e.count()
     val base = java.nio.file.Files.createTempDirectory("sem_pg").toString
     val px = "ut_spg" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
-    def serve = EmbeddingOps.semanticIndexVerdicts(spark, px)
+    def serve = SemanticDedupOps.semanticIndexVerdicts(spark, px)
       .as[(Long, Long, String)].collect().map(r => r._2 -> r._3).toMap
     try {
-      EmbeddingOps.buildSemanticIndex(spark,
+      SemanticDedupOps.buildSemanticIndex(spark,
         e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
-      EmbeddingOps.ingestSemanticIndex(spark,
+      SemanticDedupOps.ingestSemanticIndex(spark,
         e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
       val pre = serve
-      EmbeddingOps.purgeSemanticIndex(spark,
+      SemanticDedupOps.purgeSemanticIndex(spark,
         e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
         px, s"$base/idx")
       val post = serve
@@ -2370,14 +2370,14 @@ class OperatorSpec extends AnyFunSuite {
           "right-to-be-forgotten went unexercised")
       // retrain folds the mask: survivors-only training, tombstones
       // retire with the old generation
-      EmbeddingOps.retrainSemanticIndex(spark, px, s"$base/rt")
+      SemanticDedupOps.retrainSemanticIndex(spark, px, s"$base/rt")
       assert(!spark.catalog.tableExists(s"${px}_tombstones"),
         "retrain left the folded tombstones behind")
       assert(spark.table(s"${px}_r1_members").count() == post.size,
         "retrained generation does not hold exactly the survivors")
-      val served = EmbeddingOps.semanticIndexVerdicts(spark, px)
+      val served = SemanticDedupOps.semanticIndexVerdicts(spark, px)
         .as[(Long, Long, String)].collect().toSet
-      val scratch = EmbeddingOps.semDedupVerdicts(
+      val scratch = SemanticDedupOps.semDedupVerdicts(
         e.filter(col("vec_id") % 5 =!= 2), EmbeddingOps.KmK)
         .as[(Long, Long, String)].collect().toSet
       assert(served == scratch,
@@ -2393,7 +2393,7 @@ class OperatorSpec extends AnyFunSuite {
   test("semantic vacuum: masked rows physically drop, serving is " +
     "unchanged, post-vacuum ingest follows the moved members table") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("""CASE WHEN aggregate(embedding, 0e0,
@@ -2403,18 +2403,18 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("vec_id") < 200)
     val base = java.nio.file.Files.createTempDirectory("sem_vc").toString
     val px = "ut_svc" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
-    def serve = EmbeddingOps.semanticIndexVerdicts(spark, px)
+    def serve = SemanticDedupOps.semanticIndexVerdicts(spark, px)
       .as[(Long, Long, String)].collect().toSet
     try {
-      EmbeddingOps.buildSemanticIndex(spark,
+      SemanticDedupOps.buildSemanticIndex(spark,
         e.filter(col("vec_id") < 100), px, s"$base/idx")
-      EmbeddingOps.ingestSemanticIndex(spark,
+      SemanticDedupOps.ingestSemanticIndex(spark,
         e.filter(col("vec_id") >= 100), px, s"$base/idx")
-      EmbeddingOps.purgeSemanticIndex(spark,
+      SemanticDedupOps.purgeSemanticIndex(spark,
         e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
         px, s"$base/idx")
       val pre = serve
-      EmbeddingOps.vacuumSemanticIndex(spark, px, s"$base/vac")
+      SemanticDedupOps.vacuumSemanticIndex(spark, px, s"$base/vac")
       assert(!spark.catalog.tableExists(s"${px}_tombstones"),
         "vacuum left the folded tombstones behind")
       assert(spark.table(s"${px}_members")
@@ -2425,7 +2425,7 @@ class OperatorSpec extends AnyFunSuite {
       // resolved location) and serves them
       val newRows = e.filter(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + lit(1000000L))
-      assert(EmbeddingOps.ingestSemanticIndex(spark, newRows, px,
+      assert(SemanticDedupOps.ingestSemanticIndex(spark, newRows, px,
         s"$base/idx").count() == 20L)
       assert(serve.size == pre.size + 20)
     } finally {
@@ -2439,7 +2439,7 @@ class OperatorSpec extends AnyFunSuite {
   test("semdedup cell cap: a planted mega-cluster's pair scan is bounded " +
     "(split + truncation) while planted near-twins are still pruned") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val cap = 64
     // one mega-cell (cid 0) of 512 vectors on a 2-d arc: pair j gets
     // angle j·π/256, and its twin (odd id) the SAME direction scaled —
@@ -2457,14 +2457,14 @@ class OperatorSpec extends AnyFunSuite {
     }.toDF("cid", "vec_id", "embedding", "nrm")
     // bound: after split + scan-side truncation no scan cell exceeds
     // the cap, so the pair count is <= |probe| * cap
-    val (m, _, _) = EmbeddingOps.splitOversizedCells(rows, rows, cap)
+    val (m, _, _) = SemanticDedupOps.splitOversizedCells(rows, rows, cap)
     val residue = m.groupBy(col("ckey")).count()
       .filter(col("count") > cap).count()
     assert(residue == 0,
       "arc mega-cell did not split below the cap within bounded rounds")
     // quality: every odd id has an IDENTICAL-direction smaller twin in
     // its (refined) cell, so all 256 must come back pruned
-    val verdicts = EmbeddingOps.semPruneVerdicts(rows, rows, cap)
+    val verdicts = SemanticDedupOps.semPruneVerdicts(rows, rows, cap)
       .as[(Long, Long, String)].collect()
     val odd = verdicts.filter(_._2 % 2 == 1)
     assert(odd.length == 256 && odd.forall(_._3 == "prune"),
@@ -2474,7 +2474,7 @@ class OperatorSpec extends AnyFunSuite {
       rows.select(col("cid"), col("vec_id")).as[(Long, Long)]
         .collect().toSet, "capped verdicts lost or invented rows")
     // determinism: a retry re-derives the same refinement + verdicts
-    val again = EmbeddingOps.semPruneVerdicts(rows, rows, cap)
+    val again = SemanticDedupOps.semPruneVerdicts(rows, rows, cap)
       .as[(Long, Long, String)].collect().toSet
     assert(again == verdicts.toSet, "capped verdicts nondeterministic")
     // degenerate all-identical mega-cell: unsplittable by construction,
@@ -2483,7 +2483,7 @@ class OperatorSpec extends AnyFunSuite {
     val same = (0 until 200).map(i =>
         (0L, i.toLong, Seq(1f, 0f, 0f, 0f), 1.0))
       .toDF("cid", "vec_id", "embedding", "nrm")
-    val sv = EmbeddingOps.semPruneVerdicts(same, same, 16)
+    val sv = SemanticDedupOps.semPruneVerdicts(same, same, 16)
       .as[(Long, Long, String)].collect()
     assert(sv.count(_._3 == "keep") == 1 &&
       sv.find(_._3 == "keep").get._2 == 0L &&
@@ -2501,7 +2501,7 @@ class OperatorSpec extends AnyFunSuite {
         (0L, id, if (pruned) "prune" else "keep")
       }.toSet
     }
-    val uncapped = EmbeddingOps.semPruneVerdicts(rows, rows, 1024)
+    val uncapped = SemanticDedupOps.semPruneVerdicts(rows, rows, 1024)
       .as[(Long, Long, String)].collect().toSet
     assert(uncapped == brute, "uncapped verdicts diverge from brute force")
     spark.catalog.clearCache()
@@ -2511,7 +2511,7 @@ class OperatorSpec extends AnyFunSuite {
     "planted above-bound witness, keep-direction only, and vanishes " +
     "when splitting is allowed") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     // one cid-0 cell of 6 DISTINCT vectors forced into the residue arm
     // (maxRounds = 0 disables splitting, standing in for a cell still
     // oversized after SemSplitRounds): ids 1..4 mutually orthogonal
@@ -2523,7 +2523,7 @@ class OperatorSpec extends AnyFunSuite {
       Seq((0L, 5L, basis(5), 1.0), (0L, 6L, basis(5), 1.0)))
       .toDF("cid", "vec_id", "embedding", "nrm")
     def verdicts(cap: Int, rounds: Int) =
-      EmbeddingOps.semPruneVerdicts(rows, rows, cap, rounds)
+      SemanticDedupOps.semPruneVerdicts(rows, rows, cap, rounds)
         .as[(Long, Long, String)].collect()
         .map(v => v._2 -> v._3).toMap
     val exact = verdicts(10, 0) // cell under cap: no truncation
@@ -2542,7 +2542,7 @@ class OperatorSpec extends AnyFunSuite {
     // (each round strictly peels at least the second seed off), so
     // with splitting allowed the edge never fires here — the residue
     // arm is reachable only past cap * 2^SemSplitRounds
-    assert(verdicts(4, EmbeddingOps.SemSplitRounds) == exact,
+    assert(verdicts(4, SemanticDedupOps.SemSplitRounds) == exact,
       "split rounds did not recover the truncated witness")
     spark.catalog.clearCache()
   }
@@ -2630,7 +2630,7 @@ class OperatorSpec extends AnyFunSuite {
   test("q221 compaction: contents identical, file count collapses to " +
     "one per bucket, bucket spec survives, serving unchanged") {
     import spark.implicits._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val base = java.nio.file.Files.createTempDirectory("vcp_spec")
@@ -2644,22 +2644,22 @@ class OperatorSpec extends AnyFunSuite {
       walk(new java.io.File(dir))
         .count(_.getName.endsWith(".parquet"))
     }
-    def codeSet() = EmbeddingOps.readVectorIndex(spark, px).codes
+    def codeSet() = VectorIndexOps.readVectorIndex(spark, px).codes
       .as[(Long, Long, Long, Long)].collect().toSet
-    def served() = EmbeddingOps.searchVectorIndex(
+    def served() = VectorIndexOps.searchVectorIndex(
       e.filter(col("vec_id") < 20),
-      EmbeddingOps.readVectorIndex(spark, px), 2)
+      VectorIndexOps.readVectorIndex(spark, px), 2)
       .as[(Long, Long, Long, Double)].collect().toSet
     try {
-      EmbeddingOps.buildVectorIndex(spark, e,
+      VectorIndexOps.buildVectorIndex(spark, e,
         e.filter(col("vec_id") % 4 === 0), px, s"$base/idx")
-      (1 to 3).foreach(i => EmbeddingOps.appendToVectorIndex(spark,
+      (1 to 3).foreach(i => VectorIndexOps.appendToVectorIndex(spark,
         e.filter(col("vec_id") % 4 === i), px, s"$base/idx"))
       val (beforeRows, beforeServe) = (codeSet(), served())
       val beforeFiles = parquetFiles(s"$base/idx/codes")
       assert(beforeFiles > 8,
         s"appends did not accrete file sets ($beforeFiles files)")
-      EmbeddingOps.compactVectorIndex(spark, px, s"$base/idx/codes",
+      VectorIndexOps.compactVectorIndex(spark, px, s"$base/idx/codes",
         s"$base/codes_compact")
       assert(codeSet() == beforeRows, "compaction changed table contents")
       // one file per NON-EMPTY bucket (empty buckets write none — with
@@ -5017,7 +5017,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("semanticRetrainDrift: the live-index measurement equals the " +
     "gated q280 row bit-for-bit on the same build+ingest trajectory") {
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr("""CASE WHEN aggregate(embedding, 0e0,
@@ -5031,15 +5031,15 @@ class OperatorSpec extends AnyFunSuite {
       // the index's frozen generation IS q280's gen 0 world: centroids
       // trained on the old half, the full corpus assigned against them
       // (base members at build, the new half at ingest)
-      EmbeddingOps.buildSemanticIndex(spark,
+      SemanticDedupOps.buildSemanticIndex(spark,
         e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
-      EmbeddingOps.ingestSemanticIndex(spark,
+      SemanticDedupOps.ingestSemanticIndex(spark,
         e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
       def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
         (r.getAs[Long]("n"), r.getAs[Long]("c_gen0"),
           r.getAs[Long]("c_gen1"), r.getAs[Double]("retention"),
           r.getAs[Double]("rand_index"), r.getAs[Double]("ari"))).toSeq
-      val fromIndex = row(EmbeddingOps.semanticRetrainDrift(spark, px))
+      val fromIndex = row(SemanticDedupOps.semanticRetrainDrift(spark, px))
       val gated = row(SparkEntry.queries("q280_retrain_drift")(spark, sf))
       assert(fromIndex == gated,
         s"index drift $fromIndex != gated q280 $gated")

@@ -495,7 +495,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-ingested vector index equals a batch rebuild across " +
     "micro-batches and serves identically") {
     import org.apache.spark.sql.functions._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     import spark.implicits._
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -508,7 +508,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // stream side: codebooks trained once (frozen), zero codes, the
       // corpus arriving as a 3-file stream — one file per micro-batch
-      EmbeddingOps.buildVectorIndex(spark, e, e.limit(0), pxS, s"$pS/idx")
+      VectorIndexOps.buildVectorIndex(spark, e, e.limit(0), pxS, s"$pS/idx")
       e.repartition(3, col("vec_id")).write.parquet(s"$pS/stream")
       val stream = spark.readStream
         .schema(spark.read.parquet(s"$pS/stream").schema)
@@ -520,14 +520,14 @@ class StreamingSpec extends AnyFunSuite {
         "expected at least two non-empty micro-batches")
       finally q.stop()
       // batch side: same training set, corpus coded in one pass
-      EmbeddingOps.buildVectorIndex(spark, e, e, pxB, pB)
-      def codes(px: String) = EmbeddingOps.readVectorIndex(spark, px)
+      VectorIndexOps.buildVectorIndex(spark, e, e, pxB, pB)
+      def codes(px: String) = VectorIndexOps.readVectorIndex(spark, px)
         .codes.as[(Long, Long, Long, Long)].collect().toSet
       assert(codes(pxS) == codes(pxB),
         "stream-built codes diverge from a batch rebuild")
       val qs = e.filter(col("vec_id") < 20)
-      def served(px: String) = EmbeddingOps.searchVectorIndex(qs,
-        EmbeddingOps.readVectorIndex(spark, px), 2)
+      def served(px: String) = VectorIndexOps.searchVectorIndex(qs,
+        VectorIndexOps.readVectorIndex(spark, px), 2)
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(served(pxS) == served(pxB),
         "stream-built index serves differently from the batch build")
@@ -593,7 +593,7 @@ class StreamingSpec extends AnyFunSuite {
   test("replayed micro-batch appends are skipped: vector index and " +
     "rollup converge to exactly-once contents under at-least-once re-runs") {
     import org.apache.spark.sql.functions._
-    import graft.ops.EmbeddingOps
+    import graft.ops.{EmbeddingOps, SemanticDedupOps, VectorIndexOps}
     import spark.implicits._
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -605,22 +605,22 @@ class StreamingSpec extends AnyFunSuite {
       // "arrives" three times with one micro-batch id (a foreachBatch
       // replay after a crash between append commit and checkpoint
       // commit). Contents must equal ONE append.
-      EmbeddingOps.buildVectorIndex(spark, e, e.limit(0), px, s"$base/idx")
+      VectorIndexOps.buildVectorIndex(spark, e, e.limit(0), px, s"$base/idx")
       val batch = e.filter(col("vec_id") % 3 === 0)
-      (1 to 3).foreach(_ => EmbeddingOps.appendToVectorIndex(spark,
+      (1 to 3).foreach(_ => VectorIndexOps.appendToVectorIndex(spark,
         batch, px, s"$base/idx", batchId = Some(0L)))
-      val once = EmbeddingOps.codeVectors(batch,
-        EmbeddingOps.readVectorIndex(spark, px).coarse,
-        EmbeddingOps.readVectorIndex(spark, px).codebooks)
+      val once = VectorIndexOps.codeVectors(batch,
+        VectorIndexOps.readVectorIndex(spark, px).coarse,
+        VectorIndexOps.readVectorIndex(spark, px).codebooks)
         .as[(Long, Long, Long, Long)].collect().toSet
-      val stored = EmbeddingOps.readVectorIndex(spark, px).codes
+      val stored = VectorIndexOps.readVectorIndex(spark, px).codes
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(stored == once, "replayed vector append double-appended")
       // a LATER batch id with new rows still appends
-      EmbeddingOps.appendToVectorIndex(spark,
+      VectorIndexOps.appendToVectorIndex(spark,
         e.filter(col("vec_id") % 3 === 1), px, s"$base/idx",
         batchId = Some(1L))
-      assert(EmbeddingOps.readVectorIndex(spark, px).codes.count()
+      assert(VectorIndexOps.readVectorIndex(spark, px).codes.count()
         > stored.size, "distinct batch id was wrongly skipped")
       // rollup: same replay discipline, sums must not double-count
       val ev = Tables.table(spark, sf, "events")
