@@ -440,9 +440,22 @@ object SemanticDedupOps {
     * smaller-id-wins prune over the live generation's stored members
     * (tombstone-masked) — pointer-resolved, zero training in the plan
     * (the q212 trajectory answered entirely from stored tables). */
-  def semanticIndexVerdicts(s: SparkSession, prefix: String): DataFrame = {
+  def semanticIndexVerdicts(s: SparkSession, prefix: String,
+      nprobe: Int = 1): DataFrame = {
     val m = liveSemanticMembers(s, prefix)
-    semPruneVerdicts(m, m)
+    if (nprobe <= 1) semPruneVerdicts(m, m)
+    else {
+      // multi-probe SERVE: re-probe the live members' stored floats
+      // against the live generation's frozen centroids — tombstoned
+      // vectors are already masked out of `m`, so they stop being
+      // probes AND witnesses; members stay single-assigned on disk
+      val phys = graft.io.IndexLifecycle.livePrefix(s, prefix)
+      val frozen = s.table(s"${phys}_semcents")
+      val probeAll = semAssignTop(
+        m.select(col("vec_id"), col("embedding"), col("nrm")),
+        frozen, nprobe).drop("pr")
+      semPruneVerdictsProbed(m, probeAll, m)
+    }
   }
 
   /** Fold [[purgeSemanticIndex]] tombstones into the members table
@@ -967,6 +980,88 @@ object SemanticDedupOps {
           AS verdict
       FROM lasg g LEFT JOIN pruned p
         ON p.cid = g.cid AND p.vec_id = g.vec_id"""))
+
+  /** q289: MULTI-PROBE SERVE over the tombstone-masked live view —
+    * the third production surface to carry the nprobe knob (q287
+    * gated build/ingest, q288 the streaming twin; this is the serve
+    * path q261 exercises, re-probed at top-2). The serve re-probes
+    * the live members' STORED floats against the frozen centroids, so
+    * a tombstoned vector disappears both as a probe and as a witness,
+    * and the multi-probe recall recovery composes with
+    * right-to-be-forgotten in one trajectory. Oracle: q261's
+    * survivor-masked scratch rule with q256's asg2 reachability —
+    * pruned iff ANY of a survivor's top-2 cells holds a smaller-id
+    * surviving PRIMARY member over tau. */
+  val q289MultiprobeServe = OpSpec(
+    "q289_multiprobe_serve",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      val prefix = "sem_q289"
+      val path = s"${graft.Tables.scratchDir}/sem_q289"
+      resetSemanticIndex(s, prefix, path)
+      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
+        prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total),
+        prefix, s"$path/idx")
+      purgeSemanticIndex(s,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        prefix, s"$path/idx")
+      semanticIndexVerdicts(s, prefix, nprobe = 2)
+    },
+    Some(s"""
+      WITH e AS ($normedDuck),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      b AS (SELECT e.vec_id, e.embedding, e.nrm
+            FROM e, t WHERE 2 * e.vec_id < t.n),
+      seeds AS (
+        SELECT vec_id, embedding,
+          CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
+            AS cid
+        FROM (SELECT em.vec_id, em.embedding,
+                md5('ivf:' || em.vec_id) AS rk
+              FROM embeddings em, t WHERE 2 * em.vec_id < t.n)
+        QUALIFY cid < $KmK),
+      c0 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM seeds)),
+      s1 AS (${kmIterDuck("c0", "b")}),
+      c1 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s1)),
+      s2 AS (${kmIterDuck("c1", "b")}),
+      c2 AS (
+        SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
+        FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
+              FROM s2)),
+      rnk AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_reduce(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+              (x, y) -> x + y) / (e.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+        FROM e, c2 c),
+      lasg AS (
+        SELECT cid, vec_id, embedding, nrm FROM rnk
+        WHERE rn = 1 AND vec_id % 5 <> 2),
+      lasg2 AS (
+        SELECT cid, vec_id FROM rnk
+        WHERE rn <= 2 AND vec_id % 5 <> 2),
+      pruned AS (
+        SELECT DISTINCT p.vec_id
+        FROM lasg a
+        JOIN lasg2 p ON p.cid = a.cid AND a.vec_id < p.vec_id
+        JOIN lasg q ON q.vec_id = p.vec_id
+        WHERE ${dotDuck("a.embedding", "q.embedding")} / (a.nrm * q.nrm)
+          > $SemDedupTau)
+      SELECT g.cid, g.vec_id,
+        CASE WHEN p.vec_id IS NOT NULL THEN 'prune' ELSE 'keep' END
+          AS verdict
+      FROM lasg g LEFT JOIN pruned p ON p.vec_id = g.vec_id"""))
 
   /** q264: SEMANTIC-INDEX VACUUM — q261's trajectory with
     * [[vacuumSemanticIndex]] folding the tombstones into the physical
@@ -1499,5 +1594,5 @@ object SemanticDedupOps {
     q212SemDedup, q220SemdedupMissAudit, q242IncrementalSemdedup,
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
     q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
-    q280RetrainDrift, q287MultiprobeSemdedup)
+    q280RetrainDrift, q287MultiprobeSemdedup, q289MultiprobeServe)
 }

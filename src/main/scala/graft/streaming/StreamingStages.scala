@@ -1132,12 +1132,13 @@ object StreamingStages {
     * shard convention, README.md:66-89). */
   def streamIntoSemanticIndex(s: SparkSession, docs: DataFrame,
       prefix: String, path: String, buckets: Int,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, nprobe: Int = 1): StreamingQuery = {
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val verdicts = graft.ops.SemanticDedupOps.ingestSemanticIndex(
-            s, batch, prefix, path, buckets, batchId = Some(batchId))
+            s, batch, prefix, path, buckets, batchId = Some(batchId),
+            nprobe = nprobe)
           graft.io.Sinks.appendBucketedTableIdempotent(s, verdicts,
             batchId, s"${prefix}_verdicts", "vec_id", buckets,
             s"$path/verdicts")
@@ -1162,51 +1163,71 @@ object StreamingStages {
     * equal the scratch frozen-centroid SemDeDup — q242's oracle
     * verbatim. This gives the semantic index the same streaming half
     * the vector index (q219) and the n-gram corpus index (q230) have. */
+  /** The q247/q288 trajectory body, parameterized by the probe
+    * fan-out: base half builds the index (batch), the two later
+    * generations arrive as an mtime-ordered file stream (one
+    * micro-batch each), and the unioned verdicts are read back from
+    * the verdict table. */
+  private def semdedupStreamTrajectory(s: SparkSession, dir: String,
+      prefix: String, nprobe: Int): DataFrame = {
+    val base = s"${graft.Tables.scratchDir}/$prefix"
+    graft.ops.SemanticDedupOps.resetSemanticIndex(s, prefix, base)
+    val e = graft.Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("""CASE WHEN aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
+          ELSE sqrt(aggregate(embedding, 0e0,
+            (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
+    val total = e.count()
+    val v0 = graft.ops.SemanticDedupOps.buildSemanticIndex(s,
+      e.filter(col("vec_id") * 2 < total), prefix, s"$base/idx",
+      nprobe = nprobe)
+    // stage the two generations as files whose MTIME order is their
+    // id order — the arrival-order contract the ingest needs
+    val streamDir = java.nio.file.Paths.get(s"$base/stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("semstage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head finally ls.close()
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    stage(e.filter(col("vec_id") * 2 >= total &&
+      col("vec_id") * 4 < total * 3), "00_g1.parquet", 100000L)
+    stage(e.filter(col("vec_id") * 4 >= total * 3), "01_g2.parquet",
+      200000L)
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$base/stream").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/stream")
+    streamIntoSemanticIndex(s, stream, prefix, s"$base/idx",
+      8, s"$base/ckpt", nprobe = nprobe).stop()
+    v0.unionByName(s.table(s"${prefix}_verdicts")
+      .select(col("cid"), col("vec_id"), col("verdict")))
+  }
+
   val q247StreamingSemdedup: graft.OpSpec = graft.OpSpec(
     "q247_streaming_semdedup",
-    (s, dir) => {
-      import graft.ops.EmbeddingOps
-      val prefix = "sem_q247"
-      val base = s"${graft.Tables.scratchDir}/sem_q247"
-      graft.ops.SemanticDedupOps.resetSemanticIndex(s, prefix, base)
-      val e = graft.Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          expr("""CASE WHEN aggregate(embedding, 0e0,
-              (a, x) -> a + CAST(x AS DOUBLE) * x) = 0e0 THEN 1e0
-            ELSE sqrt(aggregate(embedding, 0e0,
-              (a, x) -> a + CAST(x AS DOUBLE) * x)) END""").as("nrm"))
-      val total = e.count()
-      val v0 = graft.ops.SemanticDedupOps.buildSemanticIndex(s,
-        e.filter(col("vec_id") * 2 < total), prefix, s"$base/idx")
-      // stage the two generations as files whose MTIME order is their
-      // id order — the arrival-order contract the ingest needs
-      val streamDir = java.nio.file.Paths.get(s"$base/stream")
-      java.nio.file.Files.createDirectories(streamDir)
-      def stage(df: org.apache.spark.sql.DataFrame, name: String,
-          mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("semstage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val ls = java.nio.file.Files.list(tmp)
-        val part = try ls.toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head finally ls.close()
-        val dst = streamDir.resolve(name)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
-        dst.toFile.setLastModified(mtime); ()
-      }
-      stage(e.filter(col("vec_id") * 2 >= total &&
-        col("vec_id") * 4 < total * 3), "00_g1.parquet", 100000L)
-      stage(e.filter(col("vec_id") * 4 >= total * 3), "01_g2.parquet",
-        200000L)
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$base/stream").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/stream")
-      streamIntoSemanticIndex(s, stream, prefix, s"$base/idx",
-        8, s"$base/ckpt").stop()
-      v0.unionByName(s.table(s"${prefix}_verdicts")
-        .select(col("cid"), col("vec_id"), col("verdict")))
-    },
+    (s, dir) => semdedupStreamTrajectory(s, dir, "sem_q247", 1),
     graft.ops.SemanticDedupOps.q242IncrementalSemdedup.oracle)
+
+  /** q288: q247's streaming trajectory at nprobe = 2 — the STREAMING
+    * twin of q287, closing the multi-probe knob across every
+    * production surface (batch build/ingest q287, streaming ingest
+    * here, masked serve q289). Same oracle as q287: the scratch
+    * frozen-centroid multi-probe rule over the full corpus. The
+    * stored member layout stays byte-identical to single-probe, so
+    * the stream's idempotent member appends and WAL replay semantics
+    * are untouched by the knob. */
+  val q288StreamingMultiprobe: graft.OpSpec = graft.OpSpec(
+    "q288_streaming_multiprobe",
+    (s, dir) => semdedupStreamTrajectory(s, dir, "sem_q288", 2),
+    graft.ops.SemanticDedupOps.q287MultiprobeSemdedup.oracle)
 
   /** q259: the EXACTLY-ONCE sharded-parquet sink under the bit-exact
     * gate — [[runToShardedParquet]] (the K-class production sink) was
@@ -1419,5 +1440,5 @@ object StreamingStages {
       q219StreamIndexIngest, q228StreamingRollup,
       q230StreamingCorpusIngest, q247StreamingSemdedup,
       q259StreamingShardSink, q271StreamingClassifier,
-      q284StreamingNovelty)
+      q284StreamingNovelty, q288StreamingMultiprobe)
 }
