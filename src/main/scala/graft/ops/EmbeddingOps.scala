@@ -2219,6 +2219,104 @@ object EmbeddingOps {
       GROUP BY query_id"""))
 
 
+  /** k-center coreset size (greedy farthest-point rounds). */
+  private val KcK = 8
+
+  /** q290: GREEDY K-CENTER CORESET — diversity-maximizing subset
+    * selection over the embedding space (the farthest-point-first /
+    * Gonzalez construction coreset-selection uses for training-data
+    * diversity, the 2-approximation of the k-center objective): seed
+    * with the min vec_id, then 7 rounds each pick the vector farthest
+    * (cosine distance 1 − cos) from its nearest already-selected
+    * center, ties to the smaller id. One row per corpus vector:
+    * its nearest center, the distance, and whether it IS a center —
+    * the coverage assignment a curation loop samples against (each
+    * center's cell is a diversity stratum; the max dist is the
+    * coverage radius).
+    *
+    * Exactness: distances are the engine-shared left-fold dot over
+    * stored floats, 1e0 − cos is one IEEE subtract, argmax/argmin are
+    * ORDER BY (d, id) — deterministic in both engines; the oracle
+    * unrolls the same 8 rounds as cumulative CTEs (the kmIterDuck
+    * discipline). Scale: k bounded corpus scans, each against a
+    * ≤ k-row broadcast center set; the per-round argmax is a
+    * TakeOrdered (per-partition top-1 + k-row merge), and the only
+    * driver state is the k centers themselves — linear at any corpus
+    * size, the q98/BPE driver-bounded-collect discipline. */
+  val q290KcenterCoreset = OpSpec(
+    "q290_kcenter_coreset",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm")).persist()
+      // driver-held selected set: (rank, id, embedding, nrm) — bounded
+      // by KcK rows, the kmeansCentroids/BPE collect discipline
+      val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      val centers = scala.collection.mutable.ArrayBuffer(
+        (1L, seed.getLong(0), seed.getSeq[Float](1), seed.getDouble(2)))
+      import s.implicits._
+      def centersDf() = centers.toSeq
+        .toDF("r", "center_id", "cv", "cnrm")
+      def mindist() = e.crossJoin(broadcast(centersDf()))
+        .withColumn("dc", lit(1e0) -
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("d"))
+      (2 to KcK).foreach { r =>
+        val far = mindist()
+          .join(e, Seq("vec_id"))
+          .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+          .collect()(0)
+        centers += ((r.toLong, far.getLong(0),
+          far.getSeq[Float](2), far.getDouble(3)))
+      }
+      val cents = broadcast(centersDf())
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dc").asc, col("r").asc)
+      val out = e.crossJoin(cents)
+        .withColumn("dc", lit(1e0) -
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("center_id"), col("dc").as("dist"),
+          when(col("vec_id") === col("center_id"), 1L).otherwise(0L)
+            .as("is_center"))
+        .localCheckpoint()
+      e.unpersist()
+      out
+    },
+    Some {
+      val dist = s"""(1e0 - ${dotDuck("e.embedding", "c.cv")}
+            / (e.nrm * c.cnrm))"""
+      val rounds = (2 to 8).map { r =>
+        s"""
+      m${r - 1} AS (
+        SELECT e.vec_id, MIN($dist) AS d
+        FROM e, cs${r - 1} c GROUP BY e.vec_id),
+      p$r AS (
+        SELECT e.vec_id AS center_id, e.embedding AS cv,
+          e.nrm AS cnrm, CAST($r AS BIGINT) AS r
+        FROM m${r - 1} m JOIN e ON e.vec_id = m.vec_id
+        ORDER BY m.d DESC, e.vec_id ASC LIMIT 1),
+      cs$r AS (SELECT * FROM cs${r - 1} UNION ALL SELECT * FROM p$r)"""
+      }.mkString(",", ",", "")
+      s"""
+      WITH e AS ($normedDuck),
+      cs1 AS (
+        SELECT vec_id AS center_id, embedding AS cv,
+          nrm AS cnrm, CAST(1 AS BIGINT) AS r
+        FROM e ORDER BY vec_id ASC LIMIT 1)$rounds
+      SELECT vec_id, center_id, dist,
+        CAST(CASE WHEN vec_id = center_id THEN 1 ELSE 0 END AS BIGINT)
+          AS is_center
+      FROM (
+        SELECT e.vec_id, c.center_id, $dist AS dist,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY $dist ASC, c.r ASC) AS rn
+        FROM e, cs8 c)
+      WHERE rn = 1"""
+    })
+
   /** Margin-mining neighborhood size (the k of the ratio-margin
     * criterion). */
   private val MarginK = 4
@@ -2510,5 +2608,5 @@ object EmbeddingOps {
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q266MarginMining, q279HubnessAudit,
-    q281KnnReciprocity)
+    q281KnnReciprocity, q290KcenterCoreset)
 }

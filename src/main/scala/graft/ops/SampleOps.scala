@@ -510,8 +510,57 @@ object SampleOps {
              THEN 'take' ELSE 'skip' END AS verdict
       FROM sc, tot t"""))
 
+  /** q291: TEMPERATURE-SCALED MIXING WEIGHTS — the multilingual /
+    * multi-domain sampling rule of the XLM-R / Gopher line: raw
+    * domain shares p_g = n_g/N are flattened by a temperature
+    * exponent (α = 1/2 here: w_g ∝ p_g^α, renormalized), so
+    * low-resource domains are upsampled without letting any domain's
+    * share go to zero — the weights q157's largest-remainder
+    * allocator would consume. One row per lang: observed count and
+    * share, the flattened weight, and the boost factor w_g/p_g an
+    * operator reads to see how hard each domain is being upsampled
+    * (boost > 1 = upsampled). Exactness: p^(1/2) is ONE correctly-
+    * rounded IEEE sqrt of one division; the normalizer is an ordered
+    * fold over the ≤|domains| rows (sorted by lang — the q-family
+    * sort_array identity), and weight/boost are single divisions.
+    * Scale: one groupBy on the domain key, then arithmetic over a
+    * domain-bounded frame — no window, no second corpus scan. */
+  val q291MixingWeights = OpSpec(
+    "q291_mixing_weights",
+    (s, dir) => {
+      val c = table(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val t = c.agg(sum(col("n_docs")).cast("long").as("n"))
+      val w = c.crossJoin(broadcast(t))
+        .withColumn("p",
+          col("n_docs").cast("double") / col("n").cast("double"))
+        .withColumn("w_raw", sqrt(col("p")))
+      val z = w.agg(expr(
+        """aggregate(sort_array(collect_list(struct(lang, w_raw))),
+           0e0, (acc, g) -> acc + g.w_raw)""").as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("p"),
+          (col("w_raw") / col("z")).as("weight"),
+          (col("w_raw") / col("z") / col("p")).as("boost"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+      w AS (
+        SELECT lang, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          sqrt(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS w_raw
+        FROM c, t),
+      z AS (SELECT list_reduce(list(w_raw ORDER BY lang),
+              (x, y) -> x + y) AS z FROM w)
+      SELECT lang, n_docs, p, w_raw / z AS weight,
+        w_raw / z / p AS boost
+      FROM w, z"""))
+
   val all: Seq[OpSpec] = Seq(q52StratifiedSample, q53HashSplit,
     q115PrioritySample, q146NegativePairs, q157MixtureAlloc,
     q169WeightedSample, q202BalancedCorpus, q204SplitLeakage,
-    q217DsirImportance)
+    q217DsirImportance, q291MixingWeights)
 }

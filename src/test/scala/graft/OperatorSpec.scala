@@ -4674,6 +4674,60 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q290 k-center coreset: exactly k self-assigned centers, sane " +
+    "distances, and the greedy max-min selection is deterministic") {
+    val rows = SparkEntry.queries("q290_kcenter_coreset")(spark, sf)
+      .collect()
+    val centers = rows.filter(_.getAs[Long]("is_center") == 1L)
+    assert(centers.length == 8, s"expected 8 centers, ${centers.length}")
+    // a center's nearest center is itself (distance ~0 up to the
+    // sqrt(x)^2 ulp; ties broken by selection rank)
+    centers.foreach { r =>
+      assert(r.getAs[Long]("center_id") == r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("dist")) < 1e-9)
+    }
+    // cosine distance lives in [0, 2]
+    rows.foreach { r =>
+      val d = r.getAs[Double]("dist")
+      assert(d > -1e-9 && d < 2.0 + 1e-9, s"dist $d out of range")
+    }
+    // every vector is assigned to one of the selected centers
+    val cids = centers.map(_.getAs[Long]("center_id")).toSet
+    assert(rows.forall(r => cids.contains(r.getAs[Long]("center_id"))))
+    // determinism: the md5-free greedy (min-id seed, max-min-dist
+    // argmax, id tie-break) re-derives the same set
+    val again = SparkEntry.queries("q290_kcenter_coreset")(spark, sf)
+      .filter(col("is_center") === 1L).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(again == cids, "greedy selection nondeterministic")
+  }
+
+  test("q291 mixing weights: weights normalize to one and the boost " +
+    "is monotone in inverse share (low-resource domains upsampled)") {
+    val rows = SparkEntry.queries("q291_mixing_weights")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("p"), r.getAs[Double]("weight"),
+        r.getAs[Double]("boost")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12,
+      s"weights sum to ${rows.map(_._4).sum}")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    // alpha = 1/2 flattening: boost = p^(-1/2)/z strictly falls as the
+    // observed share rises — the low-resource domain gets the largest
+    // upsampling factor
+    val byShare = rows.sortBy(_._3)
+    byShare.sliding(2).foreach {
+      case Array((_, _, p1, _, b1), (_, _, p2, _, b2)) =>
+        if (p1 < p2) assert(b1 > b2,
+          s"boost not monotone: p=$p1 b=$b1 vs p=$p2 b=$b2")
+      case _ => ()
+    }
+    rows.foreach { case (_, n, p, w, b) =>
+      assert(n > 0 && p > 0 && w > 0 && b > 0)
+    }
+  }
+
   test("IndexLifecycle: pointer resolution, staged swap, tombstone " +
     "mask, and reset — the shared discipline all six index families " +
     "delegate to") {
