@@ -2243,39 +2243,53 @@ object EmbeddingOps {
     * TakeOrdered (per-partition top-1 + k-row merge), and the only
     * driver state is the k centers themselves — linear at any corpus
     * size, the q98/BPE driver-bounded-collect discipline. */
+  /** Greedy farthest-point center derivation shared by q290/q292:
+    * returns (persisted corpus, k-row broadcastable center frame
+    * (r, center_id, cv, cnrm)); the caller owns unpersisting the
+    * corpus once its downstream plan is sealed. Driver state is the
+    * k centers — the kmeansCentroids/BPE bounded-collect
+    * discipline. */
+  private def kcenterCenters(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = normedDf(s, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm")).persist()
+    val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1L, seed.getLong(0), seed.getSeq[Float](1), seed.getDouble(2)))
+    import s.implicits._
+    def centersDf() = centers.toSeq
+      .toDF("r", "center_id", "cv", "cnrm")
+    def mindist() = e.crossJoin(broadcast(centersDf()))
+      .withColumn("dc", lit(1e0) -
+        graft.functions.VectorFunctions.dot(col("embedding"),
+          col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("d"))
+    (2 to KcK).foreach { r =>
+      val far = mindist()
+        .join(e, Seq("vec_id"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      centers += ((r.toLong, far.getLong(0),
+        far.getSeq[Float](2), far.getDouble(3)))
+    }
+    (e, centersDf())
+  }
+
+  /** Per-(vector, center) cosine distances — the scan q290's
+    * assignment and q292's radius trajectory both fold. */
+  private def kcenterDists(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dc", lit(1e0) -
+        graft.functions.VectorFunctions.dot(col("embedding"),
+          col("cv")) / (col("nrm") * col("cnrm")))
+
   val q290KcenterCoreset = OpSpec(
     "q290_kcenter_coreset",
     (s, dir) => {
-      val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm")).persist()
-      // driver-held selected set: (rank, id, embedding, nrm) — bounded
-      // by KcK rows, the kmeansCentroids/BPE collect discipline
-      val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
-      val centers = scala.collection.mutable.ArrayBuffer(
-        (1L, seed.getLong(0), seed.getSeq[Float](1), seed.getDouble(2)))
-      import s.implicits._
-      def centersDf() = centers.toSeq
-        .toDF("r", "center_id", "cv", "cnrm")
-      def mindist() = e.crossJoin(broadcast(centersDf()))
-        .withColumn("dc", lit(1e0) -
-          graft.functions.VectorFunctions.dot(col("embedding"),
-            col("cv")) / (col("nrm") * col("cnrm")))
-        .groupBy(col("vec_id")).agg(min(col("dc")).as("d"))
-      (2 to KcK).foreach { r =>
-        val far = mindist()
-          .join(e, Seq("vec_id"))
-          .orderBy(col("d").desc, col("vec_id").asc).limit(1)
-          .collect()(0)
-        centers += ((r.toLong, far.getLong(0),
-          far.getSeq[Float](2), far.getDouble(3)))
-      }
-      val cents = broadcast(centersDf())
+      val (e, cents) = kcenterCenters(s, dir)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("dc").asc, col("r").asc)
-      val out = e.crossJoin(cents)
-        .withColumn("dc", lit(1e0) -
-          graft.functions.VectorFunctions.dot(col("embedding"),
-            col("cv")) / (col("nrm") * col("cnrm")))
+      val out = kcenterDists(e, cents)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("center_id"), col("dc").as("dist"),
@@ -2285,13 +2299,33 @@ object EmbeddingOps {
       e.unpersist()
       out
     },
-    Some {
-      val dist = s"""(1e0 - ${dotDuck("e.embedding", "c.cv")}
+    Some(s"""
+      WITH $kcenterCsDuck
+      SELECT vec_id, center_id, dist,
+        CAST(CASE WHEN vec_id = center_id THEN 1 ELSE 0 END AS BIGINT)
+          AS is_center
+      FROM (
+        SELECT e.vec_id, c.center_id, $kcenterDistDuck AS dist,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY $kcenterDistDuck ASC, c.r ASC) AS rn
+        FROM e, cs8 c)
+      WHERE rn = 1"""))
+
+  /** The per-(vector, center) cosine-distance expression both k-center
+    * oracles rank and fold (e = corpus row, c = center row). */
+  private lazy val kcenterDistDuck: String =
+    s"""(1e0 - ${dotDuck("e.embedding", "c.cv")}
             / (e.nrm * c.cnrm))"""
-      val rounds = (2 to 8).map { r =>
-        s"""
+
+  /** The unrolled greedy-selection CTE chain shared by the q290/q292
+    * oracles: corpus `e`, then cs1..cs8 cumulative center sets — the
+    * kmIterDuck unrolling discipline applied to farthest-point
+    * rounds. */
+  private lazy val kcenterCsDuck: String = {
+    val rounds = (2 to 8).map { r =>
+      s"""
       m${r - 1} AS (
-        SELECT e.vec_id, MIN($dist) AS d
+        SELECT e.vec_id, MIN($kcenterDistDuck) AS d
         FROM e, cs${r - 1} c GROUP BY e.vec_id),
       p$r AS (
         SELECT e.vec_id AS center_id, e.embedding AS cv,
@@ -2299,23 +2333,59 @@ object EmbeddingOps {
         FROM m${r - 1} m JOIN e ON e.vec_id = m.vec_id
         ORDER BY m.d DESC, e.vec_id ASC LIMIT 1),
       cs$r AS (SELECT * FROM cs${r - 1} UNION ALL SELECT * FROM p$r)"""
-      }.mkString(",", ",", "")
-      s"""
-      WITH e AS ($normedDuck),
+    }.mkString(",", ",", "")
+    s"""e AS ($normedDuck),
       cs1 AS (
         SELECT vec_id AS center_id, embedding AS cv,
           nrm AS cnrm, CAST(1 AS BIGINT) AS r
-        FROM e ORDER BY vec_id ASC LIMIT 1)$rounds
-      SELECT vec_id, center_id, dist,
-        CAST(CASE WHEN vec_id = center_id THEN 1 ELSE 0 END AS BIGINT)
-          AS is_center
-      FROM (
-        SELECT e.vec_id, c.center_id, $dist AS dist,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY $dist ASC, c.r ASC) AS rn
-        FROM e, cs8 c)
-      WHERE rn = 1"""
-    })
+        FROM e ORDER BY vec_id ASC LIMIT 1)$rounds"""
+  }
+
+  /** q292: K-CENTER COVERAGE-RADIUS TRAJECTORY — the dashboard that
+    * chooses k for q290 (q231's load-factor role played for the
+    * coreset): after each greedy round r, the coverage radius
+    * max_x min_{c ≤ r} dist(x, c) and the vector that attains it
+    * (ties to the smaller id). Reading: radius is nonincreasing in r,
+    * and the greedy invariant makes round r's farthest vector exactly
+    * the center round r+1 selects — both spec-asserted. Shape: ONE
+    * corpus × k distance scan, a k-row-per-vector cumulative-min
+    * window (bounded partitions), then a k-row aggregate; the
+    * attaining vector comes from an equality join on the exact
+    * double (same bits both engines). */
+  val q292KcenterRadius = OpSpec(
+    "q292_kcenter_radius",
+    (s, dir) => {
+      val (e, cents) = kcenterCenters(s, dir)
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("r").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = kcenterDists(e, cents)
+        .select(col("vec_id"), col("r"),
+          min(col("dc")).over(wc).as("cd"))
+      val rad = cum.groupBy(col("r"))
+        .agg(max(col("cd")).as("radius"))
+      val out = cum
+        .join(rad, Seq("r"))
+        .filter(col("cd") === col("radius"))
+        .groupBy(col("r"), col("radius"))
+        .agg(min(col("vec_id")).as("farthest_id"))
+        .select(col("r"), col("radius"), col("farthest_id"))
+        .localCheckpoint()
+      e.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $kcenterCsDuck,
+      cum AS (
+        SELECT e.vec_id, c.r,
+          MIN($kcenterDistDuck) OVER (PARTITION BY e.vec_id
+            ORDER BY c.r ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cd
+        FROM e, cs8 c),
+      rad AS (SELECT r, MAX(cd) AS radius FROM cum GROUP BY r)
+      SELECT c.r, a.radius, MIN(c.vec_id) AS farthest_id
+      FROM cum c JOIN rad a ON a.r = c.r AND c.cd = a.radius
+      GROUP BY c.r, a.radius"""))
 
   /** Margin-mining neighborhood size (the k of the ratio-margin
     * criterion). */
@@ -2608,5 +2678,5 @@ object EmbeddingOps {
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q266MarginMining, q279HubnessAudit,
-    q281KnnReciprocity, q290KcenterCoreset)
+    q281KnnReciprocity, q290KcenterCoreset, q292KcenterRadius)
 }

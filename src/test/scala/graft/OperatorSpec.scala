@@ -4702,6 +4702,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == cids, "greedy selection nondeterministic")
   }
 
+  test("q292 k-center radius trajectory: nonincreasing coverage and " +
+    "the greedy invariant (round r's farthest vector is center r+1)") {
+    val traj = SparkEntry.queries("q292_kcenter_radius")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("r") ->
+        ((r.getAs[Double]("radius"), r.getAs[Long]("farthest_id"))))
+      .toMap
+    assert(traj.size == 8 && traj.keySet == (1L to 8L).toSet)
+    // adding a center can only shrink (or hold) the coverage radius
+    (1L to 7L).foreach { r =>
+      assert(traj(r)._1 >= traj(r + 1)._1,
+        s"radius grew at round $r: ${traj(r)._1} -> ${traj(r + 1)._1}")
+    }
+    // the greedy rule: the vector attaining round r's radius IS the
+    // center the (r+1)-th round selects
+    val centers = SparkEntry.queries("q290_kcenter_coreset")(spark, sf)
+      .filter(col("is_center") === 1L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    (1L to 7L).foreach { r =>
+      assert(centers.contains(traj(r)._2),
+        s"round-$r farthest ${traj(r)._2} was never selected")
+    }
+    assert(traj.values.forall(_._1 >= 0.0))
+  }
+
   test("q291 mixing weights: weights normalize to one and the boost " +
     "is monotone in inverse share (low-resource domains upsampled)") {
     val rows = SparkEntry.queries("q291_mixing_weights")(spark, sf)
