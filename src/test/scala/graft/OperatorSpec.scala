@@ -2246,6 +2246,29 @@ class OperatorSpec extends AnyFunSuite {
       assert(!p.contains("collect_list"), s"Lloyd fold in ingest plan:\n$p")
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("members"), p)
+      // the MULTI-PROBE arm must stay equally training-free: the probe
+      // fan-out is assignment against the same frozen centroids, so
+      // nprobe=2's lazy composition carries no seed hash, no Lloyd
+      // fold, and no product either
+      val probed = SemanticDedupOps.semAssignTop(rest.limit(50),
+        spark.table(s"${px}_semcents"), 2)
+      val lazyMulti = SemanticDedupOps.semPruneVerdictsProbed(
+        spark.table(s"${px}_members"), probed.drop("pr"),
+        probed.filter(col("pr") === 1).drop("pr"))
+      val pm = lazyMulti.queryExecution.executedPlan.toString
+      assert(!pm.contains("md5"), s"training hash in multiprobe plan:\n$pm")
+      assert(!pm.contains("collect_list"), pm)
+      assert(!pm.contains("CartesianProduct"), pm)
+      // recall monotonicity: pr=1 rows are a subset of pr<=2 rows, so
+      // every single-probe prune survives under multi-probe
+      val single = SemanticDedupOps.ingestSemanticIndex(spark,
+        rest.limit(50), px, base2).collect()
+        .filter(_.getString(2) == "prune").map(_.getLong(1)).toSet
+      val multi = SemanticDedupOps.ingestSemanticIndex(spark,
+        rest.limit(50), px, base2, nprobe = 2).collect()
+        .filter(_.getString(2) == "prune").map(_.getLong(1)).toSet
+      assert(single.subsetOf(multi),
+        s"multiprobe lost single-probe prunes: ${single -- multi}")
       // replay safety: re-running a micro-batch id neither duplicates
       // members nor changes the verdicts (the torn-batch recompute is
       // deterministic against the stored members)
