@@ -423,6 +423,42 @@ object LayoutOps {
       FROM documents
       GROUP BY 1"""))
 
+  /** q293: ORC round-trip — the second columnar format Spark ships
+    * natively (the interchange surface a consumer on the Hive/Trino
+    * side of a lake reads): documents written as ORC, read back, and
+    * checksummed per source with q265's order-free md5-fold, so a row
+    * lost to a broken stripe or a character mangled in string
+    * encoding flips the hash. The oracle reads the ORIGINAL parquet —
+    * one gate proves write+read inverse through a different container
+    * format. The spec separately proves ORC scans take predicate
+    * pushdown (PushedFilters reaches the scan), so the format keeps
+    * parquet's scan discipline at scale, not just its bytes. */
+  val q293OrcRoundtrip = OpSpec(
+    "q293_orc_roundtrip",
+    (s, dir) => {
+      val path = s"${graft.Tables.scratchDir}/orc_q293"
+      rmTree(path)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .withColumn("rh", expr(s"CAST(${graft.ops.DedupOps.hexToLong(
+          "md5(cast(concat(cast(doc_id as string), ':', text) as binary))",
+          1, 10)} AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(col("rh")).as("content_sum"))
+    },
+    Some(s"""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        CAST(SUM(${graft.ops.DedupOps.hexToLong(
+          "md5(CAST(doc_id AS VARCHAR) || ':' || text)", 1, 10)})
+          AS BIGINT) AS content_sum
+      FROM documents
+      GROUP BY 1"""))
+
   /** q272: PER-CLIP JSON round-trip — the K1 edge format (one JSON
     * file per row, aesthetic_score.py:130-135) under the bit-exact
     * gate, exercising the real [[graft.io.Sinks.perClipJson]] path
@@ -531,5 +567,6 @@ object LayoutOps {
     q110Log2Histogram, q176CompactionPlan, q179EpochShuffle,
     q236PartitionedLayout, q237SchemaEvolution, q238PartitionBackfill,
     q239CsvRoundtrip, q265JsonlRoundtrip, q272PerclipJsonRoundtrip,
-    q273TextSinkRoundtrip, q274MergedJsonRoundtrip)
+    q273TextSinkRoundtrip, q274MergedJsonRoundtrip,
+    q293OrcRoundtrip)
 }

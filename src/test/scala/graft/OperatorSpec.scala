@@ -4697,6 +4697,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q293 ORC round-trip: scans keep predicate pushdown and column " +
+    "pruning — the format carries parquet's scan discipline") {
+    val path = java.nio.file.Files.createTempDirectory("orc").toString
+    Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").orc(path)
+    val plan = spark.read.orc(path)
+      .filter(col("doc_id") > 100L).select(col("doc_id"), col("source"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThan(doc_id,100)]") || plan.contains("GreaterThan(doc_id"),
+      s"ORC scan lost predicate pushdown:\n$plan")
+    assert(!plan.contains("text"),
+      s"ORC scan reads the pruned text column:\n$plan")
+    graft.io.IndexLifecycle.rmDir(path)
+  }
+
   test("q290 k-center coreset: exactly k self-assigned centers, sane " +
     "distances, and the greedy max-min selection is deterministic") {
     val rows = SparkEntry.queries("q290_kcenter_coreset")(spark, sf)
