@@ -2387,6 +2387,55 @@ object EmbeddingOps {
       FROM cum c JOIN rad a ON a.r = c.r AND c.cd = a.radius
       GROUP BY c.r, a.radius"""))
 
+  /** Rows kept per coverage cell by q294. */
+  private val CovPerCell = 4
+
+  /** q294: COVERAGE-STRATIFIED SAMPLE — the curation move q290 exists
+    * for: treat each k-center cell as a diversity stratum and draw a
+    * fixed, deterministic quota from every one (md5-rank within cell,
+    * id tie-break — q52's salted-hash discipline over q290's cells
+    * instead of labels), so the sample spans the embedding space's
+    * extremes instead of mirroring its density the way a uniform draw
+    * does. One assignment scan + one window partitioned by the ≤k
+    * cells; the sample is stable under any physical row order
+    * (retries, repartitions, speculative tasks). */
+  val q294CoverageSample = OpSpec(
+    "q294_coverage_sample",
+    (s, dir) => {
+      val (e, cents) = kcenterCenters(s, dir)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dc").asc, col("r").asc)
+      val ws = Window.partitionBy(col("center_id"))
+        .orderBy(col("rk"), col("vec_id"))
+      val out = kcenterDists(e, cents)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("center_id"))
+        .withColumn("rk",
+          md5(concat(lit("cov:"), col("vec_id")).cast("binary")))
+        .withColumn("srn", row_number().over(ws).cast("long"))
+        .filter(col("srn") <= CovPerCell)
+        .select(col("center_id"), col("vec_id"), col("srn"))
+        .localCheckpoint()
+      e.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $kcenterCsDuck,
+      asg AS (
+        SELECT vec_id, center_id FROM (
+          SELECT e.vec_id, c.center_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY $kcenterDistDuck ASC, c.r ASC) AS rn
+          FROM e, cs8 c)
+        WHERE rn = 1)
+      SELECT center_id, vec_id, srn FROM (
+        SELECT center_id, vec_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY center_id
+            ORDER BY md5('cov:' || vec_id), vec_id) AS BIGINT) AS srn
+        FROM asg)
+      WHERE srn <= $CovPerCell"""))
+
   /** Margin-mining neighborhood size (the k of the ratio-margin
     * criterion). */
   private val MarginK = 4
@@ -2678,5 +2727,6 @@ object EmbeddingOps {
     q162StagedRetrieval, q168EmbeddingCovariance, q174ClusterAgreement,
     q181PowerIteration, q186MatryoshkaRecall, q187MaxsimRetrieval,
     q191MrrEval, q192SpearmanEval, q266MarginMining, q279HubnessAudit,
-    q281KnnReciprocity, q290KcenterCoreset, q292KcenterRadius)
+    q281KnnReciprocity, q290KcenterCoreset, q292KcenterRadius,
+    q294CoverageSample)
 }

@@ -4767,6 +4767,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(traj.values.forall(_._1 >= 0.0))
   }
 
+  test("q294 coverage sample: at most the quota per k-center cell, " +
+    "drawn only from that cell's members, deterministic") {
+    val sample = SparkEntry.queries("q294_coverage_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("center_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("srn")))
+    val perCell = sample.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 4), s"quota exceeded: $perCell")
+    assert(perCell.nonEmpty && sample.map(_._2).distinct.length
+      == sample.length, "duplicate vec_id in sample")
+    // each sampled row really belongs to the cell it was drawn from
+    val asg = SparkEntry.queries("q290_kcenter_coreset")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("center_id"))
+      .toMap
+    sample.foreach { case (cell, id, _) =>
+      assert(asg(id) == cell, s"sampled $id from foreign cell $cell")
+    }
+    // determinism: the salted-hash rank re-derives the same rows
+    val again = SparkEntry.queries("q294_coverage_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(again == sample.toSet)
+  }
+
   test("q291 mixing weights: weights normalize to one and the boost " +
     "is monotone in inverse share (low-resource domains upsampled)") {
     val rows = SparkEntry.queries("q291_mixing_weights")(spark, sf)
