@@ -38,6 +38,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
   }
+  /** FROZEN I/O drift probe — DO NOT EDIT (pinned in round 11). The
+    * CPU probe above cannot see DISK weather: round 11's two same-tree
+    * full runs measured probe-derated 0.857 and 1.663 against the same
+    * baseline because the slow session's drag sat in write+read-bound
+    * lifecycle queries the shuffle probe never touches. This probe is
+    * the I/O-side control: a fixed 2M-row parquet write + full
+    * readback fold on the scratch volume, min-of-3, reported as
+    * "io_probe_sec". Cross-round rule: compare bench totals only with
+    * BOTH probes' context; I/O-heavy per-query deltas de-rate by this
+    * one. */
+  def ioProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = s"${Tables.scratchDir}/io_probe"
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8)
+        .select(org.apache.spark.sql.functions.col("id"),
+          // bounded summand: a raw xxhash64 sum overflows Long under
+          // ANSI mode (the driftProbe lesson)
+          (xxhash64(org.apache.spark.sql.functions.col("id"))
+            % 1000003L).as("h"),
+          concat(lit("io-probe-pad-io-probe-pad-io-probe-pad:"),
+            org.apache.spark.sql.functions.col("id")).as("s"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).agg(sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -80,9 +109,10 @@ object Bench {
       System.gc()
     }
 
-    // host-speed control, timed after the heap pretouch so it measures
-    // the steady-state host, not page-commit stalls
+    // host-speed controls, timed after the heap pretouch so they
+    // measure the steady-state host, not page-commit stalls
     val probe = driftProbe(spark)
+    val ioProbeSec = ioProbe(spark)
 
     // SPARK_GRAFT_ONLY=q50_ngram_jaccard,q51_dedup_clusters restricts the
     // run (local profiling loop); the driver sets no filter and times all
@@ -142,7 +172,7 @@ object Bench {
       names.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + v))
         .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_rows":${longMap(shufRows)},"shuffle_bytes":${longMap(shufBytes)},"drift_probe_sec":$probe,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_rows":${longMap(shufRows)},"shuffle_bytes":${longMap(shufBytes)},"drift_probe_sec":$probe,"io_probe_sec":$ioProbeSec,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout's tail, which has been observed
     // truncated — also persist the full record in-repo so every round's
