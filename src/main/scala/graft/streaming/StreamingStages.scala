@@ -1049,6 +1049,52 @@ object StreamingStages {
       FROM events
       GROUP BY event_type"""))
 
+  /** q295: STREAMING MIXING WEIGHTS — q291's temperature-scaled
+    * domain-sampling rule maintained ONLINE (the 23rd gated streaming
+    * query): an unbounded documents stream folds per-lang count
+    * partials into the persisted rollup (idempotent per micro-batch,
+    * cost ∝ batch), and the weight readout — p_g^(1/2) renormalized,
+    * plus the upsampling boost — is pure arithmetic over the folded
+    * domain-bounded counts. Counts are additive, so micro-batch
+    * boundaries are invisible and q291's batch oracle gates the
+    * streamed output VERBATIM: the mixing policy a 100 TB ingest
+    * republishes after every arriving shard generation, without ever
+    * rescanning the corpus. */
+  val q295StreamingMixture: graft.OpSpec = graft.OpSpec(
+    "q295_streaming_mixture",
+    (s, dir) => {
+      val tableName = "mix_q295"
+      val base = s"${graft.Tables.scratchDir}/mix_q295"
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+      graft.io.IndexLifecycle.rmDir(base)
+      graft.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(4, col("doc_id"))
+        .write.parquet(s"$base/stream")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/stream").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/stream")
+      streamIntoRollup(s, stream, Seq("lang"), Seq("n_chars"),
+        tableName, 4, s"$base/tbl", s"$base/ckpt").stop()
+      val c = graft.io.Sinks.readRollup(s, tableName, Seq("lang"),
+          Seq("n_chars"))
+        .select(col("lang"), col("n").as("n_docs"))
+      val t = c.agg(sum(col("n_docs")).cast("long").as("n"))
+      val w = c.crossJoin(broadcast(t))
+        .withColumn("p",
+          col("n_docs").cast("double") / col("n").cast("double"))
+        .withColumn("w_raw", sqrt(col("p")))
+      val z = w.agg(expr(
+        """aggregate(sort_array(collect_list(struct(lang, w_raw))),
+           0e0, (acc, g) -> acc + g.w_raw)""").as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("p"),
+          (col("w_raw") / col("z")).as("weight"),
+          (col("w_raw") / col("z") / col("p")).as("boost"))
+    },
+    graft.ops.SampleOps.q291MixingWeights.oracle)
+
   /** foreachBatch ingest into a persisted
     * [[graft.ops.DedupOps.CorpusIndex]]: each micro-batch's per-doc
     * artifacts (hashes/shingles/bands/sizes) and additive bandcount
@@ -1440,5 +1486,6 @@ object StreamingStages {
       q219StreamIndexIngest, q228StreamingRollup,
       q230StreamingCorpusIngest, q247StreamingSemdedup,
       q259StreamingShardSink, q271StreamingClassifier,
-      q284StreamingNovelty, q288StreamingMultiprobe)
+      q284StreamingNovelty, q288StreamingMultiprobe,
+      q295StreamingMixture)
 }
