@@ -45,7 +45,11 @@ object BenchMetrics {
     * tripping on a handful of rows). Queries absent from either side
     * are skipped — a NEW query has no baseline to regress against, and
     * a retired one has nothing to defend. Compare records at the SAME
-    * scale factor; rows scale with data, not with host speed. */
+    * scale factor; rows scale with data, not with host speed. Records
+    * carry the MIN across timed passes because partial aggregation
+    * falls back under memory pressure and inflates recordsWritten
+    * (same plan measured at 45k and 301k rows) — a fallback is host
+    * weather; a plan regression moves the min. */
   def gate(baseline: Map[String, Long], current: Map[String, Long],
       tol: Double = 1.25, slack: Long = 10000L): Seq[String] =
     current.toSeq.sorted.flatMap { case (q, r) =>

@@ -10,7 +10,11 @@ broadcast join that silently became a shuffle join shows up as a row
 jump — this diff fails (exit 1) instead of waiting for a human to read
 plans. Compare records from the SAME scale factor. Queries present on
 only one side are skipped (new queries have no baseline; retired ones
-have nothing to defend). Mirrors graft.BenchMetrics.gate, which the
+have nothing to defend). Records carry the min across timed passes:
+partial-aggregation fallback under memory pressure inflates
+recordsWritten run-to-run (same plan measured at 45k and 301k rows),
+and fallback only inflates, so the per-pass min is the plan's
+intrinsic count. Mirrors graft.BenchMetrics.gate, which the
 sbt spec proves trips on an intentional regression.
 """
 import json
