@@ -107,6 +107,89 @@ object IndexLifecycle {
     else df.join(broadcast(s.table(tombstoneTable).select(col(idCol))),
       Seq(idCol), "left_anti")
 
+  /** The physical table prefix of generation `gen`: gen 0 is the
+    * build-time family under `prefix` itself; gen N ≥ 1 is the
+    * retrained `<prefix>_rN` family. The read-side inverse of
+    * [[nextGeneration]]. */
+  def generationPrefix(prefix: String, gen: Long): String =
+    if (gen == 0L) prefix else s"${prefix}_r$gen"
+
+  /** The live generation NUMBER (0 when no pointer exists yet) — the
+    * numeric form of [[livePrefix]], for pin/GC arithmetic. */
+  def liveGeneration(s: SparkSession, prefix: String): Long = {
+    val live = livePrefix(s, prefix)
+    if (live == prefix) 0L else live.stripPrefix(s"${prefix}_r").toLong
+  }
+
+  /** PIN a generation against retrain-time cleanup: a pinned
+    * generation's tables survive the pointer flip and keep serving
+    * bit-identical results to any reader that resolved them before the
+    * flip — the reproducibility contract a long-running consumer (a
+    * training job pinned to a corpus snapshot) needs across scheduled
+    * maintenance. The registry `<prefix>_pins` is INSERT-ONLY signed
+    * rows (+1 pin / −1 unpin, the novelty-index signed-df discipline):
+    * pinned ⟺ the per-generation sum is positive, so pins and unpins
+    * commute with crashes the way every other append in this engine
+    * does, and a replayed pin is harmless. */
+  def pinGeneration(s: SparkSession, prefix: String, gen: Long,
+      path: String): Unit =
+    Sinks.appendBucketedTable(
+      s.range(1).select(lit(gen).as("gen"), lit(1L).as("w")),
+      s"${prefix}_pins", "gen", 1, s"$path/pins")
+
+  /** Release a pin — the generation becomes eligible for
+    * [[gcGenerations]] (it is NOT dropped here; removal stays an
+    * explicit maintenance action). */
+  def unpinGeneration(s: SparkSession, prefix: String, gen: Long,
+      path: String): Unit =
+    Sinks.appendBucketedTable(
+      s.range(1).select(lit(gen).as("gen"), lit(-1L).as("w")),
+      s"${prefix}_pins", "gen", 1, s"$path/pins")
+
+  /** The currently-pinned generation numbers: signed-sum > 0 over the
+    * registry. Driver-bounded by construction — the domain is the
+    * handful of retained generations, never data rows. */
+  def pinnedGenerations(s: SparkSession, prefix: String): Set[Long] =
+    if (!s.catalog.tableExists(s"${prefix}_pins")) Set.empty
+    else s.table(s"${prefix}_pins")
+      .groupBy(col("gen")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0L)
+      .collect().map(_.getLong(0)).toSet
+
+  /** Drop every RETIRED generation of `prefix` — registered under
+    * `<generationPrefix>_<suffix>` for each family suffix — that is
+    * neither live nor pinned: catalog entries dropped, their
+    * registered data directories removed. The explicit
+    * storage-reclamation half of the pin contract ([[pinGeneration]]
+    * retains; THIS retires), run as scheduled maintenance like vacuum
+    * and compaction. Generations are discovered from the catalog (not
+    * a caller-tracked list), so crashed-retrain leftovers age out the
+    * same way. Returns the dropped generation numbers. */
+  def gcGenerations(s: SparkSession, prefix: String,
+      suffixes: Seq[String]): Seq[Long] = {
+    val live = liveGeneration(s, prefix)
+    val pinned = pinnedGenerations(s, prefix)
+    val marker = suffixes.head
+    val rPat = s"^${prefix}_r(\\d+)_$marker$$".r
+    val present = s.sessionState.catalog.listTables("default")
+      .map(_.table).flatMap {
+        case t if t == s"${prefix}_$marker" => Some(0L)
+        case rPat(n) => Some(n.toLong)
+        case _ => None
+      }.distinct
+    val victims = present.filter(g => g != live && !pinned.contains(g))
+    victims.sorted.map { g =>
+      val gp = generationPrefix(prefix, g)
+      suffixes.map(sfx => s"${gp}_$sfx")
+        .filter(s.catalog.tableExists).foreach { t =>
+          val loc = Sinks.tableLocation(s, t) // already a plain path
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          rmDir(loc)
+        }
+      g
+    }
+  }
+
   /** Idempotent pre-build reset for a persisted index prefix: drop
     * every catalog table the lifecycle can leave behind — retrain
     * generations (`<prefix>_rN_*`), the pointer, tombstones, and any

@@ -37,7 +37,7 @@ object EmbeddingOps {
     * failed-extraction artifact, normalizes by 1 instead of feeding a
     * 0 denominator into every cosine, which throws DIVIDE_BY_ZERO under
     * Spark 4's default ANSI mode and NULL-diverges with ANSI off). */
-  private[ops] def normedDf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normedDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
       .withColumn("ss", graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))
       .withColumn("nrm", when(col("ss") === 0.0, lit(1.0)).otherwise(sqrt(col("ss"))))
@@ -1188,15 +1188,23 @@ object EmbeddingOps {
       (0 until PqM).map(j => pqSub(s, dir, j)._2)
         .reduce(_ unionByName _),
     Some(s"""
-      WITH ${(0 until PqM).map(pqSubSql).mkString(",")}
+      WITH ${(0 until PqM).map(j => pqSubSql(j)).mkString(",")}
       ${(0 until PqM).map(j => s"SELECT * FROM a$j")
         .mkString("\n      UNION ALL\n      ")}"""))
 
   /** DuckDB twin of [[pqSub]] for subspace j as WITH-body CTEs:
     * e$j (sliced+normed), seeds/c0/s1/c1 (training), a$j (codes). */
-  private def pqSubSql(j: Int): String = {
+  private def pqSubSql(j: Int, train: String = "TRUE"): String = {
       val subLen = 64 / PqM
       val (lo, hi) = (j * subLen + 1, (j + 1) * subLen)
+      // training relation: the full slice CTE when the predicate is
+      // TRUE (existing oracles stay byte-identical), else a filtered
+      // twin — seeding and the Lloyd iteration train on it while a$j
+      // still CODES the full corpus (the build/append split q296 pins)
+      val trainTab = if (train == "TRUE") s"e$j" else s"et$j"
+      val trainCte = if (train == "TRUE") ""
+        else s"""
+      et$j AS (SELECT * FROM e$j WHERE $train),"""
         s"""
       e$j AS (
         SELECT vec_id, embedding,
@@ -1206,21 +1214,21 @@ object EmbeddingOps {
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                   (a, b) -> a + b) AS ss
               FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
-                    FROM embeddings))),
+                    FROM embeddings))),$trainCte
       seeds$j AS (
         SELECT vec_id, embedding,
           CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
             AS cid
         FROM (SELECT e.vec_id, e.embedding,
                 md5('pq$j:' || e.vec_id) AS rk
-              FROM e$j e)
+              FROM $trainTab e)
         QUALIFY cid < $PqK),
       c0$j AS (
         SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
         FROM (SELECT cid,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
               FROM seeds$j)),
-      s1$j AS (${kmIterDuck(s"c0$j", s"e$j")}),
+      s1$j AS (${kmIterDuck(s"c0$j", trainTab)}),
       c1$j AS (
         SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
         FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
@@ -1278,7 +1286,7 @@ object EmbeddingOps {
         .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
     },
     Some(s"""
-      WITH ${(0 until PqM).map(pqSubSql).mkString(",")},
+      WITH ${(0 until PqM).map(j => pqSubSql(j)).mkString(",")},
       codes AS (${(0 until PqM).map(j => s"SELECT * FROM a$j")
         .mkString("\n        UNION ALL\n        ")}),
       lut AS (${(0 until PqM).map(j => s"""
@@ -1377,28 +1385,40 @@ object EmbeddingOps {
   /** The IVF-PQ trajectory's CTE chain up to the ADC `scored` relation
     * (query_id, vec_id, score), parameterized by a survivor predicate —
     * shared by [[ivfPqOracleSql]] (rank-10 readout) and q218's staged
-    * rerank oracle (wide-shortlist readout + exact rerank). */
-  private[ops] def ivfPqScoredCtes(survivor: String): String = s"""
-      ${(0 until PqM).map(pqSubSql).mkString(",")},
-      e AS ($normedDuck),
+    * rerank oracle (wide-shortlist readout + exact rerank). The
+    * optional `train` predicate restricts every TRAINING input (coarse
+    * seeds + Lloyd iterations, PQ seeds + Lloyd iteration) while
+    * coding, probing and scoring stay full-corpus — the oracle form of
+    * a generation built on a corpus slice whose appends coded the rest
+    * against the frozen codebooks (q296's pinned generation 0). */
+  private[ops] def ivfPqScoredCtes(survivor: String,
+      train: String = "TRUE"): String = {
+    val trainTab = if (train == "TRUE") "e" else "et"
+    val trainCte = if (train == "TRUE") ""
+      else s"""
+      et AS (SELECT * FROM e WHERE $train),"""
+    val trainWhere = if (train == "TRUE") "" else s"\n        WHERE $train"
+    s"""
+      ${(0 until PqM).map(j => pqSubSql(j, train)).mkString(",")},
+      e AS ($normedDuck),$trainCte
       kseeds AS (
         SELECT vec_id, embedding,
           CAST(ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS BIGINT)
             AS cid
         FROM (SELECT vec_id, embedding, md5('ivf:' || vec_id) AS rk
-              FROM embeddings)
+              FROM embeddings$trainWhere)
         QUALIFY cid < $KmK),
       kc0 AS (
         SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
         FROM (SELECT cid,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
               FROM kseeds)),
-      ks1 AS (${kmIterDuck("kc0")}),
+      ks1 AS (${kmIterDuck("kc0", trainTab)}),
       kc1 AS (
         SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
         FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
               FROM ks1)),
-      ks2 AS (${kmIterDuck("kc1")}),
+      ks2 AS (${kmIterDuck("kc1", trainTab)}),
       kc2 AS (
         SELECT cid, cv, ${dnrmDuck("cv")} AS cnrm
         FROM (SELECT cid, list_transform(sumv, x -> x / n) AS cv
@@ -1439,15 +1459,19 @@ object EmbeddingOps {
           AND l.sub = c.sub AND l.code = c.code
         WHERE $survivor
         GROUP BY 1, 2)"""
+  }
 
   /** q150's full-trajectory oracle, parameterized by a survivor
     * predicate over the scored corpus rows (`TRUE` == the inline
     * q150). q210 passes the tombstone predicate's complement: a
     * deleted-then-vacuumed index must reproduce the SAME trajectory
     * restricted to surviving vectors — deletion changes which rows
-    * score, never how anything was trained or coded. */
-  private[ops] def ivfPqOracleSql(survivor: String): String = s"""
-      WITH ${ivfPqScoredCtes(survivor)}
+    * score, never how anything was trained or coded. The `train`
+    * predicate flows to [[ivfPqScoredCtes]] (q296's pinned drifted
+    * generation: trained on a slice, serving the full corpus). */
+  private[ops] def ivfPqOracleSql(survivor: String,
+      train: String = "TRUE"): String = s"""
+      WITH ${ivfPqScoredCtes(survivor, train)}
       SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank,
         vec_id, score

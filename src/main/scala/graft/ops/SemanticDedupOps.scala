@@ -527,19 +527,67 @@ object SemanticDedupOps {
     gen
   }
 
+  /** The table-family suffixes one semantic-index generation owns —
+    * the unit [[gcSemanticIndexGenerations]] retires. */
+  private val GenerationSuffixes = Seq("semcents", "members")
+
   /** The publication half of [[retrainSemanticIndex]]: one pointer
-    * flip, then drop the superseded generation's tables. */
+    * flip, then drop the superseded generation's tables — UNLESS that
+    * generation is pinned (the [[graft.io.IndexLifecycle]] registry):
+    * a pinned snapshot keeps serving its frozen-centroid verdicts
+    * bit-identically across the flip, reclaimed only by an explicit
+    * [[gcSemanticIndexGenerations]] after an unpin. */
   private[graft] def publishRetrainSemanticIndex(s: SparkSession,
       prefix: String, gen: Long, newPath: String): Unit = {
     graft.io.IndexLifecycle.flipGenerationPtr(s, prefix, gen,
       s"$newPath/g$gen")
-    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
-    Seq("semcents", "members")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    val oldGen = gen - 1L
+    if (!graft.io.IndexLifecycle.pinnedGenerations(s, prefix)
+        .contains(oldGen)) {
+      val old = graft.io.IndexLifecycle.generationPrefix(prefix, oldGen)
+      GenerationSuffixes
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    }
     // the staged generation snapshotted the survivors, so the mask is
-    // folded in — the tombstones retire with the old generation
+    // folded in — the tombstones retire with the old generation. NOTE
+    // a retained (pinned) generation keeps masking through the
+    // PREFIX-level tombstone registry until then, so a purge issued
+    // before the retrain stays forgotten in the snapshot too — the
+    // right-to-be-forgotten contract outranks reproducibility.
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
+
+  /** Serve a SPECIFIC retained generation's verdicts — the semantic
+    * twin of [[graft.ops.VectorIndexOps.readVectorIndexAt]]: a
+    * curation run pinned to generation G keeps getting G's
+    * frozen-centroid verdicts, bit-identical, while retrains flip
+    * production past it. CURRENT tombstones still mask the snapshot
+    * (forgetting trumps time travel). The generation must be live or
+    * pinned before the retrain that superseded it. */
+  def semanticIndexVerdictsAt(s: SparkSession, prefix: String,
+      gen: Long, nprobe: Int = 1): DataFrame = {
+    val phys = graft.io.IndexLifecycle.generationPrefix(prefix, gen)
+    require(s.catalog.tableExists(s"${phys}_members"),
+      s"generation $gen of semantic index '$prefix' is not retained — " +
+        "pin it before the retrain that supersedes it")
+    val m = graft.io.IndexLifecycle.maskTombstones(s,
+      s.table(s"${phys}_members").drop("ingest_batch"),
+      s"${prefix}_tombstones", "vec_id")
+    if (nprobe <= 1) semPruneVerdicts(m, m)
+    else {
+      val frozen = s.table(s"${phys}_semcents")
+      val probeAll = semAssignTop(
+        m.select(col("vec_id"), col("embedding"), col("nrm")),
+        frozen, nprobe).drop("pr")
+      semPruneVerdictsProbed(m, probeAll, m)
+    }
+  }
+
+  /** Retire every retired (non-live, unpinned) semantic-index
+    * generation — tables and registered data dirs. */
+  def gcSemanticIndexGenerations(s: SparkSession,
+      prefix: String): Seq[Long] =
+    graft.io.IndexLifecycle.gcGenerations(s, prefix, GenerationSuffixes)
 
   /** Idempotent pre-build reset for a semantic-index prefix. */
   def resetSemanticIndex(s: SparkSession, prefix: String,
@@ -1590,9 +1638,54 @@ object SemanticDedupOps {
                  - CAST(b1_2 AS DECIMAL(18,0)) * CAST(b2_2 AS DECIMAL(18,0))
                  AS VARCHAR) AS DOUBLE) AS ari
       FROM f"""))
+  /** q298: PINNED-GENERATION SEMANTIC SERVING under the bit-exact
+    * gate — q296's reproducibility contract on the SECOND generational
+    * family, with the two halves' oracles derived from two genuinely
+    * different training trajectories that both already hold gates:
+    * generation 0 is q242's frozen-centroid incremental state (trained
+    * on the base half, members = base + two ingests), pinned before
+    * q255's retrain flips production to the full-trained generation 1.
+    * The same serve against both generations, tagged: the pinned half
+    * must equal q242's scratch frozen-centroid oracle VERBATIM and the
+    * live half q212's full-train oracle VERBATIM — one hash compare
+    * proving a pinned curation run is bit-stable across scheduled
+    * maintenance while production moves. */
+  val q298PinnedSemanticServe = OpSpec(
+    "q298_pinned_semantic_serve",
+    (s, dir) => {
+      val e = normedDf(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val total = e.count()
+      val prefix = "sem_q298"
+      val path = s"${graft.Tables.scratchDir}/sem_q298"
+      resetSemanticIndex(s, prefix, path)
+      buildSemanticIndex(s, e.filter(col("vec_id") * 2 < total),
+        prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 2 >= total &&
+        col("vec_id") * 4 < total * 3), prefix, s"$path/idx")
+      ingestSemanticIndex(s, e.filter(col("vec_id") * 4 >= total * 3),
+        prefix, s"$path/idx")
+      graft.io.IndexLifecycle.pinGeneration(s, prefix, 0L, s"$path/idx")
+      retrainSemanticIndex(s, prefix, s"$path/retrain")
+      val pinned = semanticIndexVerdictsAt(s, prefix, 0L)
+        .withColumn("generation", lit(0L))
+      val live = semanticIndexVerdicts(s, prefix)
+        .withColumn("generation", lit(1L))
+      pinned.unionByName(live)
+        .select(col("generation"), col("cid"), col("vec_id"),
+          col("verdict"))
+    },
+    Some(s"""
+      SELECT CAST(0 AS BIGINT) AS generation, cid, vec_id, verdict
+      FROM (${q242IncrementalSemdedup.oracle.get})
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS generation, cid, vec_id, verdict
+      FROM (${q212SemDedup.oracle.get})"""))
+
   val all: Seq[OpSpec] = Seq(
     q212SemDedup, q220SemdedupMissAudit, q242IncrementalSemdedup,
     q248RetrainPayoff, q255SemanticRetrain, q256MultiprobeAudit,
     q260RetrainPolicy, q261SemanticPurge, q264SemanticVacuum,
-    q280RetrainDrift, q287MultiprobeSemdedup, q289MultiprobeServe)
+    q280RetrainDrift, q287MultiprobeSemdedup, q289MultiprobeServe,
+    q298PinnedSemanticServe)
 }

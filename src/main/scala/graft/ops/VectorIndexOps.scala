@@ -324,17 +324,62 @@ object VectorIndexOps {
       gen: Long, newPath: String): Unit =
     graft.io.IndexLifecycle.flipGenerationPtr(s, prefix, gen, newPath)
 
+  /** The table-family suffixes one vector-index generation owns —
+    * the unit [[gcVectorIndexGenerations]] retires. */
+  private val GenerationSuffixes = Seq("coarse", "codebooks", "codes")
+
   /** The publication half of [[retrainVectorIndex]]: flip the pointer
     * to `gen` in one statement, then clean up the superseded
-    * generation and the folded tombstones. */
+    * generation and the folded tombstones — UNLESS the superseded
+    * generation is pinned ([[pinVectorIndexGeneration]]): a pinned
+    * snapshot keeps serving bit-identically across the flip, and its
+    * storage is reclaimed only by an explicit
+    * [[gcVectorIndexGenerations]] after an unpin. */
   private[graft] def publishRetrainVectorIndex(s: SparkSession,
       prefix: String, gen: Long, newPath: String): Unit = {
     flipGenerationPtr(s, prefix, gen, newPath)
-    val old = if (gen == 1L) prefix else s"${prefix}_r${gen - 1}"
-    Seq("coarse", "codebooks", "codes")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    val oldGen = gen - 1L
+    if (!graft.io.IndexLifecycle.pinnedGenerations(s, prefix)
+        .contains(oldGen)) {
+      val old = graft.io.IndexLifecycle.generationPrefix(prefix, oldGen)
+      GenerationSuffixes
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    }
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
+
+  /** Open a SPECIFIC generation of a persisted index — the
+    * time-travel read a reproducible consumer uses: a training run
+    * pinned to generation G keeps resolving G's frozen tables (and so
+    * keeps getting bit-identical search results) while retrains flip
+    * production past it. The generation must be retained — live, or
+    * pinned before the retrain that superseded it. */
+  def readVectorIndexAt(s: SparkSession, prefix: String,
+      gen: Long): VectorIndex = {
+    val phys = graft.io.IndexLifecycle.generationPrefix(prefix, gen)
+    require(s.catalog.tableExists(s"${phys}_codes"),
+      s"generation $gen of index '$prefix' is not retained — " +
+        "pin it before the retrain that supersedes it")
+    val (coarse, books) = readVectorIndexHead(s, phys)
+    VectorIndex(coarse, books,
+      s.table(s"${phys}_codes").drop("ingest_batch"))
+  }
+
+  /** Pin / unpin / GC — the snapshot-retention lifecycle, delegated to
+    * the shared [[graft.io.IndexLifecycle]] registry (signed
+    * insert-only pin rows; GC drops retired generations' tables and
+    * directories). */
+  def pinVectorIndexGeneration(s: SparkSession, prefix: String,
+      gen: Long, path: String): Unit =
+    graft.io.IndexLifecycle.pinGeneration(s, prefix, gen, path)
+
+  def unpinVectorIndexGeneration(s: SparkSession, prefix: String,
+      gen: Long, path: String): Unit =
+    graft.io.IndexLifecycle.unpinGeneration(s, prefix, gen, path)
+
+  def gcVectorIndexGenerations(s: SparkSession,
+      prefix: String): Seq[Long] =
+    graft.io.IndexLifecycle.gcGenerations(s, prefix, GenerationSuffixes)
 
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
@@ -775,8 +820,96 @@ object VectorIndexOps {
         readVectorIndex(s, prefix), IvfPqNprobe)
     },
     EmbeddingOps.q150IvfPqSearch.oracle)
+
+  /** q296: PINNED-GENERATION (time-travel) SERVING under the bit-exact
+    * gate — the reproducibility contract scheduled maintenance must
+    * not break: a consumer that pinned generation 0 before q241's
+    * retrain keeps getting that snapshot's results, bit-identical,
+    * while production serves the retrained generation. Trajectory:
+    * generation 0 trains on the first shard quarter, three appends
+    * code the rest against those frozen (drifted) codebooks, the
+    * generation is PINNED, and the retrain flips production to a
+    * full-corpus generation 1 — retaining 0 because of the pin. The
+    * output serves the SAME probe set against both generations,
+    * tagged. The two halves have independently-derived oracles: gen 1
+    * is q150's full trajectory; gen 0 is the trajectory with every
+    * TRAINING input restricted to the quarter while coding and serving
+    * stay full-corpus (the append==rebuild identity extends q241's
+    * drifted state to the oracle). Scale: the pin adds one signed row;
+    * retention costs only the retained generation's own storage, and
+    * serving either generation is the same bucketed-codes scan. */
+  val q296PinnedGenerationServe = OpSpec(
+    "q296_pinned_generation_serve",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${graft.Tables.scratchDir}/vpg_q296"
+      val prefix = "vpg_q296"
+      resetVectorIndex(s, prefix, base)
+      val g0 = e.filter(col("vec_id") % 4 === 0)
+      buildVectorIndex(s, g0, g0, prefix, s"$base/idx")
+      (1 to 3).foreach(i => appendToVectorIndex(s,
+        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
+      pinVectorIndexGeneration(s, prefix, 0L, s"$base/idx")
+      retrainVectorIndex(s, e, prefix, s"$base/retrain")
+      val probes = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val pinned = searchVectorIndex(probes,
+        readVectorIndexAt(s, prefix, 0L), IvfPqNprobe)
+        .withColumn("generation", lit(0L))
+      val live = searchVectorIndex(probes,
+        readVectorIndex(s, prefix), IvfPqNprobe)
+        .withColumn("generation", lit(1L))
+      pinned.unionByName(live)
+        .select(col("generation"), col("query_id"), col("rank"),
+          col("vec_id"), col("score"))
+    },
+    Some(s"""
+      SELECT CAST(0 AS BIGINT) AS generation, query_id, rank, vec_id,
+        score
+      FROM (${EmbeddingOps.ivfPqOracleSql("TRUE", "vec_id % 4 = 0")})
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS generation, query_id, rank, vec_id,
+        score
+      FROM (${EmbeddingOps.ivfPqOracleSql("TRUE")})"""))
+
+  /** q297: GENERATION GC under the gate — the storage-reclamation half
+    * of the pin contract. q296's trajectory runs again (pin gen 0,
+    * retrain past it), then the pin is RELEASED and
+    * [[gcVectorIndexGenerations]] retires the snapshot: catalog
+    * entries dropped, data directories removed. The gated output is
+    * the live serve AFTER the full pin/unpin/GC cycle against q150's
+    * scratch-trajectory oracle — proving the cycle is invisible to
+    * production serving; the retention/drop mechanics themselves are
+    * spec-asserted (gen-0 tables present while pinned, gone after GC,
+    * GC a no-op while the pin holds). */
+  val q297GenerationGc = OpSpec(
+    "q297_generation_gc",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${graft.Tables.scratchDir}/vgc_q297"
+      val prefix = "vgc_q297"
+      resetVectorIndex(s, prefix, base)
+      val g0 = e.filter(col("vec_id") % 4 === 0)
+      buildVectorIndex(s, g0, g0, prefix, s"$base/idx")
+      (1 to 3).foreach(i => appendToVectorIndex(s,
+        e.filter(col("vec_id") % 4 === i), prefix, s"$base/idx"))
+      pinVectorIndexGeneration(s, prefix, 0L, s"$base/idx")
+      retrainVectorIndex(s, e, prefix, s"$base/retrain")
+      unpinVectorIndexGeneration(s, prefix, 0L, s"$base/idx")
+      gcVectorIndexGenerations(s, prefix)
+      searchVectorIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        readVectorIndex(s, prefix), IvfPqNprobe)
+    },
+    EmbeddingOps.q150IvfPqSearch.oracle)
+
   val all: Seq[OpSpec] = Seq(
     q205VectorIndex, q210VectorVacuum, q218StagedServeRecall,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
-    q240RerankedServe, q241RetrainedServe)
+    q240RerankedServe, q241RetrainedServe, q296PinnedGenerationServe,
+    q297GenerationGc)
 }

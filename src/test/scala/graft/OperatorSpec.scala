@@ -1604,6 +1604,20 @@ class OperatorSpec extends AnyFunSuite {
                               // scan as q279 + 1-row count scalars;
                               // the reverse-edge join is an equi-join
                               // on the ≤320-row edge set
+      "q289_multiprobe_serve", // q212's broadcast-k centroid training
+                               // + the top-2 probe assignment (q256's
+                               // shape) over the masked live view
+      "q291_mixing_weights", // two 1-row scalar broadcasts (corpus
+                             // total, weight normalizer) onto the
+                             // ≤|domains| frame — the q145 shape
+      "q295_streaming_mixture", // q291's readout over the persisted
+                                // rollup: same two 1-row scalars onto
+                                // the domain-bounded fold
+      "q296_pinned_generation_serve", // two q205-family serves (one
+                                      // per generation): broadcast
+                                      // coarse/codebook scorers only
+      "q297_generation_gc", // q205's serving plan after the pin/GC
+                            // cycle — identical broadcast shapes
       "q204_split_leakage") // 1-row pair-total scalar broadcast
     def globalWindow(p: String): Boolean = p.linesIterator.exists(l =>
       l.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("Window [") &&
@@ -2140,6 +2154,139 @@ class OperatorSpec extends AnyFunSuite {
         .filter(t => t.startsWith(px))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       spark.catalog.clearCache()
+    }
+  }
+
+  test("pin/GC lifecycle: a pinned generation survives the retrain " +
+    "flip and serves bit-identically; GC is a no-op while pinned and " +
+    "retires tables + files after unpin; live serving is untouched") {
+    import spark.implicits._
+    import graft.io.IndexLifecycle
+    import graft.ops.VectorIndexOps
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("vpin_spec").toString
+    val px = "ut_vpin" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val queries = e.filter(col("vec_id") < 20)
+    def serve(idx: VectorIndexOps.VectorIndex) =
+      VectorIndexOps.searchVectorIndex(queries, idx, 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    try {
+      val g0 = e.filter(col("vec_id") % 4 === 0)
+      VectorIndexOps.buildVectorIndex(spark, g0, g0, px, s"$base/idx")
+      (1 to 3).foreach(i => VectorIndexOps.appendToVectorIndex(spark,
+        e.filter(col("vec_id") % 4 === i), px, s"$base/idx"))
+      val served0 = serve(VectorIndexOps.readVectorIndex(spark, px))
+      VectorIndexOps.pinVectorIndexGeneration(spark, px, 0L, s"$base/idx")
+      // a REPLAYED pin is harmless (insert-only signed rows)
+      VectorIndexOps.pinVectorIndexGeneration(spark, px, 0L, s"$base/idx")
+      VectorIndexOps.retrainVectorIndex(spark, e, px, s"$base/retrain")
+      // retention: the pinned generation's tables survived the flip
+      // and keep serving the EXACT pre-retrain results
+      assert(spark.catalog.tableExists(s"${px}_codes"),
+        "pinned generation 0 was dropped by the retrain publish")
+      assert(serve(VectorIndexOps.readVectorIndexAt(spark, px, 0L))
+        == served0, "pinned snapshot drifted across the retrain flip")
+      val servedLive = serve(VectorIndexOps.readVectorIndex(spark, px))
+      assert(servedLive != served0,
+        "retrain did not change serving — the pin test is vacuous")
+      // GC refuses while the pin holds (two pins, one unpin → held)
+      VectorIndexOps.unpinVectorIndexGeneration(spark, px, 0L,
+        s"$base/idx")
+      assert(VectorIndexOps.gcVectorIndexGenerations(spark, px).isEmpty,
+        "GC dropped a generation whose pin signed-sum is positive")
+      assert(spark.catalog.tableExists(s"${px}_codes"))
+      // the second unpin releases it; GC retires tables AND files
+      val loc0 = graft.io.Sinks.tableLocation(spark, s"${px}_codes")
+      VectorIndexOps.unpinVectorIndexGeneration(spark, px, 0L,
+        s"$base/idx")
+      assert(VectorIndexOps.gcVectorIndexGenerations(spark, px)
+        == Seq(0L), "GC did not retire exactly generation 0")
+      assert(!spark.catalog.tableExists(s"${px}_codes"),
+        "GC left the retired generation's codes table registered")
+      assert(!new java.io.File(loc0).exists,
+        "GC left the retired generation's files on disk")
+      // a retired generation refuses time-travel reads loudly
+      intercept[IllegalArgumentException] {
+        VectorIndexOps.readVectorIndexAt(spark, px, 0L)
+      }
+      // the live generation is byte-untouched by the whole cycle
+      assert(serve(VectorIndexOps.readVectorIndex(spark, px))
+        == servedLive, "pin/unpin/GC cycle disturbed live serving")
+      // reading the LIVE generation through the time-travel entry
+      // agrees with the pointer-resolved read
+      assert(serve(VectorIndexOps.readVectorIndexAt(spark, px,
+        IndexLifecycle.liveGeneration(spark, px))) == servedLive)
+      // an UNPINNED superseded generation still drops at publish
+      // (the pre-pin behavior is the default)
+      VectorIndexOps.retrainVectorIndex(spark, e, px, s"$base/retrain2")
+      assert(!spark.catalog.tableExists(s"${px}_r1_codes"),
+        "publish retained an unpinned superseded generation")
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(t => t.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+      IndexLifecycle.rmDir(base)
+    }
+  }
+
+  test("semantic pin/GC: a pinned generation's verdicts are bit-stable " +
+    "across the retrain flip, current tombstones still mask the " +
+    "snapshot, and GC retires it after unpin") {
+    import graft.io.IndexLifecycle
+    import graft.ops.SemanticDedupOps
+    val e = graft.ops.EmbeddingOps.normedDf(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val base = java.nio.file.Files.createTempDirectory("spin_spec").toString
+    val px = "ut_spin" + base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid"), col("vec_id"), col("verdict"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    try {
+      val total = e.count()
+      SemanticDedupOps.buildSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 < total), px, s"$base/idx")
+      SemanticDedupOps.ingestSemanticIndex(spark,
+        e.filter(col("vec_id") * 2 >= total), px, s"$base/idx")
+      val served0 = verdicts(
+        SemanticDedupOps.semanticIndexVerdicts(spark, px))
+      IndexLifecycle.pinGeneration(spark, px, 0L, s"$base/idx")
+      SemanticDedupOps.retrainSemanticIndex(spark, px, s"$base/retrain")
+      // the pinned snapshot serves its pre-retrain verdicts verbatim
+      assert(verdicts(SemanticDedupOps.semanticIndexVerdictsAt(spark,
+        px, 0L)) == served0,
+        "pinned semantic snapshot drifted across the retrain flip")
+      // forgetting trumps time travel: a post-retrain purge masks the
+      // pinned generation too (subject AND witness)
+      val victim = served0.map(_._2).max
+      SemanticDedupOps.purgeSemanticIndex(spark,
+        e.filter(col("vec_id") === victim).select(col("vec_id")),
+        px, s"$base/idx")
+      val pinnedAfterPurge = verdicts(
+        SemanticDedupOps.semanticIndexVerdictsAt(spark, px, 0L))
+      assert(!pinnedAfterPurge.exists(_._2 == victim),
+        "a purged vector still appears in the pinned snapshot")
+      // GC is a no-op while pinned; retires tables + files after unpin
+      assert(SemanticDedupOps.gcSemanticIndexGenerations(spark, px)
+        .isEmpty, "GC dropped a pinned semantic generation")
+      val loc0 = graft.io.Sinks.tableLocation(spark, s"${px}_members")
+      IndexLifecycle.unpinGeneration(spark, px, 0L, s"$base/idx")
+      assert(SemanticDedupOps.gcSemanticIndexGenerations(spark, px)
+        == Seq(0L))
+      assert(!spark.catalog.tableExists(s"${px}_members") &&
+        !new java.io.File(loc0).exists,
+        "GC left the retired semantic generation behind")
+      intercept[IllegalArgumentException] {
+        SemanticDedupOps.semanticIndexVerdictsAt(spark, px, 0L)
+      }
+    } finally {
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(t => t.startsWith(px))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+      IndexLifecycle.rmDir(base)
     }
   }
 
