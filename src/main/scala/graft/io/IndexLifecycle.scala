@@ -156,6 +156,19 @@ object IndexLifecycle {
       .filter(col("w") > 0L)
       .collect().map(_.getLong(0)).toSet
 
+  /** Retrain-publish cleanup, shared by every generational family:
+    * drop the superseded generation's tables unless it is pinned
+    * ([[pinGeneration]]) — a pinned snapshot survives the flip and is
+    * reclaimed only by an explicit [[gcGenerations]] after an unpin. */
+  def retireSupersededUnlessPinned(s: SparkSession, prefix: String,
+      newGen: Long, suffixes: Seq[String]): Unit = {
+    val oldGen = newGen - 1L
+    if (!pinnedGenerations(s, prefix).contains(oldGen)) {
+      val old = generationPrefix(prefix, oldGen)
+      suffixes.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
+    }
+  }
+
   /** Drop every RETIRED generation of `prefix` — registered under
     * `<generationPrefix>_<suffix>` for each family suffix — that is
     * neither live nor pinned: catalog entries dropped, their

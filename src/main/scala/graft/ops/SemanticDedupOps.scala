@@ -541,13 +541,8 @@ object SemanticDedupOps {
       prefix: String, gen: Long, newPath: String): Unit = {
     graft.io.IndexLifecycle.flipGenerationPtr(s, prefix, gen,
       s"$newPath/g$gen")
-    val oldGen = gen - 1L
-    if (!graft.io.IndexLifecycle.pinnedGenerations(s, prefix)
-        .contains(oldGen)) {
-      val old = graft.io.IndexLifecycle.generationPrefix(prefix, oldGen)
-      GenerationSuffixes
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
-    }
+    graft.io.IndexLifecycle.retireSupersededUnlessPinned(s, prefix,
+      gen, GenerationSuffixes)
     // the staged generation snapshotted the survivors, so the mask is
     // folded in — the tombstones retire with the old generation. NOTE
     // a retained (pinned) generation keeps masking through the

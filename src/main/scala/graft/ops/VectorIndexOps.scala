@@ -338,13 +338,8 @@ object VectorIndexOps {
   private[graft] def publishRetrainVectorIndex(s: SparkSession,
       prefix: String, gen: Long, newPath: String): Unit = {
     flipGenerationPtr(s, prefix, gen, newPath)
-    val oldGen = gen - 1L
-    if (!graft.io.IndexLifecycle.pinnedGenerations(s, prefix)
-        .contains(oldGen)) {
-      val old = graft.io.IndexLifecycle.generationPrefix(prefix, oldGen)
-      GenerationSuffixes
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${old}_$t"))
-    }
+    graft.io.IndexLifecycle.retireSupersededUnlessPinned(s, prefix,
+      gen, GenerationSuffixes)
     s.sql(s"DROP TABLE IF EXISTS ${prefix}_tombstones")
   }
 
