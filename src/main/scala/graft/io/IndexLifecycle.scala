@@ -178,18 +178,26 @@ object IndexLifecycle {
     * and compaction. Generations are discovered from the catalog (not
     * a caller-tracked list), so crashed-retrain leftovers age out the
     * same way. Returns the dropped generation numbers. */
-  def gcGenerations(s: SparkSession, prefix: String,
-      suffixes: Seq[String]): Seq[Long] = {
-    val live = liveGeneration(s, prefix)
-    val pinned = pinnedGenerations(s, prefix)
-    val marker = suffixes.head
+  /** The generation numbers physically RETAINED for `prefix` (their
+    * `marker`-suffixed table is registered), discovered from the
+    * catalog — the ground truth [[gcGenerations]] retires from and an
+    * inventory dashboard reports. */
+  def retainedGenerations(s: SparkSession, prefix: String,
+      marker: String): Seq[Long] = {
     val rPat = s"^${prefix}_r(\\d+)_$marker$$".r
-    val present = s.sessionState.catalog.listTables("default")
+    s.sessionState.catalog.listTables("default")
       .map(_.table).flatMap {
         case t if t == s"${prefix}_$marker" => Some(0L)
         case rPat(n) => Some(n.toLong)
         case _ => None
-      }.distinct
+      }.distinct.sorted
+  }
+
+  def gcGenerations(s: SparkSession, prefix: String,
+      suffixes: Seq[String]): Seq[Long] = {
+    val live = liveGeneration(s, prefix)
+    val pinned = pinnedGenerations(s, prefix)
+    val present = retainedGenerations(s, prefix, suffixes.head)
     val victims = present.filter(g => g != live && !pinned.contains(g))
     victims.sorted.map { g =>
       val gp = generationPrefix(prefix, g)

@@ -376,6 +376,30 @@ object VectorIndexOps {
       prefix: String): Seq[Long] =
     graft.io.IndexLifecycle.gcGenerations(s, prefix, GenerationSuffixes)
 
+  /** The retention INVENTORY — one row per physically-retained
+    * generation: its number, whether the pointer serves it, whether a
+    * pin holds it, and the PHYSICAL vector count in its codes table
+    * (sub = 0, so each vector counts once — storage truth, not the
+    * masked serving view). This is the dashboard the pin/GC lifecycle
+    * is operated from: a retired-but-unpinned row is reclaimable
+    * storage ([[gcVectorIndexGenerations]]), a pinned row is a
+    * consumer's snapshot contract, and the live row's count prices the
+    * next retrain. Cost: one catalog listing + one bucketed count per
+    * retained generation — the generation domain is a handful of rows
+    * at any corpus scale. */
+  def vectorIndexInventory(s: SparkSession, prefix: String): DataFrame = {
+    val live = graft.io.IndexLifecycle.liveGeneration(s, prefix)
+    val pinned = graft.io.IndexLifecycle.pinnedGenerations(s, prefix)
+    graft.io.IndexLifecycle.retainedGenerations(s, prefix, "codes")
+      .map { g =>
+        val gp = graft.io.IndexLifecycle.generationPrefix(prefix, g)
+        s.table(s"${gp}_codes").filter(col("sub") === 0)
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(lit(g).as("gen"), lit(g == live).as("is_live"),
+            lit(pinned.contains(g)).as("is_pinned"), col("n_vecs"))
+      }.reduce(_ unionByName _)
+  }
+
   /** ADC search over a persisted [[VectorIndex]] — q150's query path
     * with every training stage gone: probe cells (argmax over the
     * stored coarse rows), per-query LUT (dot of query slices against
@@ -902,9 +926,54 @@ object VectorIndexOps {
     },
     EmbeddingOps.q150IvfPqSearch.oracle)
 
+  /** q299: the GENERATION INVENTORY under the gate — the retention
+    * dashboard (gen, is_live, is_pinned, physical n_vecs per
+    * generation) after a trajectory that makes every column earn its
+    * row: generation 0 builds on a corpus-quarter slice (trained on
+    * its own 1/16 sub-slice) and is PINNED; a slice is tombstoned; the
+    * retrain folds the tombstones into generation 1 and flips the
+    * pointer, retaining 0 under its pin. The two rows' counts DIFFER
+    * (gen 0 keeps the pre-takedown physical rows — tombstones are
+    * logical until folded; gen 1 holds the survivors), which is
+    * exactly the storage-vs-serving distinction the dashboard exists
+    * to show. Oracle: two arithmetic rows over the corpus slice
+    * counts. Runs on the quarter slice — the inventory's cost is the
+    * generation domain, so a scaled-down trajectory proves the same
+    * contract. */
+  val q299GenerationInventory = OpSpec(
+    "q299_generation_inventory",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = s"${graft.Tables.scratchDir}/vin_q299"
+      val prefix = "vin_q299"
+      resetVectorIndex(s, prefix, base)
+      val g0 = e.filter(col("vec_id") % 16 === 0)
+      buildVectorIndex(s, g0, g0, prefix, s"$base/idx")
+      appendToVectorIndex(s,
+        e.filter(col("vec_id") % 16 =!= 0), prefix, s"$base/idx")
+      pinVectorIndexGeneration(s, prefix, 0L, s"$base/idx")
+      deleteFromVectorIndex(s,
+        e.filter(col("vec_id") % 8 === 4).select(col("vec_id")),
+        prefix, s"$base/idx")
+      retrainVectorIndex(s, e, prefix, s"$base/retrain")
+      vectorIndexInventory(s, prefix)
+    },
+    Some("""
+      WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                 WHERE vec_id % 4 = 0),
+      surv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 4 = 0 AND vec_id % 8 <> 4)
+      SELECT CAST(0 AS BIGINT) AS gen, FALSE AS is_live,
+        TRUE AS is_pinned, q.n AS n_vecs FROM q
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS gen, TRUE AS is_live,
+        FALSE AS is_pinned, surv.n AS n_vecs FROM surv"""))
+
   val all: Seq[OpSpec] = Seq(
     q205VectorIndex, q210VectorVacuum, q218StagedServeRecall,
     q221CompactedServe, q231CellBalance, q232LiveMaskedServe,
     q240RerankedServe, q241RetrainedServe, q296PinnedGenerationServe,
-    q297GenerationGc)
+    q297GenerationGc, q299GenerationInventory)
 }
