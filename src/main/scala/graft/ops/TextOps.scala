@@ -1346,6 +1346,56 @@ object TextOps {
       JOIN perword USING (word)
       GROUP BY doc_id"""))
 
+  /** q300: TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-equity
+    * readout of the multilingual-LM line (fertility = subword tokens
+    * per word): a tokenizer trained on a mixed corpus segments
+    * low-resource languages into more pieces, so equal token budgets
+    * buy them less text — this is the number that quantifies it, per
+    * language, for THE q132-trained tokenizer. Pairs with q291: the
+    * mixing weights decide how much of each language enters training;
+    * fertility says how much effective context each admitted document
+    * costs. Pure reuse of q133's vocabulary-join recipe with the lang
+    * key carried through: per-(lang, word) multiplicities pre-
+    * aggregated map-side BEFORE the vocab join (probe = distinct
+    * pairs, never occurrences; no broadcast hint — AQE promotes the
+    * corpus-derived vocab side only when measured small), one
+    * ≤|langs|-row aggregate, fertility as a single division of exact
+    * integers. */
+  val q300BpeFertility = OpSpec(
+    "q300_bpe_fertility",
+    (s, dir) => {
+      val (_, vocab) = bpeTrain(s, dir)
+      val tokensPerWord = vocab.select(col("word"),
+        expr("CAST(size(split(sym, ' ')) AS BIGINT)").as("n_tok"))
+      val out = table(s, dir, "documents")
+        .withColumn("words", expr(wordsSpark))
+        .select(col("lang"), explode(col("words")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("k"))
+        .join(tokensPerWord, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("k")).as("n_words"),
+          sum(col("k") * col("n_tok")).as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_bpe"),
+          (col("n_bpe").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+      out.persist().count() // materialize before freeing the vocab
+      vocab.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $bpeStagesSql,
+      perword AS (
+        SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tok
+        FROM w$BpeRounds)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_tok) AS BIGINT) AS n_bpe,
+        CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS fertility
+      FROM (SELECT lang, unnest($wordsDuck) AS word FROM documents)
+      JOIN perword USING (word)
+      GROUP BY lang"""))
+
   /** q194: language-ID confusion matrix — q22's classifier evaluated
     * against the labeled `lang` column as a proper eval artifact: one
     * row per (true, predicted) cell with the count, the true-class
@@ -2158,5 +2208,6 @@ object TextOps {
     q133BpeTokens, q171VocabCoverage, q180CompressProxy,
     q182PrfExpansion, q185SentenceStats, q194LangidConfusion,
     q214LmSurprise, q215PaddingAudit, q282GramNovelty,
-    q283IncrementalNovelty, q285NoveltyPurge, q286NoveltyVacuum)
+    q283IncrementalNovelty, q285NoveltyPurge, q286NoveltyVacuum,
+    q300BpeFertility)
 }
