@@ -1797,7 +1797,13 @@ object DedupOps {
     *    bound sort by the same total order, which is what the bound's
     *    proof needs. */
   final case class GramIndex(ranked: DataFrame, prefixes: DataFrame,
-      docGrams: DataFrame, gramDf: DataFrame)
+      docGrams: DataFrame, gramDf: DataFrame,
+      // intermediates persist()ed by buildGramIndex so the FOUR table
+      // writes of writeGramIndex share one corpus-text pass instead of
+      // re-running the scan+explode+md5+distinct lineage per action
+      // (guide §1.2 order-1: don't recompute what you already have);
+      // writeGramIndex unpersists them once the writes commit
+      cached: Seq[DataFrame] = Nil)
 
   /** (doc_id, g): distinct word-2-grams folded to 60-bit longs — the
     * q107 gram domain, off an arbitrary (doc_id, text) frame. */
@@ -1822,31 +1828,36 @@ object DedupOps {
   private def containPrefix(ranked: DataFrame): DataFrame =
     ranked.filter(lit(3) * col("sz") <= lit(4) * (col("sz") - col("rn") + 1))
 
-  /** One corpus-text pass → [[GramIndex]]. */
+  /** One corpus-text pass → [[GramIndex]]. Shared intermediates are
+    * persist()ed (released by [[writeGramIndex]]) so the pass is ONE
+    * even though the index lands as four separate table writes. */
   def buildGramIndex(docs: DataFrame): GramIndex = {
-    val grams = hashedGramRows(docs)
+    val grams = hashedGramRows(docs).persist()
     val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = rankGrams(grams, gramDf)
+      .persist()
+    val ranked = rankGrams(grams, gramDf).persist()
     val docGrams = grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g"))).as("arr"),
         count(lit(1)).as("sz"))
-    GramIndex(ranked, containPrefix(ranked), docGrams, gramDf)
+    GramIndex(ranked, containPrefix(ranked), docGrams, gramDf,
+      cached = Seq(grams, gramDf, ranked))
   }
 
   /** Persist a [[GramIndex]] as bucketed tables, each on its
     * ingest-side probe key (`g` for the two candidate-join tables,
     * `doc_id` for the verify arrays). */
   def writeGramIndex(idx: GramIndex, prefix: String, path: String,
-      buckets: Int = 32): Unit = {
-    graft.io.Sinks.bucketedTable(idx.ranked, s"${prefix}_ranked", "g",
-      buckets, s"$path/ranked")
-    graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "g",
-      buckets, s"$path/prefixes")
-    graft.io.Sinks.bucketedTable(idx.docGrams, s"${prefix}_docgrams",
-      "doc_id", buckets, s"$path/docgrams")
-    graft.io.Sinks.bucketedTable(idx.gramDf, s"${prefix}_gramdf", "g",
-      buckets, s"$path/gramdf")
-  }
+      buckets: Int = 32): Unit =
+    try {
+      graft.io.Sinks.bucketedTable(idx.ranked, s"${prefix}_ranked", "g",
+        buckets, s"$path/ranked")
+      graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "g",
+        buckets, s"$path/prefixes")
+      graft.io.Sinks.bucketedTable(idx.docGrams, s"${prefix}_docgrams",
+        "doc_id", buckets, s"$path/docgrams")
+      graft.io.Sinks.bucketedTable(idx.gramDf, s"${prefix}_gramdf", "g",
+        buckets, s"$path/gramdf")
+    } finally idx.cached.foreach(_.unpersist())
 
   def readGramIndex(s: SparkSession, prefix: String): GramIndex =
     GramIndex(s.table(s"${prefix}_ranked"), s.table(s"${prefix}_prefixes"),
@@ -1984,7 +1995,10 @@ object DedupOps {
     * names, `tiny` the ≤-EditCap names, `bigramDf` the frozen rarity
     * order. */
   final case class NameIndex(grams: DataFrame, prefixes: DataFrame,
-      chars: DataFrame, tiny: DataFrame, bigramDf: DataFrame)
+      chars: DataFrame, tiny: DataFrame, bigramDf: DataFrame,
+      // build-time persist()s shared by writeNameIndex's five table
+      // writes (the GramIndex.cached discipline)
+      cached: Seq[DataFrame] = Nil)
 
   private def nameGramRows(names: DataFrame): DataFrame =
     names.select(col("p_name"), length(col("p_name")).as("ln"))
@@ -2010,29 +2024,33 @@ object DedupOps {
       .select(col("p_name"), col("ln"), col("bg"))
   }
 
-  /** One corpus pass → [[NameIndex]]. */
+  /** One corpus pass → [[NameIndex]]. Shared intermediates are
+    * persist()ed (released by [[writeNameIndex]]) so the gram
+    * explode+distinct runs once across the five table writes. */
   def buildNameIndex(names: DataFrame): NameIndex = {
-    val grams = nameGramRows(names)
+    val grams = nameGramRows(names).persist()
     val df = grams.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .persist()
     NameIndex(grams, namePrefixes(grams, df), nameCharRows(names),
       names.select(col("p_name"), length(col("p_name")).as("ln"))
         .filter(col("ln") <= EditCap),
-      df)
+      df, cached = Seq(grams, df))
   }
 
   def writeNameIndex(idx: NameIndex, prefix: String, path: String,
-      buckets: Int = 32): Unit = {
-    graft.io.Sinks.bucketedTable(idx.grams, s"${prefix}_grams", "bg",
-      buckets, s"$path/grams")
-    graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "bg",
-      buckets, s"$path/prefixes")
-    graft.io.Sinks.bucketedTable(idx.chars, s"${prefix}_chars", "ch",
-      buckets, s"$path/chars")
-    graft.io.Sinks.bucketedTable(idx.tiny, s"${prefix}_tiny", "ln",
-      buckets, s"$path/tiny")
-    graft.io.Sinks.bucketedTable(idx.bigramDf, s"${prefix}_bigramdf", "bg",
-      buckets, s"$path/bigramdf")
-  }
+      buckets: Int = 32): Unit =
+    try {
+      graft.io.Sinks.bucketedTable(idx.grams, s"${prefix}_grams", "bg",
+        buckets, s"$path/grams")
+      graft.io.Sinks.bucketedTable(idx.prefixes, s"${prefix}_prefixes", "bg",
+        buckets, s"$path/prefixes")
+      graft.io.Sinks.bucketedTable(idx.chars, s"${prefix}_chars", "ch",
+        buckets, s"$path/chars")
+      graft.io.Sinks.bucketedTable(idx.tiny, s"${prefix}_tiny", "ln",
+        buckets, s"$path/tiny")
+      graft.io.Sinks.bucketedTable(idx.bigramDf, s"${prefix}_bigramdf", "bg",
+        buckets, s"$path/bigramdf")
+    } finally idx.cached.foreach(_.unpersist())
 
   def readNameIndex(s: SparkSession, prefix: String): NameIndex =
     NameIndex(s.table(s"${prefix}_grams"), s.table(s"${prefix}_prefixes"),

@@ -967,20 +967,58 @@ object EmbeddingOps {
         ELSE sqrt(list_reduce(list_transform($v, x -> x * x),
           (a, b) -> a + b)) END"""
 
+  /** Row-local cosine top-`n` of every `e` row against a TINY
+    * (cid, cv, cnrm) codebook/centroid table: the codebook folds into
+    * ONE cid-sorted array-of-structs row, crossJoins (1-row broadcast)
+    * onto `e`, and each row scores + ranks its candidates inside a
+    * single projection. Replaces the crossJoin×k + row_number
+    * formulation every assignment site used to share: that window's
+    * exchange shuffled k COPIES of every embedding (plus the k joined
+    * centroid arrays) through a hashpartitioning(vec_id) just to pick a
+    * per-row argmax — guide §2.3/§2.4, a per-row decision needs no
+    * shuffle at all. Arithmetic and ordering are bit-identical: the
+    * cosine is the same zip_with/aggregate left-fold divided by the
+    * same norm product, and the comparator is exactly (cosine DESC,
+    * cid ASC) — a total order (cids are distinct), so array_sort
+    * stability never matters; cosines are NaN-free by construction
+    * (norms zero-guarded, embeddings finite), so the trichotomy is
+    * exhaustive. Returns e's columns + (cid, cosine, pr), pr = 1-based
+    * rank like the row_number it replaces. */
+  private[ops] def localCosTop(e: DataFrame, cents: DataFrame,
+      n: Int): DataFrame = {
+    val packed = cents.agg(sort_array(collect_list(
+      struct(col("cid"), col("cv"), col("cnrm")))).as("_cents"))
+    val eCols = e.columns.toSeq
+    e.crossJoin(broadcast(packed))
+      .withColumn("_top", expr(
+        s"""slice(array_sort(
+              transform(_cents, c -> named_struct(
+                'cosine',
+                aggregate(zip_with(embedding, c.cv,
+                  (x, y) -> CAST(x AS DOUBLE) * y),
+                  0e0, (a, y) -> a + y) / (nrm * c.cnrm),
+                'cid', c.cid)),
+              (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
+                             WHEN l.cosine < r.cosine THEN 1
+                             WHEN l.cid < r.cid THEN -1
+                             WHEN l.cid > r.cid THEN 1
+                             ELSE 0 END),
+            1, $n)"""))
+      .select(eCols.map(col) :+
+        posexplode(col("_top")).as(Seq("_pr0", "_t")): _*)
+      .select(eCols.map(col) ++ Seq(col("_t.cid").as("cid"),
+        col("_t.cosine").as("cosine"),
+        (col("_pr0") + 1).as("pr")): _*)
+  }
+
   /** One exact k-means iteration: cosine-argmax assignment against the
     * current (cid, cv, cnrm) centroid table, then per-cluster mean via
     * the q82 ordered-IEEE-fold recipe. Returns (cid, n, cv, cnrm);
     * clusters that win no members drop out (mirrored by the oracle's
-    * GROUP BY). */
+    * GROUP BY). The assignment is the row-local [[localCosTop]] — no
+    * exchange until the k-group fold itself. */
   private def kmIter(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    localCosTop(e, cents, 1)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -1163,18 +1201,10 @@ object EmbeddingOps {
     * build and append share, so "append == rebuild" is arithmetic
     * identity, not coincidence. */
   private[ops] def codeAgainst(e: DataFrame, cb: DataFrame, j: Int)
-      : DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    e.crossJoin(broadcast(cb))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      : DataFrame =
+    localCosTop(e, cb, 1)
       .select(col("vec_id"), lit(j.toLong).as("sub"),
         col("cid").as("code"))
-  }
 
   private def pqSubOf(emb: DataFrame, j: Int): (DataFrame, DataFrame) = {
     val e = pqSliceOf(emb, j)
@@ -1340,18 +1370,12 @@ object EmbeddingOps {
       val (e, km) = coarseKm(s, dir)
       val coarse = km.select(col("cid"), col("cv"), col("cnrm"))
       // one scored (vector, cell) frame serves assignment AND probing
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("cid").asc)
-      val cellScore = e.crossJoin(broadcast(coarse))
-        .withColumn("cosine", expr(
-          """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-             0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-        .withColumn("rn", row_number().over(w))
-        .persist()
-      val assign = cellScore.filter(col("rn") === 1)
+      // (row-local top-nprobe — no per-vector window exchange)
+      val cellScore = localCosTop(e, coarse, nprobe).persist()
+      val assign = cellScore.filter(col("pr") === 1)
         .select(col("vec_id"), col("cid").as("cell"))
       val probe = cellScore
-        .filter(col("vec_id") < 20 && col("rn") <= nprobe)
+        .filter(col("vec_id") < 20 && col("pr") <= nprobe)
         .select(col("vec_id").as("query_id"), col("cid").as("cell"))
       val trained = (0 until PqM).map(j => (j, pqSub(s, dir, j)))
       // inverted lists: PQ codes keyed by their vector's coarse cell

@@ -62,16 +62,7 @@ object SemanticDedupOps {
       onlyFor: Option[DataFrame] = None): DataFrame = {
       val cents = coarseKmOfK(e, k)
         .select(col("cid"), col("cv"), col("cnrm"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("cid").asc)
-      val asg0 = e.crossJoin(broadcast(cents))
-        .withColumn("cosine", expr(
-          """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-             0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
-        .persist()
+      val asg0 = semAssign(e, cents).persist()
       val asg = onlyFor.fold(asg0)(ids => asg0.join(
         broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
         "left_semi"))
@@ -141,18 +132,10 @@ object SemanticDedupOps {
     * rank `pr` (1 = the argmax/primary cell; ties to the lower cid,
     * fully deterministic). */
   private[graft] def semAssignTop(e: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") <= nprobe)
+      nprobe: Int): DataFrame =
+    EmbeddingOps.localCosTop(e, cents, nprobe)
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"),
         col("pr"))
-  }
 
   /** Cosine-argmax cell assignment of a normed (vec_id, embedding,
     * nrm) frame against a broadcast (cid, cv, cnrm) centroid table —

@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import EmbeddingOps.{IvfPqNprobe, KmK, PqK, PqM, coarseKmOf,
-  coarseKmOfK, codeAgainst, dotDuck, ivfPqScoredCtes, normedDuck,
-  normedOf, pqCodebookOf, pqSliceOf}
+  coarseKmOfK, codeAgainst, dotDuck, ivfPqScoredCtes, localCosTop,
+  normedDuck, normedOf, pqCodebookOf, pqSliceOf}
 
 /** The persisted IVF-PQ VECTOR INDEX family: train-once/serve-forever
   * ANN over the embeddings corpus — build persists coarse centroids,
@@ -65,14 +65,7 @@ object VectorIndexOps {
   def codeVectors(df: DataFrame, coarse: DataFrame,
       codebooks: DataFrame): DataFrame = {
     val e = normedOf(df)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    val assign = e.crossJoin(broadcast(coarse))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assign = localCosTop(e, coarse, 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val codes = (0 until PqM).map { j =>
       codeAgainst(pqSliceOf(df, j),
@@ -410,14 +403,7 @@ object VectorIndexOps {
     * never touched (plan-audited in the spec). */
   def searchVectorIndex(queries: DataFrame, idx: VectorIndex,
       nprobe: Int, k: Int = 10): DataFrame = {
-    val wp = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
-    val probe = normedOf(queries).crossJoin(broadcast(idx.coarse))
-      .withColumn("cosine", expr(
-        """aggregate(zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) * c),
-           0e0, (a, y) -> a + y)""") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
+    val probe = localCosTop(normedOf(queries), idx.coarse, nprobe)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val lut = (0 until PqM).map { j =>
       pqSliceOf(queries, j)

