@@ -116,7 +116,7 @@ object DedupOps {
     * folded to a non-negative long — the numeric minhash domain. Fixed-
     * width long min() buffers keep HashAggregate on its fast path (var-
     * length string minima knock it off: ~190 µs/row measured). */
-  private[ops] def hexToLong(h: String, start: Int = 1, n: Int = 12): String =
+  private[graft] def hexToLong(h: String, start: Int = 1, n: Int = 12): String =
     (0 until n).map { i =>
       val p = java.lang.Math.pow(16, n - 1 - i).toLong
       s"(instr('0123456789abcdef', substring($h, ${start + i}, 1)) - 1) * CAST($p AS BIGINT)"

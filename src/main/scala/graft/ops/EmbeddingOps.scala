@@ -989,23 +989,27 @@ object EmbeddingOps {
     val packed = cents.agg(sort_array(collect_list(
       struct(col("cid"), col("cv"), col("cnrm")))).as("_cents"))
     val eCols = e.columns.toSeq
+    // the top-n expression stays INLINE in the generator: a
+    // Project-computed array under a whole-stage-codegen Generate
+    // re-drives the HOF-fallback scoring per output row, while an
+    // inline HOF generator evaluates once per input row (measured 4-6×
+    // on the novelty gram explode — the gramRowsOf inlined-HOF lesson)
     e.crossJoin(broadcast(packed))
-      .withColumn("_top", expr(
-        s"""slice(array_sort(
-              transform(_cents, c -> named_struct(
-                'cosine',
-                aggregate(zip_with(embedding, c.cv,
-                  (x, y) -> CAST(x AS DOUBLE) * y),
-                  0e0, (a, y) -> a + y) / (nrm * c.cnrm),
-                'cid', c.cid)),
-              (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
-                             WHEN l.cosine < r.cosine THEN 1
-                             WHEN l.cid < r.cid THEN -1
-                             WHEN l.cid > r.cid THEN 1
-                             ELSE 0 END),
-            1, $n)"""))
       .select(eCols.map(col) :+
-        posexplode(col("_top")).as(Seq("_pr0", "_t")): _*)
+        posexplode(expr(
+          s"""slice(array_sort(
+                transform(_cents, c -> named_struct(
+                  'cosine',
+                  aggregate(zip_with(embedding, c.cv,
+                    (x, y) -> CAST(x AS DOUBLE) * y),
+                    0e0, (a, y) -> a + y) / (nrm * c.cnrm),
+                  'cid', c.cid)),
+                (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
+                               WHEN l.cosine < r.cosine THEN 1
+                               WHEN l.cid < r.cid THEN -1
+                               WHEN l.cid > r.cid THEN 1
+                               ELSE 0 END),
+              1, $n)""")).as(Seq("_pr0", "_t")): _*)
       .select(eCols.map(col) ++ Seq(col("_t.cid").as("cid"),
         col("_t.cosine").as("cosine"),
         (col("_pr0") + 1).as("pr")): _*)

@@ -1854,7 +1854,7 @@ object TextOps {
 
   /** (doc_id, gsh) with [[gramHashSpark]] applied — gsh is the row-
     * local distinct hashed gram array (empty for gram-less docs). */
-  private def gramHashed(docs: DataFrame): DataFrame =
+  private[graft] def gramHashed(docs: DataFrame): DataFrame =
     docs.withColumn("words", expr(wordsSpark))
       .withColumn("gsh", expr(gramHashSpark))
       .select(col("doc_id"), expr("filter(gsh, x -> x IS NOT NULL)")
@@ -1921,10 +1921,23 @@ object TextOps {
     * distinct gram hash with its document frequency, bucketed on the
     * hash (the ingest join key). The corpus text is scanned ONCE, here;
     * every later batch scores against these 16-byte rows. */
+  /** (doc_id, g) exploded novelty-gram rows with the gram expression
+    * INLINE in the generator. The inline form matters: exploding a
+    * Project-computed array column keeps the Generate inside
+    * whole-stage codegen, whose consume path re-drives the
+    * HOF-fallback gram lineage per output row (measured 8.1 s vs
+    * 1.5 s at sf0.1 for the identical rows); an inline HOF generator
+    * makes the Generate interpreted and the lineage evaluates once
+    * per input row. Same rows either way — this is purely the
+    * gramRowsOf inlined-HOF lesson applied to the 5-gram hasher. */
+  private def gramRowsInline(docs: DataFrame): DataFrame =
+    docs.withColumn("words", expr(wordsSpark))
+      .select(col("doc_id"), explode(expr(
+        s"filter($gramHashSpark, x -> x IS NOT NULL)")).as("g"))
+
   def writeNoveltyIndex(docs: DataFrame, prefix: String, path: String,
       buckets: Int = 8): Unit = {
-    val g = gramHashed(docs)
-      .select(col("doc_id"), explode(col("gsh")).as("g"))
+    val g = gramRowsInline(docs)
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .withColumn("ingest_batch", lit(-1L))
     graft.io.Sinks.bucketedTable(g.repartition(buckets, col("g")),
@@ -2050,8 +2063,8 @@ object TextOps {
   def purgeNoveltyIndex(s: SparkSession, docs: DataFrame,
       prefix: String, takedownId: Long, buckets: Int = 8): Unit = {
     require(takedownId >= 0L, s"takedownId must be >= 0: $takedownId")
-    val neg = gramHashed(docs)
-      .select(col("doc_id"), explode(col("gsh")).as("g"))
+    // inline-generator gram rows (the writeNoveltyIndex note)
+    val neg = gramRowsInline(docs)
       .groupBy(col("g"))
       .agg((count(lit(1)) * lit(-1L)).as("df"))
     graft.io.Sinks.appendBucketedTableIdempotent(s, neg,
