@@ -2569,8 +2569,9 @@ object DedupOps {
           .as("pos"))
       .distinct()
     val words = docs
-      .withColumn("words", expr(wordsSpark))
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
+      // inline generator — the q76 codegen-Generate note in TextOps
+      .select(col("doc_id"),
+        posexplode(expr(TextOps.wordsSpark)).as(Seq("pos", "word")))
       .withColumn("pos", col("pos").cast("long"))
     val keptAgg = words.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))

@@ -547,9 +547,11 @@ object TextOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
+      // generator INLINE (not a computed `words` attribute): keeps the
+      // Generate out of whole-stage codegen, which re-drives the HOF
+      // split per output row (the gramRowsOf inlined-HOF lesson)
       val tf = docs
-        .select(col("doc_id"), explode(col("words")).as("term"))
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -971,8 +973,8 @@ object TextOps {
     "q117_cosine_tf_join",
     (s, dir) => {
       val tf = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .select(col("doc_id"), explode(col("words")).as("w"))
+        // inline generator — the q76 codegen-Generate note
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
         .persist()
@@ -1068,7 +1070,8 @@ object TextOps {
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_dl"))
       val tf = docs
-        .select(col("doc_id"), explode(col("words")).as("term"))
+        // inline generator — the q76 codegen-Generate note
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1139,9 +1142,9 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id").asc).limit(3)
         .select(col("doc_id"))
       val docs = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
       val tf = docs
-        .select(col("doc_id"), explode(col("words")).as("term"))
+        // inline generator — the q76 codegen-Generate note
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1221,8 +1224,8 @@ object TextOps {
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(sum(col("cnt")).as("n"))
     var tab = table(s, dir, "documents")
-      .withColumn("words", expr(wordsSpark))
-      .select(explode(col("words")).as("word"))
+      // inline generator — the q76 codegen-Generate note
+      .select(explode(expr(wordsSpark)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"),
         expr("trim(regexp_replace(word, '(.)', '$1 '))").as("sym"),
@@ -1323,8 +1326,8 @@ object TextOps {
       // combined). Integer identities keep the result exact:
       // COUNT(*) == SUM(k), SUM(n_tok) == SUM(k·n_tok).
       val out = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .select(col("doc_id"), explode(col("words")).as("word"))
+        // inline generator — the q76 codegen-Generate note
+        .select(col("doc_id"), explode(expr(wordsSpark)).as("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("k"))
         .join(tokensPerWord, "word")
@@ -1368,8 +1371,8 @@ object TextOps {
       val tokensPerWord = vocab.select(col("word"),
         expr("CAST(size(split(sym, ' ')) AS BIGINT)").as("n_tok"))
       val out = table(s, dir, "documents")
-        .withColumn("words", expr(wordsSpark))
-        .select(col("lang"), explode(col("words")).as("word"))
+        // inline generator — the q76 codegen-Generate note
+        .select(col("lang"), explode(expr(wordsSpark)).as("word"))
         .groupBy(col("lang"), col("word"))
         .agg(count(lit(1)).as("k"))
         .join(tokensPerWord, "word")

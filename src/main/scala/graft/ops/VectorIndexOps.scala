@@ -64,16 +64,62 @@ object VectorIndexOps {
     * identity rather than a coincidence. */
   def codeVectors(df: DataFrame, coarse: DataFrame,
       codebooks: DataFrame): DataFrame = {
-    val e = normedOf(df)
-    val assign = localCosTop(e, coarse, 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val codes = (0 until PqM).map { j =>
-      codeAgainst(pqSliceOf(df, j),
-        codebooks.filter(col("sub") === j)
-          .select(col("cid"), col("cv"), col("cnrm")), j)
-    }.reduce(_ unionByName _)
-    codes.join(assign, "vec_id")
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    // ONE pass, zero joins: the previous form scanned the batch PqM+1
+    // times (per-sub codeAgainst branches unioned, then joined back to
+    // the coarse assignment on vec_id) — at local[32] every branch and
+    // the join materialized its own AQE stage, and at scale the join
+    // shuffled the codes by vec_id just to re-attach a value every row
+    // already knew. Here each row computes its coarse cell and all PqM
+    // sub-codes locally from the broadcast packed codebooks and emits
+    // PqM (cell, sub, code) structs through an INLINE generator (the
+    // codegen-Generate lesson). Arithmetic is byte-identical to
+    // codeAgainst/pqSliceOf: same zip_with/aggregate cosine folds over
+    // the same slices, same zero-guarded slice norms, same
+    // (cosine DESC, cid ASC) order — so append == rebuild still holds
+    // as an arithmetic identity.
+    val subLen = 64 / PqM
+    val packedCoarse = coarse.agg(sort_array(collect_list(
+      struct(col("cid"), col("cv"), col("cnrm")))).as("_coarse"))
+    val packedBooks = codebooks
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("cv"), col("cnrm")))).as("cbs"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cbs"))))
+        .as("_books"))
+    val cmp = """(l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
+                                WHEN l.cosine < r.cosine THEN 1
+                                WHEN l.cid < r.cid THEN -1
+                                WHEN l.cid > r.cid THEN 1
+                                ELSE 0 END"""
+    val sliceJ =
+      s"slice(embedding, CAST(b.sub * $subLen + 1 AS INT), $subLen)"
+    val snrm =
+      s"""(CASE WHEN aggregate($sliceJ, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0e0
+            THEN 1e0
+            ELSE sqrt(aggregate($sliceJ, 0e0,
+              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            END)"""
+    normedOf(df)
+      .crossJoin(broadcast(packedCoarse))
+      .crossJoin(broadcast(packedBooks))
+      .select(col("vec_id"),
+        expr(s"""element_at(array_sort(transform(_coarse,
+            c -> named_struct(
+              'cosine', aggregate(zip_with(embedding, c.cv,
+                (x, y) -> CAST(x AS DOUBLE) * y),
+                0e0, (a, y) -> a + y) / (nrm * c.cnrm),
+              'cid', c.cid)), $cmp), 1).cid""").as("cell"),
+        explode(expr(s"""transform(_books, b -> named_struct(
+            'sub', b.sub,
+            'code', element_at(array_sort(transform(b.cbs,
+              c -> named_struct(
+                'cosine', aggregate(zip_with($sliceJ, c.cv,
+                  (x, y) -> CAST(x AS DOUBLE) * y),
+                  0e0, (a, y) -> a + y) / ($snrm * c.cnrm),
+                'cid', c.cid)), $cmp), 1).cid))""")).as("sc"))
+      .select(col("vec_id"), col("cell"), col("sc.sub").as("sub"),
+        col("sc.code").as("code"))
   }
 
   /** Build + persist a [[VectorIndex]]: train on `train`, code
