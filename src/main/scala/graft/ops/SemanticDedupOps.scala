@@ -1334,8 +1334,11 @@ object SemanticDedupOps {
   val q220SemdedupMissAudit = OpSpec(
     "q220_semdedup_miss_audit",
     (s, dir) => {
+      // all three k-arms train on and assign the SAME normed corpus —
+      // persist it once instead of re-scanning parquet + recomputing
+      // norms per arm (3 trainings × 3 passes each)
       val e = normedDf(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm")).persist()
       // truth feeds the three arms' verdict restriction AND the final
       // join — persist so the lossless ppjoin runs once
       val truth = graft.ops.DedupOps.q50NgramJaccard.query(s, dir)
