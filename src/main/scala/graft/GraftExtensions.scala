@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, DotProductFD, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL callers
@@ -45,12 +45,16 @@ object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression =
     binary("dot_product", DotProduct.apply)
 
+  private[graft] val dotFdBuilder: Seq[Expression] => Expression =
+    binary("dot_fd", DotProductFD.apply)
+
   private[graft] val sicBuilder: Seq[Expression] => Expression =
     binary("sorted_intersect_count", SortedIntersectCount.apply)
 
   private val registry: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     Seq(
       ("dot_product", classOf[DotProduct], dotBuilder),
+      ("dot_fd", classOf[DotProductFD], dotFdBuilder),
       ("sorted_intersect_count", classOf[SortedIntersectCount], sicBuilder))
 
   /** Register on an already-built session (extensions configured via

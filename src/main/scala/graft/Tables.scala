@@ -42,6 +42,9 @@ object Tables {
     * same instants DuckDB's naive TIMESTAMP sees — not TIMESTAMP_NTZ,
     * which unix_micros/window functions reject. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // native expressions (dot_product / dot_fd / sorted_intersect_count)
+    // available to expr()-string call sites in every entry point
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

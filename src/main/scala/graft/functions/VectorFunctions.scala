@@ -150,9 +150,77 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** float×double variant of [[DotProduct]] for the centroid-scoring hot
+  * path: every cosine assignment folds a float embedding against a
+  * double centroid (`aggregate(zip_with(emb, cv, (x, y) -> CAST(x AS
+  * DOUBLE) * y), 0e0, (a, y) -> a + y)`), and that HOF chain — run
+  * inside the CodegenFallback `transform` lambda of the row-local
+  * argmax — materializes a boxed 64-element array and dispatches two
+  * lambdas per element, per centroid, per row. This expression is the
+  * identical left-to-right IEEE fold (`acc += (double)x[i] * y[i]`) as
+  * one tight loop over Tungsten `ArrayData`; inside an interpreted HOF
+  * lambda it runs via nullSafeEval, still one virtual call per
+  * CENTROID instead of four per ELEMENT. Generated and interpreted
+  * paths stay bit-identical to each other and to the HOF fold they
+  * replace (same accumulation order, same double widening). */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_fd expects (array<float>, array<double>) inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // own generated method, not inlined — see DotProduct.doGenCode
+    val dot = ctx.addNewFunction("graftDotProductFD",
+      s"""
+      private double graftDotProductFD(org.apache.spark.sql.catalyst.util.ArrayData x, org.apache.spark.sql.catalyst.util.ArrayData y) {
+        final int n = java.lang.Math.min(x.numElements(), y.numElements());
+        double acc = 0.0;
+        // same left-to-right double fold as nullSafeEval — generated
+        // and interpreted paths must stay bit-identical
+        for (int i = 0; i < n; i++) {
+          acc += (double) x.getFloat(i) * y.getDouble(i);
+        }
+        return acc;
+      }""")
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $dot($x, $y);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFD =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def dotFD(a: Column, b: Column): Column =
+    bridge.column(DotProductFD(bridge.expression(a), bridge.expression(b)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(

@@ -821,9 +821,7 @@ object EmbeddingOps {
         .orderBy(col("cosine").asc, col("vec_id").asc)
       normedDf(s, dir)
         .join(broadcast(cents), Seq("label"))
-        .withColumn("dotc", expr(
-          """aggregate(zip_with(embedding, sumv,
-             (x, c) -> CAST(x AS DOUBLE) * c), 0e0, (a, y) -> a + y)"""))
+        .withColumn("dotc", expr("dot_fd(embedding, sumv)"))
         .withColumn("cosine", col("dotc") / (col("nrm") * col("cnrm")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
@@ -977,8 +975,11 @@ object EmbeddingOps {
     * centroid arrays) through a hashpartitioning(vec_id) just to pick a
     * per-row argmax — guide §2.3/§2.4, a per-row decision needs no
     * shuffle at all. Arithmetic and ordering are bit-identical: the
-    * cosine is the same zip_with/aggregate left-fold divided by the
-    * same norm product, and the comparator is exactly (cosine DESC,
+    * cosine is the same left-to-right float×double fold the HOF chain
+    * computed, now the native [[graft.functions.DotProductFD]] kernel
+    * (`dot_fd`) — one ArrayData loop per centroid instead of a boxed
+    * zip_with array + two lambda dispatches per element — divided by
+    * the same norm product, and the comparator is exactly (cosine DESC,
     * cid ASC) — a total order (cids are distinct), so array_sort
     * stability never matters; cosines are NaN-free by construction
     * (norms zero-guarded, embeddings finite), so the trichotomy is
@@ -1000,9 +1001,7 @@ object EmbeddingOps {
           s"""slice(array_sort(
                 transform(_cents, c -> named_struct(
                   'cosine',
-                  aggregate(zip_with(embedding, c.cv,
-                    (x, y) -> CAST(x AS DOUBLE) * y),
-                    0e0, (a, y) -> a + y) / (nrm * c.cnrm),
+                  dot_fd(embedding, c.cv) / (nrm * c.cnrm),
                   'cid', c.cid)),
                 (l, r) -> CASE WHEN l.cosine > r.cosine THEN -1
                                WHEN l.cosine < r.cosine THEN 1
@@ -1303,9 +1302,7 @@ object EmbeddingOps {
           .crossJoin(broadcast(cb))
           .select(col("query_id"), lit(j.toLong).as("sub"),
             col("cid").as("code"),
-            expr("""aggregate(zip_with(qv, cv,
-                (x, c) -> CAST(x AS DOUBLE) * c),
-                0e0, (a, y) -> a + y)""").as("term"))
+            expr("dot_fd(qv, cv)").as("term"))
       }.reduce(_ unionByName _)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
@@ -1392,9 +1389,7 @@ object EmbeddingOps {
           .crossJoin(broadcast(cb))
           .select(col("query_id"), lit(j.toLong).as("sub"),
             col("cid").as("code"),
-            expr("""aggregate(zip_with(qv, cv,
-                (x, c) -> CAST(x AS DOUBLE) * c),
-                0e0, (a, y) -> a + y)""").as("term"))
+            expr("dot_fd(qv, cv)").as("term"))
       }.reduce(_ unionByName _)
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)

@@ -73,8 +73,10 @@ object VectorIndexOps {
     // sub-codes locally from the broadcast packed codebooks and emits
     // PqM (cell, sub, code) structs through an INLINE generator (the
     // codegen-Generate lesson). Arithmetic is byte-identical to
-    // codeAgainst/pqSliceOf: same zip_with/aggregate cosine folds over
-    // the same slices, same zero-guarded slice norms, same
+    // codeAgainst/pqSliceOf: same left-to-right cosine folds (the
+    // native dot_fd/dot_product kernels, bit-identical to the HOF
+    // chains they replaced) over the same slices, same zero-guarded
+    // slice norms, same
     // (cosine DESC, cid ASC) order — so append == rebuild still holds
     // as an arithmetic identity.
     val subLen = 64 / PqM
@@ -93,12 +95,13 @@ object VectorIndexOps {
                                 ELSE 0 END"""
     val sliceJ =
       s"slice(embedding, CAST(b.sub * $subLen + 1 AS INT), $subLen)"
+    // dot_product(s, s) is the identical left-to-right Σ x²-as-double
+    // fold (graft.functions.DotProduct) — one ArrayData loop instead of
+    // a boxed per-element HOF chain, bit-identical by construction
     val snrm =
-      s"""(CASE WHEN aggregate($sliceJ, 0e0,
-              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0e0
+      s"""(CASE WHEN dot_product($sliceJ, $sliceJ) = 0e0
             THEN 1e0
-            ELSE sqrt(aggregate($sliceJ, 0e0,
-              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            ELSE sqrt(dot_product($sliceJ, $sliceJ))
             END)"""
     normedOf(df)
       .crossJoin(broadcast(packedCoarse))
@@ -106,17 +109,13 @@ object VectorIndexOps {
       .select(col("vec_id"),
         expr(s"""element_at(array_sort(transform(_coarse,
             c -> named_struct(
-              'cosine', aggregate(zip_with(embedding, c.cv,
-                (x, y) -> CAST(x AS DOUBLE) * y),
-                0e0, (a, y) -> a + y) / (nrm * c.cnrm),
+              'cosine', dot_fd(embedding, c.cv) / (nrm * c.cnrm),
               'cid', c.cid)), $cmp), 1).cid""").as("cell"),
         explode(expr(s"""transform(_books, b -> named_struct(
             'sub', b.sub,
             'code', element_at(array_sort(transform(b.cbs,
               c -> named_struct(
-                'cosine', aggregate(zip_with($sliceJ, c.cv,
-                  (x, y) -> CAST(x AS DOUBLE) * y),
-                  0e0, (a, y) -> a + y) / ($snrm * c.cnrm),
+                'cosine', dot_fd($sliceJ, c.cv) / ($snrm * c.cnrm),
                 'cid', c.cid)), $cmp), 1).cid))""")).as("sc"))
       .select(col("vec_id"), col("cell"), col("sc.sub").as("sub"),
         col("sc.code").as("code"))
@@ -456,9 +455,7 @@ object VectorIndexOps {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         .crossJoin(broadcast(idx.codebooks.filter(col("sub") === j)))
         .select(col("query_id"), col("sub"), col("cid").as("code"),
-          expr("""aggregate(zip_with(qv, cv,
-              (x, c) -> CAST(x AS DOUBLE) * c),
-              0e0, (a, y) -> a + y)""").as("term"))
+          expr("dot_fd(qv, cv)").as("term"))
     }.reduce(_ unionByName _)
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
