@@ -100,6 +100,42 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
 
+  /** Run INDEPENDENT write/append actions concurrently from a bounded
+    * thread pool — guide §2.6 "overlap independent jobs": a lifecycle
+    * step that persists N per-artifact tables otherwise serializes N
+    * small jobs, each leaving most executor slots idle through its
+    * scheduling + commit tail; Spark's FIFO scheduler back-fills the
+    * current job's tail with the next job's tasks when both are in
+    * flight. Callers own two preconditions: the actions target
+    * DIFFERENT tables (Spark job submission is thread-safe; catalog
+    * DDL to distinct names is too), and any cached frame the actions
+    * share is MATERIALIZED first (racing threads would otherwise
+    * duplicate the lineage compute while the first block write wins).
+    * Crash contracts are unchanged: each action stays atomic per
+    * table, and the replay/mask discipline of every caller already
+    * tolerates an arbitrary committed-subset at failure. The first
+    * failure rethrows (wrapped) after all actions settle. */
+  def concurrently(actions: Seq[() => Unit]): Unit =
+    if (actions.sizeIs <= 1) actions.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(actions.size, 5))
+      try {
+        val fs = actions.map(a => pool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = a()
+          }))
+        // settle ALL before rethrowing the first failure — a half-
+        // drained pool must not leave live writer threads behind the
+        // caller's unpersist/cleanup
+        val errs = fs.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause) })
+        errs.headOption.foreach(throw _)
+      } finally pool.shutdown()
+    }
+
   /** Bucketed + sorted table layout: pays the shuffle ONCE at write
     * time so every later equi-join or aggregation on `key` between
     * co-bucketed tables runs with NO exchange (and, with sortBy, no

@@ -132,10 +132,14 @@ object VectorIndexOps {
       corpus: DataFrame, prefix: String, path: String,
       buckets: Int = 8): Unit = {
     val (coarse, books) = trainVectorCodebooks(train)
-    graft.io.Sinks.bucketedTable(coarse, s"${prefix}_coarse", "cid",
-      1, s"$path/coarse")
-    graft.io.Sinks.bucketedTable(books, s"${prefix}_codebooks", "sub",
-      1, s"$path/codebooks")
+    // the coarse and PQ trainings are disjoint computations writing
+    // distinct tables — overlap them (guide §2.6); the codes write
+    // below depends on BOTH stored artifacts and stays sequential
+    graft.io.Sinks.concurrently(Seq(
+      () => graft.io.Sinks.bucketedTable(coarse, s"${prefix}_coarse",
+        "cid", 1, s"$path/coarse"),
+      () => graft.io.Sinks.bucketedTable(books, s"${prefix}_codebooks",
+        "sub", 1, s"$path/codebooks")))
     val frozen = readVectorIndexHead(s, prefix)
     graft.io.Sinks.bucketedTable(
       codeVectors(corpus, frozen._1, frozen._2)
@@ -342,10 +346,13 @@ object VectorIndexOps {
     val survivors = graft.io.IndexLifecycle.maskTombstones(s, corpus,
       s"${prefix}_tombstones", "vec_id")
     val (coarse, books) = trainVectorCodebooks(survivors)
-    graft.io.Sinks.bucketedTable(coarse, s"${phys}_coarse", "cid", 1,
-      s"$newPath/g$gen/coarse")
-    graft.io.Sinks.bucketedTable(books, s"${phys}_codebooks", "sub", 1,
-      s"$newPath/g$gen/codebooks")
+    // overlap the two independent training writes (guide §2.6 — the
+    // buildVectorIndex pattern; staging tables nothing references yet)
+    graft.io.Sinks.concurrently(Seq(
+      () => graft.io.Sinks.bucketedTable(coarse, s"${phys}_coarse",
+        "cid", 1, s"$newPath/g$gen/coarse"),
+      () => graft.io.Sinks.bucketedTable(books, s"${phys}_codebooks",
+        "sub", 1, s"$newPath/g$gen/codebooks")))
     val frozen = readVectorIndexHead(s, phys)
     graft.io.Sinks.bucketedTable(
       codeVectors(survivors, frozen._1, frozen._2)
