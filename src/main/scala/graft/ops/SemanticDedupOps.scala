@@ -1345,10 +1345,22 @@ object SemanticDedupOps {
         .select(col("doc_a"), col("doc_b")).persist()
       val endpoints = truth.select(col("doc_a").as("vec_id"))
         .union(truth.select(col("doc_b").as("vec_id"))).distinct()
-      val verdicts = SemDedupKs.map(k =>
-          semDedupVerdicts(e, k, Some(endpoints))
-            .withColumn("k", lit(k.toLong)))
-        .reduce(_ unionByName _)
+      // the three k-arms each materialize eagerly (semDedupVerdicts
+      // ends in a localCheckpoint) and are independent — overlap them
+      // (guide §2.6) after pinning the shared inputs, so racing arms
+      // read warm caches instead of duplicating the corpus/truth
+      // lineage; list order is preserved, so the union is unchanged
+      val verdicts = {
+        e.count(); truth.count()
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(SemDedupKs.size)
+        try SemDedupKs.map(k => pool.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = semDedupVerdicts(e, k,
+                Some(endpoints)).withColumn("k", lit(k.toLong))
+            })).map(_.get()).reduce(_ unionByName _)
+        finally pool.shutdown()
+      }
       val joined = truth
         .join(verdicts.select(col("k"), col("vec_id").as("doc_a"),
           col("cid").as("cid_a"), col("verdict").as("v_a")), "doc_a")
