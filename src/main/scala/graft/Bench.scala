@@ -180,6 +180,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"shuffle_rows":${longMap(shufRows)},"shuffle_bytes":${longMap(shufBytes)},"drift_probe_sec":$probe,"io_probe_sec":$ioProbeSec,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only a ~2000-char stdout TAIL; the full line above
+    // is ~26 KB, so its front ("value", "queries") has been truncated out
+    // of the captured record for three rounds running (parsed:null in
+    // BENCH_r09..r11). Emit a compact totals-only line LAST so the tail
+    // always contains one complete parseable JSON record; the per-query
+    // map survives in the full line and in BENCH_local_latest.json.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"drift_probe_sec":$probe,"io_probe_sec":$ioProbeSec,"sf":"$sfDir"}"""
+    println(compact)
     // the driver captures stdout's tail, which has been observed
     // truncated — also persist the full record in-repo so every round's
     // per-query timings survive regardless
