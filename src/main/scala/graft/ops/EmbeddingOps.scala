@@ -757,18 +757,14 @@ object EmbeddingOps {
     FROM embeddings GROUP BY label"""
 
   /** Spark twin of [[centroidDuck]]: (label, n, sumv) with sumv the
-    * exact ordered component sums as ARRAY<DOUBLE>. */
-  private def centroidDf(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "embeddings")
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-          .as("vs"))
-      .withColumn("sumv", expr(
-        """aggregate(vs, transform(vs[0].embedding, x -> 0e0),
-           (acc, v) -> zip_with(acc, v.embedding,
-             (a, x) -> a + CAST(x AS DOUBLE)))"""))
+    * exact ordered component sums as ARRAY<DOUBLE> — via the two-level
+    * [[orderedVecSum]] fold, so no aggregation buffer holds a whole
+    * label's members (guide §5; bit-identical to the single chain). */
+  private def centroidDf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    orderedVecSum(emb, emb, Seq("label"))
       .select(col("label"), col("n"), col("sumv"))
+  }
 
   /** Per-label mean embedding (mean pooling) — the mean-vector
     * aggregation every multimodal pipeline runs (frame embeddings →
@@ -1014,26 +1010,76 @@ object EmbeddingOps {
         (col("_pr0") + 1).as("pr")): _*)
   }
 
-  /** One exact k-means iteration: cosine-argmax assignment against the
-    * current (cid, cv, cnrm) centroid table, then per-cluster mean via
-    * the q82 ordered-IEEE-fold recipe. Returns (cid, n, cv, cnrm);
-    * clusters that win no members drop out (mirrored by the oracle's
-    * GROUP BY). The assignment is the row-local [[localCosTop]] — no
-    * exchange until the k-group fold itself. */
-  private def kmIter(e: DataFrame, cents: DataFrame): DataFrame = {
-    localCosTop(e, cents, 1)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"),
+  /** Bucket count for the two-level exact vector-sum fold — the q268
+    * AUC recipe ([[graft.ops.ClassifierOps]] AucBuckets) applied to
+    * embedding sums. */
+  private[graft] val VecFoldBuckets = 1024L
+
+  /** Two-level exact ordered vector sum: per `keys` group, the
+    * element-wise vec_id-ordered IEEE double fold of `embedding`,
+    * computed WITHOUT any aggregation buffer that holds a whole group
+    * (guide §5 — the single-group `collect_list(struct(vec_id,
+    * embedding))` this replaces held ~n/k of the corpus in ONE buffer,
+    * a guaranteed OOM at scale). Level 1 groups by (keys, _bkt) where
+    * _bkt is a MONOTONE vec_id-range bucket (≤ [[VecFoldBuckets]]
+    * buckets, derived from the corpus min/max vec_id via one broadcast
+    * row over a column-pruned scan of `rngSrc`), so concatenating
+    * buckets in _bkt order is exactly vec_id order; each bucket folds
+    * its own members' sum left-to-right. Level 2 merges the ≤1024
+    * bucket partials per group in bucket order. Split identity: every
+    * partial sum of these float32-valued terms is exact in double
+    * (53-bit mantissa vs 24-bit terms at bounded exponent span), so
+    * regrouping the additions reproduces the single chain bit-for-bit
+    * — asserted empirically by the DuckDB oracle gate at every SF.
+    * Returns (keys..., n, sumv). */
+  private[graft] def orderedVecSum(assigned: DataFrame, rngSrc: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    // vec_id-only projection: the range agg prunes to a one-column
+    // scan, and the four PQ-slice trainings' otherwise-distinct rng
+    // subtrees canonicalize identically so ReuseExchange runs ONE
+    // broadcast for all of them inside a shared plan
+    val rng = rngSrc.select(col("vec_id"))
+      .agg(min(col("vec_id")).as("_mnv"),
+        max(col("vec_id")).as("_mxv"))
+    val keyCols = keys.map(col)
+    assigned
+      .crossJoin(broadcast(rng))
+      // width ≥ 1 and bkt < VecFoldBuckets by construction:
+      // (span-1) div (span div B + 1) < B for every span ≥ 1
+      .withColumn("_bkt", expr(
+        s"""(vec_id - _mnv) DIV
+            ((_mxv - _mnv + 1) DIV $VecFoldBuckets + 1)"""))
+      .groupBy(keyCols :+ col("_bkt"): _*)
+      .agg(count(lit(1)).as("_bn"),
         sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
           .as("vs"))
-      .withColumn("sumv", expr(
+      .withColumn("_bsum", expr(
         """aggregate(vs, transform(vs[0].embedding, x -> 0e0),
            (acc, v) -> zip_with(acc, v.embedding,
              (a, x) -> a + CAST(x AS DOUBLE)))"""))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_bn")).as("n"),
+        sort_array(collect_list(struct(col("_bkt"), col("_bsum"))))
+          .as("ps"))
+      .withColumn("sumv", expr(
+        """aggregate(ps, transform(ps[0]._bsum, x -> 0e0),
+           (acc, p) -> zip_with(acc, p._bsum, (a, x) -> a + x))"""))
+      .select(keyCols :+ col("n") :+ col("sumv"): _*)
+  }
+
+  /** One exact k-means iteration: cosine-argmax assignment against the
+    * current (cid, cv, cnrm) centroid table, then per-cluster mean via
+    * the two-level [[orderedVecSum]] fold (bit-identical to the q82
+    * single-chain recipe, but no O(cluster) aggregation buffer).
+    * Returns (cid, n, cv, cnrm); clusters that win no members drop out
+    * (mirrored by the oracle's GROUP BY). The assignment is the
+    * row-local [[localCosTop]] — no exchange until the k-group fold
+    * itself. */
+  private def kmIter(e: DataFrame, cents: DataFrame): DataFrame =
+    orderedVecSum(localCosTop(e, cents, 1), e, Seq("cid"))
       .withColumn("cv", expr("transform(sumv, x -> x / n)"))
       .withColumn("cnrm", expr(dnrm("cv")))
       .select(col("cid"), col("n"), col("cv"), col("cnrm"))
-  }
 
   /** DuckDB twin of one [[kmIter]] over centroid CTE `prev` and
     * vector CTE `eTab`. */

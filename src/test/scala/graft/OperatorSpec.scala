@@ -1544,6 +1544,11 @@ class OperatorSpec extends AnyFunSuite {
       "q212_semdedup", // q98's k=8 centroid broadcasts (train + final
                        // assignment); the within-cluster pair scan is
                        // an equi-join on cid
+      "q82_label_centroid", // 1-row min/max vec_id range broadcast of
+                            // the r12 two-level orderedVecSum fold
+                            // (the q76 scalar shape)
+      "q83_centroid_outliers", // inherits q82's fold — same 1-row
+                               // range-broadcast shape
       "q214_lm_surprise", // 1-row vocab-size scalar broadcast (V in
                           // the add-one smoothing denominator)
       "q218_staged_serve_recall", // q205 serving shapes + the audit's
@@ -1741,7 +1746,13 @@ class OperatorSpec extends AnyFunSuite {
         .toSet.size
     val budgets = Map(
       "q133_bpe_tokens" -> 12,
-      "q138_pq_adc_search" -> 48,
+      // 48 → 60: the r12 two-level orderedVecSum fold adds one small
+      // exchange (≤ k·1024 bucket-partial rows) per Lloyd iteration —
+      // q138's trajectory trains 4 PQ sub-codebooks (one iteration
+      // each) + reuses q137's coding; the added exchanges carry
+      // bounded partials, the trade that removes the O(cluster)
+      // aggregation buffer (guide §5)
+      "q138_pq_adc_search" -> 60,
       // round-6 heavies: the IVF-PQ composition (coarse train + 4 PQ
       // trainings + probe/ADC joins), the span scrub, and the
       // bucket-blocked interval join — measured at sf0.001 + headroom
@@ -1768,6 +1779,52 @@ class OperatorSpec extends AnyFunSuite {
       if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
     }
     assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("orderedVecSum: two-level fold is bit-identical to the single-" +
+    "group chain and no aggregate buffer holds a whole group's vectors") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.EmbeddingOps
+    val e = Tables.table(spark, sf, "embeddings")
+    // reference: the pre-r12 single-group fold (the O(cluster)-buffer
+    // shape this recipe replaced) — one ordered IEEE chain per label
+    val ref = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("vs"))
+      .withColumn("sumv", expr(
+        """aggregate(vs, transform(vs[0].embedding, x -> 0e0),
+           (acc, v) -> zip_with(acc, v.embedding,
+             (a, x) -> a + CAST(x AS DOUBLE)))"""))
+      .select(col("label"), col("n"), col("sumv"))
+    val got = EmbeddingOps.orderedVecSum(e, e, Seq("label"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toList)).sortBy(_._1).toList
+    val (rr, gg) = (rows(ref), rows(got))
+    // bit-identical: exact Double equality, not a tolerance — the
+    // split identity must reproduce the single chain's every bit
+    assert(rr == gg, s"two-level fold diverged from the single chain:" +
+      s" ref=${rr.take(1)} got=${gg.take(1)}")
+    // boundedness (the guide-§5 assertion the r11 verdict asked for):
+    // no Aggregate whose buffer collects raw (vec_id, embedding)
+    // structs may be keyed by fewer than 2 columns — a single-key
+    // collect_list of member vectors is exactly the O(cluster) buffer
+    // this fold exists to eliminate (level 1 keys by (label, _bkt);
+    // level 2 collects only the ≤1024 bucket partials)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val offenders = got.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+          case c: CollectList =>
+            c.child.dataType.catalogString.contains("embedding")
+          case _ => false
+        }) && a.groupingExpressions.size < 2 => a
+    }
+    assert(offenders.isEmpty,
+      s"single-key collect_list of member embeddings survives:\n" +
+        offenders.mkString("\n"))
+    spark.catalog.clearCache()
   }
 
   test("q150 IVF-PQ: cell-pruned equi-join, recall monotone in nprobe, " +
