@@ -228,8 +228,6 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       batchId: Long, tableName: String, key: String, buckets: Int,
       path: String): Boolean = {
-    def tagged() = spark.table(tableName)
-      .filter(col("ingest_batch") === batchId)
     val clean = !spark.catalog.tableExists(tableName) || {
       // re-list before probing: the crashed attempt's append may have
       // committed through a DIFFERENT session clone, whose write only
@@ -239,8 +237,23 @@ object Sinks {
       // tier-1 probe: one early-exiting LIMIT-1 stage — the whole cost
       // of the common first-attempt path (the per-file job below only
       // runs when a replay actually found the tag)
-      tagged().isEmpty
+      spark.table(tableName)
+        .filter(col("ingest_batch") === batchId).isEmpty
     }
+    finishIdempotentAppend(spark, df, batchId, tableName, key, buckets,
+      path, clean)
+  }
+
+  /** The shared tail of the idempotent append, after the tier-1 probe
+    * decided `clean`: a clean table appends the tagged batch; a table
+    * already carrying the tag runs the tier-2 per-file count compare
+    * (complete → skip, torn → heal + re-append). */
+  private def finishIdempotentAppend(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      batchId: Long, tableName: String, key: String, buckets: Int,
+      path: String, clean: Boolean): Boolean = {
+    def tagged() = spark.table(tableName)
+      .filter(col("ingest_batch") === batchId)
     def append(): Boolean = {
       appendBucketedTable(df.withColumn("ingest_batch", lit(batchId)),
         tableName, key, buckets, path)
@@ -267,6 +280,41 @@ object Sinks {
         append()
       }
     }
+  }
+
+  /** Idempotent append of ONE micro-batch to SEVERAL tables with ONE
+    * tier-1 probe job: the per-table LIMIT-1 tag probes are fused into
+    * a single union-of-LIMIT-1s action (each branch still early-exits
+    * on its first tagged row), so an N-table ingest pays one job of
+    * driver scheduling latency per micro-batch instead of N — guide
+    * §1/§2.6 applied to the probe tail the corpus-index stream paid
+    * five times per batch. EVERYTHING ELSE is unchanged and per-table:
+    * appends stay atomic per table (distinct names, run concurrently
+    * like before), a table found carrying the tag runs
+    * [[finishIdempotentAppend]]'s tier-2 count compare alone, and the
+    * torn-batch recovery argument (any committed-subset of tables
+    * replays to exactly-once contents) is untouched because the probe
+    * is read-only. Same single-writer/quiesced-maintenance contract as
+    * [[appendBucketedTableIdempotent]]. */
+  def appendBucketedTablesIdempotent(
+      spark: org.apache.spark.sql.SparkSession, batchId: Long,
+      parts: Seq[(DataFrame, String, String, Int, String)]): Unit = {
+    val existing = parts.map(_._2).filter(spark.catalog.tableExists)
+    // the q219 cloned-session lesson, batched: refresh before probing
+    existing.foreach(spark.catalog.refreshTable)
+    val taggedTables: Set[String] =
+      if (existing.isEmpty) Set.empty
+      else existing.map { t =>
+        spark.table(t).filter(col("ingest_batch") === batchId)
+          .select(lit(t).as("t")).limit(1)
+      }.reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+    concurrently(parts.map { case (df, t, key, buckets, path) =>
+      () => {
+        finishIdempotentAppend(spark, df, batchId, t, key, buckets,
+          path, clean = !taggedTables.contains(t))
+        ()
+      }
+    })
   }
 
   /** Compact an append-accumulated [[bucketedTable]] back to one file

@@ -890,17 +890,12 @@ object DedupOps {
       shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
       bands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("ccnt")))
-    def put(df: DataFrame, suffix: String, key: String): Unit =
-      batchId match {
-        case Some(id) =>
-          graft.io.Sinks.appendBucketedTableIdempotent(df.sparkSession,
-            df, id, s"${prefix}_$suffix", key, buckets,
-            s"$path/$suffix"); ()
-        case None =>
-          graft.io.Sinks.appendBucketedTable(
-            df.withColumn("ingest_batch", lit(-1L)),
-            s"${prefix}_$suffix", key, buckets, s"$path/$suffix")
-      }
+    val five = Seq(
+      (fresh.hashes, "hashes", "h"),
+      (fresh.shingles, "shingles", "doc_id"),
+      (fresh.bands, "bands", "band_val"),
+      (fresh.sizes, "sizes", "doc_id"),
+      (fresh.bandCounts, "bandcounts", "band_val"))
     try {
       // materialize the shared caches once (bands computes shingles
       // too), then overlap the five independent per-table appends
@@ -909,12 +904,24 @@ object DedupOps {
       // already argues recovery from ANY committed-subset — ordering
       // among the five was never load-bearing.
       bands.count()
-      graft.io.Sinks.concurrently(Seq(
-        () => put(fresh.hashes, "hashes", "h"),
-        () => put(fresh.shingles, "shingles", "doc_id"),
-        () => put(fresh.bands, "bands", "band_val"),
-        () => put(fresh.sizes, "sizes", "doc_id"),
-        () => put(fresh.bandCounts, "bandcounts", "band_val")))
+      batchId match {
+        case Some(id) =>
+          // ONE fused tier-1 tag probe for all five tables per
+          // micro-batch instead of five LIMIT-1 jobs (guide §1 —
+          // per-job driver latency dominated the streaming ingest)
+          graft.io.Sinks.appendBucketedTablesIdempotent(
+            newDocs.sparkSession, id,
+            five.map { case (df, suffix, key) =>
+              (df, s"${prefix}_$suffix", key, buckets, s"$path/$suffix")
+            })
+        case None =>
+          graft.io.Sinks.concurrently(five.map {
+            case (df, suffix, key) => () =>
+              graft.io.Sinks.appendBucketedTable(
+                df.withColumn("ingest_batch", lit(-1L)),
+                s"${prefix}_$suffix", key, buckets, s"$path/$suffix")
+          })
+      }
     } finally { bands.unpersist(); shingles.unpersist() }
   }
 
@@ -2958,10 +2965,17 @@ object DedupOps {
   val q195LshRecallAudit = OpSpec(
     "q195_lsh_recall_audit",
     (s, dir) => {
+      // the lossless-ppjoin truth arm and the MinHash-LSH arm are
+      // independent sub-pipelines joined only at the end — pin and
+      // materialize them CONCURRENTLY (guide §2.6, the q220 pool
+      // treatment) so the audit pays ~max(arm), not sum(arm)
       val truth = q50NgramJaccard.query(s, dir)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard")).persist()
       val lsh = q27MinhashLsh.query(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+        .persist()
+      graft.io.Sinks.concurrently(Seq(
+        () => { truth.count(); () }, () => { lsh.count(); () }))
       val flagged = truth.join(lsh, Seq("doc_a", "doc_b"), "left")
         .withColumn("found", coalesce(col("found"), lit(false)))
         .persist()
@@ -3049,6 +3063,11 @@ object DedupOps {
         .distinct().persist()
       val truth = q50NgramJaccard.query(s, dir)
         .select(col("doc_a"), col("doc_b")).persist()
+      // the swept-banding candidate arm and the lossless-ppjoin truth
+      // arm are independent — materialize them concurrently (guide
+      // §2.6, the q220 pool treatment); cand's fill warms `bands` too
+      graft.io.Sinks.concurrently(Seq(
+        () => { cand.count(); () }, () => { truth.count(); () }))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val nCand = cand.groupBy(col("b")).agg(count(lit(1)).as("n_cand"))
       val nFound = cand.join(truth, Seq("doc_a", "doc_b"))

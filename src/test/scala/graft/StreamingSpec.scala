@@ -732,6 +732,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fused multi-table probe: one replay resolves complete/torn/" +
+    "missing tables independently — skip, heal, append") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fused").toString
+    val sfx = base.replaceAll("[^A-Za-z0-9]", "").takeRight(8)
+    val (tA, tB, tC) = (s"ut_fa$sfx", s"ut_fb$sfx", s"ut_fc$sfx")
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    try {
+      // table A: batch 7 fully committed before the crash
+      graft.io.Sinks.appendBucketedTable(
+        rows(1, 10).withColumn("ingest_batch", lit(7L)), tA, "k", 2,
+        s"$base/a")
+      // table B: batch 7 committed only HALF its rows (torn mid-job)
+      graft.io.Sinks.appendBucketedTable(
+        rows(1, 5).withColumn("ingest_batch", lit(7L)), tB, "k", 2,
+        s"$base/b")
+      // table C: the crash hit before its append — table doesn't exist
+      graft.io.Sinks.appendBucketedTablesIdempotent(spark, 7L, Seq(
+        (rows(1, 10), tA, "k", 2, s"$base/a"),
+        (rows(1, 10), tB, "k", 2, s"$base/b"),
+        (rows(1, 10), tC, "k", 2, s"$base/c")))
+      val want = (1 to 10).map(i => (i.toLong, s"v$i")).toSet
+      Seq(tA -> "complete", tB -> "torn", tC -> "missing").foreach {
+        case (t, kind) =>
+          val got = spark.table(t).select(col("k"), col("v"))
+            .as[(Long, String)].collect().toSet
+          assert(got == want, s"$kind table $t wrong after fused " +
+            s"replay: extra=${(got -- want).take(3)} " +
+            s"missing=${(want -- got).take(3)}")
+          assert(spark.table(t).count() == 10L,
+            s"$kind table $t has duplicates after fused replay")
+      }
+      // a second full replay of the now-complete batch is a no-op
+      graft.io.Sinks.appendBucketedTablesIdempotent(spark, 7L, Seq(
+        (rows(1, 10), tA, "k", 2, s"$base/a"),
+        (rows(1, 10), tB, "k", 2, s"$base/b"),
+        (rows(1, 10), tC, "k", 2, s"$base/c")))
+      Seq(tA, tB, tC).foreach(t =>
+        assert(spark.table(t).count() == 10L, s"$t re-appended"))
+    } finally {
+      Seq(tA, tB, tC).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("sharded-parquet sink: torn uncommitted output is invisible to the " +
     "readback and a restart replays the batch exactly once") {
     import org.apache.spark.sql.functions._
