@@ -104,8 +104,11 @@ object VectorIndexOps {
             ELSE sqrt(dot_product($sliceJ, $sliceJ))
             END)"""
     normedOf(df)
-      .crossJoin(broadcast(packedCoarse))
-      .crossJoin(broadcast(packedBooks))
+      // ONE fused 1-row broadcast (coarse ⨯ books) instead of two:
+      // each broadcast exchange is its own driver-scheduled job, and
+      // codeVectors runs once per build/append/retrain step — the
+      // fused row halves the probe-side job count (guide §1)
+      .crossJoin(broadcast(packedCoarse.crossJoin(packedBooks)))
       .select(col("vec_id"),
         expr(s"""element_at(array_sort(transform(_coarse,
             c -> named_struct(
@@ -194,13 +197,18 @@ object VectorIndexOps {
   def appendToVectorIndex(s: SparkSession, newVecs: DataFrame,
       prefix: String, path: String, buckets: Int = 8,
       batchId: Option[Long] = None): Unit = {
-    val idx = readVectorIndex(s, prefix)
-    val coded = codeVectors(newVecs, idx.coarse, idx.codebooks)
+    // ONE pointer resolve per append (readVectorIndex + a second
+    // livePrefix for the codes table paid two 1-row pointer reads per
+    // batch once a retrain generation exists — guide §1, coalesce the
+    // generation-pointer reads)
+    val phys = livePrefix(s, prefix)
+    val (coarse, books) = readVectorIndexHead(s, phys)
+    val coded = codeVectors(newVecs, coarse, books)
     // resolve the live codes table and ITS registered location: after
     // a vacuum/retrain moved the table, appends must follow it (a
     // caller-tracked path would hit mismatchedTableLocation); `path`
     // only seeds a first append against a not-yet-existing table
-    val codesTable = s"${livePrefix(s, prefix)}_codes"
+    val codesTable = s"${phys}_codes"
     val loc = if (s.catalog.tableExists(codesTable))
       tableLocation(s, codesTable) else s"$path/codes"
     batchId match {
